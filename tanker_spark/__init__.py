@@ -1,0 +1,33 @@
+"""tanker_spark — a PySpark-native engine with the tanker query surface.
+
+Public API mirrors the reference (``/root/reference/tanker/__init__.py``):
+``connect``, ``create_tables``, ``View``, ``Table``, ``fetch``, ``save``,
+``ctx`` — backed by DataFrame plans over versioned Parquet instead of SQL
+over SQLite/Postgres.
+"""
+
+from .context import TankerContext, connect, create_tables, get_spark, register
+from .expression import ExpressionCompiler as Expression
+from .table import Column, Table
+from .utils import ctx, logger, yaml_load, __version__
+from .view import Cursor, View, ViewField, fetch, save
+
+__all__ = [
+    "Column",
+    "Cursor",
+    "Expression",
+    "Table",
+    "TankerContext",
+    "View",
+    "ViewField",
+    "__version__",
+    "connect",
+    "create_tables",
+    "ctx",
+    "fetch",
+    "get_spark",
+    "logger",
+    "register",
+    "save",
+    "yaml_load",
+]

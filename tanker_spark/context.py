@@ -1,0 +1,229 @@
+"""Engine context: SparkSession management, schema registry, DDL.
+
+The reference keeps per-uri connection pools and a thread-local context
+stack (``/root/reference/tanker/context.py``); here a context binds a
+SparkSession + a storage root + a table registry. Contexts still stack
+(thread-local) so nested ``connect()`` blocks and threaded workloads behave
+like the reference's (tests/concurrent_test.py semantics).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+from contextlib import contextmanager
+
+from pyspark.sql import SparkSession
+
+from . import storage
+from .table import Column, Table
+from .utils import CTX_STACK, ctx, logger, yaml_load
+
+__all__ = [
+    "connect", "create_tables", "get_spark", "register", "ctx",
+    "TankerContext",
+]
+
+_DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name="tanker_spark", master=None, extra_conf=None):
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    AQE on (runtime join-strategy switches + skew handling), UTC session
+    timezone for deterministic timestamps, shuffle partitions sized from
+    the environment (a real cluster would size these per-job).
+    """
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or "local[%s]" % _DEFAULT_CPUS)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.shuffle.partitions", _DEFAULT_CPUS)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def _parse_schema(schema):
+    """YAML string / file path / already-parsed list → list of dicts."""
+    if schema is None:
+        return None
+    if isinstance(schema, str):
+        if os.path.exists(schema):
+            with io.open(schema) as fh:
+                return yaml_load(fh)
+        return yaml_load(schema)
+    return schema
+
+
+def _build_registry(defs):
+    registry = {}
+    for tdef in defs:
+        tdef = dict(tdef)
+        name = tdef.pop("table")
+        cols = [
+            Column(cname, cdef) if isinstance(cdef, str)
+            else Column(cname, cdef["type"], default=cdef.get("default"))
+            for cname, cdef in tdef.pop("columns").items()
+        ]
+        # column-level defaults may also come as a 'defaults' mapping
+        for cname, dflt in (tdef.pop("defaults", None) or {}).items():
+            for c in cols:
+                if c.name == cname:
+                    c.default = dflt
+        registry[name] = Table(
+            name,
+            cols,
+            key=tdef.pop("key", None),
+            unique=tdef.pop("unique", None),
+            values=tdef.pop("values", None),
+            use_index=tdef.pop("use-index", tdef.pop("use_index", None)),
+            surrogate_id=tdef.pop("surrogate_id", True),
+            partition_by=tdef.pop("partition_by", None),
+        )
+    return registry
+
+
+CATALOG_FILE = "_catalog.yaml"
+
+
+class TankerContext:
+    """One engine context: spark + root + registry + user cfg."""
+
+    flavor = "spark"
+
+    def __init__(self, cfg):
+        cfg = dict(cfg or {})
+        root = cfg.pop("root", None) or cfg.pop("db_uri", None)
+        if root is None:
+            raise ValueError("cfg must provide a 'root' storage directory")
+        if root.startswith("spark://"):
+            root = root[len("spark://"):]
+        self.root = root
+        self.spark = cfg.pop("spark", None) or get_spark()
+        self.cfg = cfg
+        self.aliases = {"null": None}
+        self.aliases.update(cfg.get("aliases", {}))
+        schema = _parse_schema(cfg.pop("schema", None))
+        if schema is None:
+            schema = self._load_catalog()
+        self.registry = _build_registry(schema or [])
+        self._df_cache = {}
+
+    # -- catalog persistence / introspection ----------------------------
+    def _catalog_path(self):
+        return os.path.join(self.root, CATALOG_FILE)
+
+    def _load_catalog(self):
+        path = self._catalog_path()
+        if os.path.exists(path):
+            with io.open(path) as fh:
+                return yaml_load(fh)
+        return None
+
+    def save_catalog(self):
+        import yaml
+
+        defs = []
+        for table in self.registry.values():
+            cols = {}
+            for c in table.columns:
+                if c.name == "id" and table.surrogate_id:
+                    continue
+                cols[c.name] = c.ctype + (" %s" % c.fk if c.fk else "")
+            d = {"table": table.name, "columns": cols, "key": list(table.key)}
+            if table.unique:
+                d["unique"] = table.unique
+            if not table.surrogate_id:
+                d["surrogate_id"] = False
+            if table.partition_by:
+                d["partition_by"] = list(table.partition_by)
+            if table.use_index != "BTREE":
+                d["use-index"] = table.use_index
+            defs.append(d)
+        os.makedirs(self.root, exist_ok=True)
+        with io.open(self._catalog_path(), "w") as fh:
+            yaml.safe_dump(defs, fh, sort_keys=False)
+
+    # -- table IO -------------------------------------------------------
+    def read(self, table_name):
+        """Load a registered table as DataFrame (schema-cast for managed)."""
+        table = self.registry[table_name]
+        return storage.read_table(self.spark, self.root, table_name,
+                                  schema=None)
+
+    def write(self, table_name, df):
+        table = self.registry[table_name]
+        return storage.write_table(
+            df, self.root, table_name, partition_by=table.partition_by
+        )
+
+    def reset_cache(self, table=None):
+        self._df_cache.clear()
+
+    # -- lifecycle ------------------------------------------------------
+    def enter(self):
+        return self
+
+    def leave(self, exc=None):
+        pass
+
+
+@contextmanager
+def connect(cfg=None):
+    """``with connect({'root': ..., 'schema': ...}):`` — push a context."""
+    new_ctx = TankerContext(cfg)
+    CTX_STACK.push(new_ctx)
+    try:
+        yield new_ctx
+    except Exception as exc:
+        CTX_STACK.pop(exc)
+        raise
+    else:
+        CTX_STACK.pop()
+
+
+def register(schema):
+    """Add table definitions to the active context's registry."""
+    defs = _parse_schema(schema)
+    active = CTX_STACK.active_context()
+    active.registry.update(_build_registry(defs))
+
+
+def create_tables():
+    """Create missing managed tables: empty parquet + seed ``values``.
+
+    The reference's DDL path (context.py:571-710): CREATE TABLE + ALTER for
+    missing columns + indexes. Here: write an empty versioned parquet with
+    the declared schema, persist the catalog sidecar, then upsert seed rows
+    (FK-by-key seeds like ``country.name`` supported through View.write).
+    """
+    from .view import View
+
+    active = CTX_STACK.active_context()
+    spark = active.spark
+    for table in active.registry.values():
+        if not table.surrogate_id and storage.external_path(
+            active.root, table.name
+        ):
+            continue  # external read-only table
+        if not storage.exists(active.root, table.name):
+            empty = spark.createDataFrame([], table.spark_schema())
+            active.write(table.name, empty)
+            logger.info("created table %s", table.name)
+    active.save_catalog()
+    # Seed values (after all tables exist so FK seeds resolve)
+    for table in active.registry.values():
+        if table.values and storage.exists(active.root, table.name):
+            df = active.read(table.name)
+            if df.limit(1).count() == 0:
+                rows = table.values
+                fields = sorted({k for r in rows for k in r})
+                View(table.name, fields).write(rows)

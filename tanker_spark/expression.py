@@ -1,0 +1,778 @@
+"""s-expression query language → PySpark ``Column`` compiler.
+
+The reference (``/root/reference/tanker/expression.py``) parses the same
+grammar into SQL text; here the AST is compiled straight into a PySpark
+logical plan: column references become ``F.col("alias.column")`` over a
+set of inferred LEFT JOINs (the :class:`JoinPlanner`, the equivalent of the
+reference's ``ReferenceSet`` at expression.py:24-124), and builtins become
+``pyspark.sql.functions`` calls, so Catalyst gets a fully declarative plan
+(predicate pushdown, join reordering, codegen — all free).
+
+Grammar (reference: expression.py:127-284):
+  ``(= country.name "Belgium")``, ``(and (> qty 1) (in status "a" "b"))``,
+  ``(count)``, ``(cast created_at (date))``, params ``{}``/``{0}``/``{kw}``
+  with ``{obj.attr}``/``{x!r}``/``{x:>5}`` support, subqueries
+  ``(from tbl (select col) (where ...))`` with ``_parent.`` correlation.
+"""
+
+from __future__ import annotations
+
+import shlex
+from collections import OrderedDict
+from string import Formatter
+
+from pyspark.sql import functions as F
+
+from .table import Table, spark_type
+from .utils import ctx
+
+_formatter = Formatter()
+
+#: heads whose bare-token args are unit/type names, not columns
+RAW_ARG_HEADS = {"cast", "extract", "date_trunc", "strftime", "->>"}
+
+#: tanker cast targets → Spark SQL type names
+CAST_TYPES = {
+    "varchar": "string",
+    "integer": "int",
+    "bigint": "bigint",
+    "float": "double",
+    "bool": "boolean",
+    "timestamp": "timestamp_ntz",
+    "timestamptz": "timestamp",
+    "date": "date",
+    "jsonb": "string",
+    "bytea": "binary",
+}
+
+
+def as_col(x):
+    """Promote python literals to Column; pass Columns through."""
+    from pyspark.sql import Column
+
+    if isinstance(x, Column):
+        return x
+    return F.lit(x)
+
+
+class Ref:
+    """A resolved column reference: remote table/field + join alias."""
+
+    __slots__ = ("remote_table", "remote_field", "join_alias", "column")
+
+    def __init__(self, remote_table, remote_field, join_alias, column):
+        self.remote_table = remote_table
+        self.remote_field = remote_field
+        self.join_alias = join_alias
+        self.column = column
+
+    def col(self):
+        return F.col("%s.%s" % (self.join_alias, self.remote_field))
+
+    def __repr__(self):
+        return "<Ref %s.%s>" % (self.join_alias, self.remote_field)
+
+
+class _AliasCounter:
+    """Query-global join-alias counter (shared across subqueries)."""
+
+    def __init__(self):
+        self.n = 0
+
+    def next(self, table_name):
+        self.n += 1
+        return "%s_%s" % (table_name, self.n)
+
+
+class JoinPlanner:
+    """Collects the LEFT JOINs implied by dotted column paths.
+
+    Key dedup: identical ``(left_alias, right_table, left_col, right_col)``
+    re-uses the same join alias (reference: expression.py:103-105), so
+    ``a.b.c`` and ``a.b.d`` share one join.
+    """
+
+    def __init__(self, table, base_alias=None, table_aliases=None,
+                 parent=None, counter=None):
+        self.table = table
+        self.base_alias = base_alias or table.name
+        # per-column alias override (used by the write-filter 'new' leg,
+        # reference: view.py:606-609)
+        self.table_aliases = table_aliases
+        self.joins = OrderedDict()  # key tuple -> alias
+        self.parent = parent
+        self.counter = counter or (parent.counter if parent else _AliasCounter())
+
+    def alias_for(self, column_name=None):
+        if self.table_aliases and column_name in self.table_aliases:
+            return self.table_aliases[column_name]
+        return self.base_alias
+
+    def get_ref(self, desc, table=None, force_alias=None) -> Ref:
+        table = table or self.table
+        left_alias = force_alias
+        if desc in table:
+            col = table.get_column(desc)
+            left_alias = left_alias or self.alias_for(col.name)
+            return Ref(table, desc, left_alias, col)
+        if "." not in desc:
+            raise KeyError(
+                'Column "%s" not found in table "%s"' % (desc, table.name)
+            )
+        head, tail = desc.split(".", 1)
+        rel = table.get_column(head)
+        foreign_table = rel.get_foreign_table()
+        left_alias = left_alias or self.alias_for(head)
+        right_table = foreign_table.name
+
+        if rel.ctype == "M2O":
+            left_col = head
+            right_col = rel.foreign_col
+        else:  # O2M: defined as other_table.fk — reversed join
+            fk = rel.foreign_col
+            left_col = foreign_table.get_column(fk).foreign_col
+            right_col = fk
+
+        key = (left_alias, right_table, left_col, right_col)
+        if key in self.joins:
+            foreign_alias = self.joins[key]
+        else:
+            foreign_alias = self.counter.next(right_table)
+            self.joins[key] = foreign_alias
+        return self.get_ref(tail, table=foreign_table,
+                            force_alias=foreign_alias)
+
+    def apply(self, base_df, reader):
+        """Materialize base + collected joins into one DataFrame.
+
+        ``reader(table_name)`` loads a table's DataFrame. Joins are LEFT
+        equi-joins in insertion order; the alias strings make qualified
+        column references (``F.col("alias.col")``) resolvable downstream.
+        """
+        df = base_df.alias(self.base_alias)
+        for (l_alias, r_table, l_col, r_col), alias in self.joins.items():
+            right = reader(r_table).alias(alias)
+            cond = F.col("%s.%s" % (l_alias, l_col)) == F.col(
+                "%s.%s" % (alias, r_col)
+            )
+            df = df.join(right, cond, "left")
+        return df
+
+
+# ---------------------------------------------------------------------------
+# AST node types
+# ---------------------------------------------------------------------------
+
+class Symbol:
+    """A bare token: column path, env alias, builtin, or _parent ref."""
+
+    __slots__ = ("token", "first")
+
+    def __init__(self, token, first=False):
+        self.token = token
+        self.first = first
+
+    def __repr__(self):
+        return "<Symbol %s>" % self.token
+
+
+class Param:
+    """``{...}`` placeholder (reference: expression.py:353-399)."""
+
+    def __init__(self, token):
+        self.fmt_spec = self.conversion = None
+        if ":" in token:
+            token, self.fmt_spec = token.split(":", 1)
+        if "!" in token:
+            token, self.conversion = token.split("!", 1)
+        dotted = token.split(".")
+        self.key, self.tail = dotted[0], dotted[1:]
+
+    def resolve(self, env_ctx):
+        key = self.key
+        try:
+            as_int = int(key)
+        except ValueError:
+            as_int = None
+        if key == "":
+            value = env_ctx.pop_positional()
+        elif as_int is not None:
+            value = env_ctx.args[as_int]
+        elif key in env_ctx.kwargs:
+            value = env_ctx.kwargs[key]
+        else:
+            value = env_ctx.global_lookup(key)
+        for attr in self.tail:
+            value = value[attr] if isinstance(value, dict) else getattr(
+                value, attr
+            )
+        if self.fmt_spec:
+            value = _formatter.format_field(value, self.fmt_spec)
+        if self.conversion:
+            value = _formatter.convert_field(value, self.conversion)
+        return value
+
+
+class Node:
+    """A parenthesized expression ``(head arg1 arg2 ...)``."""
+
+    __slots__ = ("items", "sub_table")
+
+    def __init__(self, items, sub_table=None):
+        self.items = items
+        self.sub_table = sub_table  # set for (from tbl ...) nodes
+
+    def head_token(self):
+        if self.items and isinstance(self.items[0], Symbol):
+            return self.items[0].token.lower()
+        return None
+
+    def is_aggregate(self):
+        head = self.head_token()
+        if head in AGGREGATES:
+            return True
+        return any(
+            isinstance(it, Node) and it.is_aggregate() for it in self.items
+        )
+
+    def __repr__(self):
+        return "<Node %s>" % (self.items,)
+
+
+class NULL:
+    """The ``null`` keyword."""
+
+
+# markers -------------------------------------------------------------------
+
+class AnyAll:
+    """Result of ``(any arr)`` / ``(all arr)`` — resolved by the enclosing
+    comparison into array_contains / forall (reference: expression.py:154-155
+    emits PG ``any()/all()``)."""
+
+    def __init__(self, col, mode):
+        self.col = col
+        self.mode = mode  # 'any' | 'all'
+
+
+class Subquery:
+    """Compiled ``(from tbl ...)``: child planner + select cols + where."""
+
+    def __init__(self, compiler, select_cols, where_cond, distinct=False):
+        self.compiler = compiler  # child ExpressionCompiler
+        self.select_cols = select_cols
+        self.where_cond = where_cond
+        self.distinct = distinct
+
+
+class SemiJoin:
+    """A pending left_semi / left_anti join produced by exists/in-subquery."""
+
+    def __init__(self, sub: Subquery, extra_cond=None, anti=False):
+        self.sub = sub
+        self.extra_cond = extra_cond
+        self.anti = anti
+
+
+# ---------------------------------------------------------------------------
+# Parser
+# ---------------------------------------------------------------------------
+
+def tokenize(text):
+    lexer = shlex.shlex(text)
+    lexer.wordchars += ".!=<>:{}-*"
+    return list(lexer)
+
+
+class ExpressionCompiler:
+    """Parses and compiles s-expressions for one base table.
+
+    One compiler per query; owns a JoinPlanner and an env of view-field
+    aliases. Subqueries get child compilers sharing the alias counter so
+    join aliases stay globally unique.
+    """
+
+    def __init__(self, table, planner=None, parent=None, table_aliases=None,
+                 env=None):
+        self.table = table
+        self.parent = parent
+        self.env = env or {}
+        if planner is None:
+            if parent is not None:
+                base_alias = parent.planner.counter.next(table.name + "_sq")
+                planner = JoinPlanner(
+                    table, base_alias=base_alias,
+                    counter=parent.planner.counter,
+                    parent=parent.planner,
+                )
+            else:
+                planner = JoinPlanner(table, table_aliases=table_aliases)
+        self.planner = planner
+        # collected by compile(): semi/anti joins to apply on the frame
+        self.pending_semijoins = []
+
+    # -- parse ----------------------------------------------------------
+    def parse(self, text):
+        tokens = tokenize(text)
+        node = self._read(tokens)
+        if tokens:
+            raise ValueError('Unexpected tokens after ending ")"')
+        return node
+
+    def _read(self, tokens, first=False):
+        if not tokens:
+            raise SyntaxError("unexpected EOF while reading")
+        token = tokens.pop(0)
+        if token == "(":
+            items = []
+            sub_table = None
+            if tokens and tokens[0].lower() == "from":
+                tokens.pop(0)
+                sub_table = tokens.pop(0)
+                items.append(Symbol("from", first=True))
+            first_pos = sub_table is None
+            while tokens and tokens[0] != ")":
+                items.append(self._read(tokens, first=first_pos))
+                first_pos = False
+            if not tokens:
+                raise SyntaxError("missing )")
+            tokens.pop(0)
+            return Node(items, sub_table=sub_table)
+        if token == ")":
+            raise SyntaxError("unexpected )")
+        return self._atom(token, first=first)
+
+    def _atom(self, token, first=False):
+        for q in ('"', "'"):
+            if len(token) > 1 and token[0] == q and token[-1] == q:
+                return token[1:-1]
+        if len(token) > 1 and token[0] == "{" and token[-1] == "}":
+            return Param(token[1:-1])
+        if token in self.table:
+            return Symbol(token, first=first)
+        try:
+            return int(token)
+        except ValueError:
+            pass
+        try:
+            return float(token)
+        except ValueError:
+            pass
+        if token.lower() == "null":
+            return NULL
+        return Symbol(token, first=first)
+
+    # -- env ------------------------------------------------------------
+    def expand_env(self, token):
+        """Field-name alias → its desc (reference: expression.py:251-254)."""
+        if token in self.env and token not in self.table:
+            return self.env[token]
+        return None
+
+    def compile_ref(self, desc, env_ctx):
+        """Compile a bare field desc (column / dotted path / env alias)."""
+        return self._compile_symbol(Symbol(desc), env_ctx)
+
+    # -- compile --------------------------------------------------------
+    def compile(self, node, env_ctx, raw=False):
+        """AST → pyspark Column (or python value / marker)."""
+        if isinstance(node, Symbol):
+            return self._compile_symbol(node, env_ctx, raw=raw)
+        if isinstance(node, Param):
+            return node.resolve(env_ctx)
+        if node is NULL:
+            return None
+        if isinstance(node, Node):
+            return self._compile_node(node, env_ctx, raw=raw)
+        return node  # literal
+
+    def _compile_symbol(self, sym, env_ctx, raw=False):
+        token = sym.token
+        if token.startswith("_parent."):
+            compiler = self
+            tail = token
+            while tail.startswith("_parent."):
+                _, tail = tail.split(".", 1)
+                compiler = compiler.parent
+                if compiler is None:
+                    raise ValueError("No parent query for %s" % token)
+            return compiler.planner.get_ref(tail).col()
+        desc = self.expand_env(token)
+        if desc is not None:
+            if desc.startswith("("):
+                return self.compile(self.parse(desc), env_ctx)
+            if desc.startswith("{"):
+                return as_col(Param(desc[1:-1]).resolve(env_ctx))
+            return self.planner.get_ref(desc).col()
+        try:
+            return self.planner.get_ref(token).col()
+        except KeyError:
+            if raw:
+                return token
+            raise ValueError(
+                'Unknown identifier "%s" on table "%s"'
+                % (token, self.table.name)
+            )
+
+    def _compile_node(self, node, env_ctx, raw=False):
+        if node.sub_table is not None:
+            return self._compile_subquery(node, env_ctx)
+        items = list(node.items)
+        if not items:
+            raise ValueError("Empty expression")
+        head = items[0]
+        if isinstance(head, Symbol):
+            name = head.token.lower()
+            if name in BUILTINS or name in AGGREGATES:
+                fn = BUILTINS.get(name) or AGGREGATES.get(name)
+                arg_raw = name in RAW_ARG_HEADS
+                args = [
+                    self.compile(a, env_ctx, raw=arg_raw) for a in items[1:]
+                ]
+                return fn(self, args)
+            # unknown zero-arg head → bare token (the `(varchar)` rule,
+            # reference: expression.py:331,437-445)
+            if len(items) == 1:
+                if head.token in self.table:
+                    return self.planner.get_ref(head.token).col()
+                return head.token if raw or True else None
+            raise ValueError('Unknown function "%s"' % head.token)
+        # head is itself an expression or literal: evaluate it
+        vals = [self.compile(a, env_ctx, raw=raw) for a in items]
+        if len(vals) == 1:
+            return vals[0]
+        raise ValueError("Cannot evaluate expression %r" % node)
+
+    def _compile_subquery(self, node, env_ctx):
+        child = ExpressionCompiler(
+            Table.get(node.sub_table), parent=self
+        )
+        select_cols, where_cond = [], None
+        distinct = False
+        for item in node.items[1:]:
+            if isinstance(item, Node):
+                h = item.head_token()
+                if h in ("select", "select-distinct"):
+                    distinct = h == "select-distinct"
+                    select_cols = [
+                        child.compile(a, env_ctx) for a in item.items[1:]
+                    ]
+                    continue
+                if h == "where":
+                    conds = [
+                        child.compile(a, env_ctx) for a in item.items[1:]
+                    ]
+                    where_cond = _and_all(conds)
+                    continue
+            raise ValueError("Unexpected subquery clause %r" % item)
+        return Subquery(child, select_cols, where_cond, distinct)
+
+    # -- filter helpers -------------------------------------------------
+    def build_filter(self, filters, env_ctx, acl_filters=None):
+        """filters: str | list[str] | dict → one Column (AND) or None.
+
+        Returns (condition, semijoins) — semijoins are pending left_semi /
+        left_anti joins lifted out of ``exists`` / ``in (from ...)``.
+        """
+        conds = []
+        for fltr in (filters, acl_filters):
+            if not fltr:
+                continue
+            if isinstance(fltr, dict):
+                for key, val in fltr.items():
+                    desc = self.expand_env(key)
+                    target = desc if desc else key
+                    col = self.planner.get_ref(target).col()
+                    if val is None:
+                        conds.append(col.isNull())
+                    elif isinstance(val, (list, tuple, set)):
+                        conds.append(col.isin(list(val)))
+                    else:
+                        conds.append(col == F.lit(val))
+                continue
+            if isinstance(fltr, str):
+                fltr = [fltr]
+            for line in fltr:
+                compiled = self.compile(self.parse(line), env_ctx)
+                conds.append(compiled)
+        # Split out semijoin markers (exists/in-subquery at top level)
+        plain, semis = [], []
+        for c in conds:
+            if isinstance(c, SemiJoin):
+                semis.append(c)
+            else:
+                plain.append(as_col(c))
+        self.pending_semijoins.extend(semis)
+        return (_and_all(plain) if plain else None), semis
+
+
+class EnvContext:
+    """Runtime values for params: positional args, kwargs, ctx config."""
+
+    def __init__(self, args=None, kwargs=None):
+        self.args = list(args) if args else []
+        self._queue = list(self.args)
+        self.kwargs = dict(kwargs or {})
+
+    def pop_positional(self):
+        if not self._queue:
+            raise ValueError("Missing positional argument for {} placeholder")
+        return self._queue.pop(0)
+
+    def global_lookup(self, key):
+        try:
+            aliases = ctx.aliases
+            if key in aliases:
+                return aliases[key]
+        except Exception:
+            pass
+        try:
+            cfg = ctx.cfg
+            if key in cfg:
+                return cfg[key]
+        except Exception:
+            pass
+        raise KeyError('Unknown parameter "%s"' % key)
+
+
+def _and_all(conds):
+    conds = [as_col(c) for c in conds]
+    if not conds:
+        return None
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Builtins (reference: expression.py:130-182 — SQL text there, Columns here)
+# ---------------------------------------------------------------------------
+
+def _flatten_values(args):
+    out = []
+    for a in args:
+        if isinstance(a, (list, tuple, set)):
+            out.extend(a)
+        else:
+            out.append(a)
+    return out
+
+
+def _cmp(op):
+    def fn(compiler, args):
+        x, y = args
+        if isinstance(y, AnyAll):
+            return _any_all_cmp(op, x, y)
+        if isinstance(x, AnyAll):
+            return _any_all_cmp(_flip(op), y, x)
+        return op(as_col(x), y if not isinstance(y, AnyAll) else y)
+
+    return fn
+
+
+def _flip(op):
+    flips = {
+        "lt": "gt", "gt": "lt", "le": "ge", "ge": "le",
+        "eq": "eq", "ne": "ne",
+    }
+    name = flips[op.__name__]
+    return _OPS[name]
+
+
+def _op_eq(a, b):
+    return as_col(a) == b
+
+
+def _op_ne(a, b):
+    return as_col(a) != b
+
+
+def _op_gt(a, b):
+    return as_col(a) > b
+
+
+def _op_lt(a, b):
+    return as_col(a) < b
+
+
+def _op_ge(a, b):
+    return as_col(a) >= b
+
+
+def _op_le(a, b):
+    return as_col(a) <= b
+
+
+_OPS = {"eq": _op_eq, "ne": _op_ne, "gt": _op_gt, "lt": _op_lt,
+        "ge": _op_ge, "le": _op_le}
+for _n, _f in _OPS.items():
+    _f.__name__ = _n
+
+
+def _any_all_cmp(op, scalar, marker):
+    """``(= x (any arr))`` → array_contains; ``(op x (all arr))`` →
+    forall(arr, e -> op(x, e))."""
+    arr = marker.col
+    if marker.mode == "any":
+        if op.__name__ == "eq":
+            return F.array_contains(arr, scalar)
+        return F.exists(arr, lambda e: op(as_col(scalar), e))
+    return F.forall(arr, lambda e: op(as_col(scalar), e))
+
+
+def _in_builtin(compiler, args, anti=False):
+    target = args[0]
+    rest = args[1:]
+    if len(rest) == 1 and isinstance(rest[0], Subquery):
+        sub = rest[0]
+        if not sub.select_cols:
+            raise ValueError("in-subquery needs a select clause")
+        cond = as_col(target) == sub.select_cols[0]
+        return SemiJoin(sub, extra_cond=cond, anti=anti)
+    values = _flatten_values(rest)
+    col = as_col(target).isin(values)
+    return ~col if anti else col
+
+
+def _variadic(fn_pair):
+    sep, unary = fn_pair
+
+    def fn(compiler, args):
+        if len(args) == 1 and unary is not None:
+            return unary(as_col(args[0]))
+        out = as_col(args[0])
+        for a in args[1:]:
+            out = sep(out, a)
+        return out
+
+    return fn
+
+
+def _b_extract(compiler, args):
+    part, col = args
+    part = str(part).lower()
+    col = as_col(col)
+    if part == "epoch":
+        return F.unix_timestamp(col.cast("timestamp")).cast("double")
+    if part == "dow":
+        return F.dayofweek(col) - 1  # PG: Sunday=0
+    if part == "doy":
+        return F.dayofyear(col)
+    return F.date_part(F.lit(part), col).cast("double")
+
+
+def _b_cast(compiler, args):
+    x, t = args
+    t = str(t).lower()
+    target = CAST_TYPES.get(t, t)
+    if t == "timestamp" and isinstance(x, str):
+        # string literal → parse
+        return F.to_timestamp(F.lit(x)).cast("timestamp_ntz")
+    return as_col(x).cast(target)
+
+
+def _b_exists(compiler, args):
+    (sub,) = args
+    if not isinstance(sub, Subquery):
+        raise ValueError("exists expects a (from ...) subquery")
+    return SemiJoin(sub)
+
+
+def _b_not(compiler, args):
+    (x,) = args
+    if isinstance(x, SemiJoin):
+        x.anti = not x.anti
+        return x
+    return ~as_col(x)
+
+
+def _b_json_get(compiler, args):
+    x, key = args
+    return F.get_json_object(as_col(x), "$.%s" % key)
+
+
+BUILTINS = {
+    "+": _variadic((lambda a, b: a + b, None)),
+    "-": _variadic((lambda a, b: a - b, lambda x: -x)),
+    "*": _variadic((lambda a, b: a * b, None)),
+    "/": _variadic((lambda a, b: a / b, None)),
+    "and": lambda c, args: _and_all(args),
+    "or": lambda c, args: _or_all(args),
+    "not": _b_not,
+    ">=": _cmp(_OPS["ge"]),
+    "<=": _cmp(_OPS["le"]),
+    "=": _cmp(_OPS["eq"]),
+    ">": _cmp(_OPS["gt"]),
+    "<": _cmp(_OPS["lt"]),
+    "!=": _cmp(_OPS["ne"]),
+    "->>": _b_json_get,
+    "like": lambda c, args: as_col(args[0]).like(args[1]),
+    "ilike": lambda c, args: as_col(args[0]).ilike(args[1]),
+    "in": lambda c, args: _in_builtin(c, args),
+    "notin": lambda c, args: _in_builtin(c, args, anti=True),
+    "any": lambda c, args: AnyAll(as_col(args[0]), "any"),
+    "all": lambda c, args: AnyAll(as_col(args[0]), "all"),
+    "unnest": lambda c, args: F.explode(as_col(args[0])),
+    "is": lambda c, args: (
+        as_col(args[0]).isNull()
+        if args[1] is None
+        else as_col(args[0]).eqNullSafe(args[1])
+    ),
+    "isnot": lambda c, args: (
+        as_col(args[0]).isNotNull()
+        if args[1] is None
+        else ~as_col(args[0]).eqNullSafe(args[1])
+    ),
+    "exists": _b_exists,
+    "cast": _b_cast,
+    "date_trunc": lambda c, args: F.date_trunc(str(args[0]), as_col(args[1])),
+    "extract": _b_extract,
+    "floor": lambda c, args: F.floor(as_col(args[0])),
+    "true": lambda c, args: F.lit(True),
+    "false": lambda c, args: F.lit(False),
+    "strftime": lambda c, args: F.date_format(
+        as_col(args[1]), _strf_to_spark(str(args[0]))
+    ),
+}
+
+AGGREGATES = {
+    "avg": lambda c, args: F.avg(as_col(args[0])),
+    "count": lambda c, args: (
+        F.count(F.lit(1)) if not args else F.count(as_col(args[0]))
+    ),
+    "max": lambda c, args: F.max(as_col(args[0])),
+    "min": lambda c, args: F.min(as_col(args[0])),
+    "sum": lambda c, args: F.sum(as_col(args[0])),
+    "bool_and": lambda c, args: F.bool_and(as_col(args[0])),
+    "bool_or": lambda c, args: F.bool_or(as_col(args[0])),
+    "every": lambda c, args: F.every(as_col(args[0])),
+}
+
+
+def _or_all(conds):
+    conds = [as_col(c) for c in conds]
+    out = conds[0]
+    for c in conds[1:]:
+        out = out | c
+    return out
+
+
+_STRF_MAP = [
+    ("%Y", "yyyy"), ("%m", "MM"), ("%d", "dd"), ("%H", "HH"),
+    ("%M", "mm"), ("%S", "ss"), ("%j", "DDD"), ("%y", "yy"),
+]
+
+
+def _strf_to_spark(fmt):
+    for c_fmt, s_fmt in _STRF_MAP:
+        fmt = fmt.replace(c_fmt, s_fmt)
+    return fmt
+
+
+def is_aggregate_desc(compiler, desc):
+    """True if a field desc like ``(sum x)`` contains an aggregate head."""
+    if not desc.startswith("("):
+        return False
+    node = compiler.parse(desc)
+    return isinstance(node, Node) and node.is_aggregate()

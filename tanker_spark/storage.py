@@ -1,0 +1,114 @@
+"""Parquet-backed table storage with snapshot versioning.
+
+Managed tables live under ``<root>/<table>/v_NNNNNN/`` parquet directories
+with a ``_current`` pointer file — a poor-man's snapshot store that gives:
+
+- **read/write isolation**: Spark cannot overwrite a path it is lazily
+  reading from; writing a fresh version directory and flipping the pointer
+  sidesteps that entirely (the same reason Delta/Iceberg never rewrite in
+  place).
+- **atomic commits**: the pointer file is replaced with ``os.replace``.
+- **time travel** for free (older versions kept until GC).
+
+External tables (read-only inputs such as ``/root/testdata/sf*/``) are a
+single ``<root>/<table>.parquet`` file or a plain parquet directory; they are
+readable but not writable through this engine.
+
+At 100 TB the write path maps 1:1 onto Delta/Iceberg commits; partitioned
+tables (``partition_by`` in the schema) are written with ``partitionBy`` so
+partition pruning applies on read.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+CURRENT = "_current"
+KEEP_VERSIONS = 2
+
+
+def table_dir(root: str, name: str) -> str:
+    return os.path.join(root, name)
+
+
+def _pointer_path(root, name):
+    return os.path.join(table_dir(root, name), CURRENT)
+
+
+def current_version_path(root, name):
+    ptr = _pointer_path(root, name)
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as fh:
+        version = fh.read().strip()
+    return os.path.join(table_dir(root, name), version)
+
+
+def external_path(root, name):
+    """Read-only single-file / plain-dir parquet table."""
+    p = os.path.join(root, name + ".parquet")
+    if os.path.exists(p):
+        return p
+    p = os.path.join(root, name)
+    if os.path.isdir(p) and not os.path.exists(os.path.join(p, CURRENT)):
+        # a plain parquet dir (no version pointer): external
+        if any(f.endswith(".parquet") for f in os.listdir(p)):
+            return p
+    return None
+
+
+def resolve_path(root, name):
+    cur = current_version_path(root, name)
+    if cur:
+        return cur
+    ext = external_path(root, name)
+    if ext:
+        return ext
+    return None
+
+
+def exists(root, name):
+    return resolve_path(root, name) is not None
+
+
+def read_table(spark, root, name, schema=None):
+    path = resolve_path(root, name)
+    if path is None:
+        raise KeyError(
+            'Table "%s" has no data under %s — run create_tables()'
+            % (name, root)
+        )
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def write_table(df, root, name, partition_by=None):
+    """Write a new version directory and atomically flip the pointer."""
+    tdir = table_dir(root, name)
+    os.makedirs(tdir, exist_ok=True)
+    versions = sorted(
+        v for v in os.listdir(tdir) if v.startswith("v_")
+    )
+    nxt = "v_%06d" % (int(versions[-1][2:]) + 1 if versions else 1)
+    target = os.path.join(tdir, nxt)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(target)
+    # atomic pointer flip
+    tmp = _pointer_path(root, name) + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(nxt)
+    os.replace(tmp, _pointer_path(root, name))
+    # GC old versions beyond KEEP_VERSIONS
+    versions.append(nxt)
+    for old in versions[:-KEEP_VERSIONS]:
+        shutil.rmtree(os.path.join(tdir, old), ignore_errors=True)
+    return target
+
+
+def drop_table(root, name):
+    shutil.rmtree(table_dir(root, name), ignore_errors=True)

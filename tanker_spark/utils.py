@@ -1,0 +1,158 @@
+"""Shared helpers: thread-local context stack, time parsing, yaml.
+
+Semantics modeled on the reference (``/root/reference/tanker/utils.py``),
+re-implemented for a Spark-backed engine: no LRU / pagination helpers are
+needed (FK resolution is a broadcast join, see ``view.py``).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import threading
+from datetime import date, datetime
+
+try:
+    import pandas
+except ImportError:  # pragma: no cover
+    pandas = None
+
+__version__ = "0.1.0"
+
+#: Closed set of declared column types (reference: tanker/utils.py:19-32).
+COLUMN_TYPE = (
+    "BIGINT",
+    "BOOL",
+    "DATE",
+    "FLOAT",
+    "INTEGER",
+    "M2O",
+    "O2M",
+    "TIMESTAMP",
+    "TIMESTAMPTZ",
+    "VARCHAR",
+    "JSONB",
+    "BYTEA",
+)
+
+fmt = "%(levelname)s:%(asctime).19s: %(message)s"
+logging.basicConfig(format=fmt)
+logger = logging.getLogger("tanker_spark")
+_lvl = os.environ.get("TK_LOG_LEVEL", "").upper()
+if _lvl in ("CRITICAL", "ERROR", "WARNING", "INFO", "DEBUG", "NOTSET"):
+    logger.setLevel(_lvl)
+
+
+def yaml_load(stream):
+    import yaml
+
+    return yaml.safe_load(stream)
+
+
+#: Accepted input string formats per temporal type
+#: (reference: tanker/utils.py:94-98).
+TIME_FMT = {
+    "TIMESTAMP": ["%Y-%m-%d %H:%M:%S", "%Y-%m-%dT%H:%M:%S"],
+    "TIMESTAMPTZ": ["%Y-%m-%d %H:%M:%S%z", "%Y-%m-%dT%H:%M:%S%z"],
+    "DATE": ["%Y-%m-%d"],
+}
+
+
+def strptime(val: str, kind: str):
+    """Parse a string into datetime/date following the closed format list."""
+    for f in TIME_FMT[kind]:
+        try:
+            res = datetime.strptime(val, f)
+        except ValueError:
+            continue
+        return res.date() if kind == "DATE" else res
+    raise ValueError('Unable to parse "%s" as %s' % (val, kind.lower()))
+
+
+def to_datetime(value, tz_aware: bool):
+    """Coerce arbitrary input (datetime/date/np.datetime64/str) to datetime."""
+    if value is None:
+        return None
+    if isinstance(value, datetime):
+        return value
+    if hasattr(value, "timetuple"):  # date
+        return datetime(*value.timetuple()[:6])
+    if hasattr(value, "tolist"):  # numpy datetime64 → ns since epoch
+        ns = value.tolist()
+        if ns is None:
+            return None
+        from datetime import timedelta, timezone
+
+        out = datetime(1970, 1, 1) + timedelta(seconds=ns / 1e9)
+        if tz_aware:
+            out = out.replace(tzinfo=timezone.utc)
+        return out
+    if isinstance(value, (str, bytes)):
+        if isinstance(value, bytes):
+            value = value.decode()
+        return strptime(value, "TIMESTAMPTZ" if tz_aware else "TIMESTAMP")
+    raise ValueError('Unexpected value "%s" for timestamp' % (value,))
+
+
+def to_date(value):
+    if value is None:
+        return None
+    if isinstance(value, datetime):
+        return value.date()
+    if isinstance(value, date):
+        return value
+    if hasattr(value, "tolist"):
+        ns = value.tolist()
+        if ns is None:
+            return None
+        from datetime import timedelta
+
+        return (datetime(1970, 1, 1) + timedelta(seconds=ns / 1e9)).date()
+    if isinstance(value, (str, bytes)):
+        if isinstance(value, bytes):
+            value = value.decode()
+        return strptime(value, "DATE")
+    raise ValueError('Unexpected value "%s" for date' % (value,))
+
+
+class ContextStack:
+    """Thread-local stack of engine contexts (reference: utils.py:156-186)."""
+
+    def __init__(self):
+        self._local = threading.local()
+
+    def _stack(self):
+        if not hasattr(self._local, "contexts"):
+            self._local.contexts = []
+        return self._local.contexts
+
+    def reset(self, contexts):
+        self._local.contexts = contexts
+
+    def push(self, new_ctx):
+        self._stack().append(new_ctx)
+        new_ctx.enter()
+        return new_ctx
+
+    def pop(self, exc=None):
+        popped = self._stack().pop()
+        popped.leave(exc)
+
+    def active_context(self):
+        stack = self._stack()
+        if not stack:
+            raise RuntimeError(
+                "No active tanker_spark context — use `with connect(cfg):`"
+            )
+        return stack[-1]
+
+
+class ShallowContext:
+    """Proxy always pointing at the innermost active context."""
+
+    def __getattr__(self, name):
+        return getattr(CTX_STACK.active_context(), name)
+
+
+CTX_STACK = ContextStack()
+ctx = ShallowContext()

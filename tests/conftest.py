@@ -1,0 +1,106 @@
+"""Shared fixtures: the reference test star schema (FIXTURES.md) over a
+temporary storage root. Mirrors /root/reference/tests/base_test.py:22-110."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tanker_spark import View, connect, create_tables, get_spark  # noqa: E402
+
+SCHEMA = """
+- table: country
+  columns:
+    name: varchar
+    teams: o2m team.country
+    licensees: o2m licensee.country
+  key: [name]
+  values:
+    - name: Belgium
+    - name: France
+    - name: Holland
+
+- table: team
+  columns:
+    name: varchar
+    country: m2o country.id
+    members: o2m member.team
+  key: [name, country]
+
+- table: member
+  columns:
+    name: varchar
+    registration_code: varchar
+    created_at:
+      type: timestamp
+      default: current_timestamp
+    team: m2o team.id
+  key: [registration_code]
+  use-index: brin
+
+- table: licensee
+  columns:
+    country: m2o country.id
+    member: m2o member.id
+  key: [country, member]
+
+- table: kitchensink
+  columns:
+    index: integer
+    "true": bool
+    "false": bool
+    "null": varchar
+    integer: integer
+    bigint: bigint
+    float: float
+    bool: bool
+    floor: float
+    epoch: timestamp
+    timestamp: timestamp
+    date: date
+    varchar: varchar
+    int_array: integer[]
+    float_array: float[]
+    bool_array: bool[]
+    ts_array: timestamp[]
+    char_array: varchar[]
+    jsonb: jsonb
+    bytea: bytea
+  key: [index]
+
+- table: timeseries
+  columns:
+    timestamp: timestamp
+    timestamptz: timestamptz
+    date: date
+  key: [timestamp]
+"""
+
+TEAMS = [["Blue", "Belgium"], ["Red", "Belgium"], ["Blue", "France"]]
+
+members = [
+    ("Bob", "Belgium", "Blue", "001"),
+    ("Alice", "Belgium", "Red", "002"),
+    ("Trudy", "France", "Blue", "003"),
+]
+
+
+@pytest.fixture(scope="session")
+def spark():
+    return get_spark(extra_conf={"spark.sql.shuffle.partitions": "4"})
+
+
+@pytest.fixture
+def session(spark, tmp_path):
+    cfg = {"root": str(tmp_path / "db"), "schema": SCHEMA, "spark": spark}
+    with connect(cfg) as context:
+        create_tables()
+        View("team", ["name", "country.name"]).write(TEAMS)
+        yield context
+
+
+def check(expected, result):
+    """Order-insensitive golden comparison (reference base_test.py:149-154)."""
+    assert sorted(expected) == sorted(result)
