@@ -1,0 +1,62 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from tanker_spark import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "cast_trunc_extract",
+    "exists_correlated",
+    "in_subquery",
+    "events_hourly",
+    "dedup_exact_docs",
+    "text_stats",
+    "knn_cosine_bruteforce",
+    "minhash_dedup_docs",
+    "doc_fingerprints",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="tanker_spark_bench")
+    queries = entry_mod.queries()
+    timings = {}
+    # warm the session + file listing with a trivial action
+    spark.range(1).count()
+    for name in BENCH_QUERIES:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print("# %-26s %8.3fs  %d rows" % (name, timings[name], n),
+              file=sys.stderr)
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

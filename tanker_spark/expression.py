@@ -656,10 +656,10 @@ def _b_extract(compiler, args):
     if part == "epoch":
         return F.unix_timestamp(col.cast("timestamp")).cast("double")
     if part == "dow":
-        return F.dayofweek(col) - 1  # PG: Sunday=0
+        return (F.dayofweek(col) - 1).cast("bigint")  # PG: Sunday=0
     if part == "doy":
-        return F.dayofyear(col)
-    return F.date_part(F.lit(part), col).cast("double")
+        return F.dayofyear(col).cast("bigint")
+    return F.date_part(F.lit(part), col).cast("bigint")
 
 
 def _b_cast(compiler, args):
@@ -729,10 +729,25 @@ BUILTINS = {
     "date_trunc": lambda c, args: F.date_trunc(str(args[0]), as_col(args[1])),
     "extract": _b_extract,
     "floor": lambda c, args: F.floor(as_col(args[0])),
+    "round": lambda c, args: F.round(
+        as_col(args[0]), int(args[1]) if len(args) > 1 else 0
+    ),
+    "abs": lambda c, args: F.abs(as_col(args[0])),
+    "coalesce": lambda c, args: F.coalesce(*[as_col(a) for a in args]),
+    "length": lambda c, args: F.length(as_col(args[0])),
+    "lower": lambda c, args: F.lower(as_col(args[0])),
+    "upper": lambda c, args: F.upper(as_col(args[0])),
     "true": lambda c, args: F.lit(True),
     "false": lambda c, args: F.lit(False),
     "strftime": lambda c, args: F.date_format(
         as_col(args[1]), _strf_to_spark(str(args[0]))
+    ),
+    # epoch-nanos long → timestamp (exact decimal division — double
+    # arithmetic would round the microsecond for ns values > 2^53)
+    "ns_to_ts": lambda c, args: F.timestamp_micros(
+        F.floor(
+            as_col(args[0]).cast("decimal(38,0)") / F.lit(1000)
+        ).cast("long")
     ),
 }
 

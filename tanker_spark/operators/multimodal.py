@@ -1,0 +1,106 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed
+metadata, processed via Arrow-batched ``mapInPandas``.
+
+The decode step is STUBBED (no image/audio libs in this container): the
+Spark-side plumbing — schema, batch shapes, partition sizing — is real and
+tested; ``decode_image`` raises ``NotImplementedError`` unless
+``fake=True``, which produces a deterministic fake feature vector so the
+pipeline is exercisable end-to-end.
+
+Scale notes: binary payloads should be size-capped per row group
+(``spark.sql.files.maxPartitionBytes``) so a partition of blobs fits
+executor memory; feature extraction is embarrassingly parallel map-only.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: canonical multimodal column bundle: payload + typed metadata
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("mime", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("duration_ms", T.IntegerType()),
+])
+
+FEATURE_DIM = 16
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("mime", T.StringType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("feature", T.ArrayType(T.FloatType())),
+])
+
+
+def _fake_feature(payload: bytes) -> list:
+    """Deterministic fake featurizer: sha256 bytes → FEATURE_DIM floats."""
+    digest = hashlib.sha256(payload or b"").digest()
+    return [b / 255.0 for b in digest[:FEATURE_DIM]]
+
+
+def decode_image(payload: bytes, fake: bool = False):
+    """Decode an image payload to pixels.
+
+    STUB: real decode needs PIL/ffmpeg (absent in this container).
+    """
+    if fake:
+        return _fake_feature(payload)
+    raise NotImplementedError(
+        "image decode requires an imaging library; pass fake=True for the "
+        "deterministic stub"
+    )
+
+
+def extract_features(df, fake: bool = True):
+    """``mapInPandas`` feature extraction over media rows.
+
+    Arrow-batched: each pandas batch holds whole payloads; the UDF is the
+    only Python hop in the pipeline (unavoidable for codec work).
+    """
+
+    def _extract(batches):
+        for pdf in batches:
+            out = pdf[["media_id", "mime"]].copy()
+            out["n_bytes"] = pdf["payload"].map(
+                lambda p: len(p) if p is not None else 0
+            )
+            out["feature"] = pdf["payload"].map(
+                lambda p: decode_image(p, fake=fake)
+            )
+            yield out
+
+    return df.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(df, every_ms=1000):
+    """Video frame sampling plan: explode sample timestamps per media row
+    (decode itself is the stubbed step). Demonstrates the fan-out shape:
+    one row per (media, frame_ts)."""
+    n_frames = (F.coalesce(F.col("duration_ms"), F.lit(0)) / every_ms).cast(
+        "int"
+    )
+    return df.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))
+        ).alias("frame_idx"),
+    ).withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)
+
+
+def make_fake_media(spark, n=100, seed=42):
+    """Deterministic synthetic media table for tests (binary payloads)."""
+    rows = []
+    for i in range(n):
+        payload = hashlib.sha256(b"media-%d-%d" % (seed, i)).digest() * 4
+        rows.append((
+            i, bytearray(payload), "image/png" if i % 2 == 0 else
+            "audio/wav", 64, 64, 1000 * (i % 7),
+        ))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -1,0 +1,120 @@
+"""Text analysis operators: tokenization, language ID, quality scoring,
+fingerprinting. All pure Column expressions → whole-stage codegen, linear
+scans, no shuffle — these run at 100 TB as a single map stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+#: small built-in stopword lists for the n-gram/stopword language heuristic
+STOPWORDS = {
+    "en": ["the", "a", "an", "of", "and", "to", "in", "is", "it", "that"],
+    "fr": ["le", "la", "les", "de", "des", "et", "un", "une", "est", "que"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "den"],
+    "es": ["el", "la", "los", "de", "y", "un", "una", "es", "que", "en"],
+}
+
+TOKEN_SPLIT = r"\s+"
+
+
+def tokens(col):
+    """Whitespace tokenization (the BPE-ish regex variant below)."""
+    return F.split(F.trim(col), TOKEN_SPLIT)
+
+
+def bpe_tokens(col):
+    """A BPE-ish regex tokenizer: words, numbers, punctuation runs."""
+    if isinstance(col, str):
+        col = F.col(col)
+    return F.filter(
+        F.regexp_extract_all(
+            col, F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"), F.lit(0)
+        ),
+        lambda x: x != F.lit(""),
+    )
+
+
+def token_count(col):
+    return F.size(tokens(col))
+
+
+def char_count(col):
+    return F.length(col)
+
+
+def stopword_ratio(col, lang="en"):
+    """Fraction of tokens that are stopwords of ``lang``."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    toks = F.transform(tokens(col), lambda t: F.lower(t))
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def lang_id(col):
+    """Heuristic language ID: argmax of per-language stopword ratio.
+
+    Returns 'und' when no list scores above a small floor. At scale this
+    stays a pure projection (one pass over tokens per language)."""
+    scores = [(lang, stopword_ratio(col, lang)) for lang in STOPWORDS]
+    best = F.greatest(*[s for _, s in scores])
+    out = F.lit("und")
+    for lang, s in scores:
+        out = F.when((s == best) & (best > 0.02), F.lit(lang)).otherwise(out)
+    return out
+
+
+def punct_ratio(col):
+    stripped = F.regexp_replace(col, r"[^\w\s]", "")
+    return (F.length(col) - F.length(stripped)) / F.greatest(
+        F.length(col), F.lit(1)
+    )
+
+
+def quality_score(col):
+    """Composite [0,1] quality heuristic: length band + punctuation +
+    stopword presence + mean word length band (the classic Gopher-style
+    filters, reduced to cheap column math)."""
+    n_tok = token_count(col)
+    n_chr = char_count(col)
+    mean_wlen = n_chr / F.greatest(n_tok, F.lit(1))
+    len_ok = F.when((n_tok >= 5) & (n_tok <= 100000), 1.0).otherwise(0.0)
+    wlen_ok = F.when((mean_wlen >= 2.0) & (mean_wlen <= 12.0), 1.0).otherwise(
+        0.0
+    )
+    punct_ok = F.when(punct_ratio(col) <= 0.3, 1.0).otherwise(0.0)
+    sw_ok = F.when(stopword_ratio(col, "en") >= 0.01, 1.0).otherwise(0.0)
+    return (len_ok + wlen_ok + punct_ok + sw_ok) / F.lit(4.0)
+
+
+M31 = (1 << 31) - 1
+
+
+def _rolling(col, mult, seed):
+    hashed = F.transform(
+        tokens(col), lambda t: F.pmod(F.xxhash64(t, F.lit(seed)), F.lit(M31))
+    )
+    return F.aggregate(
+        hashed,
+        F.lit(0).cast("long"),
+        lambda acc, h: F.pmod(acc * F.lit(mult) + h, F.lit(M31)),
+    )
+
+
+def fingerprint(col):
+    """Deterministic 62-bit rolling-hash document fingerprint: two
+    independent 31-bit polynomial hashes combined (stays within signed-64
+    under ANSI overflow checks; collision-safe to ~2^31 docs)."""
+    return _rolling(col, 31, 1) * F.lit(1 << 31) + _rolling(col, 37, 2)
+
+
+def analyze(df, text_col="text", prefix=""):
+    """Attach the standard text-analysis columns to a DataFrame."""
+    c = F.col(text_col)
+    return df.withColumns({
+        prefix + "n_tokens": token_count(c),
+        prefix + "n_chars": char_count(c),
+        prefix + "lang_pred": lang_id(c),
+        prefix + "quality": quality_score(c),
+        prefix + "fingerprint": fingerprint(c),
+    })
