@@ -430,12 +430,11 @@ class ExpressionCompiler:
                     self.compile(a, env_ctx, raw=arg_raw) for a in items[1:]
                 ]
                 return fn(self, args)
-            # unknown zero-arg head → bare token (the `(varchar)` rule,
-            # reference: expression.py:331,437-445)
+            # non-builtin zero-arg head → bare token string (the
+            # `(varchar)` / `(epoch)` shielding rule — first-position
+            # tokens never resolve to columns; reference expression.py:331)
             if len(items) == 1:
-                if head.token in self.table:
-                    return self.planner.get_ref(head.token).col()
-                return head.token if raw or True else None
+                return head.token
             raise ValueError('Unknown function "%s"' % head.token)
         # head is itself an expression or literal: evaluate it
         vals = [self.compile(a, env_ctx, raw=raw) for a in items]

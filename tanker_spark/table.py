@@ -127,6 +127,8 @@ class Column:
             return _skip(bool)
         if astype == "BYTEA":
             return _skip(lambda v: bytes(v))
+        if astype == "VARCHAR":
+            return _skip(lambda v: v if isinstance(v, str) else str(v))
         return lambda v: v
 
     def format(self, values, astype=None, array_dim=None):
@@ -148,7 +150,12 @@ class Column:
 
             return [conv(v, dim) for v in values]
         scalar = self._coerce_scalar(astype)
-        if hasattr(values, "tolist"):
+        if hasattr(values, "tolist") and astype not in (
+            "TIMESTAMP", "TIMESTAMPTZ", "DATE"
+        ):
+            # plain numpy arrays → python scalars; temporal arrays are
+            # iterated element-wise instead (ndarray[M8[ns]].tolist()
+            # yields raw ints, np.datetime64 scalars convert properly)
             values = values.tolist()
         return [scalar(v) for v in values]
 

@@ -77,14 +77,21 @@ def to_datetime(value, tz_aware: bool):
         return value
     if hasattr(value, "timetuple"):  # date
         return datetime(*value.timetuple()[:6])
-    if hasattr(value, "tolist"):  # numpy datetime64 → ns since epoch
-        ns = value.tolist()
-        if ns is None:
+    if hasattr(value, "tolist"):
+        # numpy datetime64: tolist() → datetime for coarse units, but a
+        # raw ns-since-epoch int for the ns unit
+        raw = value.tolist()
+        if raw is None:
             return None
         from datetime import timedelta, timezone
 
-        out = datetime(1970, 1, 1) + timedelta(seconds=ns / 1e9)
-        if tz_aware:
+        if isinstance(raw, datetime):
+            out = raw
+        elif isinstance(raw, date):
+            out = datetime(*raw.timetuple()[:6])
+        else:
+            out = datetime(1970, 1, 1) + timedelta(seconds=raw / 1e9)
+        if tz_aware and out.tzinfo is None:
             out = out.replace(tzinfo=timezone.utc)
         return out
     if isinstance(value, (str, bytes)):
@@ -102,12 +109,16 @@ def to_date(value):
     if isinstance(value, date):
         return value
     if hasattr(value, "tolist"):
-        ns = value.tolist()
-        if ns is None:
+        raw = value.tolist()
+        if raw is None:
             return None
         from datetime import timedelta
 
-        return (datetime(1970, 1, 1) + timedelta(seconds=ns / 1e9)).date()
+        if isinstance(raw, datetime):
+            return raw.date()
+        if isinstance(raw, date):
+            return raw
+        return (datetime(1970, 1, 1) + timedelta(seconds=raw / 1e9)).date()
     if isinstance(value, (str, bytes)):
         if isinstance(value, bytes):
             value = value.decode()

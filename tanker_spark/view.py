@@ -520,6 +520,7 @@ class View(object):
         schema_fields = []
         n_rows = None
 
+        fk_id_cols = []  # m2o written by raw id → validate existence
         for col, fields in self.field_map.items():
             idx = self.field_idx[col]
             if col.ctype == "M2O":
@@ -530,6 +531,7 @@ class View(object):
                         T.StructField(col.name, T.LongType())
                     )
                     n_rows = len(values)
+                    fk_id_cols.append(col)
                 else:
                     staged = []
                     for j, (f, i) in enumerate(zip(fields, idx)):
@@ -588,6 +590,30 @@ class View(object):
             inc = inc.withColumn(col.name, F.col("__lk__id")).drop(
                 "__lk__id", *lk_names
             ).drop(*staged)
+
+        # Raw fk-id writes: check the ids exist in the remote table (the
+        # reference relies on the DB's FOREIGN KEY constraint here —
+        # tests/write_test.py:276-291 with bogus id 0)
+        for col in fk_id_cols:
+            remote = col.get_foreign_table()
+            rcol = col.foreign_col
+            remote_ids = ctx.read(remote.name).select(
+                F.col(rcol).alias("__rid")
+            )
+            bad = (
+                inc.filter(F.col(_bt(col.name)).isNotNull())
+                .join(
+                    F.broadcast(remote_ids),
+                    F.col(_bt(col.name)) == F.col("__rid"),
+                    "left_anti",
+                )
+                .first()
+            )
+            if bad is not None:
+                raise ValueError(
+                    'Unknown id "%s" for foreign key "%s" (table "%s")'
+                    % (bad[col.name], col.name, remote.name)
+                )
         return inc
 
     def validate_key(self, columns):
@@ -687,7 +713,10 @@ class View(object):
         self.validate_key({c.name for c in self.field_map})
         if isinstance(filters, str):
             filters = [filters]
-        env_ctx = EnvContext(
+        # each filter leg compiles the predicates independently → fresh
+        # positional-arg queue per leg (the reference re-renders params
+        # per statement execution)
+        fresh_env = lambda: EnvContext(
             args if not isinstance(args, dict) else None,
             args if isinstance(args, dict) else None,
         )
@@ -719,10 +748,10 @@ class View(object):
         self.ins_filter_cnt = self.upd_filter_cnt = 0
         if filters:
             inc, self.ins_filter_cnt = self._filter_leg(
-                inc, filters, "new", env_ctx
+                inc, filters, "new", fresh_env()
             )
             inc, self.upd_filter_cnt = self._filter_leg(
-                inc, filters, "old", env_ctx
+                inc, filters, "old", fresh_env()
             )
 
         rowcounts = {}
@@ -730,7 +759,7 @@ class View(object):
 
         if purge:
             deleted, merged = self._purge_leg(
-                merged, inc, filters, disable_acl, env_ctx
+                merged, inc, filters, disable_acl, fresh_env()
             )
             rowcounts["deleted"] = deleted
 

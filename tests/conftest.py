@@ -58,6 +58,7 @@ SCHEMA = """
     bool: bool
     floor: float
     epoch: timestamp
+    year: timestamp
     timestamp: timestamp
     date: date
     varchar: varchar

@@ -1,0 +1,67 @@
+"""Delete-path golden tests, ported from /root/reference/tests/delete_test.py."""
+
+from tanker_spark import View
+
+from .conftest import check, members
+
+
+def test_delete_data(session):
+    view = View("country", ["name"])
+    view.delete(data=[["France"]])
+    check([("Belgium",), ("Holland",)], view.read().all())
+
+
+def test_delete_data_extra_col(session):
+    full_view = View(
+        "member",
+        ["name", "team.country.name", "team.name", "registration_code"],
+    )
+    full_view.write(members)
+    assert len(full_view.read().all()) == len(members)
+
+    full_view.delete(data=members)
+    assert full_view.read().all() == []
+
+
+def test_delete_data_id(session):
+    view = View("country", ["id"])
+    data = view.read('(!= name "Belgium")').all()
+    view.delete(data=[[i] for (i,) in data])
+    assert len(view.read().all()) == 1
+
+
+def test_delete_filter(session):
+    view = View("country", ["name"])
+    view.delete(["(> id 0 )", "(< id 0)"])
+    res = view.read(order="name").all()
+    assert res == [("Belgium",), ("France",), ("Holland",)]
+
+    view = View("country", ["name"])
+    view.delete("(in name {names})", args={"names": ["France", "Holland"]})
+    assert view.read().all() == [("Belgium",)]
+
+
+def test_delete_filter_dict(session):
+    view = View("country", ["name"])
+    view.delete(filters={"name": "France"})
+    check([("Belgium",), ("Holland",)], view.read().all())
+
+
+def test_delete_by_id(session):
+    view = View("country", ["id"])
+    data = view.read('(= name "France")').all()
+    view.delete(data=data)
+    check([("Belgium",), ("Holland",)], View("country", ["name"]).read().all())
+
+
+def test_delete_swap(session):
+    view = View("team", ["name", "country.name"])
+    view.delete(data=[("Blue", "Belgium")], swap=True)
+    check([("Blue", "Belgium")], view.read().all())
+
+
+def test_truncate(session):
+    view = View("team", ["name", "country.name"])
+    n = view.delete()
+    assert n == 3
+    assert view.read().all() == []

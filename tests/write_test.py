@@ -1,0 +1,197 @@
+"""Write-path golden tests, ported from /root/reference/tests/write_test.py."""
+
+from itertools import product
+
+import pytest
+
+from tanker_spark import View
+
+from .conftest import check, members
+
+
+def test_no_insert(session):
+    team_view = View("team", ["name", "country.name"])
+    team_view.write(
+        [("Orange", "Holland"), ("Blue", "Belgium")], insert=False
+    )
+    expected = [("Red", "Belgium"), ("Blue", "Belgium"), ("Blue", "France")]
+    check(expected, team_view.read())
+
+
+def test_no_update(session):
+    team_view = View("team", ["name", "country.name"])
+    team_view.write(
+        [("Orange", "Holland"), ("Blue", "Belgium")], update=False
+    )
+    expected = [
+        ("Red", "Belgium"),
+        ("Blue", "Belgium"),
+        ("Blue", "France"),
+        ("Orange", "Holland"),
+    ]
+    check(expected, team_view.read())
+
+
+def test_no_fields(session):
+    view = View("country")
+    view.write([("Italy",)])
+    expected = [("Belgium",), ("Italy",), ("France",), ("Holland",)]
+    check(expected, view.read())
+
+
+def test_simple_purge(session):
+    team_view = View("team", ["name", "country.name"])
+    cnt = team_view.write(
+        [("Orange", "Holland"), ("Blue", "France")],
+        purge=True, insert=False, update=False,
+    )
+    assert cnt["deleted"] == 2
+    check([("Blue", "France")], team_view.read())
+
+
+def test_filter_purge(session):
+    team_view = View("team", ["name", "country.name"])
+    fltr = "(= country.name 'Belgium')"
+    cnt = team_view.write(
+        [("Red", "Belgium"), ("Blue", "France"), ("Purple", "France")],
+        purge=True, filters=fltr,
+    )
+    assert cnt["deleted"] == 1
+    check([("Red", "Belgium"), ("Blue", "France")], team_view.read())
+
+
+def test_partial_write(session):
+    full_view = View(
+        "member",
+        ["name", "team.country.name", "team.name", "registration_code"],
+    )
+    full_view.write(members)
+
+    name_view = View("member", ["id", "name"])
+    id2name = dict(name_view.read().all())
+
+    partial_view = View("member", ["name", "registration_code"])
+    partial_view.write([["Bob", "001"]])
+
+    res = full_view.read('(= name "Bob")').one()
+    assert all(res)
+    for member_id, name in name_view.read():
+        assert id2name[member_id] == name
+
+
+def test_write_by_id(session):
+    country_view = View("country", ["id", "name"])
+    res = country_view.read('(= name "Belgium")').one()
+    record_id = res[0]
+    country_view.write([(record_id, "BELGIUM")])
+
+    assert country_view.read('(= name "Belgium")').one() is None
+    res = country_view.read('(= name "BELGIUM")').one()
+    assert res[0] == record_id
+
+
+def test_nullable_fk(session):
+    member_view = View(
+        "member", ["registration_code", "team.name", "team.country.name"]
+    )
+    member_view.write([("test", None, None)])
+    res = View("member", ["team"]).read(
+        '(= registration_code "test")'
+    ).one()
+    assert res == (None,)
+
+
+def test_purge_filters(session):
+    teams = [["Red", "Belgium"]]
+    fltr = '(= country.name "Belgium")'
+    team_view = View("team", ["name", "country.name"])
+    team_view.write(teams, purge=True, filters=fltr)
+    check([("Red", "Belgium"), ("Blue", "France")], team_view.read())
+
+    fltr = '(!= country.name "Belgium")'
+    team_view.write(teams, purge=True, filters=fltr)
+    check([("Red", "Belgium")], team_view.read())
+
+
+def test_update_filters(session):
+    full_view = View(
+        "member",
+        ["name", "team.country.name", "team.name", "registration_code"],
+    )
+    full_view.write(members)
+
+    fltr = '(= registration_code "001")'
+    member_view = View("member", ["registration_code", "name"])
+    cnt = member_view.write(
+        [("001", "BOB"), ("003", "TRUDY")], filters=fltr
+    )
+    assert cnt["filtered"] == 1
+    expected = [("001", "BOB"), ("002", "Alice"), ("003", "Trudy")]
+    check(expected, member_view.read())
+
+
+def test_sneaky_update_filters(session):
+    full_view = View(
+        "member",
+        ["name", "team.country.name", "team.name", "registration_code"],
+    )
+    full_view.write(members)
+
+    # filter expressed on the column being updated: the OLD value decides
+    fltr = '(= name "Bob")'
+    member_view = View("member", ["registration_code", "name"])
+    cnt = member_view.write([("001", "Trudy")], filters=fltr)
+    assert cnt["filtered"] == 1
+    expected = [("001", "Bob"), ("002", "Alice"), ("003", "Trudy")]
+    check(expected, member_view.read())
+
+
+def test_insert_filters(session):
+    full_view = View(
+        "member",
+        ["name", "team.country.name", "team.name", "registration_code"],
+    )
+    full_view.write(members)
+
+    fltr = '(= registration_code "004")'
+    member_view = View("member", ["registration_code", "name"])
+    cnt = member_view.write(
+        [("004", "Carol"), ("005", "Dan")], filters=fltr
+    )
+    assert cnt["filtered"] == 1
+    expected = [
+        ("001", "Bob"), ("002", "Alice"), ("003", "Trudy"),
+        ("004", "Carol"),
+    ]
+    check(expected, member_view.read())
+
+
+def test_filter_args(session):
+    full_view = View(
+        "member",
+        ["name", "team.country.name", "team.name", "registration_code"],
+    )
+    full_view.write(members)
+
+    fltr = "(= registration_code {})"
+    member_view = View("member", ["registration_code", "name"])
+    member_view.write(
+        [("004", "Carol"), ("005", "Dan")], filters=fltr, args=["004"]
+    )
+    expected = [
+        ("001", "Bob"), ("002", "Alice"), ("003", "Trudy"),
+        ("004", "Carol"),
+    ]
+    check(expected, member_view.read())
+
+
+params = list(product([None, 0, "", "0"], ["country", "country.name"]))
+
+
+@pytest.mark.parametrize("bogus_value,fk_field", params)
+def test_null_key(session, bogus_value, fk_field):
+    """Null/empty values in key columns must be rejected."""
+    view = View("team", ["name", fk_field])
+    with pytest.raises(Exception) as exc:
+        view.write([["Pink", bogus_value]])
+    assert isinstance(exc.value, (ValueError, TypeError))
