@@ -1,0 +1,193 @@
+"""Structured Streaming over the ``events`` stream table.
+
+The reference has no streaming surface (SURVEY.md §2.8) — this is the
+driver-mandated net-new layer: file-source streams, watermarked windowed
+aggregations, and a stateful sessionization operator via
+``applyInPandasWithState``.
+
+Scale notes: file-source streaming scales by partition discovery
+(``maxFilesPerTrigger`` bounds batch size); the windowed aggregate is the
+canonical watermark + tumbling-window shuffle; state store size is bounded
+by the watermark horizon.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: physical schema of an events parquet (ts as epoch-nanos long — see
+#: tanker_spark/testdata.py on TIMESTAMP(NANOS))
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def ns_to_ts(col):
+    """epoch-nanos long → timestamp (exact integer µs, no double rounding)."""
+    return F.timestamp_micros(
+        F.floor(col.cast("decimal(38,0)") / F.lit(1000)).cast("long")
+    )
+
+
+def read_events_stream(spark, path, max_files_per_trigger=None):
+    """File-source stream over a directory of events parquet files."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(path)
+    return df.withColumn("event_ts", ns_to_ts(F.col("ts")))
+
+
+def windowed_counts(stream_df, window="1 hour", slide=None,
+                    watermark="2 hours"):
+    """Watermarked tumbling (or sliding) window counts per event_type.
+
+    Late rows beyond the watermark are dropped; state is bounded by the
+    watermark horizon — the standard Spark streaming agg shape."""
+    w = (F.window("event_ts", window, slide) if slide
+         else F.window("event_ts", window))
+    return (
+        stream_df.withWatermark("event_ts", watermark)
+        .groupBy(w.alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type", "n", "total",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator: sessionization
+# ---------------------------------------------------------------------------
+
+SESSION_OUTPUT = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("session_start", T.TimestampType()),
+    T.StructField("session_end", T.TimestampType()),
+    T.StructField("n_events", T.LongType()),
+])
+
+SESSION_STATE = T.StructType([
+    T.StructField("start_us", T.LongType()),
+    T.StructField("last_us", T.LongType()),
+    T.StructField("n", T.LongType()),
+])
+
+SESSION_GAP_S = 30 * 60
+
+
+def _sessionize(key, pdfs, state: GroupState):
+    """Emit closed sessions (gap > SESSION_GAP_S) per user.
+
+    Runs as an Arrow-batched stateful UDF (applyInPandasWithState) — the
+    one place Python is required, since Spark lacks a built-in
+    session-window *with custom emission*; built-in
+    ``F.session_window`` covers the plain case."""
+    import pandas as pd
+
+    (user_id,) = key
+    rows = []
+    if state.hasTimedOut:
+        if state.exists:
+            start_us, last_us, n = state.get
+            rows.append((user_id, start_us, last_us, n))
+            state.remove()
+    else:
+        ts_list = []
+        for pdf in pdfs:
+            ts_list.extend(
+                int(v.value) // 1000 for v in pd.to_datetime(pdf["event_ts"])
+            )
+        ts_list.sort()
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us = last_us = None
+            n = 0
+        for us in ts_list:
+            if last_us is not None and us - last_us > SESSION_GAP_S * 1e6:
+                rows.append((user_id, start_us, last_us, n))
+                start_us, n = us, 0
+            if start_us is None:
+                start_us = us
+            last_us = us
+            n += 1
+        state.update((start_us, last_us, n))
+        state.setTimeoutDuration(SESSION_GAP_S * 1000)
+    out = pd.DataFrame(
+        rows, columns=["user_id", "start_us", "last_us", "n"]
+    )
+    if len(out):
+        out["session_start"] = pd.to_datetime(out.pop("start_us"), unit="us")
+        out["session_end"] = pd.to_datetime(out.pop("last_us"), unit="us")
+        out = out.rename(columns={"n": "n_events"})[
+            ["user_id", "session_start", "session_end", "n_events"]
+        ]
+    else:
+        out = pd.DataFrame(
+            columns=["user_id", "session_start", "session_end", "n_events"]
+        )
+    yield out
+
+
+def sessionize(stream_df):
+    """Custom stateful sessionization: 30-min-gap sessions per user."""
+    return (
+        stream_df.withWatermark("event_ts", "2 hours")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize,
+            outputStructType=SESSION_OUTPUT,
+            stateStructType=SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def session_windows_batch(df, gap="30 minutes"):
+    """Batch twin using the built-in session_window (for oracle checks)."""
+    return (
+        df.groupBy(
+            F.session_window("event_ts", gap).alias("win"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(stream_query_df, name="events_agg", timeout=120,
+                  output_mode="append"):
+    """Run a streaming DataFrame to completion (availableNow) into an
+    in-memory sink; returns the result as a batch DataFrame.
+
+    ``append`` only emits watermark-finalized windows; use ``complete``
+    to see every window of a bounded replay."""
+    spark = stream_query_df.sparkSession
+    q = (
+        stream_query_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+    return spark.table(name)

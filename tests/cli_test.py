@@ -1,0 +1,82 @@
+"""CLI surface tests (reference: tanker/cli.py — read/write/info/init,
+csv/yaml, ascii table, vbar)."""
+
+import csv
+import io
+import os
+import sys
+
+import pytest
+import yaml
+
+from tanker_spark import cli as tk
+
+
+@pytest.fixture
+def cfg_file(tmp_path, spark):
+    from tests.conftest import SCHEMA
+
+    schema_path = tmp_path / "schema.yaml"
+    schema_path.write_text(SCHEMA)
+    cfg = {"root": str(tmp_path / "db"), "schema": str(schema_path)}
+    cfg_path = tmp_path / ".tk.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    return str(cfg_path)
+
+
+def run_cli(argv, cfg_file, stdin=None, capsys=None):
+    old_stdin = sys.stdin
+    if stdin is not None:
+        sys.stdin = io.StringIO(stdin)
+    try:
+        tk.cli(["--config", cfg_file] + argv)
+    finally:
+        sys.stdin = old_stdin
+
+
+def test_cli_roundtrip(cfg_file, capsys, spark):
+    run_cli(["init"], cfg_file)
+    # write teams via csv stdin
+    csv_data = "name,country.name\nBlue,Belgium\nRed,Belgium\n"
+    run_cli(["write", "team"], cfg_file, stdin=csv_data)
+    capsys.readouterr()
+
+    run_cli(["read", "team", "-s", "name"], cfg_file)
+    out = capsys.readouterr().out
+    rows = list(csv.reader(io.StringIO(out)))
+    assert rows[0] == ["name", "country.name"]
+    assert ["Blue", "Belgium"] in rows and ["Red", "Belgium"] in rows
+
+    # filters + ascii table
+    run_cli(["read", "team", "-F", '(= name "Blue")', "-t"], cfg_file)
+    out = capsys.readouterr().out
+    assert "Blue" in out and "Red" not in out
+
+    # yaml output
+    run_cli(["read", "country", "name", "--yaml", "-s", "name"], cfg_file)
+    out = capsys.readouterr().out
+    data = yaml.safe_load(out)
+    assert {"name": "Belgium"} in data
+
+    # info
+    run_cli(["info"], cfg_file)
+    out = capsys.readouterr().out
+    assert "team" in out and "country" in out
+    run_cli(["info", "team"], cfg_file)
+    out = capsys.readouterr().out
+    assert "m2o" in out.lower()
+
+    # vbar over an aggregate
+    run_cli(["read", "team", "name", "(count)", "--vbar"], cfg_file)
+    out = capsys.readouterr().out
+    assert "*" in out
+
+    # delete with filter
+    run_cli(["delete", "team", "-F", '(= name "Blue")'], cfg_file)
+    run_cli(["read", "team"], cfg_file)
+    out = capsys.readouterr().out
+    assert "Blue" not in out and "Red" in out
+
+    # version
+    run_cli(["version"], cfg_file)
+    assert capsys.readouterr().out.strip()

@@ -1,0 +1,71 @@
+"""Structured Streaming tests over a copy of the events testdata."""
+
+import os
+import shutil
+
+import pytest
+
+from tanker_spark.streaming import events as sev
+
+
+@pytest.fixture
+def events_dir(tmp_path):
+    d = tmp_path / "events_stream"
+    d.mkdir()
+    shutil.copy(
+        "/root/testdata/sf0.001/events.parquet", str(d / "part-000.parquet")
+    )
+    return str(d)
+
+
+def test_windowed_counts(spark, events_dir):
+    from pyspark.sql import functions as F
+
+    stream = sev.read_events_stream(spark, events_dir)
+    agg = sev.windowed_counts(stream, window="1 hour")
+    # complete mode: bounded replay emits every window (append would hold
+    # back windows the watermark hasn't finalized)
+    out = sev.run_to_memory(agg, name="t_win", output_mode="complete")
+    rows = out.collect()
+    assert rows, "expected windowed aggregates"
+    batch = (
+        spark.read.schema(sev.EVENTS_SCHEMA).parquet(events_dir)
+        .withColumn("event_ts", sev.ns_to_ts(F.col("ts")))
+    )
+    n_stream = sum(r.n for r in rows)
+    assert n_stream == batch.count()
+
+
+def test_sessionize_batch_twin(spark, events_dir):
+    from pyspark.sql import functions as F
+
+    batch = (
+        spark.read.schema(sev.EVENTS_SCHEMA).parquet(events_dir)
+        .withColumn("event_ts", sev.ns_to_ts(F.col("ts")))
+    )
+    sessions = sev.session_windows_batch(batch)
+    rows = sessions.collect()
+    assert rows
+    # each session's event count sums to the total
+    assert sum(r.n_events for r in rows) == batch.count()
+    # sessions are per-user, disjoint, ordered
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for sess in by_user.values():
+        sess.sort(key=lambda r: r.session_start)
+        for a, b in zip(sess, sess[1:]):
+            assert a.session_end <= b.session_start
+
+
+def test_sessionize_stateful(spark, events_dir):
+    stream = sev.read_events_stream(spark, events_dir)
+    sessions = sev.sessionize(stream)
+    out = sev.run_to_memory(sessions, name="t_sess", timeout=180)
+    rows = out.collect()
+    # availableNow + append mode: only sessions closed by a later event in
+    # the same run are emitted (open sessions wait for timeout) — so we
+    # check consistency, not totals
+    for r in rows:
+        assert r.session_start <= r.session_end
+        assert r.n_events >= 1
