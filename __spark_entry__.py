@@ -236,6 +236,42 @@ def json_extract_events(spark, sf_dir):
         ).frame()
 
 
+def unnest_embedding(spark, sf_dir):
+    """unnest/explode an array column (SURVEY §2.6)."""
+    with _cx(spark, sf_dir):
+        v = View("embeddings", {
+            "vec_id": "vec_id",
+            "x": "(unnest embedding)",
+        })
+        return v.read("(< vec_id 5)").frame()
+
+
+def any_all_arrays(spark, sf_dir):
+    """(all arr) comparison → forall (SURVEY §2.6 any/all)."""
+    with _cx(spark, sf_dir):
+        v = View("embeddings", {"label": "label", "n": "(count)"})
+        return v.read("(> 2.0 (all embedding))", order="label").frame()
+
+
+def strftime_monthly(spark, sf_dir):
+    """strftime → date_format (SURVEY §2.6)."""
+    with _cx(spark, sf_dir):
+        v = View("events", {
+            "ym": '(strftime "%Y-%m" (ns_to_ts ts))',
+            "n": "(count)",
+        })
+        return v.read(order="ym").frame()
+
+
+def alias_fields(spark, sf_dir):
+    """{config} alias fields resolved from ctx.cfg (SURVEY §2.2)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    with connect({"root": sf_dir, "schema": TPCH_SCHEMA, "spark": spark,
+                  "tag": "X"}):
+        v = View("region", {"r_name": "r_name", "tag": "{tag}"})
+        return v.read(order="r_name").frame()
+
+
 def events_hourly(spark, sf_dir):
     """Batch windowed aggregation over the events stream table — the
     batch twin of the Structured-Streaming tumbling window."""
@@ -345,6 +381,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_global_stats": agg_global_stats,
         "params_notin": params_notin,
         "json_extract_events": json_extract_events,
+        "unnest_embedding": unnest_embedding,
+        "any_all_arrays": any_all_arrays,
+        "strftime_monthly": strftime_monthly,
+        "alias_fields": alias_fields,
         "events_hourly": events_hourly,
         "dedup_exact_docs": dedup_exact_docs,
         "text_stats": text_stats,
@@ -465,6 +505,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(props::JSON ->> 'k' AS INTEGER) AS k
             FROM events WHERE event_type = 'click'
             ORDER BY event_id LIMIT 100
+        """,
+        "unnest_embedding": """
+            SELECT vec_id, unnest(embedding) AS x
+            FROM embeddings WHERE vec_id < 5
+        """,
+        "any_all_arrays": """
+            SELECT label, count(*) AS n FROM embeddings
+            WHERE list_max(embedding) < 2.0
+            GROUP BY label ORDER BY label
+        """,
+        "strftime_monthly": """
+            SELECT strftime(ts, '%Y-%m') AS ym, count(*) AS n
+            FROM events GROUP BY 1 ORDER BY ym
+        """,
+        "alias_fields": """
+            SELECT r_name, 'X' AS tag FROM region ORDER BY r_name
         """,
         "events_hourly": """
             SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,

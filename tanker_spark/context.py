@@ -155,10 +155,14 @@ class TankerContext:
 
     # -- table IO -------------------------------------------------------
     def read(self, table_name):
-        """Load a registered table as DataFrame (schema-cast for managed)."""
+        """Load a registered table as a DataFrame.
+
+        Managed tables read with their declared schema (stable types, and
+        empty partitioned dirs can't infer one); external tables infer."""
         table = self.registry[table_name]
+        schema = table.spark_schema() if table.surrogate_id else None
         return storage.read_table(self.spark, self.root, table_name,
-                                  schema=None)
+                                  schema=schema)
 
     def write(self, table_name, df):
         table = self.registry[table_name]

@@ -110,5 +110,69 @@ def write_table(df, root, name, partition_by=None):
     return target
 
 
+def _link_tree(src, dst):
+    """Hard-link a file tree (fall back to copy across devices)."""
+    for dirpath, _dirnames, filenames in os.walk(src):
+        rel = os.path.relpath(dirpath, src)
+        target_dir = os.path.join(dst, rel) if rel != "." else dst
+        os.makedirs(target_dir, exist_ok=True)
+        for fn in filenames:
+            s = os.path.join(dirpath, fn)
+            d = os.path.join(target_dir, fn)
+            try:
+                os.link(s, d)
+            except OSError:  # cross-device: copy
+                shutil.copy2(s, d)
+
+
+def write_table_partial(df_changed, root, name, partition_by,
+                        changed_values):
+    """Partition-scoped merge commit: write only the partitions touched by
+    a merge; hard-link every untouched partition directory from the
+    previous version into the new one.
+
+    This is the snapshot-store analog of Delta's partition-pruned MERGE /
+    dynamic partition overwrite: at 100 TB an upsert that touches 3 of
+    10,000 date partitions rewrites only those 3 — the rest are O(1)
+    directory links. ``changed_values``: list of tuples of partition-col
+    values (single-level supported per partition col nesting)."""
+    prev = current_version_path(root, name)
+    tdir = table_dir(root, name)
+    os.makedirs(tdir, exist_ok=True)
+    versions = sorted(v for v in os.listdir(tdir) if v.startswith("v_"))
+    nxt = "v_%06d" % (int(versions[-1][2:]) + 1 if versions else 1)
+    target = os.path.join(tdir, nxt)
+
+    (df_changed.write.mode("overwrite").partitionBy(*partition_by)
+     .parquet(target))
+
+    # link untouched partitions from the previous version
+    changed_dirs = set()
+    for values in changed_values:
+        parts = [
+            "%s=%s" % (c, "__HIVE_DEFAULT_PARTITION__" if v is None else v)
+            for c, v in zip(partition_by, values)
+        ]
+        changed_dirs.add(parts[0])
+    if prev and os.path.isdir(prev):
+        for entry in os.listdir(prev):
+            if not entry.startswith(partition_by[0] + "="):
+                continue  # _SUCCESS etc.
+            if entry in changed_dirs:
+                continue
+            _link_tree(
+                os.path.join(prev, entry), os.path.join(target, entry)
+            )
+
+    tmp = _pointer_path(root, name) + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(nxt)
+    os.replace(tmp, _pointer_path(root, name))
+    versions.append(nxt)
+    for old in versions[:-KEEP_VERSIONS]:
+        shutil.rmtree(os.path.join(tdir, old), ignore_errors=True)
+    return target
+
+
 def drop_table(root, name):
     shutil.rmtree(table_dir(root, name), ignore_errors=True)

@@ -757,16 +757,61 @@ class View(object):
         rowcounts = {}
         merged = self._merge(inc, insert=insert, update=update)
 
+        victims_parts = None
         if purge:
-            deleted, merged = self._purge_leg(
+            deleted, merged, victims_parts = self._purge_leg(
                 merged, inc, filters, disable_acl, fresh_env()
             )
             rowcounts["deleted"] = deleted
 
-        ctx.write(table.name, merged)
+        self._commit(inc, merged, victims_parts)
         rowcounts["filtered"] = self.ins_filter_cnt + self.upd_filter_cnt
         ctx.reset_cache(table.name)
         return rowcounts
+
+    def _commit(self, inc, merged, victims_parts=None):
+        """Write the merge result: partition-scoped when possible.
+
+        For single-column-partitioned tables the merge only rewrites the
+        partitions the incoming rows (old+new location) or purge victims
+        touch; everything else is hard-linked from the previous snapshot
+        (storage.write_table_partial) — the 100 TB upsert path."""
+        from . import storage
+
+        table = self.table
+        pby = table.partition_by
+        if (
+            len(pby) == 1
+            and pby[0] in {c.name for c in table.physical_columns()}
+            and pby[0] in inc.columns
+            and storage.current_version_path(ctx.root, table.name)
+        ):
+            pcol = pby[0]
+            existing = ctx.read(table.name)
+            inc_parts = {
+                tuple(r) for r in inc.select(pcol).distinct().collect()
+            }
+            # rows whose key matches may MOVE partition: their old
+            # partition must be rewritten too
+            old_parts = {
+                tuple(r)
+                for r in existing.join(
+                    inc.select(*self.key_cols), on=self.key_cols,
+                    how="left_semi",
+                ).select(pcol).distinct().collect()
+            }
+            changed = inc_parts | old_parts | set(victims_parts or ())
+            part_col = F.col(_bt(pcol))
+            values = [v for (v,) in changed if v is not None]
+            cond = part_col.isin(values) if values else F.lit(False)
+            if any(v is None for (v,) in changed):
+                cond = cond | part_col.isNull()
+            storage.write_table_partial(
+                merged.filter(cond), ctx.root, table.name, pby,
+                sorted(changed, key=str),
+            )
+        else:
+            ctx.write(table.name, merged)
 
     def _merge(self, inc, insert=True, update=True):
         """Full-outer merge on key_cols; only view columns are touched on
@@ -872,12 +917,22 @@ class View(object):
         victims = frame.join(inc_keys, on, "left_anti")
         if cond is not None:
             victims = victims.filter(cond)
-        victims = victims.select(
-            *[F.col("%s.%s" % (table.name, k)).alias(k) for k in key]
-        ).cache()
+        sel = [F.col("%s.%s" % (table.name, k)).alias(k) for k in key]
+        pby = table.partition_by
+        if len(pby) == 1 and pby[0] not in key:
+            sel.append(F.col("%s.%s" % (table.name, pby[0])).alias(pby[0]))
+        victims = victims.select(*sel).cache()
         deleted = victims.count()
-        kept = merged.join(victims, on=key, how="left_anti")
-        return deleted, kept
+        victim_parts = None
+        if len(pby) == 1:
+            victim_parts = {
+                tuple(r) for r in
+                victims.select(pby[0]).distinct().collect()
+            }
+        kept = merged.join(
+            victims.select(*key), on=key, how="left_anti"
+        )
+        return deleted, kept, victim_parts
 
     # ------------------------------------------------------------------
     # DELETE

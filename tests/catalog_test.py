@@ -1,0 +1,41 @@
+"""Catalog persistence / introspection + runtime table creation
+(reference: context.py introspect_db + tests/utils_test.py:72-90)."""
+
+from tanker_spark import View, connect, create_tables, ctx, register
+
+
+def test_introspection_reload(session, spark):
+    """Reconnect with NO schema: the catalog sidecar restores the
+    registry (the Spark analog of introspect_db, context.py:388-569)."""
+    root = session.root
+    with connect({"root": root, "spark": spark}):
+        assert "team" in ctx.registry
+        table = ctx.registry["team"]
+        assert table.key == ["name", "country"]
+        assert table.get_column("country").foreign_table == "country"
+        res = View("team", ["name", "country.name"]).read().all()
+        assert sorted(res) == [
+            ("Blue", "Belgium"), ("Blue", "France"), ("Red", "Belgium"),
+        ]
+
+
+def test_runtime_create_table(session):
+    """Register a new table at runtime with a dotted-path FK seed value
+    (the sponsor fixture, FIXTURES.md)."""
+    register([{
+        "table": "sponsor",
+        "columns": {
+            "name": "varchar",
+            "country": "m2o country.id",
+            "type": "varchar",
+        },
+        "key": ["name", "country"],
+        "values": [{
+            "name": "ACME-2000",
+            "country.name": "Belgium",
+            "type": "gold",
+        }],
+    }])
+    create_tables()
+    rows = View("sponsor").read().all()
+    assert rows == [("ACME-2000", "Belgium", "gold")]

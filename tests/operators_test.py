@@ -1,0 +1,151 @@
+"""LLM-pipeline operator tests: planted near-duplicates must be found,
+distinct content must not collide; knn variants agree with brute force."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from tanker_spark.operators import dedup, multimodal, similarity, text
+
+WORDS = ("spark tanker query join filter shuffle parquet column row value "
+         "table scan hash agg window batch stream data key index").split()
+
+
+def _doc(rnd, n=60):
+    return " ".join(rnd.choice(WORDS) for _ in range(n))
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rnd = random.Random(7)
+    rows = []
+    for i in range(40):
+        rows.append((i, _doc(rnd)))
+    # plant near-duplicates: copy doc 0/1/2 with small edits
+    base0, base1, base2 = rows[0][1], rows[1][1], rows[2][1]
+    rows.append((100, base0))                          # exact dup of 0
+    rows.append((101, base1 + " extra token"))         # near dup of 1
+    toks = base2.split()
+    toks[5] = "CHANGED"
+    rows.append((102, " ".join(toks)))                 # near dup of 2
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark, docs):
+    winners = dedup.dedup_exact(docs, "text", "doc_id").collect()
+    assert sum(r.copies for r in winners) == docs.count()
+    dups = [r for r in winners if r.copies > 1]
+    assert len(dups) == 1 and dups[0].keep_id == 0
+
+    rows = dedup.dedup_exact_rows(docs, "text", "doc_id")
+    assert rows.count() == docs.count() - 1
+
+
+def test_minhash_lsh(spark, docs):
+    pairs = dedup.minhash_lsh_pairs(
+        docs, threshold=0.5, num_hashes=16, bands=8
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 100) in found        # exact dup: jaccard 1.0
+    assert (1, 101) in found        # near dup
+    assert (2, 102) in found
+    # no false pairs among unrelated docs (est_jaccard >= 0.5)
+    for r in pairs:
+        assert r.id_b >= 100, "unexpected high-similarity pair %s" % (r,)
+
+
+def test_simhash(spark, docs):
+    pairs = dedup.simhash_pairs(docs, max_hamming=8).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 100) in found
+    ham = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert ham[(0, 100)] == 0
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    found = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert found.get((0, 100)) == 1.0
+    assert (1, 101) in found and found[(1, 101)] > 0.8
+
+
+def test_embedding_dedup_and_knn(spark):
+    rnd = random.Random(3)
+    dim = 16
+    rows = []
+    for i in range(50):
+        rows.append((i, [rnd.gauss(0, 1) for _ in range(dim)]))
+    # plant a near-duplicate of vec 0
+    dup = [x + rnd.gauss(0, 0.001) for x in rows[0][1]]
+    rows.append((100, dup))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    pairs = dedup.embedding_dedup_pairs(
+        df, dim=dim, threshold=0.99, n_planes=6
+    ).collect()
+    assert any(r.id_a == 0 and r.id_b == 100 for r in pairs)
+
+    probe = rows[5][1]
+    brute = similarity.knn_brute(df, probe, k=5, vec_col="embedding")
+    top = brute.collect()
+    assert top[0].vec_id == 5 and top[0].cos_sim > 0.999
+
+    lsh = similarity.knn_lsh(
+        df, probe, k=5, dim=dim, n_planes=6, multiprobe=2
+    ).collect()
+    assert lsh[0].vec_id == 5  # ANN finds the exact hit in its bucket
+
+    ivf = similarity.knn_ivf(df, probe, k=5, n_cells=8, n_probe=4).collect()
+    assert ivf[0].vec_id == 5
+
+
+def test_text_analyze(spark, docs):
+    out = text.analyze(docs).collect()
+    for r in out:
+        assert r.n_tokens == len(r.text.split())
+        assert r.n_chars == len(r.text)
+        assert 0.0 <= r.quality <= 1.0
+        assert isinstance(r.fingerprint, int)
+    # identical docs → identical fingerprints
+    by_id = {r.doc_id: r.fingerprint for r in out}
+    assert by_id[0] == by_id[100]
+    assert by_id[1] != by_id[101]
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is on the roof of the house and it is happy"),
+            (2, "le chat est sur le toit de la maison et il est content"),
+            (3, "xyzzy qwerty asdf ghjk"),
+        ],
+        ["doc_id", "text"],
+    )
+    res = {r.doc_id: r.lang for r in df.select(
+        "doc_id", text.lang_id(F.col("text")).alias("lang")
+    ).collect()}
+    assert res[1] == "en"
+    assert res[2] == "fr"
+    assert res[3] == "und"
+
+
+def test_multimodal(spark):
+    media = multimodal.make_fake_media(spark, n=20)
+    feats = multimodal.extract_features(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert len(r.feature) == multimodal.FEATURE_DIM
+        assert r.n_bytes == 128
+    # deterministic: same payload → same feature
+    again = {r.media_id: r.feature for r in
+             multimodal.extract_features(media, fake=True).collect()}
+    for r in rows:
+        assert again[r.media_id] == r.feature
+
+    frames = multimodal.frame_sample(media, every_ms=500).collect()
+    assert all(f.frame_ts_ms % 500 == 0 for f in frames)
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x00", fake=False)

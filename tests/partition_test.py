@@ -1,0 +1,106 @@
+"""Partition-scoped merge: upserts rewrite only touched partitions and
+hard-link the rest from the previous snapshot (storage.write_table_partial)."""
+
+import os
+
+from tanker_spark import View, connect, create_tables, ctx
+from tanker_spark import storage
+
+import pytest
+
+PSCHEMA = """
+- table: reading
+  columns:
+    site: varchar
+    day: varchar
+    value: float
+  key: [site, day]
+  partition_by: [day]
+"""
+
+
+@pytest.fixture
+def psession(spark, tmp_path):
+    cfg = {"root": str(tmp_path / "pdb"), "schema": PSCHEMA, "spark": spark}
+    with connect(cfg) as context:
+        create_tables()
+        View("reading", ["site", "day", "value"]).write([
+            ("a", "2024-01-01", 1.0),
+            ("b", "2024-01-01", 2.0),
+            ("a", "2024-01-02", 3.0),
+            ("a", "2024-01-03", 4.0),
+        ])
+        yield context
+
+
+def _partition_inodes(root, name):
+    path = storage.current_version_path(root, name)
+    out = {}
+    for entry in os.listdir(path):
+        if not entry.startswith("day="):
+            continue
+        pdir = os.path.join(path, entry)
+        out[entry] = {
+            fn: os.stat(os.path.join(pdir, fn)).st_ino
+            for fn in os.listdir(pdir) if fn.endswith(".parquet")
+        }
+    return out
+
+
+def test_partial_merge_links_unchanged(psession):
+    before = _partition_inodes(ctx.root, "reading")
+    # touch only 2024-01-02
+    View("reading", ["site", "day", "value"]).write([
+        ("a", "2024-01-02", 30.0),
+        ("b", "2024-01-02", 31.0),
+    ])
+    after = _partition_inodes(ctx.root, "reading")
+
+    # untouched partitions are hard-links of the previous version's files
+    assert after["day=2024-01-01"] == before["day=2024-01-01"]
+    assert after["day=2024-01-03"] == before["day=2024-01-03"]
+    assert after["day=2024-01-02"] != before["day=2024-01-02"]
+
+    res = View("reading").read(order=["day", "site"]).all()
+    assert res == [
+        ("a", "2024-01-01", 1.0),
+        ("b", "2024-01-01", 2.0),
+        ("a", "2024-01-02", 30.0),
+        ("b", "2024-01-02", 31.0),
+        ("a", "2024-01-03", 4.0),
+    ]
+
+
+def test_partition_move(psession):
+    """Updating the partition column moves the row and rewrites BOTH the
+    old and the new partition."""
+    before = _partition_inodes(ctx.root, "reading")
+    # row (a, 2024-01-03) re-keyed by id to a new day
+    (rid,) = View("reading", ["id"]).read(
+        '(= day "2024-01-03")'
+    ).one()
+    View("reading", ["id", "site", "day", "value"]).write([
+        (rid, "a", "2024-01-04", 40.0)
+    ])
+    after = _partition_inodes(ctx.root, "reading")
+    assert "day=2024-01-04" in after
+    assert "day=2024-01-03" not in after or not after["day=2024-01-03"]
+    assert after["day=2024-01-01"] == before["day=2024-01-01"]
+
+    res = View("reading").read(order=["day", "site"]).all()
+    assert ("a", "2024-01-04", 40.0) in res
+    assert all(day != "2024-01-03" for _, day, _v in res)
+
+
+def test_partial_purge(psession):
+    cnt = View("reading", ["site", "day", "value"]).write(
+        [("a", "2024-01-01", 1.5)],
+        purge=True, filters='(= day "2024-01-01")',
+    )
+    assert cnt["deleted"] == 1  # (b, 2024-01-01) purged
+    res = View("reading").read(order=["day", "site"]).all()
+    assert res == [
+        ("a", "2024-01-01", 1.5),
+        ("a", "2024-01-02", 3.0),
+        ("a", "2024-01-03", 4.0),
+    ]
