@@ -274,6 +274,16 @@ class SemiJoin:
         self.anti = anti
 
 
+class AndGroup:
+    """A conjunction that carries lifted semi-joins: ``(and (exists ...)
+    (= a b))`` splits into a plain condition + pending joins (AND is the
+    only boolean context where EXISTS can be decorrelated this way)."""
+
+    def __init__(self, cond, semis):
+        self.cond = cond  # Column or None
+        self.semis = semis
+
+
 # ---------------------------------------------------------------------------
 # Parser
 # ---------------------------------------------------------------------------
@@ -494,11 +504,16 @@ class ExpressionCompiler:
             for line in fltr:
                 compiled = self.compile(self.parse(line), env_ctx)
                 conds.append(compiled)
-        # Split out semijoin markers (exists/in-subquery at top level)
+        # Split out semijoin markers (exists/in-subquery at top level or
+        # under a top-level AND)
         plain, semis = [], []
         for c in conds:
             if isinstance(c, SemiJoin):
                 semis.append(c)
+            elif isinstance(c, AndGroup):
+                semis.extend(c.semis)
+                if c.cond is not None:
+                    plain.append(c.cond)
             else:
                 plain.append(as_col(c))
         self.pending_semijoins.extend(semis)
@@ -691,13 +706,40 @@ def _b_json_get(compiler, args):
     return F.get_json_object(as_col(x), "$.%s" % key)
 
 
+def _b_and(compiler, args):
+    plain, semis = [], []
+    for a in args:
+        if isinstance(a, SemiJoin):
+            semis.append(a)
+        elif isinstance(a, AndGroup):
+            semis.extend(a.semis)
+            if a.cond is not None:
+                plain.append(a.cond)
+        else:
+            plain.append(a)
+    cond = _and_all(plain) if plain else None
+    if semis:
+        return AndGroup(cond, semis)
+    return cond
+
+
+def _b_or(compiler, args):
+    for a in args:
+        if isinstance(a, (SemiJoin, AndGroup)):
+            raise NotImplementedError(
+                "EXISTS / IN-subquery under OR is not supported — "
+                "rewrite as two reads or a union"
+            )
+    return _or_all(args)
+
+
 BUILTINS = {
     "+": _variadic((lambda a, b: a + b, None)),
     "-": _variadic((lambda a, b: a - b, lambda x: -x)),
     "*": _variadic((lambda a, b: a * b, None)),
     "/": _variadic((lambda a, b: a / b, None)),
-    "and": lambda c, args: _and_all(args),
-    "or": lambda c, args: _or_all(args),
+    "and": _b_and,
+    "or": _b_or,
     "not": _b_not,
     ">=": _cmp(_OPS["ge"]),
     "<=": _cmp(_OPS["le"]),

@@ -1,0 +1,97 @@
+"""Planner behavior tests — the Spark analog of the reference's
+expression_static_test.py SQL-text asserts (SURVEY §5: replaced with
+plan/Column assertions + behavioral checks)."""
+
+from tanker_spark import View
+from tanker_spark.expression import EnvContext, ExpressionCompiler
+from tanker_spark.table import Table
+
+from .conftest import members
+
+
+def test_join_dedup(session):
+    """Identical join keys reuse one alias (reference
+    expression_static_test.py:77-91)."""
+    compiler = ExpressionCompiler(Table.get("member"))
+    env = EnvContext()
+    compiler.compile(compiler.parse('(= team.country.name "BE")'), env)
+    n1 = len(compiler.planner.joins)
+    compiler.compile(compiler.parse('(= team.country.name "FR")'), env)
+    assert len(compiler.planner.joins) == n1 == 2  # member→team→country
+    # a path sharing the first hop adds only one more join
+    compiler.compile(compiler.parse('(= team.name "x")'), env)
+    assert len(compiler.planner.joins) == 2
+
+
+def test_exists_in_and(session):
+    """(and (exists ...) conds) lifts the semi-join
+    (reference expression_static_test.py:93-109)."""
+    View(
+        "member",
+        ["name", "team.country.name", "team.name", "registration_code"],
+    ).write(members)
+
+    res = View("team", ["name"]).read(
+        "(and "
+        "(exists (from member (select 1) (where (= team _parent.id)))) "
+        '(= country.name "Belgium"))'
+    ).all()
+    # Belgian teams having members: Blue (Bob), Red (Alice)
+    assert sorted(res) == [("Blue",), ("Red",)]
+
+
+def test_exists_two_hop_parent(session):
+    """Correlated EXISTS whose subquery walks a dotted path
+    (reference expression_static_test.py:112-128 multi-parent class)."""
+    View(
+        "member",
+        ["name", "team.country.name", "team.name", "registration_code"],
+    ).write(members)
+    res = View("country", ["name"]).read(
+        "(exists (from member (select 1) "
+        "(where (= team.country _parent.id))))"
+    ).all()
+    assert sorted(res) == [("Belgium",), ("France",)]
+
+
+def test_not_exists(session):
+    View(
+        "member",
+        ["name", "team.country.name", "team.name", "registration_code"],
+    ).write(members)
+    res = View("country", ["name"]).read(
+        "(not (exists (from member (select 1) "
+        "(where (= team.country _parent.id)))))"
+    ).all()
+    assert res == [("Holland",)]
+
+
+def test_in_from_subquery(session):
+    res = View("country", ["name"]).read(
+        "(in id (from team (select country) (where (= name \"Blue\"))))"
+    ).all()
+    assert sorted(res) == [("Belgium",), ("France",)]
+
+    res = View("country", ["name"]).read(
+        "(notin id (from team (select country) (where (= name \"Blue\"))))"
+    ).all()
+    assert sorted(res) == [("Holland",)]
+
+
+def test_or_exists_raises(session):
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        View("team", ["name"]).read(
+            '(or (exists (from member (select 1) '
+            '(where (= team _parent.id)))) (= name "Blue"))'
+        ).all()
+
+
+def test_pushdown_in_plan(session):
+    """Filters on stored tables reach the parquet scan (PushedFilters) and
+    only referenced columns are read (ReadSchema pruning)."""
+    cursor = View("team", ["name"]).read('(= country.name "Belgium")')
+    plan = cursor.frame()._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(name), EqualTo(name,Belgium)]" in plan \
+        or "EqualTo(name,Belgium)" in plan
