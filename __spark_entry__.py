@@ -285,6 +285,24 @@ def events_hourly(spark, sf_dir):
         return v.read(order=["hour", "event_type"]).frame()
 
 
+def sessionize_events(spark, sf_dir):
+    """30-min-gap sessionization per user (session_window; the streaming
+    twin is tanker_spark.streaming.events.sessionize)."""
+    from tanker_spark.streaming import events as sev
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = (
+        spark.read.schema(sev.EVENTS_SCHEMA)
+        .parquet("%s/events.parquet" % sf_dir)
+        .withColumn("event_ts", sev.ns_to_ts(F.col("ts")))
+    )
+    return (
+        sev.session_windows_batch(batch, gap="30 minutes")
+        .select("user_id", "session_start", "n_events")
+        .orderBy("user_id", "session_start")
+    )
+
+
 # ---------------------------------------------------------------------------
 # net-new LLM-pipeline operators
 # ---------------------------------------------------------------------------
@@ -386,6 +404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strftime_monthly": strftime_monthly,
         "alias_fields": alias_fields,
         "events_hourly": events_hourly,
+        "sessionize_events": sessionize_events,
         "dedup_exact_docs": dedup_exact_docs,
         "text_stats": text_stats,
         "lang_stopword_ratio": lang_stopword_ratio,
@@ -527,6 +546,24 @@ def oracle_sql() -> dict[str, str]:
                    event_type,
                    count(*) AS n, round(sum(value), 2) AS total
             FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+        """,
+        "sessionize_events": """
+            WITH t AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts - lag(ts) OVER
+                            (PARTITION BY user_id ORDER BY ts)
+                          > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+              FROM events
+            ), s AS (
+              SELECT user_id, ts,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts)
+                         AS sid
+              FROM t
+            )
+            SELECT user_id, min(ts) AS session_start,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id, sid
+            ORDER BY user_id, session_start
         """,
         "dedup_exact_docs": """
             SELECT min(doc_id) AS keep_id, count(*) AS copies

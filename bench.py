@@ -32,6 +32,42 @@ BENCH_QUERIES = [
 ]
 
 
+def write_bench(spark):
+    """The reference's micro-bench workload (reference bench.py:1-21):
+    upsert 100,000 rows (name/ts/code/value, key=name) into a managed
+    table — here a merge-join write into versioned parquet."""
+    import tempfile
+    from datetime import datetime, timedelta
+
+    from tanker_spark import View, connect, create_tables
+
+    schema = """
+    - table: test
+      columns:
+        name: varchar
+        ts: timestamp
+        code: integer
+        value: float
+      key: [name]
+    """
+    root = tempfile.mkdtemp(prefix="tk_bench_")
+    base = datetime(2020, 1, 1)
+    rows = [
+        ("name-%d" % i, base + timedelta(minutes=i), i, float(i))
+        for i in range(100_000)
+    ]
+    with connect({"root": root, "schema": schema, "spark": spark}):
+        create_tables()
+        t0 = time.perf_counter()
+        View("test", ["name", "ts", "code", "value"]).write(rows)
+        first = time.perf_counter() - t0
+        # second pass: true upsert against the existing 100k
+        t0 = time.perf_counter()
+        View("test", ["name", "ts", "code", "value"]).write(rows)
+        second = time.perf_counter() - t0
+    return round(first, 3), round(second, 3)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -48,6 +84,11 @@ def main():
         timings[name] = round(time.perf_counter() - t0, 3)
         print("# %-26s %8.3fs  %d rows" % (name, timings[name], n),
               file=sys.stderr)
+    w1, w2 = write_bench(spark)
+    timings["write_100k_insert"] = w1
+    timings["write_100k_upsert"] = w2
+    print("# %-26s %8.3fs" % ("write_100k_insert", w1), file=sys.stderr)
+    print("# %-26s %8.3fs" % ("write_100k_upsert", w2), file=sys.stderr)
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total",

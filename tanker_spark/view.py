@@ -505,20 +505,14 @@ class View(object):
         return [list(c) for c in cols]
 
     def _stage(self, data):
-        """Build the incoming DataFrame: coerce types + resolve FKs.
-
-        FK resolution (reference view.py:642-711 uses an LRU cache +
-        paginated lookups): here each dotted-FK group becomes one left
-        equi-join against the remote table's (key → id) projection —
-        stateless and broadcast-able by AQE.
-        """
+        """Build the incoming DataFrame from driver-side python data:
+        coerce types per column, then resolve FKs (:meth:`_resolve`)."""
         from pyspark.sql import types as T
 
         spark = ctx.spark
         out_cols = {}  # physical col name → python list
         fk_groups = []  # (col, fields, staged names)
         schema_fields = []
-        n_rows = None
 
         fk_id_cols = []  # m2o written by raw id → validate existence
         for col, fields in self.field_map.items():
@@ -530,7 +524,6 @@ class View(object):
                     schema_fields.append(
                         T.StructField(col.name, T.LongType())
                     )
-                    n_rows = len(values)
                     fk_id_cols.append(col)
                 else:
                     staged = []
@@ -545,7 +538,6 @@ class View(object):
                         schema_fields.append(
                             T.StructField(nm, remote_col.spark_type())
                         )
-                        n_rows = len(vals)
                     fk_groups.append((col, fields, staged))
             else:
                 values = col.format(data[idx[0]])
@@ -553,12 +545,53 @@ class View(object):
                 schema_fields.append(
                     T.StructField(col.name, col.spark_type())
                 )
-                n_rows = len(values)
 
         rows = list(zip(*[out_cols[f.name] for f in schema_fields]))
         inc = spark.createDataFrame(rows, T.StructType(schema_fields))
+        return self._resolve(inc, fk_groups, fk_id_cols)
 
-        # resolve FK groups via joins
+    def _stage_spark(self, data):
+        """Stage an already-distributed Spark DataFrame (the 100 TB ingest
+        path — no driver round-trip). Columns are matched by view field
+        NAME (dotted names allowed) and cast to the declared types."""
+        sel = []
+        fk_groups = []
+        fk_id_cols = []
+        for col, fields in self.field_map.items():
+            if col.ctype == "M2O":
+                if len(fields) == 1 and fields[0].ref is None:
+                    sel.append(
+                        F.col(_bt(fields[0].name)).cast("long")
+                        .alias(col.name)
+                    )
+                    fk_id_cols.append(col)
+                else:
+                    staged = []
+                    for j, f in enumerate(fields):
+                        remote_col = f.ref.remote_table.get_column(
+                            f.ref.remote_field
+                        )
+                        nm = "__fk__%s__%d" % (col.name, j)
+                        sel.append(
+                            F.col(_bt(f.name))
+                            .cast(remote_col.spark_type()).alias(nm)
+                        )
+                        staged.append(nm)
+                    fk_groups.append((col, fields, staged))
+            else:
+                src = next(f.name for f in fields)
+                sel.append(
+                    F.col(_bt(src)).cast(col.spark_type()).alias(col.name)
+                )
+        return self._resolve(data.select(*sel), fk_groups, fk_id_cols)
+
+    def _resolve(self, inc, fk_groups, fk_id_cols):
+        """Resolve dotted-FK groups to surrogate ids via joins.
+
+        The reference uses an LRU cache + paginated lookups
+        (view.py:642-711); here each group is one left equi-join against
+        the remote table's (key → id) projection — stateless and
+        broadcast-able."""
         for col, fields, staged in fk_groups:
             remote = col.get_foreign_table()
             remote_fields = [f.desc.split(".", 1)[1] for f in fields]
@@ -721,8 +754,12 @@ class View(object):
             args if isinstance(args, dict) else None,
         )
 
-        data = self._normalize(data)
-        inc = self._stage(data)
+        from pyspark.sql import DataFrame as SparkDataFrame
+
+        if isinstance(data, SparkDataFrame):
+            inc = self._stage_spark(data)
+        else:
+            inc = self._stage(self._normalize(data))
 
         # Reject NULLs / empties in key columns (reference
         # context.py:589-596 via NOT NULL DDL; hard part #3 in SURVEY §7)
@@ -962,8 +999,12 @@ class View(object):
             )
 
         if data is not None:
-            cols = self._normalize(data)
-            inc = self._stage(cols)
+            from pyspark.sql import DataFrame as SparkDataFrame
+
+            if isinstance(data, SparkDataFrame):
+                inc = self._stage_spark(data)
+            else:
+                inc = self._stage(self._normalize(data))
             how = "left_semi" if swap else "left_anti"
             kept = existing.join(
                 inc.select(*self.key_cols), on=self.key_cols, how=how
