@@ -102,6 +102,34 @@ def q5_local_supplier_volume(spark, sf_dir):
         ).frame()
 
 
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6-style: pure filter + global aggregate (pushdown check)."""
+    with _cx(spark, sf_dir):
+        v = View("lineitem", {
+            "revenue": "(round (sum (* l_extendedprice l_discount)) 2)",
+        })
+        return v.read([
+            '(>= l_shipdate (cast "1995-01-01" (timestamptz)))',
+            '(< l_shipdate (cast "1996-01-01" (timestamptz)))',
+            "(>= l_discount 0.05)", "(<= l_discount 0.07)",
+            "(< l_quantity 24)",
+        ]).frame()
+
+
+def q12_priority_counts(spark, sf_dir):
+    """TPC-H Q12-style: conditional aggregation composed from bool→int
+    casts (the reference has no CASE; this is its idiom)."""
+    with _cx(spark, sf_dir):
+        v = View("lineitem", {
+            "flag": "l_returnflag",
+            "high": '(sum (cast (in l_orderkey.o_orderpriority '
+                    '"1-URGENT" "2-HIGH") (integer)))',
+            "low": '(sum (cast (notin l_orderkey.o_orderpriority '
+                   '"1-URGENT" "2-HIGH") (integer)))',
+        })
+        return v.read(order="flag").frame()
+
+
 def filter_like_in(spark, sf_dir):
     """like + in + order (SURVEY §2.6 scalar functions)."""
     with _cx(spark, sf_dir):
@@ -388,6 +416,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q12_priority_counts": q12_priority_counts,
         "filter_like_in": filter_like_in,
         "dict_filter_topn": dict_filter_topn,
         "distinct_segments": distinct_segments,
@@ -460,6 +490,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
             GROUP BY n_name
             ORDER BY revenue DESC, n_name
+        """,
+        "q6_forecast_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "q12_priority_counts": """
+            SELECT l_returnflag AS flag,
+                   sum(CAST(o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            AS INTEGER)) AS high,
+                   sum(CAST(o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                            AS INTEGER)) AS low
+            FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY l_returnflag ORDER BY flag
         """,
         "filter_like_in": """
             SELECT p_partkey, p_name, p_brand FROM part

@@ -471,6 +471,13 @@ class ExpressionCompiler:
                     conds = [
                         child.compile(a, env_ctx) for a in item.items[1:]
                     ]
+                    if any(isinstance(c, (SemiJoin, AndGroup))
+                           for c in conds):
+                        raise NotImplementedError(
+                            "nested subqueries (a subquery inside a "
+                            "subquery's WHERE) are not supported yet — "
+                            "flatten into joined conditions"
+                        )
                     where_cond = _and_all(conds)
                     continue
             raise ValueError("Unexpected subquery clause %r" % item)
