@@ -774,8 +774,12 @@ class View(object):
         else:
             inc = self._stage(self._normalize(data))
 
-        # Reject NULLs / empties in key columns (reference
-        # context.py:589-596 via NOT NULL DDL; hard part #3 in SURVEY §7)
+        # One aggregation action validates the key (hard part #3 in
+        # SURVEY §7): NULL/empty key values rejected (reference enforces
+        # NOT NULL DDL, context.py:589-596) and duplicate natural keys in
+        # the input rejected (the reference's ON CONFLICT upsert errors
+        # with "cannot affect row a second time"; silent duplicates would
+        # also collide the xxhash64 surrogate ids)
         null_key_cond = None
         for k in self.key_cols:
             c = F.col(_bt(k)).isNull()
@@ -785,9 +789,23 @@ class View(object):
             null_key_cond = c if null_key_cond is None else (
                 null_key_cond | c
             )
-        if inc.filter(null_key_cond).first() is not None:
+        stats = inc.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(
+                F.struct(*[F.col(_bt(k)) for k in self.key_cols])
+            ).alias("nkeys"),
+            F.sum(F.when(null_key_cond, 1).otherwise(0)).alias("nulls"),
+        ).first()
+        if stats["nulls"]:
             raise ValueError(
                 'Null value in key column for table "%s"' % table.name
+            )
+        if stats["nkeys"] < stats["n"]:
+            raise ValueError(
+                'Duplicate natural keys in input for table "%s" '
+                "(%d rows, %d distinct keys) — dedup first (e.g. "
+                "operators.dedup.dedup_exact_rows)"
+                % (table.name, stats["n"], stats["nkeys"])
             )
 
         # write filters / ACL-write
@@ -804,8 +822,31 @@ class View(object):
                 inc, filters, "old", fresh_env()
             )
 
+        # When the partition column is part of the natural key, a key can
+        # only ever live in one partition — the merge join may then prune
+        # the existing-side scan to the incoming partitions (incremental
+        # upserts become O(touched partitions), not O(table)). Purge
+        # needs the whole table (it deletes matching rows anywhere).
+        from . import storage as _storage
+
+        prune_parts = None
+        pby = table.partition_by
+        if (
+            not purge
+            and len(pby) == 1
+            and pby[0] in self.key_cols
+            and pby[0] in inc.columns
+            and _storage.current_version_path(ctx.root, table.name)
+        ):
+            prune_parts = {
+                tuple(r) for r in
+                inc.select(pby[0]).distinct().collect()
+            }
+
         rowcounts = {}
-        merged = self._merge(inc, insert=insert, update=update)
+        merged = self._merge(
+            inc, insert=insert, update=update, prune_parts=prune_parts
+        )
 
         victims_parts = None
         if purge:
@@ -814,12 +855,12 @@ class View(object):
             )
             rowcounts["deleted"] = deleted
 
-        self._commit(inc, merged, victims_parts)
+        self._commit(inc, merged, victims_parts, prune_parts=prune_parts)
         rowcounts["filtered"] = self.ins_filter_cnt + self.upd_filter_cnt
         ctx.reset_cache(table.name)
         return rowcounts
 
-    def _commit(self, inc, merged, victims_parts=None):
+    def _commit(self, inc, merged, victims_parts=None, prune_parts=None):
         """Write the merge result: partition-scoped when possible.
 
         For single-column-partitioned tables the merge only rewrites the
@@ -838,19 +879,25 @@ class View(object):
         ):
             pcol = pby[0]
             existing = ctx.read(table.name)
-            inc_parts = {
-                tuple(r) for r in inc.select(pcol).distinct().collect()
-            }
-            # rows whose key matches may MOVE partition: their old
-            # partition must be rewritten too
-            old_parts = {
-                tuple(r)
-                for r in existing.join(
-                    inc.select(*self.key_cols), on=self.key_cols,
-                    how="left_semi",
-                ).select(pcol).distinct().collect()
-            }
-            changed = inc_parts | old_parts | set(victims_parts or ())
+            if prune_parts is not None:
+                # partition col ∈ key: keys can't move, the incoming
+                # partitions ARE the changed set
+                changed = set(prune_parts) | set(victims_parts or ())
+            else:
+                inc_parts = {
+                    tuple(r)
+                    for r in inc.select(pcol).distinct().collect()
+                }
+                # rows whose key matches may MOVE partition: their old
+                # partition must be rewritten too
+                old_parts = {
+                    tuple(r)
+                    for r in existing.join(
+                        inc.select(*self.key_cols), on=self.key_cols,
+                        how="left_semi",
+                    ).select(pcol).distinct().collect()
+                }
+                changed = inc_parts | old_parts | set(victims_parts or ())
             part_col = F.col(_bt(pcol))
             values = [v for (v,) in changed if v is not None]
             cond = part_col.isin(values) if values else F.lit(False)
@@ -863,14 +910,23 @@ class View(object):
         else:
             ctx.write(table.name, merged)
 
-    def _merge(self, inc, insert=True, update=True):
+    def _merge(self, inc, insert=True, update=True, prune_parts=None):
         """Full-outer merge on key_cols; only view columns are touched on
         matched rows (partial update, reference test write_test.py:85-111);
         surrogate id preserved for existing rows, ``xxhash64(key)`` for new
-        ones."""
+        ones. ``prune_parts``: restrict the existing-side scan to these
+        partition values (valid only when the partition col is in the
+        key — see write())."""
         table = self.table
         key = self.key_cols
         existing = ctx.read(table.name)
+        if prune_parts is not None:
+            pcol = F.col(_bt(table.partition_by[0]))
+            vals = [v for (v,) in prune_parts if v is not None]
+            cond = pcol.isin(vals) if vals else F.lit(False)
+            if any(v is None for (v,) in prune_parts):
+                cond = cond | pcol.isNull()
+            existing = existing.filter(cond)
         staged = {c for c in inc.columns}
 
         inc_marked = inc.withColumn("__in_present", F.lit(True))
