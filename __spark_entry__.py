@@ -139,8 +139,8 @@ def filter_like_in(spark, sf_dir):
             "p_brand": "p_brand",
         })
         return v.read(
-            ['(like p_name "%green%")',
-             '(in p_brand "Brand#12" "Brand#34" "Brand#45")'],
+            ['(like p_name "%red%")',
+             '(in p_brand "Brand#2" "Brand#4" "Brand#19")'],
             order="p_partkey",
         ).frame()
 
@@ -389,9 +389,31 @@ def simhash_dedup_docs(spark, sf_dir):
 
 
 def embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs via hyperplane LSH (rows-only)."""
+    """Embedding-cosine near-dup pairs via hyperplane LSH.
+
+    The synthetic embeddings hold no natural near-dups (max pairwise
+    cosine ≈ 0.51), so the query plants one scaled copy (×1.5, vec_id
+    +100000) of every 10th vector: a scaled copy has an identical
+    hyperplane sign pattern, so bucketed LSH recall is exactly 100% for
+    the planted pairs and the result equals the brute-force DuckDB
+    oracle (the only pairs with cosine ≥ 0.99 are original↔copy)."""
     df = _read(spark, sf_dir, "embeddings")
-    return dedup.embedding_dedup_pairs(df, threshold=0.99)
+    planted = (
+        df.filter(F.col("vec_id") % 10 == 0)
+        .select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: (x * F.lit(1.5)).cast("float")
+            ).alias("embedding"),
+            "label",
+        )
+    )
+    out = dedup.embedding_dedup_pairs(
+        df.unionByName(planted), threshold=0.99
+    )
+    return out.select(
+        "id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim")
+    ).orderBy("id_a", "id_b")
 
 
 def doc_fingerprints(spark, sf_dir):
@@ -400,6 +422,77 @@ def doc_fingerprints(spark, sf_dir):
     return df.select(
         "doc_id", text.fingerprint(F.col("text")).alias("fp")
     ).orderBy("doc_id")
+
+
+def ngram_jaccard_docs(spark, sf_dir):
+    """EXACT 3-gram Jaccard near-dup pairs via prefix filtering — the
+    deterministic full-recall variant (equals the brute-force O(n²)
+    DuckDB oracle; the MinHash-LSH variant is the probabilistic
+    alternative)."""
+    df = _read(spark, sf_dir, "documents")
+    out = dedup.ngram_jaccard_exact(
+        df, "text", "doc_id", n=3, threshold=0.5
+    )
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+def text_quality(spark, sf_dir):
+    """Gopher-style quality score + heuristic language ID per doc."""
+    df = _read(spark, sf_dir, "documents")
+    c = F.col("text")
+    return df.select(
+        "doc_id",
+        text.lang_id(c).alias("lang_pred"),
+        F.round(text.quality_score(c), 4).alias("quality"),
+    ).orderBy("doc_id")
+
+
+def bpe_token_stats(spark, sf_dir):
+    """BPE-ish regex tokenization: token counts per document."""
+    df = _read(spark, sf_dir, "documents")
+    c = F.col("text")
+    return df.select(
+        "doc_id",
+        F.size(text.bpe_tokens(c)).alias("n_bpe"),
+        text.token_count(c).alias("n_ws"),
+    ).orderBy("doc_id")
+
+
+def knn_lsh_probe(spark, sf_dir):
+    """ANN top-10 via hyperplane-bucket pruning + exact re-rank
+    (approximate: no SQL oracle; recall vs knn_brute checked in tests)."""
+    df = _read(spark, sf_dir, "embeddings")
+    out = similarity.knn_lsh(df, [1.0] * 64, k=10, multiprobe=2)
+    return out.select(
+        "vec_id", F.round("cos_sim", 6).alias("cos_sim")
+    )
+
+
+def knn_ivf_probe(spark, sf_dir):
+    """ANN top-10 via IVF coarse cells, n_probe=4 (rows-only)."""
+    df = _read(spark, sf_dir, "embeddings")
+    out = similarity.knn_ivf(df, [1.0] * 64, k=10, n_cells=16, n_probe=4)
+    return out.select(
+        "vec_id", F.round("cos_sim", 6).alias("cos_sim")
+    )
+
+
+def multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: deterministic fake media → mapInPandas
+    feature extraction (Arrow-batched). Rows-only: binary/UDF internals
+    are not SQL-expressible."""
+    from tanker_spark.operators import multimodal
+
+    media = multimodal.make_fake_media(spark, n=200)
+    feats = multimodal.extract_features(media, fake=True)
+    return feats.select(
+        "media_id", "mime", "n_bytes",
+        F.round(F.aggregate(
+            "feature", F.lit(0.0), lambda acc, x: acc + x
+        ), 4).alias("feat_sum"),
+    ).orderBy("media_id")
 
 
 # ---------------------------------------------------------------------------
@@ -443,6 +536,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup_docs": simhash_dedup_docs,
         "embedding_neardup": embedding_neardup,
         "doc_fingerprints": doc_fingerprints,
+        "ngram_jaccard_docs": ngram_jaccard_docs,
+        "text_quality": text_quality,
+        "bpe_token_stats": bpe_token_stats,
+        "knn_lsh_probe": knn_lsh_probe,
+        "knn_ivf_probe": knn_ivf_probe,
+        "multimodal_features": multimodal_features,
     }
 
 
@@ -510,8 +609,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "filter_like_in": """
             SELECT p_partkey, p_name, p_brand FROM part
-            WHERE p_name LIKE '%green%'
-              AND p_brand IN ('Brand#12', 'Brand#34', 'Brand#45')
+            WHERE p_name LIKE '%red%'
+              AND p_brand IN ('Brand#2', 'Brand#4', 'Brand#19')
             ORDER BY p_partkey
         """,
         "dict_filter_topn": """
@@ -648,6 +747,116 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
             ORDER BY cos_sim DESC, vec_id LIMIT 10
         """,
-        # minhash/simhash/embedding-neardup/doc_fingerprints: hash-function
-        # internals are not portably expressible in ANSI SQL → rows-only.
+        "embedding_neardup": """
+            WITH base AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000 AS vec_id,
+                     [x * 1.5 for x in embedding] AS embedding
+              FROM embeddings WHERE vec_id % 10 = 0
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(
+                     list_dot_product(a.embedding, b.embedding)
+                     / (sqrt(list_dot_product(a.embedding, a.embedding))
+                        * sqrt(list_dot_product(b.embedding, b.embedding))),
+                     4) AS cos_sim
+            FROM base a JOIN base b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.embedding, b.embedding)
+                  / (sqrt(list_dot_product(a.embedding, a.embedding))
+                     * sqrt(list_dot_product(b.embedding, b.embedding)))
+                  >= 0.99
+            ORDER BY id_a, id_b
+        """,
+        "ngram_jaccard_docs": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct([concat_ws(' ', t[i], t[i+1], t[i+2])
+                                    for i in range(1, len(t) - 1)]) AS s
+              FROM toks
+            ), ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+            )
+            SELECT cand.id_a, cand.id_b,
+                   round(len(list_intersect(x.s, y.s))::DOUBLE /
+                         (len(x.s) + len(y.s)
+                          - len(list_intersect(x.s, y.s))), 4) AS jaccard
+            FROM cand JOIN sh x ON cand.id_a = x.doc_id
+                      JOIN sh y ON cand.id_b = y.doc_id
+            WHERE len(list_intersect(x.s, y.s))::DOUBLE /
+                  (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)))
+                  >= 0.5
+            ORDER BY id_a, id_b
+        """,
+        "text_quality": """
+            WITH f AS (
+              SELECT doc_id, text,
+                     list_transform(
+                       regexp_split_to_array(trim(text), '\\s+'),
+                       t -> lower(t)) AS toks,
+                     length(text) AS n_chr
+              FROM documents
+            ), r AS (
+              SELECT doc_id, text, n_chr, len(toks) AS n_tok,
+                 len(list_filter(toks, t -> list_contains(
+                   ['the','a','an','of','and','to','in','is','it','that'],
+                   t))) / greatest(len(toks), 1) AS r_en,
+                 len(list_filter(toks, t -> list_contains(
+                   ['le','la','les','de','des','et','un','une','est','que'],
+                   t))) / greatest(len(toks), 1) AS r_fr,
+                 len(list_filter(toks, t -> list_contains(
+                   ['der','die','das','und','ist','ein','eine','zu','den'],
+                   t))) / greatest(len(toks), 1) AS r_de,
+                 len(list_filter(toks, t -> list_contains(
+                   ['el','la','los','de','y','un','una','es','que','en'],
+                   t))) / greatest(len(toks), 1) AS r_es
+              FROM f
+            )
+            SELECT doc_id,
+                   CASE
+                     WHEN r_es = greatest(r_en, r_fr, r_de, r_es)
+                          AND greatest(r_en, r_fr, r_de, r_es) > 0.02
+                       THEN 'es'
+                     WHEN r_de = greatest(r_en, r_fr, r_de, r_es)
+                          AND greatest(r_en, r_fr, r_de, r_es) > 0.02
+                       THEN 'de'
+                     WHEN r_fr = greatest(r_en, r_fr, r_de, r_es)
+                          AND greatest(r_en, r_fr, r_de, r_es) > 0.02
+                       THEN 'fr'
+                     WHEN r_en = greatest(r_en, r_fr, r_de, r_es)
+                          AND greatest(r_en, r_fr, r_de, r_es) > 0.02
+                       THEN 'en'
+                     ELSE 'und'
+                   END AS lang_pred,
+                   round((
+                     (CASE WHEN n_tok >= 5 AND n_tok <= 100000
+                           THEN 1.0 ELSE 0.0 END)
+                   + (CASE WHEN n_chr / greatest(n_tok, 1) >= 2.0
+                            AND n_chr / greatest(n_tok, 1) <= 12.0
+                           THEN 1.0 ELSE 0.0 END)
+                   + (CASE WHEN (n_chr - length(
+                         regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                         / greatest(n_chr, 1) <= 0.3
+                           THEN 1.0 ELSE 0.0 END)
+                   + (CASE WHEN r_en >= 0.01 THEN 1.0 ELSE 0.0 END)
+                   ) / 4.0, 4) AS quality
+            FROM r ORDER BY doc_id
+        """,
+        "bpe_token_stats": """
+            SELECT doc_id,
+                   len(regexp_extract_all(
+                       text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))
+                       AS n_bpe,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws
+            FROM documents ORDER BY doc_id
+        """,
+        # minhash/simhash/doc_fingerprints/knn_lsh/knn_ivf/multimodal:
+        # hash/UDF internals or approximate recall are not portably
+        # expressible in ANSI SQL → rows-only checks; tests/ assert
+        # planted-duplicate recall and ANN-vs-brute agreement instead.
     }

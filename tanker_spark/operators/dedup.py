@@ -28,6 +28,21 @@ def _mask64(m):
     return m - (1 << 64) if m >= (1 << 63) else m
 
 
+def widen(df, min_parts=None):
+    """Fan a narrow scan out to the cluster before a compute-heavy map.
+
+    Small tables (one parquet file → one scan split) would otherwise run
+    signature/shingle pipelines on a single core. The repartition is a
+    round-robin shuffle of the RAW input — only applied when the scan
+    has fewer splits than the cluster's parallelism, so a 100 TB input
+    (thousands of file splits) passes through untouched with zero
+    shuffle."""
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -118,32 +133,33 @@ def minhash_signature(col, num_hashes=16, shingle_n=3, seed=42):
 
 def minhash_signatures_df(df, text_col="text", id_col="doc_id",
                           num_hashes=16, shingle_n=3, seed=42):
-    """(id, sig: array<long>) via the scalable explode→agg-min shape.
+    """(id, sig: array<long>) — MAP-ONLY signature computation.
 
-    One shuffle keyed by id with map-side partial mins; each permutation
-    is a flat codegen'd aggregate, not a nested HOF. This is the plan
-    that survives 100 TB: shuffle volume = #(id, shingle-hash) pairs,
-    combiner-reduced."""
-    sh = df.select(
+    Two chained projections: the first materializes the hashed shingle
+    array ONCE per row (so the shingle pipeline is not recomputed per
+    permutation — the nested-HOF pitfall of :func:`minhash_signature`),
+    the second takes the ``num_hashes`` permuted array-mins. Zero
+    shuffle: at 100 TB this is strictly better than the explode →
+    groupBy-min shape, whose shuffle volume is #rows × #shingles."""
+    hashed = widen(df).select(
         F.col(id_col).alias("__id"),
-        F.explode(shingles(F.col(text_col), shingle_n)).alias("__s"),
+        F.transform(
+            shingles(F.col(text_col), shingle_n),
+            lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE)),
+        ).alias("__h"),
     )
-    hashed = sh.select(
-        "__id", F.pmod(F.xxhash64("__s"), F.lit(MERSENNE)).alias("__h")
-    )
-    aggs = [
-        F.min(
-            F.pmod(F.lit(a) * F.col("__h") + F.lit(b), F.lit(MERSENNE))
-        ).alias("__m%d" % j)
-        for j, (a, b) in enumerate(_perm_params(num_hashes, seed))
+    mins = [
+        F.array_min(
+            F.transform(
+                "__h",
+                lambda h: F.pmod(
+                    F.lit(a) * h + F.lit(b), F.lit(MERSENNE)
+                ),
+            )
+        )
+        for a, b in _perm_params(num_hashes, seed)
     ]
-    sigs = hashed.groupBy("__id").agg(*aggs)
-    return sigs.select(
-        "__id",
-        F.array(*[F.col("__m%d" % j) for j in range(num_hashes)]).alias(
-            "__sig"
-        ),
-    )
+    return hashed.select("__id", F.array(*mins).alias("__sig"))
 
 
 def minhash_lsh_pairs(
@@ -160,10 +176,13 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     # Materialize signatures once: they feed the band hashes and BOTH
     # sides of the self-join (at 100 TB you'd write signatures to a
-    # parquet/Delta side table instead of memory).
+    # parquet/Delta side table instead of memory). The persist is EAGER:
+    # otherwise the join's two map stages race to fill the cache and
+    # compute every signature twice.
     base = minhash_signatures_df(
         df, text_col, id_col, num_hashes, shingle_n, seed
     ).persist()
+    base.count()
 
     band_cols = [
         F.xxhash64(
@@ -245,31 +264,32 @@ def simhash(col, bits=64):
 
 
 def simhash_df(df, text_col="text", id_col="doc_id", bits=64):
-    """(id, fp) SimHash via the scalable explode→vote-agg shape: one
-    shuffle keyed by id; the 64 bit-votes are flat conditional sums
-    (codegen'd, combiner-reduced) instead of 64 nested HOF aggregates."""
-    toks = df.select(
+    """(id, fp) SimHash — MAP-ONLY: the token-hash array is materialized
+    once per row (first projection), then each bit's majority vote is a
+    flat array aggregate over it (second projection). Zero shuffle —
+    strictly better at 100 TB than the explode → groupBy-vote shape,
+    whose shuffle volume is #rows × #tokens."""
+    hashed = widen(df).select(
         F.col(id_col).alias("__id"),
-        F.explode(tokens(F.col(text_col))).alias("__t"),
+        F.transform(
+            tokens(F.col(text_col)), lambda t: F.xxhash64(t)
+        ).alias("__h"),
     )
-    hashed = toks.select("__id", F.xxhash64("__t").alias("__h"))
-    aggs = []
-    for i in range(bits):
-        mask = F.lit(_mask64(1 << i)).cast("long")
-        aggs.append(
-            F.sum(
-                F.when(F.col("__h").bitwiseAND(mask) != 0, 1).otherwise(-1)
-            ).alias("__v%d" % i)
-        )
-    votes = hashed.groupBy("__id").agg(*aggs)
+
+    def _voter(mask):
+        # pyspark HOFs introspect the lambda arity — keep exactly 2 args
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(mask) != 0, F.lit(1)
+        ).otherwise(F.lit(-1))
+
     fp = F.lit(0).cast("long")
     for i in range(bits):
+        mask = F.lit(_mask64(1 << i)).cast("long")
+        vote = F.aggregate("__h", F.lit(0).cast("long"), _voter(mask))
         fp = fp.bitwiseOR(
-            F.when(
-                F.col("__v%d" % i) > 0, F.lit(_mask64(1 << i)).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
+            F.when(vote > 0, mask).otherwise(F.lit(0).cast("long"))
         )
-    return votes.select("__id", fp.alias("__fp"))
+    return hashed.select("__id", fp.alias("__fp"))
 
 
 def simhash_pairs(df, text_col="text", id_col="doc_id", max_hamming=3,
@@ -279,8 +299,10 @@ def simhash_pairs(df, text_col="text", id_col="doc_id", max_hamming=3,
     (any pair within hamming distance < #bands shares a chunk); verify
     with exact popcount of XOR."""
     n_bands = 64 // band_bits
-    # persist: the fingerprint feeds n_bands buckets and both join sides
+    # persist: the fingerprint feeds n_bands buckets and both join
+    # sides; eager so the join stages don't race to fill the cache
     base = simhash_df(df, text_col, id_col).persist()
+    base.count()
     # bucket key per band: hash of (band idx, fp AND band-mask) — masks
     # instead of shifts keep everything in plain long arithmetic
     buckets = [
@@ -349,6 +371,83 @@ def ngram_jaccard_pairs(df, text_col="text", id_col="doc_id", n=3,
     return joined
 
 
+def ngram_jaccard_exact(df, text_col="text", id_col="doc_id", n=3,
+                        threshold=0.5):
+    """EXACT token-n-gram Jaccard pairs with guaranteed 100% recall,
+    via prefix filtering (SSJoin/PPJoin-style).
+
+    Any pair with J(x,y) ≥ t has overlap ≥ ⌈t·|x|⌉ and ≥ ⌈t·|y|⌉, so
+    under ANY consistent total order of shingles the two prefixes of
+    length |s| - ⌈t·|s|⌉ + 1 must intersect — only prefix shingles are
+    exploded as blocking keys (≈(1-t)·|s| per doc instead of |s|), the
+    candidate join stays equi-keyed, and every candidate is verified
+    with the exact Jaccard on the full shingle arrays. The total order
+    here is xxhash64 (no statistics needed); ordering by global
+    document frequency instead prunes harder at 100 TB at the cost of
+    one extra count+join stage.
+
+    Unlike :func:`ngram_jaccard_pairs` (MinHash-LSH-gated, probabilistic
+    recall), this result is deterministic and equals the brute-force
+    O(n²) answer. Returns (id_a, id_b, jaccard).
+    """
+    sh = widen(df).select(
+        F.col(id_col).alias("__id"),
+        F.array_sort(
+            F.transform(
+                shingles(F.col(text_col), n),
+                lambda s: F.struct(
+                    F.xxhash64(s).alias("h"), s.alias("g")
+                ),
+            )
+        ).alias("__sh"),
+    )
+    size = F.size(F.col("__sh"))
+    plen = (
+        size - F.ceil(F.lit(float(threshold)) * size).cast("int") + 1
+    )
+    pref = sh.select(
+        "__id",
+        F.explode(
+            F.transform(
+                F.slice(F.col("__sh"), 1, F.greatest(plen, F.lit(1))),
+                lambda x: x["h"],
+            )
+        ).alias("__key"),
+    )
+    cands = (
+        pref.alias("L")
+        .join(
+            pref.alias("R"),
+            (F.col("L.__key") == F.col("R.__key"))
+            & (F.col("L.__id") < F.col("R.__id")),
+        )
+        .select(
+            F.col("L.__id").alias("id_a"), F.col("R.__id").alias("id_b")
+        )
+        .distinct()
+    )
+    grams = sh.select(
+        "__id", F.transform("__sh", lambda x: x["g"]).alias("__g")
+    )
+    a, b = grams.alias("A"), grams.alias("B")
+    inter = F.size(F.array_intersect(F.col("A.__g"), F.col("B.__g")))
+    return (
+        cands.join(a, F.col("id_a") == F.col("A.__id"))
+        .join(b, F.col("id_b") == F.col("B.__id"))
+        .select(
+            "id_a", "id_b",
+            (
+                inter
+                / (
+                    F.size(F.col("A.__g")) + F.size(F.col("B.__g"))
+                    - inter
+                )
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup (random-hyperplane LSH)
 # ---------------------------------------------------------------------------
@@ -404,6 +503,7 @@ def embedding_dedup_pairs(df, vec_col="embedding", id_col="vec_id",
             "__bucket"
         ),
     ).persist()
+    base.count()  # eager: join stages must not race the cache fill
     L, R = base.alias("L"), base.alias("R")
     return (
         L.join(

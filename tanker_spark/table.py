@@ -96,9 +96,30 @@ class Column:
             )
         return Table.get(self.foreign_table)
 
-    def spark_type(self):
+    def spark_type(self, _seen=None):
         if self.ctype == "O2M":
             return None  # virtual, no physical storage
+        if self.ctype == "M2O":
+            # The fk column physically holds the REFERENCED column's
+            # value: the surrogate id (long) in the common ``m2o t.id``
+            # case, the natural column's own type otherwise (external
+            # tables / natural-column FKs). The reference hardcodes
+            # INTEGER DDL here (table.py:70-74) because its FKs always
+            # target integer ids.
+            if self.foreign_col == "id":
+                return T.LongType()
+            key = (self.foreign_table, self.foreign_col)
+            _seen = _seen or set()
+            if key in _seen:
+                return T.LongType()  # fk cycle: fall back to id typing
+            _seen.add(key)
+            try:
+                remote = self.get_foreign_table().get_column(
+                    self.foreign_col
+                )
+            except Exception:
+                return T.LongType()  # outside a ctx / unknown: id typing
+            return remote.spark_type(_seen)
         return spark_type(self.base_type, self.array_dim)
 
     def spark_field(self):

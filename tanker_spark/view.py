@@ -40,6 +40,50 @@ def _bt(name):
     return "`%s`" % name.replace("`", "``")
 
 
+def _pa_type(st):
+    """Spark type → pyarrow type, for the typed driver-staging path."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    if isinstance(st, T.ArrayType):
+        return pa.list_(_pa_type(st.elementType))
+    return {
+        T.StringType(): pa.string(),
+        T.LongType(): pa.int64(),
+        T.IntegerType(): pa.int32(),
+        T.DoubleType(): pa.float64(),
+        T.FloatType(): pa.float32(),
+        T.BooleanType(): pa.bool_(),
+        T.DateType(): pa.date32(),
+        T.TimestampNTZType(): pa.timestamp("us"),
+        T.TimestampType(): pa.timestamp("us", tz="UTC"),
+        T.BinaryType(): pa.binary(),
+    }[st]
+
+
+def _pa_norm(values, st):
+    """Normalize python values for pyarrow: pa.array IGNORES tzinfo on
+    aware datetimes (stores wall time), so tz-aware values must be
+    shifted to UTC wall time first. Recurses into array types."""
+    from datetime import timezone as _tz
+
+    from pyspark.sql import types as T
+
+    if isinstance(st, T.TimestampType):
+        return [
+            v.astimezone(_tz.utc)
+            if getattr(v, "tzinfo", None) is not None else v
+            for v in values
+        ]
+    if isinstance(st, T.ArrayType):
+        inner = st.elementType
+        if isinstance(inner, (T.TimestampType, T.ArrayType)):
+            return [
+                None if v is None else _pa_norm(v, inner) for v in values
+            ]
+    return values
+
+
 class ViewField:
     """One field of a view (reference: view.py:15-55)."""
 
@@ -519,10 +563,19 @@ class View(object):
             idx = self.field_idx[col]
             if col.ctype == "M2O":
                 if len(fields) == 1 and fields[0].ref is None:
-                    values = col.format(data[idx[0]], astype="M2O")
+                    # raw fk value: the referenced column's value (the
+                    # surrogate id for `m2o t.id`, the natural value
+                    # otherwise) — coerce with the referenced col's type
+                    if col.foreign_col == "id":
+                        values = col.format(data[idx[0]], astype="M2O")
+                    else:
+                        rcol = col.get_foreign_table().get_column(
+                            col.foreign_col
+                        )
+                        values = rcol.format(data[idx[0]])
                     out_cols[col.name] = values
                     schema_fields.append(
-                        T.StructField(col.name, T.LongType())
+                        T.StructField(col.name, col.spark_type())
                     )
                     fk_id_cols.append(col)
                 else:
@@ -548,8 +601,24 @@ class View(object):
 
         schema = T.StructType(schema_fields)
         inc = None
-        if pandas is not None:
-            # Arrow path: ~2× faster than row-tuple serialization at 100k
+        try:
+            # pyarrow-Table path: typed C-level conversion, ~5× faster
+            # than object-dtype pandas → Arrow at 100k rows
+            import pyarrow as pa
+
+            inc = spark.createDataFrame(
+                pa.table({
+                    f.name: pa.array(
+                        _pa_norm(list(out_cols[f.name]), f.dataType),
+                        type=_pa_type(f.dataType),
+                    )
+                    for f in schema_fields
+                }),
+                schema,
+            )
+        except Exception:
+            inc = None
+        if inc is None and pandas is not None:
             try:
                 pdf = pandas.DataFrame(
                     {f.name: pandas.Series(out_cols[f.name], dtype=object)
@@ -574,8 +643,8 @@ class View(object):
             if col.ctype == "M2O":
                 if len(fields) == 1 and fields[0].ref is None:
                     sel.append(
-                        F.col(_bt(fields[0].name)).cast("long")
-                        .alias(col.name)
+                        F.col(_bt(fields[0].name))
+                        .cast(col.spark_type()).alias(col.name)
                     )
                     fk_id_cols.append(col)
                 else:
@@ -608,11 +677,22 @@ class View(object):
         for col, fields, staged in fk_groups:
             remote = col.get_foreign_table()
             remote_fields = [f.desc.split(".", 1)[1] for f in fields]
-            lookup = View(remote.name, remote_fields + ["id"]).read(
-                disable_acl=True
-            ).frame()
+            # stored fk value = the REFERENCED column's value (surrogate
+            # id for `m2o t.id`; the natural column itself otherwise)
             lk_names = ["__lk__%d" % j for j in range(len(remote_fields))]
-            lookup = lookup.toDF(*(lk_names + ["__lk__id"]))
+            if col.foreign_col in remote_fields:
+                lookup = View(remote.name, remote_fields).read(
+                    disable_acl=True
+                ).frame().toDF(*lk_names)
+                lookup = lookup.withColumn(
+                    "__lk__id",
+                    F.col(lk_names[remote_fields.index(col.foreign_col)]),
+                )
+            else:
+                lookup = View(
+                    remote.name, remote_fields + [col.foreign_col]
+                ).read(disable_acl=True).frame()
+                lookup = lookup.toDF(*(lk_names + ["__lk__id"]))
             on = None
             for nm, lk in zip(staged, lk_names):
                 c = F.col(_bt(nm)) == F.col(lk)
@@ -774,12 +854,19 @@ class View(object):
         else:
             inc = self._stage(self._normalize(data))
 
-        # One aggregation action validates the key (hard part #3 in
-        # SURVEY §7): NULL/empty key values rejected (reference enforces
-        # NOT NULL DDL, context.py:589-596) and duplicate natural keys in
-        # the input rejected (the reference's ON CONFLICT upsert errors
-        # with "cannot affect row a second time"; silent duplicates would
-        # also collide the xxhash64 surrogate ids)
+        # Key validation is FUSED into the merge plan (no separate
+        # pre-pass action over the staged data): NULL/empty key values
+        # rejected (reference enforces NOT NULL DDL, context.py:589-596)
+        # and duplicate natural keys in the input rejected (the
+        # reference's ON CONFLICT upsert errors with "cannot affect row
+        # a second time"; silent duplicates would also collide the
+        # xxhash64 surrogate ids). The guards ride on the first key
+        # column via raise_error; the dup check's window partitions by
+        # exactly the merge-join key, so it shares the join's shuffle
+        # instead of adding one. Nothing is committed on failure — the
+        # version pointer only flips after a successful write.
+        from pyspark.sql import Window as _Window
+
         null_key_cond = None
         for k in self.key_cols:
             c = F.col(_bt(k)).isNull()
@@ -789,24 +876,24 @@ class View(object):
             null_key_cond = c if null_key_cond is None else (
                 null_key_cond | c
             )
-        stats = inc.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count_distinct(
-                F.struct(*[F.col(_bt(k)) for k in self.key_cols])
-            ).alias("nkeys"),
-            F.sum(F.when(null_key_cond, 1).otherwise(0)).alias("nulls"),
-        ).first()
-        if stats["nulls"]:
-            raise ValueError(
-                'Null value in key column for table "%s"' % table.name
+        null_msg = 'Null value in key column for table "%s"' % table.name
+        dup_msg = (
+            'Duplicate natural keys in input for table "%s" — dedup '
+            "first (e.g. operators.dedup.dedup_exact_rows)" % table.name
+        )
+        k0 = self.key_cols[0]
+        kwin = _Window.partitionBy(
+            *[F.col(_bt(k)) for k in self.key_cols]
+        )
+        guard = (
+            F.when(null_key_cond, F.raise_error(null_msg))
+            .when(
+                F.count(F.lit(1)).over(kwin) > 1, F.raise_error(dup_msg)
             )
-        if stats["nkeys"] < stats["n"]:
-            raise ValueError(
-                'Duplicate natural keys in input for table "%s" '
-                "(%d rows, %d distinct keys) — dedup first (e.g. "
-                "operators.dedup.dedup_exact_rows)"
-                % (table.name, stats["n"], stats["nkeys"])
-            )
+            .otherwise(F.col(_bt(k0)))
+        )
+        inc = inc.withColumn(k0, guard)
+        guard_msgs = (null_msg, dup_msg)
 
         # write filters / ACL-write
         if not disable_acl:
@@ -814,6 +901,25 @@ class View(object):
                 table.name, []
             )
         self.ins_filter_cnt = self.upd_filter_cnt = 0
+        try:
+            return self._write_exec(
+                inc, purge, insert, update, filters, disable_acl,
+                fresh_env,
+            )
+        except ValueError:
+            raise
+        except Exception as e:  # surface plan-embedded guards cleanly
+            m = str(e)
+            for needle in guard_msgs:
+                if needle in m:
+                    raise ValueError(needle) from None
+            raise
+
+    def _write_exec(self, inc, purge, insert, update, filters,
+                    disable_acl, fresh_env):
+        """Execute the write legs (validation guards are embedded in
+        ``inc``'s plan and fire on the first action)."""
+        table = self.table
         if filters:
             inc, self.ins_filter_cnt = self._filter_leg(
                 inc, filters, "new", fresh_env()

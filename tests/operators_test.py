@@ -70,6 +70,33 @@ def test_ngram_jaccard(spark, docs):
     assert (1, 101) in found and found[(1, 101)] > 0.8
 
 
+def test_ngram_jaccard_exact_matches_bruteforce(spark, docs):
+    """Prefix-filtered exact jaccard == brute-force O(n²) result."""
+    got = {
+        (r.id_a, r.id_b): round(r.jaccard, 6)
+        for r in dedup.ngram_jaccard_exact(
+            docs, threshold=0.3
+        ).collect()
+    }
+    # brute force oracle on the driver
+    rows = docs.collect()
+    sh = {}
+    for r in rows:
+        toks = r.text.split()
+        sh[r.doc_id] = {
+            " ".join(toks[i:i + 3]) for i in range(len(toks) - 2)
+        }
+    want = {}
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sh[a] & sh[b])
+            j = inter / (len(sh[a]) + len(sh[b]) - inter)
+            if j >= 0.3:
+                want[(a, b)] = round(j, 6)
+    assert got == want and (0, 100) in want
+
+
 def test_embedding_dedup_and_knn(spark):
     rnd = random.Random(3)
     dim = 16

@@ -195,3 +195,38 @@ def test_null_key(session, bogus_value, fk_field):
     with pytest.raises(Exception) as exc:
         view.write([["Pink", bogus_value]])
     assert isinstance(exc.value, (ValueError, TypeError))
+
+
+def test_natural_column_fk(spark, tmp_path):
+    """M2O referencing a NON-id column: the fk physically stores the
+    referenced column's value (here a varchar), writes resolve through
+    it, and dotted reads join on it — caught by a verify pass where
+    write stored the surrogate id but read joined on the name."""
+    from tanker_spark import connect, create_tables
+
+    schema = """
+    - table: country
+      columns: {name: varchar}
+      key: [name]
+    - table: team
+      columns:
+        name: varchar
+        country: m2o country.name
+      key: [name]
+    """
+    with connect({"root": str(tmp_path), "schema": schema,
+                  "spark": spark}):
+        create_tables()
+        View("country", ["name"]).write([("Belgium",), ("France",)])
+        tv = View("team", ["name", "country.name"])
+        tv.write([("Red", "Belgium"), ("Blue", "France")])
+        check([("Red", "Belgium"), ("Blue", "France")], tv.read())
+        # upsert moves the fk; still one row per key
+        tv.write([("Red", "France")])
+        check([("Red", "France"), ("Blue", "France")], tv.read())
+        # the physical fk column holds the natural value, not a hash id
+        raw = View("team", ["name", "country"])
+        check([("Red", "France"), ("Blue", "France")], raw.read())
+        # unknown natural fk value still rejected
+        with pytest.raises(ValueError):
+            tv.write([("Green", "Mars")])
