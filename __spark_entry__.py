@@ -130,6 +130,20 @@ def q12_priority_counts(spark, sf_dir):
         return v.read(order="flag").frame()
 
 
+def null_safe_buckets(spark, sf_dir):
+    """is/isnot null-safe compares + floor over arithmetic
+    (SURVEY §2.6 `is`/`isnot`/`floor`)."""
+    with _cx(spark, sf_dir):
+        v = View("lineitem", {
+            "qty_bucket": "(floor (/ l_quantity 10))",
+            "n": "(count)",
+            "n_returned": '(sum (cast (is l_returnflag "R") (integer)))',
+        })
+        return v.read(
+            '(isnot l_linestatus "F")', order="qty_bucket"
+        ).frame()
+
+
 def filter_like_in(spark, sf_dir):
     """like + in + order (SURVEY §2.6 scalar functions)."""
     with _cx(spark, sf_dir):
@@ -363,6 +377,20 @@ def lang_stopword_ratio(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def embedding_label_norms(spark, sf_dir):
+    """Per-label embedding L2-norm stats via JVM array HOFs
+    (F.aggregate sum-of-squares) — codegen'd, no UDF, no explode."""
+    df = _read(spark, sf_dir, "embeddings")
+    norm = F.sqrt(F.aggregate(
+        "embedding", F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    ))
+    return df.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(norm), 4).alias("avg_norm"),
+    ).orderBy("label")
+
+
 def knn_cosine_bruteforce(spark, sf_dir):
     """Exact cosine top-10 against a fixed probe vector."""
     df = _read(spark, sf_dir, "embeddings")
@@ -564,6 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q12_priority_counts": q12_priority_counts,
+        "null_safe_buckets": null_safe_buckets,
         "filter_like_in": filter_like_in,
         "dict_filter_topn": dict_filter_topn,
         "distinct_segments": distinct_segments,
@@ -585,6 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": text_stats,
         "lang_stopword_ratio": lang_stopword_ratio,
         "knn_cosine_bruteforce": knn_cosine_bruteforce,
+        "embedding_label_norms": embedding_label_norms,
         "minhash_dedup_docs": minhash_dedup_docs,
         "simhash_dedup_docs": simhash_dedup_docs,
         "embedding_neardup": embedding_neardup,
@@ -662,6 +692,15 @@ def oracle_sql() -> dict[str, str]:
                             AS INTEGER)) AS low
             FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
             GROUP BY l_returnflag ORDER BY flag
+        """,
+        "null_safe_buckets": """
+            SELECT CAST(floor(l_quantity / 10) AS BIGINT) AS qty_bucket,
+                   count(*) AS n,
+                   sum(CAST(l_returnflag IS NOT DISTINCT FROM 'R'
+                            AS INTEGER)) AS n_returned
+            FROM lineitem
+            WHERE l_linestatus IS DISTINCT FROM 'F'
+            GROUP BY 1 ORDER BY 1
         """,
         "filter_like_in": """
             SELECT p_partkey, p_name, p_brand FROM part
@@ -792,6 +831,13 @@ def oracle_sql() -> dict[str, str]:
                                                           '\\s+')), 1),
                      4) AS en_ratio
             FROM documents ORDER BY doc_id
+        """,
+        "embedding_label_norms": """
+            SELECT label, count(*) AS n,
+                   round(avg(sqrt(list_dot_product(
+                       CAST(embedding AS DOUBLE[]),
+                       CAST(embedding AS DOUBLE[])))), 4) AS avg_norm
+            FROM embeddings GROUP BY label ORDER BY label
         """,
         "knn_cosine_bruteforce": """
             SELECT vec_id,
