@@ -560,6 +560,32 @@ def redact_pii(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def curation_pipeline(spark, sf_dir):
+    """End-to-end curation composition: quality gate → exact-dup winner →
+    deterministic 50% sample. Demonstrates the text/dedup/curation
+    operators chaining into one Catalyst plan (gate and sample fuse into
+    the scan; the dedup window is the only shuffle)."""
+    from tanker_spark.operators import curation, dedup
+    from tanker_spark.operators import text as t
+
+    df = _read(spark, sf_dir, "documents")
+    c = F.col("text")
+    n_tok = t.token_count(c)
+    mean_wlen = t.char_count(c) / F.greatest(n_tok, F.lit(1))
+    gated = df.filter(
+        (n_tok >= 5) & (mean_wlen >= 2.0) & (mean_wlen <= 12.0)
+        & (t.punct_ratio(c) <= 0.3)
+    )
+    uniq = dedup.dedup_exact_rows(gated, "text")
+    kept = curation.sample_hash(
+        uniq, "doc_id", 0.5,
+        bucket_expr=F.pmod(F.col("doc_id") * F.lit(7919), F.lit(10000)),
+    )
+    return kept.select(
+        "doc_id", "source", n_tok.alias("n_tok")
+    ).orderBy("doc_id")
+
+
 def multimodal_features(spark, sf_dir):
     """Multimodal plumbing: deterministic fake media → mapInPandas
     feature extraction (Arrow-batched). Rows-only: binary/UDF internals
@@ -628,6 +654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_docs": stratified_sample_docs,
         "cap_per_source": cap_per_source,
         "redact_pii": redact_pii,
+        "curation_pipeline": curation_pipeline,
     }
 
 
@@ -997,6 +1024,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, clean_text != text AS redacted, clean_text
             FROM clean ORDER BY doc_id
+        """,
+        "curation_pipeline": """
+            WITH f AS (
+              SELECT doc_id, source, text,
+                     len(regexp_split_to_array(trim(text), '\\s+'))
+                         AS n_tok,
+                     length(text) AS n_chr
+              FROM documents
+            ), gated AS (
+              SELECT * FROM f
+              WHERE n_tok >= 5
+                AND n_chr / greatest(n_tok, 1) BETWEEN 2.0 AND 12.0
+                AND (n_chr - length(
+                       regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                    / greatest(n_chr, 1) <= 0.3
+            ), uniq AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY text ORDER BY doc_id) AS rn
+                FROM gated
+              ) WHERE rn = 1
+            )
+            SELECT doc_id, source, n_tok FROM uniq
+            WHERE (doc_id * 7919) % 10000 < 5000
+            ORDER BY doc_id
         """,
         # minhash/simhash/doc_fingerprints/knn_lsh/knn_ivf/multimodal:
         # hash/UDF internals or approximate recall are not portably
