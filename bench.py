@@ -29,6 +29,8 @@ BENCH_QUERIES = [
     "knn_cosine_bruteforce",
     "minhash_dedup_docs",
     "doc_fingerprints",
+    "curation_pipeline",
+    "redact_pii",
 ]
 
 
