@@ -713,18 +713,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q12_priority_counts": """
             SELECT l_returnflag AS flag,
-                   sum(CAST(o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            AS INTEGER)) AS high,
-                   sum(CAST(o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                            AS INTEGER)) AS low
+                   CAST(sum(CAST(o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            AS INTEGER)) AS BIGINT) AS high,
+                   CAST(sum(CAST(o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                            AS INTEGER)) AS BIGINT) AS low
             FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
             GROUP BY l_returnflag ORDER BY flag
         """,
         "null_safe_buckets": """
             SELECT CAST(floor(l_quantity / 10) AS BIGINT) AS qty_bucket,
                    count(*) AS n,
-                   sum(CAST(l_returnflag IS NOT DISTINCT FROM 'R'
-                            AS INTEGER)) AS n_returned
+                   CAST(sum(CAST(l_returnflag IS NOT DISTINCT FROM 'R'
+                            AS INTEGER)) AS BIGINT) AS n_returned
             FROM lineitem
             WHERE l_linestatus IS DISTINCT FROM 'F'
             GROUP BY 1 ORDER BY 1
