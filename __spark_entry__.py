@@ -241,6 +241,52 @@ def in_subquery(spark, sf_dir):
         ).frame()
 
 
+def nested_exists_2level(spark, sf_dir):
+    """Two-level nested EXISTS with _parent._parent correlation
+    (reference expression.py:320-329, expression_static_test.py
+    test_multi_parent): the deep-correlated inner frame is flattened into
+    the outer semi-join's right side; Catalyst keeps it an equi-join
+    tree."""
+    with _cx(spark, sf_dir):
+        v = View("customer", {"c_custkey": "c_custkey", "c_name": "c_name"})
+        return v.read(
+            "(exists (from orders (select 1) (where "
+            "(= o_custkey _parent.c_custkey) "
+            "(exists (from lineitem (select 1) (where "
+            "(= l_orderkey _parent.o_orderkey) "
+            "(> l_extendedprice (* _parent._parent.c_acctbal 20))))))))",
+            order="c_custkey",
+        ).frame()
+
+
+def or_exists_filter(spark, sf_dir):
+    """EXISTS under OR → disjoint union of a filter branch and a
+    semi-join branch (reference allows it as plain SQL text,
+    expression.py:137-138)."""
+    with _cx(spark, sf_dir):
+        v = View("customer", {
+            "c_custkey": "c_custkey",
+            "c_mktsegment": "c_mktsegment",
+        })
+        return v.read(
+            '(or (= c_mktsegment "MACHINERY") '
+            "(exists (from orders (select 1) (where (and "
+            "(= o_custkey _parent.c_custkey) (> o_totalprice 400000))))))",
+            order="c_custkey",
+        ).frame()
+
+
+def every_aggregate(spark, sf_dir):
+    """`every` aggregate over a boolean expression (SURVEY §2.4)."""
+    with _cx(spark, sf_dir):
+        v = View("orders", {
+            "o_orderpriority": "o_orderpriority",
+            "all_small": "(every (< o_totalprice 400000))",
+            "n": "(count)",
+        })
+        return v.read(order="o_orderpriority").frame()
+
+
 def agg_global_stats(spark, sf_dir):
     """Global aggregation incl. bool_and/bool_or (SURVEY §2.4)."""
     with _cx(spark, sf_dir):
@@ -627,6 +673,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o2m_nation_count": o2m_nation_count,
         "exists_correlated": exists_correlated,
         "in_subquery": in_subquery,
+        "nested_exists_2level": nested_exists_2level,
+        "or_exists_filter": or_exists_filter,
+        "every_aggregate": every_aggregate,
         "agg_global_stats": agg_global_stats,
         "params_notin": params_notin,
         "json_extract_events": json_extract_events,
@@ -773,6 +822,30 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderkey IN
                 (SELECT l_orderkey FROM lineitem WHERE l_quantity > 49)
             ORDER BY o_orderkey
+        """,
+        "nested_exists_2level": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND EXISTS (SELECT 1 FROM lineitem
+                                        WHERE l_orderkey = o_orderkey
+                                          AND l_extendedprice >
+                                              c_acctbal * 20))
+            ORDER BY c_custkey
+        """,
+        "or_exists_filter": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE c_mktsegment = 'MACHINERY'
+               OR EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_totalprice > 400000)
+            ORDER BY c_custkey
+        """,
+        "every_aggregate": """
+            SELECT o_orderpriority,
+                   bool_and(o_totalprice < 400000) AS all_small,
+                   count(*) AS n
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "agg_global_stats": """
             SELECT count(*) AS n, max(l_quantity) AS max_qty,

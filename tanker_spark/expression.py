@@ -256,32 +256,77 @@ class AnyAll:
 
 
 class Subquery:
-    """Compiled ``(from tbl ...)``: child planner + select cols + where."""
+    """Compiled ``(from tbl ...)``: child planner + select cols + where.
 
-    def __init__(self, compiler, select_cols, where_cond, distinct=False):
+    ``nested_semis`` / ``orgroups`` carry subqueries found inside this
+    subquery's own WHERE (reference supports arbitrary nesting,
+    expression.py:320-329); the frame builder applies them recursively.
+    """
+
+    def __init__(self, compiler, select_cols, where_cond, distinct=False,
+                 nested_semis=None, orgroups=None):
         self.compiler = compiler  # child ExpressionCompiler
         self.select_cols = select_cols
         self.where_cond = where_cond
         self.distinct = distinct
+        self.nested_semis = nested_semis or []
+        self.orgroups = orgroups or []
 
 
 class SemiJoin:
-    """A pending left_semi / left_anti join produced by exists/in-subquery."""
+    """A pending left_semi / left_anti join produced by exists/in-subquery.
+
+    ``owner_depth`` records how many ``_parent.`` levels the symbols of the
+    enclosing filter item climb (0 = none): the frame builder uses it to
+    decide whether this join is self-contained one level up or must be
+    flattened into an ancestor's join condition.
+    """
 
     def __init__(self, sub: Subquery, extra_cond=None, anti=False):
         self.sub = sub
         self.extra_cond = extra_cond
         self.anti = anti
+        self.owner_depth = 0
+
+    def reach(self):
+        """Levels above ``sub`` referenced by the full join condition.
+
+        1 means: only the immediate parent frame (the join's left side) —
+        directly applicable. ≥2 means the condition mentions a grand-parent
+        (``_parent._parent``) and the subquery frame must be flattened into
+        the ancestor's semi-join right side instead.
+        """
+        r = self.owner_depth + 1
+        r = max(r, self.sub.compiler._ext_depth)
+        for m in self.sub.nested_semis:
+            r = max(r, m.reach() - 1)
+        for og in self.sub.orgroups:
+            for d in og.disjuncts:
+                for m in d.semis:
+                    r = max(r, m.reach() - 1)
+        return r
 
 
 class AndGroup:
     """A conjunction that carries lifted semi-joins: ``(and (exists ...)
-    (= a b))`` splits into a plain condition + pending joins (AND is the
-    only boolean context where EXISTS can be decorrelated this way)."""
+    (= a b))`` splits into a plain condition + pending joins. ``ors``
+    carries OR-disjunctions that themselves contain subqueries."""
 
-    def __init__(self, cond, semis):
+    def __init__(self, cond, semis, ors=None):
         self.cond = cond  # Column or None
         self.semis = semis
+        self.ors = ors or []
+
+
+class OrGroup:
+    """A disjunction with at least one subquery disjunct: ``(or (exists S)
+    P)``. The frame builder lowers it into a disjoint union of branches —
+    ``F.filter(P) ∪ F.filter(~P').semi(S)`` — so EXISTS/IN under OR never
+    needs a boolean-valued subquery column (reference emits plain SQL,
+    expression.py:137-138,160)."""
+
+    def __init__(self, disjuncts):
+        self.disjuncts = disjuncts  # list[AndGroup]
 
 
 # ---------------------------------------------------------------------------
@@ -320,6 +365,11 @@ class ExpressionCompiler:
         self.planner = planner
         # collected by compile(): semi/anti joins to apply on the frame
         self.pending_semijoins = []
+        # OR-disjunctions containing subqueries (lowered to frame unions)
+        self.pending_orgroups = []
+        # deepest `_parent.` chain compiled in THIS compiler's scope —
+        # drives SemiJoin.reach() (correlation-depth analysis)
+        self._ext_depth = 0
 
     # -- parse ----------------------------------------------------------
     def parse(self, text):
@@ -401,11 +451,14 @@ class ExpressionCompiler:
         if token.startswith("_parent."):
             compiler = self
             tail = token
+            levels = 0
             while tail.startswith("_parent."):
                 _, tail = tail.split(".", 1)
                 compiler = compiler.parent
+                levels += 1
                 if compiler is None:
                     raise ValueError("No parent query for %s" % token)
+            self._ext_depth = max(self._ext_depth, levels)
             return compiler.planner.get_ref(tail).col()
         desc = self.expand_env(token)
         if desc is not None:
@@ -458,6 +511,7 @@ class ExpressionCompiler:
         )
         select_cols, where_cond = [], None
         distinct = False
+        semis, ors = [], []
         for item in node.items[1:]:
             if isinstance(item, Node):
                 h = item.head_token()
@@ -468,27 +522,28 @@ class ExpressionCompiler:
                     ]
                     continue
                 if h == "where":
-                    conds = [
-                        child.compile(a, env_ctx) for a in item.items[1:]
-                    ]
-                    if any(isinstance(c, (SemiJoin, AndGroup))
-                           for c in conds):
-                        raise NotImplementedError(
-                            "nested subqueries (a subquery inside a "
-                            "subquery's WHERE) are not supported yet — "
-                            "flatten into joined conditions"
-                        )
-                    where_cond = _and_all(conds)
+                    plains = []
+                    for a in item.items[1:]:
+                        c = _compile_filter_item(child, a, env_ctx)
+                        p, s, o = _split_markers([c])
+                        if p is not None:
+                            plains.append(p)
+                        semis.extend(s)
+                        ors.extend(o)
+                    where_cond = _and_all(plains) if plains else None
                     continue
             raise ValueError("Unexpected subquery clause %r" % item)
-        return Subquery(child, select_cols, where_cond, distinct)
+        return Subquery(child, select_cols, where_cond, distinct,
+                        nested_semis=semis, orgroups=ors)
 
     # -- filter helpers -------------------------------------------------
     def build_filter(self, filters, env_ctx, acl_filters=None):
         """filters: str | list[str] | dict → one Column (AND) or None.
 
         Returns (condition, semijoins) — semijoins are pending left_semi /
-        left_anti joins lifted out of ``exists`` / ``in (from ...)``.
+        left_anti joins lifted out of ``exists`` / ``in (from ...)``;
+        OR-disjunctions containing subqueries land in
+        ``self.pending_orgroups``.
         """
         conds = []
         for fltr in (filters, acl_filters):
@@ -509,22 +564,13 @@ class ExpressionCompiler:
             if isinstance(fltr, str):
                 fltr = [fltr]
             for line in fltr:
-                compiled = self.compile(self.parse(line), env_ctx)
-                conds.append(compiled)
-        # Split out semijoin markers (exists/in-subquery at top level or
-        # under a top-level AND)
-        plain, semis = [], []
-        for c in conds:
-            if isinstance(c, SemiJoin):
-                semis.append(c)
-            elif isinstance(c, AndGroup):
-                semis.extend(c.semis)
-                if c.cond is not None:
-                    plain.append(c.cond)
-            else:
-                plain.append(as_col(c))
+                conds.append(
+                    _compile_filter_item(self, self.parse(line), env_ctx)
+                )
+        cond, semis, ors = _split_markers(conds)
         self.pending_semijoins.extend(semis)
-        return (_and_all(plain) if plain else None), semis
+        self.pending_orgroups.extend(ors)
+        return cond, semis
 
 
 class EnvContext:
@@ -564,6 +610,51 @@ def _and_all(conds):
     for c in conds[1:]:
         out = out & c
     return out
+
+
+def _split_markers(conds):
+    """Split compiled conditions into (plain AND-cond, semijoins, orgroups)."""
+    plain, semis, ors = [], [], []
+    for c in conds:
+        if isinstance(c, SemiJoin):
+            semis.append(c)
+        elif isinstance(c, AndGroup):
+            semis.extend(c.semis)
+            ors.extend(c.ors)
+            if c.cond is not None:
+                plain.append(c.cond)
+        elif isinstance(c, OrGroup):
+            ors.append(c)
+        else:
+            plain.append(as_col(c))
+    return (_and_all(plain) if plain else None), semis, ors
+
+
+def _compile_filter_item(compiler, node, env_ctx):
+    """Compile one filter item, stamping the ``_parent.``-walk depth of its
+    own-scope symbols onto any subquery markers it produces (feeds
+    :meth:`SemiJoin.reach`)."""
+    saved = compiler._ext_depth
+    compiler._ext_depth = 0
+    c = compiler.compile(node, env_ctx)
+    item_depth = compiler._ext_depth
+    compiler._ext_depth = max(saved, item_depth)
+    if item_depth:
+        _stamp_owner_depth(c, item_depth)
+    return c
+
+
+def _stamp_owner_depth(c, depth):
+    if isinstance(c, SemiJoin):
+        c.owner_depth = max(c.owner_depth, depth)
+    elif isinstance(c, AndGroup):
+        for s in c.semis:
+            _stamp_owner_depth(s, depth)
+        for og in c.ors:
+            _stamp_owner_depth(og, depth)
+    elif isinstance(c, OrGroup):
+        for d in c.disjuncts:
+            _stamp_owner_depth(d, depth)
 
 
 # ---------------------------------------------------------------------------
@@ -705,6 +796,12 @@ def _b_not(compiler, args):
     if isinstance(x, SemiJoin):
         x.anti = not x.anti
         return x
+    if isinstance(x, (AndGroup, OrGroup)):
+        raise NotImplementedError(
+            "NOT over a boolean combination containing EXISTS/IN-subquery "
+            "is not supported — apply De Morgan by hand "
+            "((not (and a b)) = (or (not a) (not b)))"
+        )
     return ~as_col(x)
 
 
@@ -714,30 +811,34 @@ def _b_json_get(compiler, args):
 
 
 def _b_and(compiler, args):
-    plain, semis = [], []
-    for a in args:
-        if isinstance(a, SemiJoin):
-            semis.append(a)
-        elif isinstance(a, AndGroup):
-            semis.extend(a.semis)
-            if a.cond is not None:
-                plain.append(a.cond)
-        else:
-            plain.append(a)
-    cond = _and_all(plain) if plain else None
-    if semis:
-        return AndGroup(cond, semis)
+    cond, semis, ors = _split_markers(args)
+    if semis or ors:
+        return AndGroup(cond, semis, ors)
     return cond
 
 
 def _b_or(compiler, args):
+    if not any(isinstance(a, (SemiJoin, AndGroup, OrGroup)) for a in args):
+        return _or_all(args)
+    disjuncts, plains = [], []
     for a in args:
-        if isinstance(a, (SemiJoin, AndGroup)):
-            raise NotImplementedError(
-                "EXISTS / IN-subquery under OR is not supported — "
-                "rewrite as two reads or a union"
-            )
-    return _or_all(args)
+        if isinstance(a, SemiJoin):
+            disjuncts.append(AndGroup(None, [a]))
+        elif isinstance(a, AndGroup):
+            if a.ors:
+                raise NotImplementedError(
+                    "OR-of-subqueries nested inside AND inside OR is not "
+                    "supported — flatten the expression"
+                )
+            disjuncts.append(a)
+        elif isinstance(a, OrGroup):
+            disjuncts.extend(a.disjuncts)  # or-flattening
+        else:
+            plains.append(a)
+    if plains:
+        # all plain disjuncts collapse into one branch condition
+        disjuncts.insert(0, AndGroup(_or_all(plains), []))
+    return OrGroup(disjuncts)
 
 
 BUILTINS = {

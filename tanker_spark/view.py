@@ -35,6 +35,15 @@ from .utils import ctx, logger, pandas
 all_none = lambda xs: all(x is None for x in xs)
 
 
+def _and_maybe(*conds):
+    """AND together the non-None conditions; None if all are None."""
+    out = None
+    for c in conds:
+        if c is not None:
+            out = c if out is None else (out & c)
+    return out
+
+
 def _bt(name):
     """Escape a column name (may contain dots) for F.col."""
     return "`%s`" % name.replace("`", "``")
@@ -359,13 +368,7 @@ class View(object):
         active = ctx
         base_df = active.read(table.name)
         reader = lambda name: active.read(name)
-        df = compiler.planner.apply(base_df, reader)
-
-        # semi/anti joins lifted from exists / in-subqueries
-        for semi in compiler.pending_semijoins:
-            df = self._apply_semijoin(df, semi, reader)
-        if cond is not None:
-            df = df.filter(cond)
+        df = self._build_frame(compiler, base_df, reader, cond)
 
         # 6. aggregate / project
         hidden = []
@@ -460,11 +463,7 @@ class View(object):
                         )
                 # a second planner pass may have added joins (order on a
                 # not-yet-joined dotted path): re-apply any new joins
-                df = compiler.planner.apply(base_df, reader)
-                for semi in compiler.pending_semijoins:
-                    df = self._apply_semijoin(df, semi, reader)
-                if cond is not None:
-                    df = df.filter(cond)
+                df = self._build_frame(compiler, base_df, reader, cond)
                 df = df.select(*select_cols)
                 if order_cols:
                     df = df.orderBy(*order_cols)
@@ -516,19 +515,113 @@ class View(object):
             return compiler.compile(compiler.parse(desc), env_ctx)
         return compiler.compile_ref(desc, env_ctx)
 
+    def _build_frame(self, compiler, base_df, reader, cond):
+        """base + inferred joins + subquery semis/ors + plain filter."""
+        df = compiler.planner.apply(base_df, reader)
+        for semi in compiler.pending_semijoins:
+            df = self._apply_semijoin(df, semi, reader)
+        for og in compiler.pending_orgroups:
+            df = self._apply_orgroup(df, og, reader)
+        if cond is not None:
+            df = df.filter(cond)
+        return df
+
     def _apply_semijoin(self, df, semi: SemiJoin, reader):
         sub = semi.sub
-        sub_df = sub.compiler.planner.apply(
-            reader(sub.compiler.table.name), reader
-        )
-        cond = sub.where_cond
-        if semi.extra_cond is not None:
-            cond = (semi.extra_cond if cond is None
-                    else (semi.extra_cond & cond))
+        sub_df, lifted = self._materialize_sub(sub, reader)
+        cond = _and_maybe(sub.where_cond, semi.extra_cond, lifted)
         how = "left_anti" if semi.anti else "left_semi"
         if cond is None:
             cond = F.lit(True)
         return df.join(sub_df, cond, how)
+
+    def _materialize_sub(self, sub, reader):
+        """Build a subquery's frame, applying its own nested subqueries.
+
+        Returns ``(df, lifted_cond)``. Nested subqueries whose correlation
+        stays within this subquery (``reach() <= 1``) become semi/anti
+        joins on the frame itself; deeper correlation
+        (``_parent._parent``, reference expression.py:320-329) is
+        flattened — the nested frame is joined in unconditionally and its
+        full condition is lifted into the ancestor's join condition, where
+        every referenced alias is in scope. Catalyst pushes the
+        sub-local equalities of the lifted condition back down into this
+        join, so the plan stays an equi-join tree, not a cartesian
+        product (pinned by planner_test).
+        """
+        df = sub.compiler.planner.apply(
+            reader(sub.compiler.table.name), reader
+        )
+        lifted = None
+        for m in sub.nested_semis:
+            if m.reach() <= 1:
+                df = self._apply_semijoin(df, m, reader)
+                continue
+            if m.anti:
+                raise NotImplementedError(
+                    "NOT EXISTS correlated past its immediate parent "
+                    "(_parent._parent under a negated subquery) is not "
+                    "supported"
+                )
+            ndf, nlifted = self._materialize_sub(m.sub, reader)
+            df = df.join(ndf)
+            lifted = _and_maybe(lifted, m.sub.where_cond, m.extra_cond,
+                                nlifted)
+        for og in sub.orgroups:
+            df = self._apply_orgroup(df, og, reader)
+        return df, lifted
+
+    def _apply_orgroup(self, df, og, reader):
+        """Lower ``(or ... subquery ...)`` into a disjoint union of
+        branches: rows matching an earlier disjunct are excluded from
+        later branches, so no dedup (and no row-multiplication) is
+        needed."""
+        def hard(d):
+            # a disjunct we cannot *exclude* with one anti/semi join
+            return len(d.semis) > 1 or any(m.anti for m in d.semis)
+
+        disjuncts = sorted(og.disjuncts, key=hard)  # hard ones last
+        if sum(1 for d in disjuncts if hard(d)) > 1:
+            raise NotImplementedError(
+                "OR with more than one NOT-EXISTS or multi-EXISTS "
+                "disjunct is not supported"
+            )
+        for d in disjuncts:
+            for m in d.semis:
+                if m.reach() >= 2:
+                    raise NotImplementedError(
+                        "_parent._parent correlation under OR is not "
+                        "supported"
+                    )
+        branches, excl = [], []
+        for d in disjuncts:
+            b = df
+            for e in excl:
+                b = self._exclude_disjunct(b, e, reader)
+            if d.cond is not None:
+                b = b.filter(d.cond)
+            for m in d.semis:
+                b = self._apply_semijoin(b, m, reader)
+            branches.append(b)
+            excl.append(d)
+        out = branches[0]
+        for b in branches[1:]:
+            out = out.unionAll(b)
+        return out
+
+    def _exclude_disjunct(self, df, d, reader):
+        """Keep rows NOT satisfying disjunct ``d`` (cond ∧ all semis)."""
+        if not d.semis:
+            return df.filter(~F.coalesce(d.cond, F.lit(False)))
+        (m,) = d.semis  # hard disjuncts are never excluded (sorted last)
+        sub_df, lifted = self._materialize_sub(m.sub, reader)
+        # fold d.cond (left-side-only) into the anti-join condition:
+        # dropped rows are exactly those where cond holds AND a match
+        # exists — ¬(cond ∧ ∃) for everything else
+        cond = _and_maybe(m.sub.where_cond, m.extra_cond, lifted, d.cond)
+        return df.join(
+            sub_df, cond if cond is not None else F.lit(True), "left_anti"
+        )
 
     # ------------------------------------------------------------------
     # WRITE

@@ -78,14 +78,96 @@ def test_in_from_subquery(session):
     assert sorted(res) == [("Holland",)]
 
 
-def test_or_exists_raises(session):
-    import pytest
+def test_or_exists(session):
+    """EXISTS under OR lowers to a disjoint union of branches."""
+    View(
+        "member",
+        ["name", "team.country.name", "team.name", "registration_code"],
+    ).write([("Bob", "Belgium", "Blue", "001")])
+    res = View("team", ["name", "country.name"]).read(
+        '(or (exists (from member (select 1) '
+        '(where (= team _parent.id)))) (= name "Red"))'
+    ).all()
+    # teams with members: Blue/Belgium; plus name=Red: Red/Belgium
+    assert sorted(res) == [("Blue", "Belgium"), ("Red", "Belgium")]
 
-    with pytest.raises(NotImplementedError):
-        View("team", ["name"]).read(
-            '(or (exists (from member (select 1) '
-            '(where (= team _parent.id)))) (= name "Blue"))'
-        ).all()
+
+def test_or_in_subquery_with_and(session):
+    """(or (and ...) (in ...)) — subquery in one disjunct, AND in other."""
+    View(
+        "member",
+        ["name", "team.country.name", "team.name", "registration_code"],
+    ).write(members)
+    res = View("country", ["name"]).read(
+        '(or (in id (from team (select country) (where (= name "Red")))) '
+        '(= name "Holland"))'
+    ).all()
+    assert sorted(res) == [("Belgium",), ("Holland",)]
+
+
+def test_or_not_exists(session):
+    """A NOT-EXISTS disjunct is ordered last and never excluded."""
+    View(
+        "member",
+        ["name", "team.country.name", "team.name", "registration_code"],
+    ).write([("Bob", "Belgium", "Blue", "001")])
+    res = View("country", ["name"]).read(
+        "(or (not (exists (from member (select 1) "
+        '(where (= team.country _parent.id))))) (= name "France"))'
+    ).all()
+    # countries without members: France, Holland; plus France (dedup'd
+    # by disjoint-branch construction, no double row)
+    assert sorted(res) == [("France",), ("Holland",)]
+
+
+def test_nested_subquery_one_level(session):
+    """A subquery inside a subquery's WHERE, correlation depth 1."""
+    View(
+        "member",
+        ["name", "team.country.name", "team.name", "registration_code"],
+    ).write(members)
+    res = View("country", ["name"]).read(
+        "(in id (from team (select country) (where "
+        "(exists (from member (select 1) (where (= team _parent.id)))))))"
+    ).all()
+    assert sorted(res) == [("Belgium",), ("France",)]
+
+
+def test_multi_parent(session):
+    """_parent._parent correlation two levels up (reference
+    expression_static_test.py:112-128 test_multi_parent)."""
+    View(
+        "member",
+        ["name", "team.country.name", "team.name", "registration_code"],
+    ).write(members)
+    cursor = View("country", ["name"]).read(
+        "(in id (from team (select country) (where (in id "
+        "(from member (select team) (where (= team _parent.id) "
+        "(!= name _parent._parent.name)))))))"
+    )
+    res = cursor.all()
+    # every member name differs from its team's country name → all
+    # countries that have a team with members
+    assert sorted(res) == [("Belgium",), ("France",)]
+    # the flattened nested frame must not plan a cartesian product:
+    # Catalyst pushes the lifted team↔member equality into the join
+    plan = cursor.frame()._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_multi_parent_negative(session):
+    """Same shape, but the deep-correlated predicate filters everything."""
+    View(
+        "member",
+        ["name", "team.country.name", "team.name", "registration_code"],
+    ).write(members)
+    res = View("country", ["name"]).read(
+        "(in id (from team (select country) (where (in id "
+        "(from member (select team) (where (= team _parent.id) "
+        "(= name _parent._parent.name)))))))"
+    ).all()
+    assert res == []
 
 
 def test_pushdown_in_plan(session):
