@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from tanker_spark import View, connect  # noqa: E402
+from tanker_spark import View, connect, create_tables  # noqa: E402
 from tanker_spark.operators import dedup, similarity, text  # noqa: E402
 from tanker_spark.testdata import TPCH_SCHEMA  # noqa: E402
 
@@ -285,6 +285,183 @@ def every_aggregate(spark, sf_dir):
             "n": "(count)",
         })
         return v.read(order="o_orderpriority").frame()
+
+
+# ---------------------------------------------------------------------------
+# write-path round-trips (SURVEY §2.7) — mutate a scratch managed table,
+# return the final state; the oracle computes the same state declaratively
+# (reference semantics: /root/reference/tests/write_test.py, delete_test.py,
+# acl_test.py)
+# ---------------------------------------------------------------------------
+
+_NAT_SCHEMA = """
+- table: nat
+  columns:
+    nkey: integer
+    name: varchar
+    comment: varchar
+  key: [nkey]
+"""
+
+_SUP_SCHEMA = """
+- table: natref
+  columns:
+    name: varchar
+  key: [name]
+- table: sup
+  columns:
+    name: varchar
+    nation: m2o natref.id
+  key: [name]
+"""
+
+
+def _scratch_cx(spark, schema, extra_cfg=None):
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="tanker_scratch_")
+    cfg = {"root": root, "schema": schema, "spark": spark}
+    cfg.update(extra_cfg or {})
+    return connect(cfg)
+
+
+def _nation_src(spark, sf_dir):
+    # the testdata nation table has no comment column — derive one
+    return _read(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nkey"),
+        F.col("n_name").alias("name"),
+        F.concat(F.lit("c_"), F.col("n_name")).alias("comment"),
+    )
+
+
+def write_upsert_roundtrip(spark, sf_dir):
+    """Distributed-DF ingest + natural-key upsert (ref write_test.py:54-83)."""
+    with _scratch_cx(spark, _NAT_SCHEMA):
+        create_tables()
+        src = _nation_src(spark, sf_dir)
+        v = View("nat", ["nkey", "name", "comment"])
+        v.write(src)
+        upd = src.filter(F.col("nkey") < 10).select(
+            "nkey",
+            F.upper(F.col("name")).alias("name"),
+            F.lit("upd").alias("comment"),
+        )
+        v.write(upd)
+        return v.read(order="nkey").frame()
+
+
+def write_partial_update(spark, sf_dir):
+    """Partial-column upsert preserves untouched columns; a new key gets
+    NULL for missing columns (ref write_test.py:85-111)."""
+    with _scratch_cx(spark, _NAT_SCHEMA):
+        create_tables()
+        src = _nation_src(spark, sf_dir)
+        View("nat", ["nkey", "name", "comment"]).write(src)
+        pv = View("nat", ["nkey", "name"])
+        pv.write(
+            src.filter(F.col("nkey") < 10)
+            .select("nkey", F.upper(F.col("name")).alias("name"))
+        )
+        pv.write([(99, "NEWLAND")])
+        return View("nat", ["nkey", "name", "comment"]).read(
+            order="nkey"
+        ).frame()
+
+
+def write_insert_update_legs(spark, sf_dir):
+    """insert=False ignores new keys; update=False ignores existing keys
+    (ref view.py insert/update legs, write_test.py)."""
+    with _scratch_cx(spark, _NAT_SCHEMA):
+        create_tables()
+        src = _nation_src(spark, sf_dir)
+        v = View("nat", ["nkey", "name", "comment"])
+        v.write(src)
+        # update-only: nkey<5 renamed; key 200 must NOT appear
+        upd = src.filter(F.col("nkey") < 5).select(
+            "nkey",
+            F.concat(F.lit("U_"), F.col("name")).alias("name"),
+            "comment",
+        )
+        v.write(upd, insert=False)
+        v.write([(200, "GHOST", "zz")], insert=False)
+        # insert-only: new keys 100/101 inserted; key 0 must stay U_*
+        v.write(
+            [(100, "ALPHA", "aa"), (101, "BETA", "bb"),
+             (0, "OVERWRITE", "zz")],
+            update=False,
+        )
+        return v.read(order="nkey").frame()
+
+
+def write_purge_filtered(spark, sf_dir):
+    """purge=True deletes stored rows absent from the batch, scoped by the
+    write filter (ref view.py:554-631 what='purge')."""
+    with _scratch_cx(spark, _NAT_SCHEMA):
+        create_tables()
+        src = _nation_src(spark, sf_dir)
+        v = View("nat", ["nkey", "name", "comment"])
+        v.write(src)
+        v.write(
+            src.filter(F.col("nkey") < 10),
+            purge=True,
+            filters="(>= nkey 20)",
+        )
+        return v.read(order="nkey").frame()
+
+
+def delete_roundtrip(spark, sf_dir):
+    """delete by s-expr filter, then by data rows (ref delete_test.py)."""
+    with _scratch_cx(spark, _NAT_SCHEMA):
+        create_tables()
+        src = _nation_src(spark, sf_dir)
+        View("nat", ["nkey", "name", "comment"]).write(src)
+        View("nat", ["nkey"]).delete("(>= nkey 20)")
+        View("nat", ["nkey"]).delete(data=[(k,) for k in range(15, 20)])
+        return View("nat", ["nkey", "name", "comment"]).read(
+            order="nkey"
+        ).frame()
+
+
+def write_fk_resolution(spark, sf_dir):
+    """Dotted-FK write: natural keys resolved to surrogate ids on ingest,
+    read back through the M2O path (ref view.py:642-711)."""
+    with _scratch_cx(spark, _SUP_SCHEMA):
+        create_tables()
+        nations = _read(spark, sf_dir, "nation").select(
+            F.col("n_name").alias("name")
+        )
+        View("natref", ["name"]).write(nations)
+        sup = (
+            _read(spark, sf_dir, "supplier")
+            .join(
+                _read(spark, sf_dir, "nation"),
+                F.col("s_nationkey") == F.col("n_nationkey"),
+            )
+            .select(
+                F.col("s_name").alias("name"),
+                F.col("n_name").alias("nation.name"),
+            )
+        )
+        v = View("sup", ["name", "nation.name"])
+        v.write(sup)
+        return v.read(order="name").frame()
+
+
+def acl_write_roundtrip(spark, sf_dir):
+    """acl-write filter gates the upsert: rows outside the ACL are not
+    touched (ref acl_test.py:39-107)."""
+    acl = {"acl-write": {"nat": ["(< nkey 20)"]}}
+    with _scratch_cx(spark, _NAT_SCHEMA, extra_cfg=acl):
+        create_tables()
+        src = _nation_src(spark, sf_dir)
+        v = View("nat", ["nkey", "name", "comment"])
+        v.write(src, disable_acl=True)
+        v.write(
+            src.select(
+                "nkey", F.lower(F.col("name")).alias("name"), "comment"
+            )
+        )
+        return v.read(order="nkey").frame()
 
 
 def agg_global_stats(spark, sf_dir):
@@ -676,6 +853,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nested_exists_2level": nested_exists_2level,
         "or_exists_filter": or_exists_filter,
         "every_aggregate": every_aggregate,
+        "write_upsert_roundtrip": write_upsert_roundtrip,
+        "write_partial_update": write_partial_update,
+        "write_insert_update_legs": write_insert_update_legs,
+        "write_purge_filtered": write_purge_filtered,
+        "delete_roundtrip": delete_roundtrip,
+        "write_fk_resolution": write_fk_resolution,
+        "acl_write_roundtrip": acl_write_roundtrip,
         "agg_global_stats": agg_global_stats,
         "params_notin": params_notin,
         "json_extract_events": json_extract_events,
@@ -846,6 +1030,56 @@ def oracle_sql() -> dict[str, str]:
                    bool_and(o_totalprice < 400000) AS all_small,
                    count(*) AS n
             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "write_upsert_roundtrip": """
+            SELECT n_nationkey AS nkey,
+                   CASE WHEN n_nationkey < 10 THEN upper(n_name)
+                        ELSE n_name END AS name,
+                   CASE WHEN n_nationkey < 10 THEN 'upd'
+                        ELSE 'c_' || n_name END AS comment
+            FROM nation ORDER BY nkey
+        """,
+        "write_partial_update": """
+            SELECT n_nationkey AS nkey,
+                   CASE WHEN n_nationkey < 10 THEN upper(n_name)
+                        ELSE n_name END AS name,
+                   'c_' || n_name AS comment
+            FROM nation
+            UNION ALL
+            SELECT 99, 'NEWLAND', NULL
+            ORDER BY nkey
+        """,
+        "write_insert_update_legs": """
+            SELECT n_nationkey AS nkey,
+                   CASE WHEN n_nationkey < 5 THEN 'U_' || n_name
+                        ELSE n_name END AS name,
+                   'c_' || n_name AS comment
+            FROM nation
+            UNION ALL SELECT 100, 'ALPHA', 'aa'
+            UNION ALL SELECT 101, 'BETA', 'bb'
+            ORDER BY nkey
+        """,
+        "write_purge_filtered": """
+            SELECT n_nationkey AS nkey, n_name AS name,
+                   'c_' || n_name AS comment
+            FROM nation WHERE n_nationkey < 20 ORDER BY nkey
+        """,
+        "delete_roundtrip": """
+            SELECT n_nationkey AS nkey, n_name AS name,
+                   'c_' || n_name AS comment
+            FROM nation WHERE n_nationkey < 15 ORDER BY nkey
+        """,
+        "write_fk_resolution": """
+            SELECT s_name AS name, n_name AS "nation.name"
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            ORDER BY name
+        """,
+        "acl_write_roundtrip": """
+            SELECT n_nationkey AS nkey,
+                   CASE WHEN n_nationkey < 20 THEN lower(n_name)
+                        ELSE n_name END AS name,
+                   'c_' || n_name AS comment
+            FROM nation ORDER BY nkey
         """,
         "agg_global_stats": """
             SELECT count(*) AS n, max(l_quantity) AS max_qty,

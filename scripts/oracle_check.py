@@ -41,10 +41,15 @@ def _norm(v):
     return v
 
 
+def _sortable(v):
+    v = _norm(v)
+    return ("1", "") if v is None else ("0", repr(v))
+
+
 def rows_key(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(
-        tuple(_norm(r[i]) for i in order) for r in rows
+        tuple(_sortable(r[i]) for i in order) for r in rows
     )
 
 
