@@ -1324,7 +1324,9 @@ def oracle_sql() -> dict[str, str]:
                     regexp_replace(text,
                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
                       '<EMAIL>', 'g'),
-                    '\\+?[0-9][0-9()\\-\\s]{6,}[0-9]', '<PHONE>', 'g'),
+                    '\\+[0-9][0-9()\\-\\s.]{5,17}[0-9]'
+                    || '|\\(?[0-9]{3}\\)?[-.][0-9]{3}[-.][0-9]{4}'
+                    || '|\\b[0-9]{7,15}\\b', '<PHONE>', 'g'),
                   '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g')
                   AS clean_text
               FROM planted

@@ -76,11 +76,19 @@ def cap_per_group(df, group_col, k, order_by):
     )
 
 
-#: (pattern, replacement) redaction rules — emails, E.164-ish phone
-#: numbers, IPv4 addresses. Order matters: emails before bare digits.
+#: (pattern, replacement) redaction rules — emails, phone numbers, IPv4
+#: addresses. Order matters: emails before bare digits. The phone rule
+#: only fires on (a) explicit international format (leading ``+``),
+#: (b) NANP-style ``555-123-4567`` with ``-``/``.`` separators, or
+#: (c) a bare 7-15 digit run — so ordinary numeric prose ("2020 2021
+#: 2022", tables of numbers) is NOT redacted (ADVICE round 1; the old
+#: rule matched any 8+-char digit/space/hyphen run). RE2-compatible
+#: (no lookarounds) so the DuckDB oracle can mirror it exactly.
 REDACT_RULES = [
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    (r"\+?[0-9][0-9()\-\s]{6,}[0-9]", "<PHONE>"),
+    (r"\+[0-9][0-9()\-\s.]{5,17}[0-9]"
+     r"|\(?[0-9]{3}\)?[-.][0-9]{3}[-.][0-9]{4}"
+     r"|\b[0-9]{7,15}\b", "<PHONE>"),
     (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
 ]
 

@@ -268,8 +268,13 @@ def simhash_df(df, text_col="text", id_col="doc_id", bits=64):
     once per row (first projection), then each bit's majority vote is a
     flat array aggregate over it (second projection). Zero shuffle —
     strictly better at 100 TB than the explode → groupBy-vote shape,
-    whose shuffle volume is #rows × #tokens."""
-    hashed = widen(df).select(
+    whose shuffle volume is #rows × #tokens.
+
+    NULL-text docs are dropped (matching the old explode shape, which
+    produced no rows for them): a NULL token array would otherwise vote
+    to fp=0 and spuriously pair every NULL doc at hamming distance 0
+    (ADVICE round 1)."""
+    hashed = widen(df).filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("__id"),
         F.transform(
             tokens(F.col(text_col)), lambda t: F.xxhash64(t)

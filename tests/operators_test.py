@@ -126,6 +126,49 @@ def test_embedding_dedup_and_knn(spark):
     ivf = similarity.knn_ivf(df, probe, k=5, n_cells=8, n_probe=4).collect()
     assert ivf[0].vec_id == 5
 
+    # map-only probes: no Window, no shuffle Exchange anywhere in either
+    # ANN plan (the round-1 IVF assignment shuffled a 16× fan-out)
+    for frame in (
+        similarity.knn_ivf(df, probe, k=5, n_cells=8, n_probe=4),
+        similarity.knn_lsh(df, probe, k=5, dim=dim, n_planes=6),
+    ):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        assert "Exchange" not in plan
+
+
+def test_ann_persisted_index(spark, tmp_path):
+    rnd = random.Random(7)
+    dim = 16
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(dim)]) for i in range(80)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    probe = rows[11][1]
+
+    for method, kw in (("lsh", {"dim": dim, "n_planes": 6}),
+                       ("ivf", {"n_cells": 8})):
+        path = str(tmp_path / ("ann_" + method))
+        similarity.build_ann_index(df, path, method=method, **kw)
+        got = similarity.knn_indexed(
+            spark, path, probe, k=5, multiprobe=2, n_probe=4
+        )
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        # the probe scan is pruned to the probe's bucket partitions
+        assert "PartitionFilters: [" in plan
+        assert "__bucket" in plan.split("PartitionFilters")[1][:200]
+        rows_out = got.collect()
+        assert rows_out[0].vec_id == 11 and rows_out[0].cos_sim > 0.999
+
+    # indexed lsh probe ≡ on-the-fly lsh probe (same params → same rows)
+    fly = similarity.knn_lsh(
+        df, probe, k=5, dim=dim, n_planes=6, multiprobe=2
+    ).collect()
+    idx = similarity.knn_indexed(
+        spark, str(tmp_path / "ann_lsh"), probe, k=5, multiprobe=2
+    ).collect()
+    assert [(r.vec_id, round(r.cos_sim, 9)) for r in idx] == [
+        (r.vec_id, round(r.cos_sim, 9)) for r in fly
+    ]
+
 
 def test_text_analyze(spark, docs):
     out = text.analyze(docs).collect()
@@ -233,6 +276,11 @@ def test_curation_redact(spark):
         (2, "call +32 (0)2 123-45-67 now"),
         (3, "server at 192.168.0.254 is up"),
         (4, "nothing sensitive here"),
+        (5, "dial 555-123-4567 or 5551234567"),
+        # plain numeric prose must NOT be redacted (ADVICE round 1: the
+        # old rule ate any 8+-char digit/space run)
+        (6, "years 2020 2021 2022 and totals 12 345 67"),
+        (7, "scores 10-20-30 in room 101"),
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     out = {r.doc_id: (r.text, r.redacted)
@@ -241,3 +289,6 @@ def test_curation_redact(spark):
     assert out[2] == ("call <PHONE> now", True)
     assert out[3] == ("server at <IP> is up", True)
     assert out[4] == ("nothing sensitive here", False)
+    assert out[5] == ("dial <PHONE> or <PHONE>", True)
+    assert out[6] == ("years 2020 2021 2022 and totals 12 345 67", False)
+    assert out[7] == ("scores 10-20-30 in room 101", False)

@@ -92,6 +92,40 @@ def test_partition_move(psession):
     assert all(day != "2024-01-03" for _, day, _v in res)
 
 
+def test_partition_scoped_delete(psession):
+    """delete only rewrites partitions that lost rows; the rest are
+    hard-links of the previous snapshot (round-1 VERDICT: delete always
+    rewrote the full table)."""
+    before = _partition_inodes(ctx.root, "reading")
+    n = View("reading", ["site", "day"]).delete(
+        filters='(= day "2024-01-02")'
+    )
+    assert n == 1
+    after = _partition_inodes(ctx.root, "reading")
+    assert "day=2024-01-02" not in after or not after["day=2024-01-02"]
+    assert after["day=2024-01-01"] == before["day=2024-01-01"]
+    assert after["day=2024-01-03"] == before["day=2024-01-03"]
+    res = View("reading").read(order=["day", "site"]).all()
+    assert [r[1] for r in res] == ["2024-01-01", "2024-01-01", "2024-01-03"]
+
+    # delete by data: same partition scoping
+    before = _partition_inodes(ctx.root, "reading")
+    n = View("reading", ["site", "day"]).delete(
+        data=[("b", "2024-01-01")]
+    )
+    assert n == 1
+    after = _partition_inodes(ctx.root, "reading")
+    assert after["day=2024-01-03"] == before["day=2024-01-03"]
+    assert after["day=2024-01-01"] != before["day=2024-01-01"]
+
+    # no-match delete: nothing rewritten, version pointer untouched
+    v = storage.current_version_path(ctx.root, "reading")
+    assert View("reading", ["site", "day"]).delete(
+        filters='(= day "2099-01-01")'
+    ) == 0
+    assert storage.current_version_path(ctx.root, "reading") == v
+
+
 def test_partial_purge(psession):
     cnt = View("reading", ["site", "day", "value"]).write(
         [("a", "2024-01-01", 1.5)],

@@ -56,3 +56,23 @@ def test_pandas_roundtrip(session):
     view.write(df)
     out = view.read(order="timestamp").df()
     assert list(out["timestamp"]) == list(rng)
+
+
+def test_pa_norm_session_tz():
+    """Naive TIMESTAMPTZ values staged via the arrow fast path are
+    interpreted in the SESSION timezone, like the pandas/row fallbacks
+    (ADVICE round 1: the paths only agreed because get_spark pins UTC)."""
+    from datetime import datetime, timezone
+
+    from pyspark.sql import types as T
+
+    from tanker_spark.view import _pa_norm
+
+    naive = datetime(2024, 1, 1, 12, 0)
+    (out,) = _pa_norm([naive], T.TimestampType(), "Europe/Brussels")
+    assert out == datetime(2024, 1, 1, 11, 0, tzinfo=timezone.utc)
+    (out_utc,) = _pa_norm([naive], T.TimestampType(), "UTC")
+    assert out_utc == datetime(2024, 1, 1, 12, 0, tzinfo=timezone.utc)
+    aware = datetime(2024, 1, 1, 12, 0, tzinfo=timezone.utc)
+    (out_aw,) = _pa_norm([aware], T.TimestampType(), "Europe/Brussels")
+    assert out_aw == aware

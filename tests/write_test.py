@@ -230,3 +230,113 @@ def test_natural_column_fk(spark, tmp_path):
         # unknown natural fk value still rejected
         with pytest.raises(ValueError):
             tv.write([("Green", "Mars")])
+
+
+LAZY_SCHEMA = """
+- table: country
+  columns:
+    name: varchar
+  key: [name]
+- table: city
+  columns:
+    name: varchar
+    country: m2o country.id
+  key: [name]
+"""
+
+
+def test_lazy_validation_scope(spark, tmp_path):
+    """Plan-fused validation is validated-rows-only (documented in
+    View._resolve / ADVICE round 1): a row removed by a write filter
+    never reaches the merge, so an unknown fk value OUTSIDE the natural
+    key does NOT raise — unlike the reference, which resolved fks
+    eagerly at format() time before applying write filters. (An fk
+    inside the key is still validated for every staged row: the
+    filter-leg key join evaluates it.)"""
+    from tanker_spark import connect, create_tables
+
+    cfg = {"root": str(tmp_path / "lz"), "schema": LAZY_SCHEMA,
+           "spark": spark}
+    with connect(cfg):
+        create_tables()
+        View("country", ["name"]).write([("Belgium",)])
+        v = View("city", ["name", "country.name"])
+        v.write([("Brussels", "Belgium")])
+        cnt = v.write(
+            [("Lost", "Atlantis")], filters='(!= name "Lost")'
+        )
+        assert cnt["filtered"] == 1
+        check([("Brussels", "Belgium")], v.read())
+        # the same row without the filter DOES raise
+        with pytest.raises(ValueError):
+            v.write([("Lost", "Atlantis")])
+
+
+UNIQUE_SCHEMA = """
+- table: person
+  columns:
+    name: varchar
+    email: varchar
+    nick: varchar
+  key: [name]
+  unique:
+    - [email]
+"""
+
+
+def test_unique_enforcement(spark, tmp_path):
+    """Declared unique: groups are enforced on write (reference creates
+    unique DB indexes, context.py:655-677); NULLs never conflict."""
+    from tanker_spark import connect, create_tables
+
+    cfg = {"root": str(tmp_path / "u"), "schema": UNIQUE_SCHEMA,
+           "spark": spark}
+    with connect(cfg):
+        create_tables()
+        v = View("person", ["name", "email", "nick"])
+        v.write([("a", "a@x", "A"), ("b", "b@x", "B")])
+        # incoming duplicate of a stored email → rejected, nothing
+        # committed
+        with pytest.raises(ValueError):
+            v.write([("c", "a@x", "C")])
+        check([("a", "a@x", "A"), ("b", "b@x", "B")], v.read())
+        # duplicate emails within one batch → rejected
+        with pytest.raises(ValueError):
+            v.write([("d", "d@x", "D"), ("e", "d@x", "E")])
+        # NULL emails never conflict (SQL unique-index semantics)
+        v.write([("f", None, "F"), ("g", None, "G")])
+        # updating a row keeping its own unique value is fine
+        v.write([("a", "a@x", "A2")])
+        assert ("a", "a@x", "A2") in v.read().all()
+
+
+UNIQUE_PART_SCHEMA = """
+- table: reading
+  columns:
+    site: varchar
+    day: varchar
+    tag: varchar
+  key: [site, day]
+  partition_by: [day]
+  unique:
+    - [tag]
+"""
+
+
+def test_unique_cross_partition(spark, tmp_path):
+    """Partition-pruned merge commits still enforce unique: against the
+    UNTOUCHED partitions (presence-marker join on the outside scan)."""
+    from tanker_spark import connect, create_tables
+
+    cfg = {"root": str(tmp_path / "up"), "schema": UNIQUE_PART_SCHEMA,
+           "spark": spark}
+    with connect(cfg):
+        create_tables()
+        v = View("reading", ["site", "day", "tag"])
+        v.write([("a", "d1", "T1"), ("b", "d2", "T2")])
+        # pruned commit touching only d3 collides with T1 stored in d1
+        with pytest.raises(ValueError):
+            v.write([("c", "d3", "T1")])
+        check([("a", "d1", "T1"), ("b", "d2", "T2")], v.read())
+        v.write([("c", "d3", "T3")])
+        assert len(v.read().all()) == 3
