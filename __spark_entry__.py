@@ -13,6 +13,7 @@ reassociation.
 
 from __future__ import annotations
 
+import os
 import sys
 from collections.abc import Callable
 from pathlib import Path
@@ -722,9 +723,31 @@ def knn_lsh_probe(spark, sf_dir):
 
 
 def knn_ivf_probe(spark, sf_dir):
-    """ANN top-10 via IVF coarse cells, n_probe=4 (rows-only)."""
+    """ANN top-10 via IVF coarse cells, n_probe=4 (rows-only).
+
+    Cell assignment is a map-only argmax over driver-collected centroid
+    literals — plan has no Window and no Exchange (operators_test)."""
     df = _read(spark, sf_dir, "embeddings")
     out = similarity.knn_ivf(df, [1.0] * 64, k=10, n_cells=16, n_probe=4)
+    return out.select(
+        "vec_id", F.round("cos_sim", 6).alias("cos_sim")
+    )
+
+
+def knn_indexed_probe(spark, sf_dir):
+    """ANN probe against a PERSISTED bucket-partitioned index — the
+    100 TB steady state: the index side table is built once (here into a
+    scratch dir), probes prune to the probe's bucket partitions
+    (PartitionFilters) with the bucket set computed driver-side, no
+    Spark job. Rows-only check; equality with the on-the-fly LSH probe
+    is pinned in operators_test."""
+    import tempfile
+
+    df = _read(spark, sf_dir, "embeddings")
+    path = os.path.join(tempfile.mkdtemp(prefix="annidx_"), "lsh")
+    similarity.build_ann_index(df, path, method="lsh", dim=64)
+    out = similarity.knn_indexed(spark, path, [1.0] * 64, k=10,
+                                 multiprobe=2)
     return out.select(
         "vec_id", F.round("cos_sim", 6).alias("cos_sim")
     )
@@ -883,6 +906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": bpe_token_stats,
         "knn_lsh_probe": knn_lsh_probe,
         "knn_ivf_probe": knn_ivf_probe,
+        "knn_indexed_probe": knn_indexed_probe,
         "multimodal_features": multimodal_features,
         "stratified_sample_docs": stratified_sample_docs,
         "cap_per_source": cap_per_source,

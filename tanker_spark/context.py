@@ -20,8 +20,8 @@ from .table import Column, Table
 from .utils import CTX_STACK, ctx, logger, yaml_load
 
 __all__ = [
-    "connect", "create_tables", "get_spark", "register", "ctx",
-    "TankerContext",
+    "connect", "create_tables", "get_spark", "introspect_parquet",
+    "register", "ctx", "TankerContext",
 ]
 
 _DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -95,6 +95,80 @@ def _build_registry(defs):
 CATALOG_FILE = "_catalog.yaml"
 
 
+def _ctype_from_arrow(t):
+    """pyarrow type → tanker column type string."""
+    import pyarrow as pa
+
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return _ctype_from_arrow(t.value_type) + "[]"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "varchar"
+    if pa.types.is_int64(t):
+        return "bigint"
+    if pa.types.is_integer(t):
+        return "integer"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamptz" if t.tz else "timestamp"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bytea"
+    return "varchar"
+
+
+def introspect_parquet(root):
+    """Derive table definitions for a foreign parquet directory from the
+    file footers alone — the Spark analog of the reference's live-DB
+    introspection (``introspect_db``, context.py:388-569). A footer read
+    is a metadata operation (no Spark job, no data scan), so registering
+    a 100 TB directory costs milliseconds.
+
+    Tables are registered external/read-only (``surrogate_id: false``);
+    parquet carries no FK or unique metadata, so the key defaults to
+    ``id`` when present, else the first column (only writes need a real
+    key, and writes are rejected on external tables). Declare a schema
+    to get relations and write access."""
+    import pyarrow.parquet as pq
+
+    defs = []
+    if not os.path.isdir(root):
+        return defs
+    for entry in sorted(os.listdir(root)):
+        path = os.path.join(root, entry)
+        if entry.startswith((".", "_")):
+            continue
+        if entry.endswith(".parquet") and os.path.isfile(path):
+            name, sample = entry[: -len(".parquet")], path
+        elif os.path.isdir(path):
+            if os.path.exists(os.path.join(path, storage.CURRENT)):
+                continue  # managed table: the catalog sidecar covers it
+            files = [fn for fn in sorted(os.listdir(path))
+                     if fn.endswith(".parquet")]
+            if not files:
+                continue
+            name, sample = entry, os.path.join(path, files[0])
+        else:
+            continue
+        try:
+            schema = pq.read_schema(sample)
+        except Exception:
+            logger.info("introspect: cannot read footer of %s", sample)
+            continue
+        cols = {f.name: _ctype_from_arrow(f.type) for f in schema}
+        if not cols:
+            continue
+        key = ["id"] if "id" in cols else [next(iter(cols))]
+        defs.append({
+            "table": name, "columns": cols, "key": key,
+            "surrogate_id": False,
+        })
+    return defs
+
+
 class TankerContext:
     """One engine context: spark + root + registry + user cfg."""
 
@@ -115,6 +189,10 @@ class TankerContext:
         schema = _parse_schema(cfg.pop("schema", None))
         if schema is None:
             schema = self._load_catalog()
+        if schema is None and cfg.get("introspect", True):
+            # no schema, no sidecar: a foreign parquet directory —
+            # register its tables from the footers (read-only)
+            schema = introspect_parquet(self.root)
         self.registry = _build_registry(schema or [])
         self._df_cache = {}
 

@@ -39,3 +39,20 @@ def test_runtime_create_table(session):
     create_tables()
     rows = View("sponsor").read().all()
     assert rows == [("ACME-2000", "Belgium", "gold")]
+
+
+def test_introspect_parquet(spark):
+    """A foreign parquet directory with no schema and no sidecar is
+    registered from the file footers (external read-only tables) — the
+    Spark analog of the reference's introspect_db (context.py:388-569)."""
+    import pytest
+
+    from tanker_spark import View, connect
+
+    with connect({"root": "/root/testdata/sf0.001", "spark": spark}):
+        v = View("lineitem",
+                 {"flag": "l_returnflag", "qty": "(sum l_quantity)"})
+        rows = v.read(order="flag").all()
+        assert [r[0] for r in rows] == ["A", "N", "R"]
+        with pytest.raises(ValueError):
+            View("region", ["r_name"]).write([("X",)])
