@@ -40,8 +40,11 @@ FEATURE_SCHEMA = T.StructType([
 
 
 def _fake_feature(payload: bytes) -> list:
-    """Deterministic fake featurizer: sha256 bytes → FEATURE_DIM floats."""
-    digest = hashlib.sha256(payload or b"").digest()
+    """Deterministic fake featurizer: sha256 of the payload's hex encoding
+    → FEATURE_DIM floats. Hashing the hex string (rather than the raw
+    bytes) keeps the stub reproducible from any engine whose sha256 only
+    accepts text (the DuckDB oracle re-derives these features in SQL)."""
+    digest = hashlib.sha256((payload or b"").hex().encode()).digest()
     return [b / 255.0 for b in digest[:FEATURE_DIM]]
 
 
