@@ -24,6 +24,7 @@ BENCH_QUERIES = [
     "exists_correlated",
     "in_subquery",
     "events_hourly",
+    "sessionize_events",
     "dedup_exact_docs",
     "text_stats",
     "knn_cosine_bruteforce",

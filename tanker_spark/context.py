@@ -43,7 +43,6 @@ def get_spark(app_name="tanker_spark", master=None, extra_conf=None):
         .config("spark.sql.shuffle.partitions", _DEFAULT_CPUS)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", "8g")
         .config("spark.ui.enabled", "false")
     )

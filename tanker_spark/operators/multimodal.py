@@ -48,16 +48,40 @@ def _fake_feature(payload: bytes) -> list:
     return [b / 255.0 for b in digest[:FEATURE_DIM]]
 
 
-def decode_image(payload: bytes, fake: bool = False):
-    """Decode an image payload to pixels.
+def _try_pil():
+    try:
+        from PIL import Image  # noqa: F401
+        return Image
+    except ImportError:
+        return None
 
-    STUB: real decode needs PIL/ffmpeg (absent in this container).
-    """
+
+def _pil_feature(payload: bytes) -> list:
+    """Real decode path (used when Pillow is importable): decode, convert
+    to grayscale, resize to 4×4 mean-pooled pixels → FEATURE_DIM floats
+    in [0, 1]. Deterministic for a given image."""
+    import io
+
+    img = _try_pil().open(io.BytesIO(payload)).convert("L")
+    side = 4  # 4×4 = FEATURE_DIM
+    img = img.resize((side, side))
+    return [p / 255.0 for p in list(img.getdata())][:FEATURE_DIM]
+
+
+def decode_image(payload: bytes, fake: bool = False):
+    """Decode an image payload to a FEATURE_DIM feature vector.
+
+    Uses Pillow when importable (optional dependency — absent in this
+    container); otherwise ``fake=True`` selects the deterministic stub,
+    and ``fake=False`` raises so a silent fallback can't masquerade as a
+    real decode."""
     if fake:
         return _fake_feature(payload)
+    if _try_pil() is not None:
+        return _pil_feature(payload)
     raise NotImplementedError(
-        "image decode requires an imaging library; pass fake=True for the "
-        "deterministic stub"
+        "image decode requires Pillow (pip install pillow); pass "
+        "fake=True for the deterministic stub"
     )
 
 

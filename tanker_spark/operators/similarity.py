@@ -27,7 +27,7 @@ from itertools import combinations
 
 from pyspark.sql import functions as F
 
-from .dedup import _dot, _hyperplanes, _norm, hyperplane_bucket
+from .dedup import _dot, _hyperplanes, _norm, auto_n_planes, hyperplane_bucket
 
 ANN_META = "_ann_meta.json"
 
@@ -95,7 +95,12 @@ def knn_lsh(df, probe_vec, k=10, vec_col="embedding", id_col="vec_id",
     ``multiprobe`` bit-flips of the probe's bucket, then exact cosine.
     The probe's bucket set is computed driver-side (no Spark job); the
     row bucket is a map-only expression, so the whole probe is one
-    filtered scan + top-k."""
+    filtered scan + top-k.
+
+    ``n_planes=None`` derives the width from the corpus size (one
+    metadata-only count) via :func:`auto_n_planes`."""
+    if n_planes is None:
+        n_planes = auto_n_planes(df.count())
     bucket = hyperplane_bucket(F.col(vec_col), dim, n_planes, seed)
     probes = _hamming_ball(
         _py_bucket(probe_vec, dim, n_planes, seed), n_planes, multiprobe
@@ -174,8 +179,12 @@ def build_ann_index(df, path, method="lsh", vec_col="embedding",
     partition directories instead of recomputing signatures over the full
     corpus per query (round-1 VERDICT: 'needs persisted bucket column').
     Index parameters ride along in ``_ann_meta.json`` (underscore-prefixed
-    files are invisible to parquet readers)."""
+    files are invisible to parquet readers). ``n_planes=None`` sizes the
+    bucket space from the corpus so per-partition-directory row counts
+    stay bounded as the table grows."""
     if method == "lsh":
+        if n_planes is None:
+            n_planes = auto_n_planes(df.count())
         col = hyperplane_bucket(F.col(vec_col), dim, n_planes, seed)
         meta = {"method": "lsh", "dim": dim, "n_planes": n_planes,
                 "seed": seed, "vec_col": vec_col, "id_col": id_col}

@@ -17,11 +17,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-#: physical schema of an events parquet (ts as epoch-nanos long — see
-#: tanker_spark/testdata.py on TIMESTAMP(NANOS))
+#: physical schema of an events parquet (ts is TIMESTAMP(MICROS,
+#: isAdjustedToUTC=false) → Spark TIMESTAMP_NTZ — see tanker_spark/testdata.py)
 EVENTS_SCHEMA = T.StructType([
     T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),
+    T.StructField("ts", T.TimestampNTZType()),
     T.StructField("user_id", T.LongType()),
     T.StructField("event_type", T.StringType()),
     T.StructField("value", T.DoubleType()),
@@ -36,14 +36,31 @@ def ns_to_ts(col):
     )
 
 
+def with_event_ts(df, col="ts", as_instant=False):
+    """Add ``event_ts`` from ``col``, adapting to the column's actual
+    dtype: timestamp(-NTZ) passes through; a long is treated as
+    epoch-nanos (the shape older testdata generations used).
+
+    ``as_instant=True`` yields TimestampType (required by watermarks,
+    which reject NTZ) — the NTZ wall-clock is interpreted in the session
+    timezone (UTC per get_spark), preserving the instant."""
+    dtype = df.schema[col].dataType
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        ts = F.col(col)
+    else:
+        ts = ns_to_ts(F.col(col))
+    if as_instant:
+        ts = ts.cast(T.TimestampType())
+    return df.withColumn("event_ts", ts)
+
+
 def read_events_stream(spark, path, max_files_per_trigger=None):
     """File-source stream over a directory of events parquet files."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.readStream.schema(EVENTS_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(path)
-    return df.withColumn("event_ts", ns_to_ts(F.col("ts")))
+    return with_event_ts(df, as_instant=True)
 
 
 def windowed_counts(stream_df, window="1 hour", slide=None,

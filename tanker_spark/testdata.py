@@ -83,12 +83,12 @@ TPCH_SCHEMA = """
   key: [l_orderkey, l_linenumber]
   surrogate_id: false
 
-# events.ts is parquet TIMESTAMP(NANOS): Spark reads it as long via
-# spark.sql.legacy.parquet.nanosAsLong; convert with (ns_to_ts ts).
+# events.ts is parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark
+# infers TIMESTAMP_NTZ, declared here as plain `timestamp` (NTZ).
 - table: events
   columns:
     event_id: bigint
-    ts: bigint
+    ts: timestamp
     user_id: bigint
     event_type: varchar
     value: float

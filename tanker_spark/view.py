@@ -573,71 +573,108 @@ class View(object):
 
     def _apply_semijoin(self, df, semi: SemiJoin, reader):
         sub = semi.sub
-        sub_df, lifted = self._materialize_sub(sub, reader)
+        sub_df, lifted, deferred = self._materialize_sub(sub, reader)
         cond = _and_maybe(sub.where_cond, semi.extra_cond, lifted)
         how = "left_anti" if semi.anti else "left_semi"
         if cond is None:
             cond = F.lit(True)
-        return df.join(sub_df, cond, how)
+        if not deferred:
+            return df.join(sub_df, cond, how)
+        # Deep-correlated NOT EXISTS (``_parent._parent`` under negation,
+        # reference expression.py:320-329): the anti-join's condition
+        # references ancestor aliases only in scope HERE, so it cannot run
+        # inside the subquery frame. Lowering: tag each left row with a
+        # row id, build the (row, sub-row) pair frame where every alias is
+        # visible, anti-join the deferred subqueries per pair, and map the
+        # surviving pair set back through a semi/anti join on the row id.
+        # The tag is frozen with an eager persist so the id is stable on
+        # both sides of the self-join (monotonically_increasing_id is
+        # plan-position-dependent). Scale note: this materializes the left
+        # frame once — only queries in this rare shape pay for it.
+        rid = self._next_rid()
+        dfr = df.withColumn(rid, F.monotonically_increasing_id()).persist()
+        dfr.count()
+        pairs = dfr.join(sub_df, cond, "inner")
+        for m in deferred:
+            pairs = self._apply_semijoin(pairs, m, reader)
+        keep = pairs.select(rid).distinct()
+        return dfr.join(keep, rid, how).drop(rid)
+
+    _rid_seq = iter(range(10**9))
+
+    def _next_rid(self):
+        return "__rid%d" % next(View._rid_seq)
 
     def _materialize_sub(self, sub, reader):
         """Build a subquery's frame, applying its own nested subqueries.
 
-        Returns ``(df, lifted_cond)``. Nested subqueries whose correlation
-        stays within this subquery (``reach() <= 1``) become semi/anti
-        joins on the frame itself; deeper correlation
+        Returns ``(df, lifted_cond, deferred_antis)``. Nested subqueries
+        whose correlation stays within this subquery (``reach() <= 1``)
+        become semi/anti joins on the frame itself; deeper correlation
         (``_parent._parent``, reference expression.py:320-329) is
         flattened — the nested frame is joined in unconditionally and its
         full condition is lifted into the ancestor's join condition, where
         every referenced alias is in scope. Catalyst pushes the
         sub-local equalities of the lifted condition back down into this
         join, so the plan stays an equi-join tree, not a cartesian
-        product (pinned by planner_test).
+        product (pinned by planner_test). Deep-correlated ANTI subqueries
+        cannot be flattened conjunctively — they are returned in
+        ``deferred_antis`` for the ancestor's pair-frame lowering
+        (see ``_apply_semijoin``).
         """
         df = sub.compiler.planner.apply(
             reader(sub.compiler.table.name), reader
         )
         lifted = None
+        deferred = []
         for m in sub.nested_semis:
             if m.reach() <= 1:
                 df = self._apply_semijoin(df, m, reader)
                 continue
             if m.anti:
-                raise NotImplementedError(
-                    "NOT EXISTS correlated past its immediate parent "
-                    "(_parent._parent under a negated subquery) is not "
-                    "supported"
-                )
-            ndf, nlifted = self._materialize_sub(m.sub, reader)
+                deferred.append(m)
+                continue
+            ndf, nlifted, ndeferred = self._materialize_sub(m.sub, reader)
             df = df.join(ndf)
             lifted = _and_maybe(lifted, m.sub.where_cond, m.extra_cond,
                                 nlifted)
+            deferred.extend(ndeferred)
         for og in sub.orgroups:
             df = self._apply_orgroup(df, og, reader)
-        return df, lifted
+        return df, lifted, deferred
+
+    @staticmethod
+    def _defers_anti(m: SemiJoin):
+        """True if materializing ``m``'s subquery will bubble up a
+        deep-correlated anti (mirrors ``_materialize_sub``'s deferral)."""
+        for n in m.sub.nested_semis:
+            if n.reach() <= 1:
+                continue
+            if n.anti or View._defers_anti(n):
+                return True
+        return False
 
     def _apply_orgroup(self, df, og, reader):
         """Lower ``(or ... subquery ...)`` into a disjoint union of
         branches: rows matching an earlier disjunct are excluded from
         later branches, so no dedup (and no row-multiplication) is
-        needed."""
+        needed. Groups with multiple hard disjuncts (NOT-EXISTS /
+        multi-EXISTS) fall back to the row-id union path."""
         def hard(d):
             # a disjunct we cannot *exclude* with one anti/semi join
-            return len(d.semis) > 1 or any(m.anti for m in d.semis)
+            return (len(d.semis) > 1 or any(m.anti for m in d.semis)
+                    or any(self._defers_anti(m) for m in d.semis))
 
-        disjuncts = sorted(og.disjuncts, key=hard)  # hard ones last
-        if sum(1 for d in disjuncts if hard(d)) > 1:
-            raise NotImplementedError(
-                "OR with more than one NOT-EXISTS or multi-EXISTS "
-                "disjunct is not supported"
-            )
-        for d in disjuncts:
+        for d in og.disjuncts:
             for m in d.semis:
                 if m.reach() >= 2:
                     raise NotImplementedError(
                         "_parent._parent correlation under OR is not "
                         "supported"
                     )
+        disjuncts = sorted(og.disjuncts, key=hard)  # hard ones last
+        if sum(1 for d in disjuncts if hard(d)) > 1:
+            return self._orgroup_by_rid(df, disjuncts, reader)
         branches, excl = [], []
         for d in disjuncts:
             b = df
@@ -654,12 +691,33 @@ class View(object):
             out = out.unionAll(b)
         return out
 
+    def _orgroup_by_rid(self, df, disjuncts, reader):
+        """General OR lowering: tag rows with an id, compute each
+        disjunct's surviving id set independently (any mix of EXISTS /
+        NOT-EXISTS / multi-semi branches), union the sets, and semi-join
+        back. One materialization of the left frame + one distinct on a
+        single-column id set — no row duplication, no per-branch
+        exclusion chain."""
+        rid = self._next_rid()
+        dfr = df.withColumn(rid, F.monotonically_increasing_id()).persist()
+        dfr.count()  # freeze ids before the self-join (see _apply_semijoin)
+        keeps = []
+        for d in disjuncts:
+            b = dfr.filter(d.cond) if d.cond is not None else dfr
+            for m in d.semis:
+                b = self._apply_semijoin(b, m, reader)
+            keeps.append(b.select(rid))
+        keep = keeps[0]
+        for k in keeps[1:]:
+            keep = keep.unionAll(k)
+        return dfr.join(keep.distinct(), rid, "left_semi").drop(rid)
+
     def _exclude_disjunct(self, df, d, reader):
         """Keep rows NOT satisfying disjunct ``d`` (cond ∧ all semis)."""
         if not d.semis:
             return df.filter(~F.coalesce(d.cond, F.lit(False)))
         (m,) = d.semis  # hard disjuncts are never excluded (sorted last)
-        sub_df, lifted = self._materialize_sub(m.sub, reader)
+        sub_df, lifted, _ = self._materialize_sub(m.sub, reader)
         # fold d.cond (left-side-only) into the anti-join condition:
         # dropped rows are exactly those where cond holds AND a match
         # exists — ¬(cond ∧ ∃) for everything else

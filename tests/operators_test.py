@@ -217,8 +217,29 @@ def test_multimodal(spark):
     frames = multimodal.frame_sample(media, every_ms=500).collect()
     assert all(f.frame_ts_ms % 500 == 0 for f in frames)
 
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x00", fake=False)
+    if multimodal._try_pil() is None:
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image(b"\x00", fake=False)
+
+
+@pytest.mark.skipif(
+    multimodal._try_pil() is None, reason="Pillow not installed"
+)
+def test_real_image_decode():
+    """When Pillow is importable the decode path is real: a generated
+    2-color PNG produces a FEATURE_DIM vector with both tones present."""
+    import io
+
+    Image = multimodal._try_pil()
+    img = Image.new("L", (8, 8), 0)
+    for x in range(4):
+        for y in range(8):
+            img.putpixel((x, y), 255)
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    feat = multimodal.decode_image(buf.getvalue(), fake=False)
+    assert len(feat) == multimodal.FEATURE_DIM
+    assert max(feat) > 0.9 and min(feat) < 0.1
 
 
 def test_curation_sampling(spark, docs):
@@ -292,3 +313,52 @@ def test_curation_redact(spark):
     assert out[5] == ("dial <PHONE> or <PHONE>", True)
     assert out[6] == ("years 2020 2021 2022 and totals 12 345 67", False)
     assert out[7] == ("scores 10-20-30 in room 101", False)
+
+
+def test_auto_n_planes_scaling(spark):
+    """Bucket-space sizing tracks corpus size (round-2 VERDICT: a fixed
+    8-plane code is quadratic-within-bucket at 10⁹ rows)."""
+    assert dedup.auto_n_planes(100) == 4                  # floor
+    assert dedup.auto_n_planes(1 << 20) == 10             # 1M/1024 = 2^10
+    assert dedup.auto_n_planes(10**9) == 20               # ~1e9/1024
+    assert dedup.auto_n_planes(10**13) == 24              # ceiling
+    # monotone non-decreasing in corpus size
+    vals = [dedup.auto_n_planes(n) for n in
+            (10**3, 10**5, 10**7, 10**9, 10**11)]
+    assert vals == sorted(vals)
+
+
+def test_banded_lsh_recall(spark):
+    """Banded signatures keep planted near-dup recall at plane counts
+    sized for occupancy; auto derivation is used (n_planes=None)."""
+    rnd = random.Random(11)
+    dim = 16
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(dim)]) for i in range(60)]
+    planted = []
+    for i in (0, 7, 23):  # three perturbed near-copies
+        planted.append(
+            (1000 + i, [x + rnd.gauss(0, 0.001) for x in rows[i][1]])
+        )
+    df = spark.createDataFrame(rows + planted, ["vec_id", "embedding"])
+    pairs = dedup.embedding_dedup_pairs(df, dim=dim, threshold=0.99)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert {(0, 1000), (7, 1007), (23, 1023)} <= got
+    # no duplicate pairs across bands
+    assert len(got) == pairs.count()
+
+
+def test_neardup_groups(spark):
+    """Connected components over pair lists: chain, triangle, singleton
+    pair — group_id is the component minimum."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # chain 1-2-3-4
+         (10, 11), (11, 12), (10, 12),  # triangle
+         (20, 21)],                   # isolated pair
+        ["id_a", "id_b"],
+    )
+    got = {(r.id, r.group_id)
+           for r in dedup.neardup_groups(pairs).collect()}
+    want = {(1, 1), (2, 1), (3, 1), (4, 1),
+            (10, 10), (11, 10), (12, 10),
+            (20, 20), (21, 20)}
+    assert got == want

@@ -177,3 +177,45 @@ def test_pushdown_in_plan(session):
     plan = cursor.frame()._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(name), EqualTo(name,Belgium)]" in plan \
         or "EqualTo(name,Belgium)" in plan
+
+
+def test_deep_not_exists(session):
+    """NOT EXISTS correlated past its immediate parent
+    (_parent._parent under negation — reference expression.py:320-329;
+    lowered via the pair-frame row-id path)."""
+    View(
+        "member",
+        ["name", "team.country.name", "team.name", "registration_code"],
+    ).write(members)
+    res = View("country", ["name"]).read(
+        "(in id (from team (select country) (where (not (exists "
+        "(from member (select 1) (where (= team _parent.id) "
+        "(= name _parent._parent.name))))))))"
+    ).all()
+    # no member is ever named like its team's country → the NOT EXISTS
+    # holds for every team → all countries that have a team
+    assert sorted(res) == [("Belgium",), ("France",)]
+    # flipping the deep predicate to != finds a differing-name member on
+    # every team → NOT EXISTS never holds → empty
+    res = View("country", ["name"]).read(
+        "(in id (from team (select country) (where (not (exists "
+        "(from member (select 1) (where (= team _parent.id) "
+        "(!= name _parent._parent.name))))))))"
+    ).all()
+    assert res == []
+
+
+def test_or_two_not_exists(session):
+    """OR with two hard (NOT-EXISTS) disjuncts → row-id union path."""
+    View(
+        "member",
+        ["name", "team.country.name", "team.name", "registration_code"],
+    ).write(members)
+    res = View("country", ["name"]).read(
+        "(or (not (exists (from member (select 1) "
+        "(where (= team.country _parent.id))))) "
+        "(not (exists (from member (select 1) "
+        '(where (= team.country _parent.id) (= name "Bob"))))))'
+    ).all()
+    # no members at all: Holland; no member named Bob: France, Holland
+    assert sorted(res) == [("France",), ("Holland",)]

@@ -19,8 +19,6 @@ def events_dir(tmp_path):
 
 
 def test_windowed_counts(spark, events_dir):
-    from pyspark.sql import functions as F
-
     stream = sev.read_events_stream(spark, events_dir)
     agg = sev.windowed_counts(stream, window="1 hour")
     # complete mode: bounded replay emits every window (append would hold
@@ -28,21 +26,13 @@ def test_windowed_counts(spark, events_dir):
     out = sev.run_to_memory(agg, name="t_win", output_mode="complete")
     rows = out.collect()
     assert rows, "expected windowed aggregates"
-    batch = (
-        spark.read.schema(sev.EVENTS_SCHEMA).parquet(events_dir)
-        .withColumn("event_ts", sev.ns_to_ts(F.col("ts")))
-    )
+    batch = sev.with_event_ts(spark.read.parquet(events_dir))
     n_stream = sum(r.n for r in rows)
     assert n_stream == batch.count()
 
 
 def test_sessionize_batch_twin(spark, events_dir):
-    from pyspark.sql import functions as F
-
-    batch = (
-        spark.read.schema(sev.EVENTS_SCHEMA).parquet(events_dir)
-        .withColumn("event_ts", sev.ns_to_ts(F.col("ts")))
-    )
+    batch = sev.with_event_ts(spark.read.parquet(events_dir))
     sessions = sev.session_windows_batch(batch)
     rows = sessions.collect()
     assert rows
