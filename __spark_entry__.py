@@ -650,6 +650,21 @@ def knn_cosine_bruteforce(spark, sf_dir):
     )
 
 
+def knn_join_batch(spark, sf_dir):
+    """Batch KNN join (brute baseline): top-3 corpus neighbors for each
+    of 5 query vectors — broadcast query side, map-side scoring, one
+    top-k shuffle. Vectors cast to double on BOTH sides so the fold
+    matches the DuckDB oracle bit-for-bit."""
+    df = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = df.filter(F.col("vec_id") < 5)
+    out = similarity.knn_join(q, df, k=3, method="brute")
+    return out.select(
+        "qid", "cid", F.round("cos_sim", 6).alias("cos_sim")
+    ).orderBy("qid", "cid")
+
+
 def minhash_dedup_docs(spark, sf_dir):
     """MinHash+LSH near-dup candidate pairs (no SQL oracle — checked
     rows-only; validated in tests/ via planted duplicates)."""
@@ -935,6 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": text_stats,
         "lang_stopword_ratio": lang_stopword_ratio,
         "knn_cosine_bruteforce": knn_cosine_bruteforce,
+        "knn_join_batch": knn_join_batch,
         "embedding_label_norms": embedding_label_norms,
         "embedding_neardup": embedding_neardup,
         "ngram_jaccard_docs": ngram_jaccard_docs,
@@ -1269,6 +1285,25 @@ def oracle_sql() -> dict[str, str]:
                         sqrt(64.0)), 6) AS cos_sim
             FROM embeddings
             ORDER BY cos_sim DESC, vec_id LIMIT 10
+        """,
+        "knn_join_batch": """
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), q AS (
+              SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5
+            ), scored AS (
+              SELECT q.qid, c.vec_id AS cid,
+                     list_dot_product(q.qv, c.v) /
+                     (sqrt(list_dot_product(q.qv, q.qv)) *
+                      sqrt(list_dot_product(c.v, c.v))) AS s
+              FROM q, e c
+            ), ranked AS (
+              SELECT qid, cid, s, row_number() OVER
+                     (PARTITION BY qid ORDER BY s DESC, cid) AS rn
+              FROM scored
+            )
+            SELECT qid, cid, round(s, 6) AS cos_sim FROM ranked
+            WHERE rn <= 3 ORDER BY qid, cid
         """,
         "embedding_neardup": """
             WITH base AS (

@@ -165,6 +165,7 @@ def minhash_signatures_df(df, text_col="text", id_col="doc_id",
 def minhash_lsh_pairs(
     df, text_col="text", id_col="doc_id",
     num_hashes=16, bands=4, shingle_n=3, threshold=0.5, seed=42,
+    sig_path=None,
 ):
     """MinHash + LSH near-duplicate pairs.
 
@@ -172,17 +173,24 @@ def minhash_lsh_pairs(
     self-join on (band, band_hash) buckets (shuffle on band hash — tiny
     keys) → estimate Jaccard as fraction of agreeing minhashes → filter.
     Returns distinct (id_a, id_b, est_jaccard) with id_a < id_b.
+
+    Signatures feed the band hashes and BOTH sides of the self-join, so
+    they are materialized once: by default an EAGER in-memory persist
+    (lazy caching lets the join's two map stages race and compute every
+    signature twice). ``sig_path`` is the 100 TB variant — signatures
+    are written to a parquet side table and re-read, so they survive
+    executor loss, never exceed memory, and can be reused across runs.
     """
     rows_per_band = num_hashes // bands
-    # Materialize signatures once: they feed the band hashes and BOTH
-    # sides of the self-join (at 100 TB you'd write signatures to a
-    # parquet/Delta side table instead of memory). The persist is EAGER:
-    # otherwise the join's two map stages race to fill the cache and
-    # compute every signature twice.
     base = minhash_signatures_df(
         df, text_col, id_col, num_hashes, shingle_n, seed
-    ).persist()
-    base.count()
+    )
+    if sig_path:
+        base.write.mode("overwrite").parquet(sig_path)
+        base = df.sparkSession.read.parquet(sig_path)
+    else:
+        base = base.persist()
+        base.count()
 
     band_cols = [
         F.xxhash64(
@@ -581,7 +589,8 @@ def auto_n_planes(n_rows, target_bucket_rows=1024, lo=4, hi=24):
 
 def embedding_dedup_pairs(df, vec_col="embedding", id_col="vec_id",
                           dim=64, threshold=0.95, n_planes=None,
-                          n_bands=4, target_bucket_rows=1024, seed=42):
+                          n_bands=4, target_bucket_rows=1024, seed=42,
+                          sig_path=None):
     """Near-duplicate embedding pairs: banded hyperplane LSH.
 
     ``n_bands`` independent sign-bit codes of ``n_planes`` bits each
@@ -616,8 +625,14 @@ def embedding_dedup_pairs(df, vec_col="embedding", id_col="vec_id",
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
         *band_cols,
-    ).persist()
-    base.count()  # eager: join stages must not race the cache fill
+    )
+    if sig_path:
+        # 100 TB path: durable parquet side table instead of memory
+        base.write.mode("overwrite").parquet(sig_path)
+        base = df.sparkSession.read.parquet(sig_path)
+    else:
+        base = base.persist()
+        base.count()  # eager: join stages must not race the cache fill
     exploded = base.select(
         "__id", "__v",
         F.explode(

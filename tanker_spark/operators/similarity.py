@@ -170,6 +170,82 @@ def knn_ivf(df, probe_vec, k=10, vec_col="embedding", id_col="vec_id",
     )
 
 
+def cosine_cols(a, b):
+    """Cosine similarity between two vector Columns."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def knn_join(queries, corpus, k=5, vec_col="embedding", id_col="vec_id",
+             method="brute", dim=64, n_planes=None, seed=42, multiprobe=1):
+    """Batch KNN join: for EVERY query row, the top-k nearest corpus
+    rows by cosine. Returns (qid, cid, cos_sim).
+
+    ``brute`` broadcasts the query side (the typical shape: a bounded
+    probe batch vs an unbounded corpus) so the corpus is never
+    shuffled; scoring is a map-side fan-out and the only shuffle is the
+    per-query top-k (Window over qid on (qid, cid, sim) triples —
+    already projected down from the vectors).
+
+    ``lsh`` is the scale path: corpus rows carry a map-only hyperplane
+    bucket (``n_planes=None`` sizes it from the corpus, one metadata
+    count); each query explodes into its ``multiprobe`` Hamming-ball
+    buckets and equi-joins — per-query candidates are bucket-bounded,
+    never the full corpus. Recall follows the LSH collision bound, so
+    distant queries can return < k rows.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("__cv")
+    )
+    if method == "brute":
+        scored = F.broadcast(q).crossJoin(c)
+    elif method == "lsh":
+        if n_planes is None:
+            n_planes = auto_n_planes(corpus.count())
+        c = c.withColumn(
+            "__bucket", hyperplane_bucket(F.col("__cv"), dim, n_planes, seed)
+        )
+        qb = q.withColumn(
+            "__qbucket", hyperplane_bucket(F.col("__qv"), dim, n_planes,
+                                           seed)
+        )
+        # Hamming ball as a column expression: flip every <=multiprobe
+        # combination of sign bits (matches _hamming_ball driver-side)
+        balls = [F.col("__qbucket")]
+        for bits in combinations(range(n_planes), 1):
+            balls.append(F.col("__qbucket").bitwiseXOR(1 << bits[0]))
+        if multiprobe >= 2:
+            for bits in combinations(range(n_planes), 2):
+                balls.append(
+                    F.col("__qbucket")
+                    .bitwiseXOR(1 << bits[0]).bitwiseXOR(1 << bits[1])
+                )
+        qexp = qb.select(
+            "qid", "__qv", F.explode(F.array(*balls)).alias("__bucket")
+        ).dropDuplicates(["qid", "__bucket"])
+        scored = F.broadcast(qexp).join(c, "__bucket").dropDuplicates(
+            ["qid", "cid"]
+        )
+    else:
+        raise ValueError("unknown knn_join method %r" % method)
+    scored = scored.select(
+        "qid", "cid",
+        cosine_cols(F.col("__qv"), F.col("__cv")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("cid").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 # -- persisted index (the 100 TB steady state) ----------------------------
 def build_ann_index(df, path, method="lsh", vec_col="embedding",
                     id_col="vec_id", dim=64, n_planes=8, seed=42,

@@ -362,3 +362,49 @@ def test_neardup_groups(spark):
             (10, 10), (11, 10), (12, 10),
             (20, 20), (21, 20)}
     assert got == want
+
+
+def test_knn_join(spark):
+    """Batch KNN join: brute matches per-query brute-force; LSH finds
+    planted exact hits; broadcast keeps the corpus unshuffled."""
+    rnd = random.Random(5)
+    dim = 16
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(dim)]) for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id") < 3)
+
+    got = similarity.knn_join(q, df, k=4, method="brute").collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.qid, []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for qid, rs in by_q.items():
+        assert len(rs) == 4
+        # self is always the top hit of its own query
+        best = max(rs, key=lambda r: r.cos_sim)
+        assert best.cid == qid and best.cos_sim > 0.999
+        # agrees with the single-probe brute path
+        single = similarity.knn_brute(df, rows[qid][1], k=4).collect()
+        assert [r.vec_id for r in single] == [
+            r.cid for r in sorted(rs, key=lambda r: (-r.cos_sim, r.cid))]
+
+    lsh = similarity.knn_join(
+        q, df, k=4, method="lsh", dim=dim, n_planes=6, multiprobe=2
+    ).collect()
+    for qid in (0, 1, 2):
+        mine = [r for r in lsh if r.qid == qid]
+        assert mine and max(mine, key=lambda r: r.cos_sim).cid == qid
+
+
+def test_sig_side_table(spark, docs, tmp_path):
+    """sig_path materializes signatures as a parquet side table with
+    identical pair output (the durable 100 TB variant of the persist)."""
+    mem = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4,
+                                  threshold=0.5)
+    disk = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4,
+                                   threshold=0.5,
+                                   sig_path=str(tmp_path / "sigs"))
+    key = lambda r: (r.id_a, r.id_b)
+    assert sorted(map(key, mem.collect())) == \
+        sorted(map(key, disk.collect()))
+    assert (tmp_path / "sigs").exists()
