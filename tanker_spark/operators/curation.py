@@ -118,3 +118,25 @@ def mix_sources(dfs_with_weights, id_col, bucket_expr=None):
         part = sample_hash(df, id_col, weight, bucket_expr=bucket_expr)
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def export_shards(df, path, n_shards, id_col, seed=42):
+    """Deterministic shuffled shard export — the delivery step of a
+    training-data pipeline: rows land in ``n_shards`` hash-assigned
+    shards (``shard=N`` partition dirs) with a within-shard order that
+    is a deterministic function of (id, seed), so re-running the
+    pipeline reproduces the exact same shard files on any cluster size.
+
+    One shuffle (repartition on the shard id); sorting happens within
+    partitions (``sortWithinPartitions`` — no global sort). Bump
+    ``seed`` to re-deal the rows into a fresh epoch-level shuffle.
+    """
+    shard = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)),
+                   F.lit(n_shards)).cast("int")
+    (
+        df.withColumn("shard", shard)
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions(F.xxhash64(F.col(id_col), F.lit(seed + 1)))
+        .write.mode("overwrite").partitionBy("shard").parquet(path)
+    )
+    return path

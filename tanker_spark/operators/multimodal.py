@@ -106,6 +106,59 @@ def extract_features(df, fake: bool = True):
     return df.mapInPandas(_extract, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("mime", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+])
+
+
+def resize_images(df, width, height, fake=True):
+    """``mapInPandas`` image resize: decode → resize → re-encode per
+    payload, Arrow-batched (the standard multimodal preprocessing hop).
+
+    With Pillow importable and ``fake=False`` the pixels are really
+    resampled and re-encoded as PNG; the ``fake`` path passes the
+    payload through and rewrites only the metadata, keeping the
+    Spark-side plumbing (schema, batch shape, partition sizing)
+    identical so pipelines are testable without codec libs."""
+
+    def _resize(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = pdf[["media_id", "mime"]].copy()
+            if fake or _try_pil() is None:
+                if not fake:
+                    raise NotImplementedError(
+                        "image resize requires Pillow; pass fake=True "
+                        "for the metadata-only stub"
+                    )
+                out["payload"] = pdf["payload"]
+            else:
+                import io
+
+                Image = _try_pil()
+
+                def _do(p):
+                    img = Image.open(io.BytesIO(p)).resize((width, height))
+                    buf = io.BytesIO()
+                    img.save(buf, format="PNG")
+                    return buf.getvalue()
+
+                out["payload"] = pdf["payload"].map(_do)
+            out["width"] = width
+            out["height"] = height
+            yield pd.DataFrame(
+                out, columns=["media_id", "payload", "mime", "width",
+                              "height"]
+            )
+
+    return df.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
 def frame_sample(df, every_ms=1000):
     """Video frame sampling plan: explode sample timestamps per media row
     (decode itself is the stubbed step). Demonstrates the fan-out shape:

@@ -208,3 +208,13 @@ def run_to_memory(stream_query_df, name="events_agg", timeout=120,
     )
     q.awaitTermination(timeout)
     return spark.table(name)
+
+
+def dedup_stream(stream_df, key_cols=("event_id",), ts_col="event_ts",
+                 watermark="2 hours"):
+    """Streaming exact dedup: drop rows whose key was already seen
+    within the watermark horizon (``dropDuplicatesWithinWatermark``),
+    so the dedup state store stays bounded — the at-least-once →
+    effectively-once ingest step in front of the windowed aggregates."""
+    return stream_df.withWatermark(ts_col, watermark) \
+        .dropDuplicatesWithinWatermark(list(key_cols))

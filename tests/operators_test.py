@@ -408,3 +408,34 @@ def test_sig_side_table(spark, docs, tmp_path):
     assert sorted(map(key, mem.collect())) == \
         sorted(map(key, disk.collect()))
     assert (tmp_path / "sigs").exists()
+
+
+def test_export_shards(spark, docs, tmp_path):
+    from tanker_spark.operators import curation
+
+    path = str(tmp_path / "shards")
+    curation.export_shards(docs, path, n_shards=4, id_col="doc_id")
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    counts = {r.shard: r.n for r in
+              back.groupBy("shard").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) <= {0, 1, 2, 3} and len(counts) >= 3
+    # deterministic: same seed re-deals rows to the same shards
+    path2 = str(tmp_path / "shards2")
+    curation.export_shards(docs, path2, n_shards=4, id_col="doc_id")
+    a = {(r.doc_id, r.shard) for r in back.select("doc_id", "shard").collect()}
+    b = {(r.doc_id, r.shard) for r in
+         spark.read.parquet(path2).select("doc_id", "shard").collect()}
+    assert a == b
+
+
+def test_resize_images(spark):
+    media = multimodal.make_fake_media(spark, n=10)
+    out = multimodal.resize_images(media, 32, 32, fake=True).collect()
+    assert len(out) == 10
+    for r in out:
+        assert (r.width, r.height) == (32, 32)
+        assert r.payload is not None  # fake path passes payload through
+    if multimodal._try_pil() is None:
+        with pytest.raises(Exception):
+            multimodal.resize_images(media, 32, 32, fake=False).collect()

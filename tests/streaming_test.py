@@ -59,3 +59,17 @@ def test_sessionize_stateful(spark, events_dir):
     for r in rows:
         assert r.session_start <= r.session_end
         assert r.n_events >= 1
+
+
+def test_dedup_stream(spark, events_dir, tmp_path):
+    import shutil
+
+    # duplicate the whole file: every event_id appears twice in the dir
+    shutil.copy(events_dir + "/part-000.parquet",
+                events_dir + "/part-001.parquet")
+    stream = sev.read_events_stream(spark, events_dir)
+    deduped = sev.dedup_stream(stream, key_cols=("event_id",))
+    out = sev.run_to_memory(deduped, name="t_dedup", output_mode="append")
+    batch = spark.read.parquet(events_dir + "/part-000.parquet")
+    assert out.count() == batch.count()
+    assert out.select("event_id").distinct().count() == batch.count()
