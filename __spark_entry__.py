@@ -598,6 +598,31 @@ def sessionize_events(spark, sf_dir):
 # net-new LLM-pipeline operators
 # ---------------------------------------------------------------------------
 
+def asof_last_purchase(spark, sf_dir):
+    """As-of join over the events stream: for every click, the latest
+    purchase by the same user at-or-before it (union + running
+    last-ignorenulls window — one shuffle, no range join; see
+    tanker_spark/operators/asof.py). Matches DuckDB's ASOF LEFT JOIN."""
+    from tanker_spark.operators.asof import as_of_join
+
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("pvalue"))
+    )
+    out = as_of_join(clicks, purchases, by="user_id", ts_col="ts",
+                     right_cols=["pvalue"], suffix="_p")
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.round("pvalue_p", 2).alias("pvalue"),
+        F.col("ts_p").alias("pts"),
+    ).orderBy("event_id")
+
+
 def dedup_exact_docs(spark, sf_dir):
     """Exact dedup winners over documents (hash-groupBy)."""
     df = _read(spark, sf_dir, "documents")
@@ -946,6 +971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alias_fields": alias_fields,
         "events_hourly": events_hourly,
         "sessionize_events": sessionize_events,
+        "asof_last_purchase": asof_last_purchase,
         "dedup_exact_docs": dedup_exact_docs,
         "text_stats": text_stats,
         "lang_stopword_ratio": lang_stopword_ratio,
@@ -1242,6 +1268,21 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM s GROUP BY user_id, sid
             ORDER BY user_id, session_start
+        """,
+        "asof_last_purchase": """
+            WITH p AS (
+              SELECT user_id, ts, arg_max(value, event_id) AS pvalue
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY user_id, ts
+            ), c AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click'
+            )
+            SELECT c.event_id, c.user_id, c.ts,
+                   round(p.pvalue, 2) AS pvalue, p.ts AS pts
+            FROM c ASOF LEFT JOIN p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
+            ORDER BY event_id
         """,
         "dedup_exact_docs": """
             SELECT min(doc_id) AS keep_id, count(*) AS copies

@@ -323,10 +323,17 @@ class OrGroup:
     P)``. The frame builder lowers it into a disjoint union of branches —
     ``F.filter(P) ∪ F.filter(~P').semi(S)`` — so EXISTS/IN under OR never
     needs a boolean-valued subquery column (reference emits plain SQL,
-    expression.py:137-138,160)."""
+    expression.py:137-138,160).
+
+    ``owner_depth`` (stamped like SemiJoin's) records how many
+    ``_parent.`` levels the disjuncts' own-scope symbols climb: an
+    OrGroup inside a subquery that references enclosing frames cannot be
+    applied on the subquery frame alone — the frame builder defers it to
+    the ancestor pair frame where every alias is in scope."""
 
     def __init__(self, disjuncts):
         self.disjuncts = disjuncts  # list[AndGroup]
+        self.owner_depth = 0
 
 
 # ---------------------------------------------------------------------------
@@ -653,6 +660,7 @@ def _stamp_owner_depth(c, depth):
         for og in c.ors:
             _stamp_owner_depth(og, depth)
     elif isinstance(c, OrGroup):
+        c.owner_depth = max(c.owner_depth, depth)
         for d in c.disjuncts:
             _stamp_owner_depth(d, depth)
 

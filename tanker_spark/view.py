@@ -26,6 +26,7 @@ from .expression import (
     EnvContext,
     ExpressionCompiler,
     JoinPlanner,
+    OrGroup,
     SemiJoin,
     as_col,
 )
@@ -596,7 +597,10 @@ class View(object):
         dfr.count()
         pairs = dfr.join(sub_df, cond, "inner")
         for m in deferred:
-            pairs = self._apply_semijoin(pairs, m, reader)
+            if isinstance(m, OrGroup):
+                pairs = self._apply_orgroup(pairs, m, reader, deep_ok=True)
+            else:
+                pairs = self._apply_semijoin(pairs, m, reader)
         keep = pairs.select(rid).distinct()
         return dfr.join(keep, rid, how).drop(rid)
 
@@ -640,7 +644,15 @@ class View(object):
                                 nlifted)
             deferred.extend(ndeferred)
         for og in sub.orgroups:
-            df = self._apply_orgroup(df, og, reader)
+            # an OR that references enclosing frames (its own _parent
+            # conds, or disjunct semis correlated past this sub) cannot
+            # run on this frame — defer it to the ancestor pair frame
+            if og.owner_depth >= 1 or any(
+                m.reach() >= 2 for d in og.disjuncts for m in d.semis
+            ):
+                deferred.append(og)
+            else:
+                df = self._apply_orgroup(df, og, reader)
         return df, lifted, deferred
 
     @staticmethod
@@ -654,24 +666,29 @@ class View(object):
                 return True
         return False
 
-    def _apply_orgroup(self, df, og, reader):
+    def _apply_orgroup(self, df, og, reader, deep_ok=False):
         """Lower ``(or ... subquery ...)`` into a disjoint union of
         branches: rows matching an earlier disjunct are excluded from
         later branches, so no dedup (and no row-multiplication) is
         needed. Groups with multiple hard disjuncts (NOT-EXISTS /
-        multi-EXISTS) fall back to the row-id union path."""
+        multi-EXISTS) fall back to the row-id union path.
+
+        ``deep_ok=True`` marks application on an ancestor pair frame
+        (see ``_materialize_sub`` deferral) where deep-correlated
+        disjuncts resolve — every referenced alias is in scope there."""
         def hard(d):
             # a disjunct we cannot *exclude* with one anti/semi join
             return (len(d.semis) > 1 or any(m.anti for m in d.semis)
                     or any(self._defers_anti(m) for m in d.semis))
 
-        for d in og.disjuncts:
-            for m in d.semis:
-                if m.reach() >= 2:
-                    raise NotImplementedError(
-                        "_parent._parent correlation under OR is not "
-                        "supported"
-                    )
+        if not deep_ok:
+            for d in og.disjuncts:
+                for m in d.semis:
+                    if m.reach() >= 2:
+                        raise NotImplementedError(
+                            "_parent._parent correlation under OR is "
+                            "not supported at this scope"
+                        )
         disjuncts = sorted(og.disjuncts, key=hard)  # hard ones last
         if sum(1 for d in disjuncts if hard(d)) > 1:
             return self._orgroup_by_rid(df, disjuncts, reader)

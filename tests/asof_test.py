@@ -1,0 +1,49 @@
+"""As-of join unit tests (operators/asof.py)."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from tanker_spark.operators.asof import as_of_join
+
+
+def _ts(m):
+    return datetime(2024, 1, 1, 0, m)
+
+
+def test_as_of_join_basic(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts(5)), (2, 10, _ts(20)), (3, 20, _ts(10)),
+         (4, 30, _ts(1))],
+        ["event_id", "user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(10, _ts(3), 100.0), (10, _ts(5), 200.0), (10, _ts(15), 300.0),
+         (20, _ts(50), 400.0)],
+        ["user_id", "ts", "value"],
+    )
+    out = {
+        r.event_id: (r.value_r, r.ts_r)
+        for r in as_of_join(left, right, by="user_id", ts_col="ts",
+                            right_cols=["value"]).collect()
+    }
+    assert out[1] == (200.0, _ts(5))    # inclusive: match AT left ts
+    assert out[2] == (300.0, _ts(15))   # latest at-or-before
+    assert out[3] == (None, None)       # right row is in the future
+    assert out[4] == (None, None)       # no right rows for the key
+    # left row count preserved (pure left join semantics)
+    assert len(out) == 4
+
+
+def test_as_of_join_plan_single_shuffle(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts(5))], ["event_id", "user_id", "ts"])
+    right = spark.createDataFrame(
+        [(10, _ts(3), 1.0)], ["user_id", "ts", "value"])
+    frame = as_of_join(left, right, by="user_id", ts_col="ts",
+                       right_cols=["value"])
+    plan = frame._jdf.queryExecution().executedPlan().toString()
+    # union + window: no join operator at all, no nested-loop fallback
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

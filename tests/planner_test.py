@@ -219,3 +219,36 @@ def test_or_two_not_exists(session):
     ).all()
     # no members at all: Holland; no member named Bob: France, Holland
     assert sorted(res) == [("France",), ("Holland",)]
+
+
+def test_or_with_parent_cond_in_sub(session):
+    """An OR inside a subquery whose disjuncts reference the enclosing
+    frame (_parent in a plain cond) — deferred to the pair frame."""
+    View(
+        "member",
+        ["name", "team.country.name", "team.name", "registration_code"],
+    ).write(members)
+    res = View("country", ["name"]).read(
+        "(in id (from team (select country) (where (or "
+        '(= name _parent.name) (= name "Blue")))))'
+    ).all()
+    # no team is named like its country; Blue teams exist in BE and FR
+    assert sorted(res) == [("Belgium",), ("France",)]
+
+
+def test_deep_not_exists_under_or(session):
+    """NOT EXISTS with _parent._parent correlation inside an OR
+    disjunct — the deferral + row-id union composition."""
+    View(
+        "member",
+        ["name", "team.country.name", "team.name", "registration_code"],
+    ).write(members)
+    res = View("country", ["name"]).read(
+        "(in id (from team (select country) (where (or "
+        '(= name "Red") '
+        "(not (exists (from member (select 1) (where "
+        "(= team _parent.id) (!= name _parent._parent.name)))))))))"
+    ).all()
+    # every team's members differ from the country name → the NOT
+    # EXISTS disjunct never holds; only the Red team (Belgium) matches
+    assert res == [("Belgium",)]
