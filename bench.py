@@ -25,6 +25,7 @@ BENCH_QUERIES = [
     "in_subquery",
     "events_hourly",
     "sessionize_events",
+    "asof_last_purchase",
     "dedup_exact_docs",
     "text_stats",
     "knn_cosine_bruteforce",

@@ -73,3 +73,40 @@ def test_dedup_stream(spark, events_dir, tmp_path):
     batch = spark.read.parquet(events_dir + "/part-000.parquet")
     assert out.count() == batch.count()
     assert out.select("event_id").distinct().count() == batch.count()
+
+
+def test_stream_upsert_ingest(spark, events_dir, tmp_path):
+    """Stream → View.write ingest: micro-batches land through the
+    natural-key merge into a versioned managed table; re-running the
+    stream (fresh checkpoint, same data) upserts idempotently."""
+    from tanker_spark import View, connect, create_tables
+    from tanker_spark.streaming.ingest import upsert_sink
+
+    schema = """
+    - table: event_log
+      columns:
+        event_id: bigint
+        user_id: bigint
+        event_type: varchar
+        value: float
+      key: [event_id]
+    """
+    cfg = {"root": str(tmp_path / "db"), "schema": schema, "spark": spark}
+    with connect(cfg):
+        create_tables()
+    fields = ["event_id", "user_id", "event_type", "value"]
+    stream = sev.read_events_stream(spark, events_dir)
+    q = upsert_sink(stream, "event_log", fields, cfg,
+                    str(tmp_path / "ckpt1"))
+    q.awaitTermination(120)
+    n_src = spark.read.parquet(events_dir).count()
+    with connect(cfg):
+        assert View("event_log", ["event_id"]).read().frame().count() \
+            == n_src
+    # replay with a fresh checkpoint: same keys → idempotent upsert
+    q2 = upsert_sink(stream, "event_log", fields, cfg,
+                     str(tmp_path / "ckpt2"))
+    q2.awaitTermination(120)
+    with connect(cfg):
+        assert View("event_log", ["event_id"]).read().frame().count() \
+            == n_src
