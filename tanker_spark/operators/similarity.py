@@ -115,10 +115,25 @@ def knn_lsh(df, probe_vec, k=10, vec_col="embedding", id_col="vec_id",
 
 
 def ivf_centroid_vectors(df, n_cells=16, seed=42, vec_col="embedding",
-                         id_col="vec_id"):
-    """Deterministic centroid sample, collected driver-side (≤ n_cells
-    rows — metadata-sized; swap in MLlib KMeans for production). Cell id
-    = position in the returned list."""
+                         id_col="vec_id", method="sample"):
+    """Centroids for IVF cell assignment, collected driver-side
+    (≤ n_cells rows — metadata-sized). Cell id = list position.
+
+    ``sample``: deterministic hash-ordered sample — zero training cost,
+    adequate cell balance for well-spread corpora. ``kmeans``: MLlib
+    KMeans (distributed Lloyd iterations) — the production choice at
+    scale, where balanced cells bound per-probe scan size."""
+    if method == "kmeans":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        vecs = df.select(
+            array_to_vector(
+                F.col(vec_col).cast("array<double>")
+            ).alias("features")
+        )
+        model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(vecs)
+        return [[float(x) for x in c] for c in model.clusterCenters()]
     rows = (
         df.select(F.col(id_col).alias("__cid"),
                   F.col(vec_col).alias("__cv"))
@@ -154,11 +169,12 @@ def _probe_cells(cent_vecs, probe_vec, n_probe):
 
 
 def knn_ivf(df, probe_vec, k=10, vec_col="embedding", id_col="vec_id",
-            n_cells=16, n_probe=4, seed=42):
+            n_cells=16, n_probe=4, seed=42, method="sample"):
     """IVF-flat ANN: one tiny centroid-sample action, then a single
     map-only filtered scan + top-k (cell argmax and probe-cell selection
     both stay off the shuffle path)."""
-    cents = ivf_centroid_vectors(df, n_cells, seed, vec_col, id_col)
+    cents = ivf_centroid_vectors(df, n_cells, seed, vec_col, id_col,
+                                 method=method)
     cell = ivf_cell_col(cents, vec_col)
     cells = _probe_cells(cents, probe_vec, n_probe)
     sim = cosine_to(F.col(vec_col), probe_vec)
@@ -249,7 +265,7 @@ def knn_join(queries, corpus, k=5, vec_col="embedding", id_col="vec_id",
 # -- persisted index (the 100 TB steady state) ----------------------------
 def build_ann_index(df, path, method="lsh", vec_col="embedding",
                     id_col="vec_id", dim=64, n_planes=8, seed=42,
-                    n_cells=16):
+                    n_cells=16, centroid_method="sample"):
     """Materialize the ANN side table: (id, vector, __bucket), written as
     parquet PARTITIONED BY the bucket/cell — probes prune to the matching
     partition directories instead of recomputing signatures over the full
@@ -265,7 +281,8 @@ def build_ann_index(df, path, method="lsh", vec_col="embedding",
         meta = {"method": "lsh", "dim": dim, "n_planes": n_planes,
                 "seed": seed, "vec_col": vec_col, "id_col": id_col}
     elif method == "ivf":
-        cents = ivf_centroid_vectors(df, n_cells, seed, vec_col, id_col)
+        cents = ivf_centroid_vectors(df, n_cells, seed, vec_col, id_col,
+                                     method=centroid_method)
         col = ivf_cell_col(cents, vec_col)
         meta = {"method": "ivf", "centroids": cents, "seed": seed,
                 "vec_col": vec_col, "id_col": id_col}

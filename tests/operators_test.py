@@ -439,3 +439,20 @@ def test_resize_images(spark):
     if multimodal._try_pil() is None:
         with pytest.raises(Exception):
             multimodal.resize_images(media, 32, 32, fake=False).collect()
+
+
+def test_ivf_kmeans_centroids(spark):
+    """MLlib-KMeans centroid option: valid cells, exact hit still found."""
+    rnd = random.Random(9)
+    dim = 16
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(dim)]) for i in range(60)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = similarity.ivf_centroid_vectors(
+        df, n_cells=6, method="kmeans"
+    )
+    assert len(cents) == 6 and all(len(c) == dim for c in cents)
+    probe = rows[7][1]
+    got = similarity.knn_ivf(
+        df, probe, k=3, n_cells=6, n_probe=3, method="kmeans"
+    ).collect()
+    assert got[0].vec_id == 7 and got[0].cos_sim > 0.999
