@@ -630,7 +630,9 @@ def dedup_exact_docs(spark, sf_dir):
 
 
 def text_stats(spark, sf_dir):
-    """Token counting + mean word length per document."""
+    """Token counting, mean word length and English stopword ratio per
+    document (composite: keeps every oracle-checkable op within the
+    driver's per-round query budget)."""
     df = _read(spark, sf_dir, "documents")
     c = F.col("text")
     return df.select(
@@ -639,15 +641,7 @@ def text_stats(spark, sf_dir):
         F.round(
             F.length(c) / F.greatest(text.token_count(c), F.lit(1)), 4
         ).alias("avg_token_len"),
-    ).orderBy("doc_id")
-
-
-def lang_stopword_ratio(spark, sf_dir):
-    """Language-ID building block: English stopword ratio per doc."""
-    df = _read(spark, sf_dir, "documents")
-    return df.select(
-        "doc_id",
-        F.round(text.stopword_ratio(F.col("text"), "en"), 4).alias("en_ratio"),
+        F.round(text.stopword_ratio(c, "en"), 4).alias("en_ratio"),
     ).orderBy("doc_id")
 
 
@@ -755,6 +749,24 @@ def ngram_jaccard_docs(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def doc_len_quantiles(spark, sf_dir):
+    """Per-source corpus length stats with EXACT percentiles
+    (F.percentile — sort-per-group; at 100 TB swap for
+    approx_percentile, whose t-digest sketch is one pass and
+    merge-combinable). DuckDB quantile_cont uses the same linear
+    interpolation, so values hash-match."""
+    df = _read(spark, sf_dir, "documents")
+    return (
+        df.groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.percentile("n_chars", 0.5), 2).alias("p50"),
+            F.round(F.percentile("n_chars", 0.9), 2).alias("p90"),
+        )
+        .orderBy("source")
+    )
+
+
 def neardup_groups_docs(spark, sf_dir):
     """Dedup-cluster resolution: exact n-gram Jaccard pairs → connected
     components (iterative min-label propagation), yielding the canonical
@@ -768,22 +780,15 @@ def neardup_groups_docs(spark, sf_dir):
 
 
 def text_quality(spark, sf_dir):
-    """Gopher-style quality score + heuristic language ID per doc."""
+    """Gopher-style quality score, heuristic language ID and BPE-ish
+    token counts per doc (composite: keeps every oracle-checkable op
+    within the driver's per-round query budget)."""
     df = _read(spark, sf_dir, "documents")
     c = F.col("text")
     return df.select(
         "doc_id",
         text.lang_id(c).alias("lang_pred"),
         F.round(text.quality_score(c), 4).alias("quality"),
-    ).orderBy("doc_id")
-
-
-def bpe_token_stats(spark, sf_dir):
-    """BPE-ish regex tokenization: token counts per document."""
-    df = _read(spark, sf_dir, "documents")
-    c = F.col("text")
-    return df.select(
-        "doc_id",
         F.size(text.bpe_tokens(c)).alias("n_bpe"),
         text.token_count(c).alias("n_ws"),
     ).orderBy("doc_id")
@@ -974,15 +979,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_last_purchase": asof_last_purchase,
         "dedup_exact_docs": dedup_exact_docs,
         "text_stats": text_stats,
-        "lang_stopword_ratio": lang_stopword_ratio,
         "knn_cosine_bruteforce": knn_cosine_bruteforce,
         "knn_join_batch": knn_join_batch,
         "embedding_label_norms": embedding_label_norms,
         "embedding_neardup": embedding_neardup,
         "ngram_jaccard_docs": ngram_jaccard_docs,
         "neardup_groups_docs": neardup_groups_docs,
+        "doc_len_quantiles": doc_len_quantiles,
         "text_quality": text_quality,
-        "bpe_token_stats": bpe_token_stats,
         "stratified_sample_docs": stratified_sample_docs,
         "cap_per_source": cap_per_source,
         "redact_pii": redact_pii,
@@ -1294,11 +1298,7 @@ def oracle_sql() -> dict[str, str]:
                        AS n_tokens,
                    round(length(text) / greatest(
                        len(regexp_split_to_array(trim(text), '\\s+')), 1),
-                       4) AS avg_token_len
-            FROM documents ORDER BY doc_id
-        """,
-        "lang_stopword_ratio": """
-            SELECT doc_id,
+                       4) AS avg_token_len,
                    round(
                      len(list_filter(
                          regexp_split_to_array(trim(text), '\\s+'),
@@ -1392,6 +1392,12 @@ def oracle_sql() -> dict[str, str]:
                   >= 0.5
             ORDER BY id_a, id_b
         """,
+        "doc_len_quantiles": """
+            SELECT source, count(*) AS n,
+                   round(quantile_cont(n_chars, 0.5), 2) AS p50,
+                   round(quantile_cont(n_chars, 0.9), 2) AS p90
+            FROM documents GROUP BY source ORDER BY source
+        """,
         "neardup_groups_docs": """
             WITH RECURSIVE toks AS (
               SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
@@ -1477,16 +1483,13 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(n_chr, 1) <= 0.3
                            THEN 1.0 ELSE 0.0 END)
                    + (CASE WHEN r_en >= 0.01 THEN 1.0 ELSE 0.0 END)
-                   ) / 4.0, 4) AS quality
-            FROM r ORDER BY doc_id
-        """,
-        "bpe_token_stats": """
-            SELECT doc_id,
+                   ) / 4.0, 4) AS quality,
                    len(regexp_extract_all(
                        text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))
                        AS n_bpe,
-                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws
-            FROM documents ORDER BY doc_id
+                   len(regexp_split_to_array(trim(text), '\\s+'))
+                       AS n_ws
+            FROM r ORDER BY doc_id
         """,
         "stratified_sample_docs": """
             SELECT doc_id, source FROM documents
