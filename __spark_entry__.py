@@ -749,6 +749,16 @@ def ngram_jaccard_docs(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def boilerplate_ratio(spark, sf_dir):
+    """C4-style corpus-level boilerplate signal: per-doc fraction of
+    distinct 3-gram shingles shared with >1 other document (frequent-set
+    broadcast join; see text.common_shingle_ratio)."""
+    df = _read(spark, sf_dir, "documents")
+    return text.common_shingle_ratio(
+        df, "text", "doc_id", n=3, min_docs=1
+    ).orderBy("doc_id")
+
+
 def doc_len_quantiles(spark, sf_dir):
     """Per-source corpus length stats with EXACT percentiles
     (F.percentile — sort-per-group; at 100 TB swap for
@@ -991,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_source": cap_per_source,
         "redact_pii": redact_pii,
         "curation_pipeline": curation_pipeline,
+        "boilerplate_ratio": boilerplate_ratio,
         # -- no-oracle (rows-only) entries LAST: if the driver's run caps
         # the query count, every oracle-checkable entry above still gets
         # a CORRECTNESS row (round-2 lost 3 green rows to this)
@@ -1391,6 +1402,31 @@ def oracle_sql() -> dict[str, str]:
                   (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)))
                   >= 0.5
             ORDER BY id_a, id_b
+        """,
+        "boilerplate_ratio": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct([concat_ws(' ', t[i], t[i+1], t[i+2])
+                                    for i in range(1, len(t) - 1)]) AS s
+              FROM toks
+            ), ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            freq AS (
+              SELECT g FROM ex GROUP BY g
+              HAVING count(DISTINCT doc_id) > 1
+            ), tot AS (
+              SELECT doc_id, count(*) AS n_total FROM ex GROUP BY doc_id
+            ), com AS (
+              SELECT ex.doc_id, count(*) AS n_common
+              FROM ex JOIN freq USING (g) GROUP BY ex.doc_id
+            )
+            SELECT tot.doc_id AS doc_id,
+                   round(coalesce(com.n_common, 0) / tot.n_total, 4)
+                       AS common_ratio
+            FROM tot LEFT JOIN com ON tot.doc_id = com.doc_id
+            ORDER BY tot.doc_id
         """,
         "doc_len_quantiles": """
             SELECT source, count(*) AS n,

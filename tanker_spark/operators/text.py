@@ -118,3 +118,44 @@ def analyze(df, text_col="text", prefix=""):
         prefix + "quality": quality_score(c),
         prefix + "fingerprint": fingerprint(c),
     })
+
+
+def common_shingle_ratio(df, text_col="text", id_col="doc_id", n=3,
+                         min_docs=5):
+    """Corpus-level boilerplate signal (C4-style, word-shingle form):
+    per document, the fraction of its distinct token ``n``-grams that
+    also appear in at least ``min_docs`` OTHER documents. High ratio =
+    templated/boilerplate content worth dropping or down-weighting.
+
+    Shape: explode distinct shingles (map) → doc-frequency count (one
+    shuffle on the shingle hash) → broadcast-join the frequent set back
+    (frequent shingles are a tiny minority at any corpus size) → per-doc
+    ratio (one shuffle on the doc id). Never materializes doc×doc pairs.
+    """
+    from .dedup import shingles
+
+    ex = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingles(F.col(text_col), n)).alias("__g"),
+    )
+    freq = (
+        ex.groupBy("__g")
+        .agg(F.count_distinct("__id").alias("__df"))
+        .filter(F.col("__df") > min_docs)
+        .select("__g")
+    )
+    marked = ex.join(F.broadcast(freq), "__g", "left_semi")
+    per_doc = marked.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("__n_common")
+    )
+    totals = ex.groupBy("__id").agg(F.count(F.lit(1)).alias("__n_total"))
+    return (
+        totals.join(per_doc, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.round(
+                F.coalesce(F.col("__n_common"), F.lit(0))
+                / F.col("__n_total"), 4
+            ).alias("common_ratio"),
+        )
+    )

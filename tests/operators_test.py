@@ -456,3 +456,21 @@ def test_ivf_kmeans_centroids(spark):
         df, probe, k=3, n_cells=6, n_probe=3, method="kmeans"
     ).collect()
     assert got[0].vec_id == 7 and got[0].cos_sim > 0.999
+
+
+def test_common_shingle_ratio(spark):
+    """Planted boilerplate (a shared template across many docs) scores
+    high; unique docs score low."""
+    rnd = random.Random(13)
+    template = _doc(rnd, 30)
+    rows = [(i, template) for i in range(10)]           # boilerplate
+    rows += [(100 + i, _doc(rnd, 30)) for i in range(5)]  # unique-ish
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.common_ratio
+           for r in text.common_shingle_ratio(df, min_docs=5).collect()}
+    assert len(got) == 15
+    for i in range(10):
+        assert got[i] == 1.0  # every shingle shared with 9 others
+    # unique docs may share a few random shingles, never all
+    for i in range(5):
+        assert got[100 + i] < 0.5
