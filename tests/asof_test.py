@@ -47,3 +47,42 @@ def test_as_of_join_plan_single_shuffle(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_as_of_join_random_matches_bruteforce(spark):
+    """Randomized: window lowering == per-key python scan."""
+    import random
+
+    rnd = random.Random(42)
+    left = [(i, rnd.randint(1, 5), _ts(rnd.randint(0, 59)))
+            for i in range(60)]
+    right = [(rnd.randint(1, 5), _ts(rnd.randint(0, 59)), float(i))
+             for i in range(40)]
+    ldf = spark.createDataFrame(left, ["event_id", "user_id", "ts"])
+    rdf = spark.createDataFrame(right, ["user_id", "ts", "value"])
+    got = {
+        r.event_id: (r.value_r, r.ts_r)
+        for r in as_of_join(ldf, rdf, by="user_id", ts_col="ts",
+                            right_cols=["value"]).collect()
+    }
+
+    def brute(uid, ts):
+        cands = [(rts, v) for (ruid, rts, v) in right
+                 if ruid == uid and rts <= ts]
+        if not cands:
+            return (None, None)
+        # latest ts; tie-break must match the window ordering: among
+        # equal timestamps the LAST right row in (ts, src) order wins
+        best_ts = max(c[0] for c in cands)
+        vals = [v for (rts, v) in cands if rts == best_ts]
+        return (vals[-1], best_ts)
+
+    assert len(got) == len(left)
+    for (eid, uid, ts) in left:
+        bts = brute(uid, ts)[1]
+        assert got[eid][1] == bts, (eid, got[eid], bts)
+        if bts is not None:
+            # value must come from a right row at the matched timestamp
+            valid = {v for (ruid, rts, v) in right
+                     if ruid == uid and rts == bts}
+            assert got[eid][0] in valid
