@@ -55,19 +55,34 @@ def sample_stratified(df, strata_col, fractions, id_col,
     return df.filter(b < thresh)
 
 
-def cap_per_group(df, group_col, k, order_by):
+def cap_per_group(df, group_col, k, order_by, salt=None):
     """Keep at most ``k`` rows per group (per-domain / per-source caps —
     the classic crawl-balancing op). ``order_by``: list of (col, 'asc' |
     'desc') deciding WHICH k survive. One shuffle on the group key;
     rank + filter stay in the shuffle's partitioning (no extra
-    exchange). Heavily skewed groups (one domain = half the corpus)
-    sort within one partition — pre-filter such groups with
-    sample_stratified first at extreme skew."""
+    exchange).
+
+    ``salt=N`` is the skew guard (one domain = half the corpus): a
+    pre-pass caps each of N deterministic hash-subgroups at ``k``, so at
+    most ``k × N`` rows per group reach the final single-partition sort
+    — the giant group never lands on one task. Same survivors as the
+    unsalted path (the final rank re-ranks the union of subgroup
+    winners, which must contain the global top-k)."""
     order_cols = [
         F.col(c).desc() if str(d).lower().startswith("d") else
         F.col(c).asc()
         for c, d in order_by
     ]
+    if salt:
+        sub = F.pmod(
+            F.xxhash64(*[F.col(c) for c, _ in order_by]), F.lit(salt)
+        )
+        w1 = Window.partitionBy(F.col(group_col), sub).orderBy(*order_cols)
+        df = (
+            df.withColumn("__rk1", F.row_number().over(w1))
+            .filter(F.col("__rk1") <= k)
+            .drop("__rk1")
+        )
     w = Window.partitionBy(group_col).orderBy(*order_cols)
     return (
         df.withColumn("__rk", F.row_number().over(w))

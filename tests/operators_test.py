@@ -474,3 +474,17 @@ def test_common_shingle_ratio(spark):
     # unique docs may share a few random shingles, never all
     for i in range(5):
         assert got[100 + i] < 0.5
+
+
+def test_cap_per_group_salted(spark, docs):
+    from tanker_spark.operators import curation
+
+    plain = curation.cap_per_group(
+        docs, "text", 2, [("doc_id", "asc")]
+    )
+    salted = curation.cap_per_group(
+        docs, "text", 2, [("doc_id", "asc")], salt=8
+    )
+    key = lambda r: (r.doc_id, r.text)
+    assert sorted(map(key, plain.collect())) == \
+        sorted(map(key, salted.collect()))
