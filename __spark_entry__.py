@@ -749,6 +749,20 @@ def ngram_jaccard_docs(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def pack_docs(spark, sf_dir):
+    """Context-window packing (first-fit-decreasing per partition, no
+    SQL oracle — sequential bin assignment; invariants pinned in
+    tests/operators_test.py::test_pack_sequences)."""
+    from tanker_spark.operators import curation
+
+    df = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+    return curation.pack_sequences(
+        df, "doc_id", "n_chars", budget=2000
+    ).orderBy("doc_id")
+
+
 def boilerplate_ratio(spark, sf_dir):
     """C4-style corpus-level boilerplate signal: per-doc fraction of
     distinct 3-gram shingles shared with >1 other document (frequent-set
@@ -1012,6 +1026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf_probe": knn_ivf_probe,
         "knn_indexed_probe": knn_indexed_probe,
         "multimodal_features": multimodal_features,
+        "pack_docs": pack_docs,
     }
 
 

@@ -155,3 +155,69 @@ def export_shards(df, path, n_shards, id_col, seed=42):
         .write.mode("overwrite").partitionBy("shard").parquet(path)
     )
     return path
+
+
+def pack_sequences(df, id_col, len_col, budget, n_partitions=None):
+    """Pack items into fixed-budget bins (context-window packing — the
+    step between curation and shard export in a training pipeline).
+
+    Distributed first-fit-decreasing: repartition by id hash, sort each
+    partition by length descending, then a per-partition greedy
+    first-fit over Arrow batches (``mapInPandas`` — packing is
+    inherently sequential, so the Python hop is per partition, not per
+    corpus). Pack ids are globally unique via the partition id. Items
+    longer than the budget get singleton packs.
+
+    Returns (id, item_len, pack_id, pack_fill) — pack_fill is the
+    bin's total AFTER adding the item, so the max per pack_id is the
+    bin's final occupancy.
+    """
+    from pyspark import TaskContext
+    from pyspark.sql import types as T
+
+    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    prepared = (
+        df.select(F.col(id_col), F.col(len_col).cast("long").alias("__len"))
+        .repartition(n, F.col(id_col))
+        .sortWithinPartitions(F.col("__len").desc(), F.col(id_col))
+    )
+    out_schema = T.StructType([
+        prepared.schema[id_col],
+        T.StructField("item_len", T.LongType()),
+        T.StructField("pack_id", T.LongType()),
+        T.StructField("pack_fill", T.LongType()),
+    ])
+
+    def _pack(batches):
+        import pandas as pd
+
+        pid = TaskContext.get().partitionId()
+        bins = []  # list of (remaining, bin_idx); small: lengths sorted
+        fills = {}
+        next_bin = 0
+        for pdf in batches:
+            rows = []
+            for _id, ln in zip(pdf[id_col], pdf["__len"]):
+                ln = int(ln)
+                placed = None
+                for i, (rem, b) in enumerate(bins):
+                    if rem >= ln:
+                        placed = i
+                        break
+                if placed is None:
+                    b = next_bin
+                    next_bin += 1
+                    bins.append((budget - ln, b))
+                    fills[b] = ln
+                else:
+                    rem, b = bins[placed]
+                    bins[placed] = (rem - ln, b)
+                    fills[b] += ln
+                rows.append(
+                    (_id, ln, pid * 10_000_000 + b, fills[b])
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "item_len", "pack_id", "pack_fill"]
+            )
+
+    return prepared.mapInPandas(_pack, schema=out_schema)

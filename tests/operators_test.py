@@ -488,3 +488,28 @@ def test_cap_per_group_salted(spark, docs):
     key = lambda r: (r.doc_id, r.text)
     assert sorted(map(key, plain.collect())) == \
         sorted(map(key, salted.collect()))
+
+
+def test_pack_sequences(spark, docs):
+    from tanker_spark.operators import curation
+
+    sized = docs.select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+    budget = 800
+    packed = curation.pack_sequences(
+        sized, "doc_id", "n_chars", budget
+    ).collect()
+    # every doc packed exactly once
+    assert sorted(r.doc_id for r in packed) == \
+        sorted(r.doc_id for r in sized.collect())
+    # no pack over budget (unless it holds a single oversized item)
+    by_pack = {}
+    for r in packed:
+        by_pack.setdefault(r.pack_id, []).append(r)
+    for rows in by_pack.values():
+        total = sum(r.item_len for r in rows)
+        assert total <= budget or len(rows) == 1
+        assert max(r.pack_fill for r in rows) == total
+    # packing is useful: fewer packs than docs
+    assert len(by_pack) < len(packed)
