@@ -749,6 +749,16 @@ def ngram_jaccard_docs(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def contamination_check(spark, sf_dir):
+    """Train/test decontamination screen: 3-gram containment of src0
+    docs (the 'test set') against every other source (the 'training
+    corpus'); see text.containment_ratio."""
+    df = _read(spark, sf_dir, "documents")
+    test_df = df.filter(F.col("source") == "src0")
+    train_df = df.filter(F.col("source") != "src0")
+    return text.containment_ratio(test_df, train_df).orderBy("doc_id")
+
+
 def pack_docs(spark, sf_dir):
     """Context-window packing (first-fit-decreasing per partition, no
     SQL oracle — sequential bin assignment; invariants pinned in
@@ -1016,6 +1026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": redact_pii,
         "curation_pipeline": curation_pipeline,
         "boilerplate_ratio": boilerplate_ratio,
+        "contamination_check": contamination_check,
         # -- no-oracle (rows-only) entries LAST: if the driver's run caps
         # the query count, every oracle-checkable entry above still gets
         # a CORRECTNESS row (round-2 lost 3 green rows to this)
@@ -1417,6 +1428,32 @@ def oracle_sql() -> dict[str, str]:
                   (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)))
                   >= 0.5
             ORDER BY id_a, id_b
+        """,
+        "contamination_check": """
+            WITH toks AS (
+              SELECT doc_id, source,
+                     regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents
+            ), sh AS (
+              SELECT doc_id, source,
+                     list_distinct([concat_ws(' ', t[i], t[i+1], t[i+2])
+                                    for i in range(1, len(t) - 1)]) AS s
+              FROM toks
+            ), tex AS (
+              SELECT doc_id, unnest(s) AS g FROM sh WHERE source = 'src0'
+            ), trg AS (
+              SELECT DISTINCT unnest(s) AS g FROM sh
+              WHERE source != 'src0'
+            ), tot AS (
+              SELECT doc_id, count(*) AS n FROM tex GROUP BY doc_id
+            ), hit AS (
+              SELECT tex.doc_id, count(*) AS h
+              FROM tex JOIN trg USING (g) GROUP BY tex.doc_id
+            )
+            SELECT tot.doc_id AS doc_id,
+                   round(coalesce(hit.h, 0) / tot.n, 4) AS containment
+            FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
+            ORDER BY tot.doc_id
         """,
         "boilerplate_ratio": """
             WITH toks AS (

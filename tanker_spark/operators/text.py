@@ -159,3 +159,40 @@ def common_shingle_ratio(df, text_col="text", id_col="doc_id", n=3,
             ).alias("common_ratio"),
         )
     )
+
+
+def containment_ratio(test_df, train_df, text_col="text",
+                      id_col="doc_id", n=3):
+    """Decontamination screen: per test document, the fraction of its
+    distinct token ``n``-grams that occur ANYWHERE in the training
+    corpus. High containment = the test doc leaks into training data.
+
+    Shape: explode both sides' distinct shingles (map), distinct the
+    train side (one shuffle), semi-join test shingles against it (hash
+    join on the shingle), per-doc ratio. At extreme train sizes replace
+    the distinct train set with a Bloom filter
+    (``DataFrame.stat.bloomFilter`` broadcast) — one pass, constant
+    memory, small false-positive inflation of the ratio.
+    """
+    from .dedup import shingles
+
+    tex = test_df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingles(F.col(text_col), n)).alias("__g"),
+    )
+    train_g = train_df.select(
+        F.explode(shingles(F.col(text_col), n)).alias("__g")
+    ).distinct()
+    hits = tex.join(train_g, "__g", "left_semi").groupBy("__id").agg(
+        F.count(F.lit(1)).alias("__hits")
+    )
+    totals = tex.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        totals.join(hits, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.round(
+                F.coalesce(F.col("__hits"), F.lit(0)) / F.col("__n"), 4
+            ).alias("containment"),
+        )
+    )

@@ -513,3 +513,18 @@ def test_pack_sequences(spark, docs):
         assert max(r.pack_fill for r in rows) == total
     # packing is useful: fewer packs than docs
     assert len(by_pack) < len(packed)
+
+
+def test_containment_ratio(spark):
+    """A test doc copied from train is fully contained; a fresh doc is
+    (mostly) not."""
+    rnd = random.Random(17)
+    train_rows = [(i, _doc(rnd, 40)) for i in range(20)]
+    test_rows = [(100, train_rows[3][1]),       # verbatim leak
+                 (101, _doc(rnd, 40))]          # novel
+    train = spark.createDataFrame(train_rows, ["doc_id", "text"])
+    test_df = spark.createDataFrame(test_rows, ["doc_id", "text"])
+    got = {r.doc_id: r.containment
+           for r in text.containment_ratio(test_df, train).collect()}
+    assert got[100] == 1.0
+    assert got[101] < got[100]
