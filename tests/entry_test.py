@@ -32,3 +32,17 @@ def test_oracle_keys_subset():
     on the queries side; orphan oracle keys would silently never run)."""
     extra = set(entry_mod.oracle_sql()) - set(QUERIES)
     assert not extra, extra
+
+
+def test_driver_row_budget_ordering():
+    """The driver's correctness run has covered only the first ~50
+    entries (round 2 lost rows this way): every one of the first 50
+    queries must be oracle-checkable, and the queries the round-2
+    VERDICT called out must sit inside that window."""
+    names = list(QUERIES)
+    oracles = set(entry_mod.oracle_sql())
+    for name in names[:50]:
+        assert name in oracles, "%s has no oracle but sits in the " \
+            "driver's row budget" % name
+    for name in ("cap_per_source", "redact_pii", "curation_pipeline"):
+        assert names.index(name) < 50
