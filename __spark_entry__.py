@@ -749,6 +749,27 @@ def ngram_jaccard_docs(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def quantize_roundtrip(spark, sf_dir):
+    """8-bit embedding quantization round-trip: per-vector max
+    reconstruction error (4× ANN storage reduction; floor(x+0.5)
+    lattice so the assignment reproduces bit-for-bit in DuckDB)."""
+    df = _read(spark, sf_dir, "embeddings")
+    q = similarity.quantize_embeddings(df)
+    joined = df.join(q, "vec_id")
+    deq = similarity.dequantize_col(
+        F.col("qcode"), F.col("qmin"), F.col("qscale")
+    )
+    err = F.array_max(
+        F.zip_with(
+            F.col("embedding"), deq,
+            lambda a, b: F.abs(a.cast("double") - b),
+        )
+    )
+    return joined.select(
+        "vec_id", F.round(err, 6).alias("max_err")
+    ).orderBy("vec_id")
+
+
 def contamination_check(spark, sf_dir):
     """Train/test decontamination screen: 3-gram containment of src0
     docs (the 'test set') against every other source (the 'training
@@ -1027,6 +1048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": curation_pipeline,
         "boilerplate_ratio": boilerplate_ratio,
         "contamination_check": contamination_check,
+        "quantize_roundtrip": quantize_roundtrip,
         # -- no-oracle (rows-only) entries LAST: if the driver's run caps
         # the query count, every oracle-checkable entry above still gets
         # a CORRECTNESS row (round-2 lost 3 green rows to this)
@@ -1428,6 +1450,22 @@ def oracle_sql() -> dict[str, str]:
                   (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)))
                   >= 0.5
             ORDER BY id_a, id_b
+        """,
+        "quantize_roundtrip": """
+            WITH q AS (
+              SELECT vec_id, embedding,
+                     list_min(embedding)::DOUBLE AS mn,
+                     (list_max(embedding)::DOUBLE
+                      - list_min(embedding)::DOUBLE) / 255.0 AS sc
+              FROM embeddings
+            )
+            SELECT vec_id,
+                   round(list_max(list_transform(embedding, x ->
+                     abs(x::DOUBLE - (mn +
+                       (CASE WHEN sc = 0 THEN 0
+                             ELSE floor((x::DOUBLE - mn) / sc + 0.5)
+                        END) * sc)))), 6) AS max_err
+            FROM q ORDER BY vec_id
         """,
         "contamination_check": """
             WITH toks AS (

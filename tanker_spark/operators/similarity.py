@@ -262,6 +262,42 @@ def knn_join(queries, corpus, k=5, vec_col="embedding", id_col="vec_id",
     )
 
 
+def quantize_embeddings(df, vec_col="embedding", id_col="vec_id"):
+    """Per-vector 8-bit linear quantization: stores vectors as
+    ``array<tinyint>`` + (min, scale) — 4× smaller ANN side tables, the
+    standard first rung of vector compression at corpus scale. Pure
+    column math (array_min/max + transform), map-only.
+
+    ``floor(x + 0.5)`` instead of ``round`` so the lattice assignment
+    is reproducible across engines (HALF_UP everywhere). Constant
+    vectors get scale 0 and decode exactly.
+    """
+    v = F.col(vec_col)
+    mn = F.array_min(v).cast("double")
+    scale = ((F.array_max(v).cast("double") - mn) / F.lit(255.0))
+    code = F.transform(
+        v,
+        lambda x: (
+            F.when(scale == 0, F.lit(0)).otherwise(
+                F.floor((x.cast("double") - mn) / scale + F.lit(0.5))
+            ).cast("int") - 128
+        ).cast("tinyint"),
+    )
+    return df.select(
+        F.col(id_col),
+        code.alias("qcode"),
+        mn.alias("qmin"),
+        scale.alias("qscale"),
+    )
+
+
+def dequantize_col(qcode, qmin, qscale):
+    """array<tinyint> + (min, scale) → array<double>."""
+    return F.transform(
+        qcode, lambda q: qmin + (q.cast("double") + F.lit(128.0)) * qscale
+    )
+
+
 # -- persisted index (the 100 TB steady state) ----------------------------
 def build_ann_index(df, path, method="lsh", vec_col="embedding",
                     id_col="vec_id", dim=64, n_planes=8, seed=42,

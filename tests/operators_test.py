@@ -528,3 +528,32 @@ def test_containment_ratio(spark):
            for r in text.containment_ratio(test_df, train).collect()}
     assert got[100] == 1.0
     assert got[101] < got[100]
+
+
+def test_quantize_embeddings(spark):
+    rnd = random.Random(21)
+    dim = 16
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(dim)]) for i in range(30)]
+    rows.append((99, [2.5] * dim))  # constant vector edge case
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = similarity.quantize_embeddings(df)
+    deq = q.select(
+        "vec_id",
+        similarity.dequantize_col(
+            F.col("qcode"), F.col("qmin"), F.col("qscale")
+        ).alias("deq"),
+    )
+    joined = df.join(deq, "vec_id").collect()
+    for r in joined:
+        assert len(r.deq) == dim
+        spread = max(r.embedding) - min(r.embedding)
+        tol = spread / 255.0 * 0.51 + 1e-9
+        for a, b in zip(r.embedding, r.deq):
+            assert abs(a - b) <= tol, (r.vec_id, a, b, tol)
+    # quantized knn still finds the planted structure: cosine on
+    # dequantized vectors ranks the vector's own copy first
+    probe_row = rows[5]
+    got = similarity.knn_brute(
+        deq.withColumnRenamed("deq", "embedding"), probe_row[1], k=1
+    ).collect()
+    assert got[0].vec_id == 5
