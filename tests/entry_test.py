@@ -46,3 +46,22 @@ def test_driver_row_budget_ordering():
             "driver's row budget" % name
     for name in ("cap_per_source", "redact_pii", "curation_pipeline"):
         assert names.index(name) < 50
+
+
+def test_events_ts_stays_timestamp():
+    """Round 2 postmortem guard: the whole events pipeline assumes the
+    driver's events.ts is a parquet TIMESTAMP (Spark reads NTZ). If the
+    testdata is ever regenerated with int64 epoch-nanos instead, fail
+    HERE with a clear message instead of three cryptic red queries —
+    then flip tanker_spark/testdata.py to `ts: bigint` and route reads
+    through streaming.events.with_event_ts (already dtype-adaptive)."""
+    import pyarrow.parquet as pq
+    import pyarrow.types as pt
+
+    t = pq.ParquetFile(
+        SF_DIR + "/events.parquet"
+    ).schema_arrow.field("ts").type
+    assert pt.is_timestamp(t), (
+        "events.ts physical type changed to %s — see this test's "
+        "docstring for the fix" % t
+    )
