@@ -35,6 +35,23 @@ def test_as_of_join_basic(spark):
     assert len(out) == 4
 
 
+def test_as_of_join_null_payload_atomicity(spark):
+    """A NULL payload in the matched right row must be carried as NULL,
+    not backfilled from an older right row (matched-row atomicity)."""
+    left = spark.createDataFrame(
+        [(1, 10, _ts(30))], ["event_id", "user_id", "ts"])
+    right = spark.createDataFrame(
+        [(10, _ts(5), 100.0, "a"), (10, _ts(20), None, "b")],
+        ["user_id", "ts", "value", "tag"],
+    )
+    row = as_of_join(left, right, by="user_id", ts_col="ts",
+                     right_cols=["value", "tag"]).collect()[0]
+    # matched row is t=00:20 whose value is NULL — DuckDB ASOF semantics
+    assert row.ts_r == _ts(20)
+    assert row.value_r is None
+    assert row.tag_r == "b"
+
+
 def test_as_of_join_plan_single_shuffle(spark):
     left = spark.createDataFrame(
         [(1, 10, _ts(5))], ["event_id", "user_id", "ts"])
