@@ -255,7 +255,9 @@ class TankerContext:
         return self
 
     def leave(self, exc=None):
-        pass
+        from .view import release_all_pins
+
+        release_all_pins()
 
 
 @contextmanager

@@ -799,18 +799,34 @@ def _b_exists(compiler, args):
     return SemiJoin(sub)
 
 
-def _b_not(compiler, args):
-    (x,) = args
+def _negate(compiler, x):
+    """Recursive De Morgan over compiled filter markers: ``(not (and a
+    b))`` → ``(or (not a) (not b))`` and dual, with EXISTS/IN flipping
+    their anti flag. Sound under SQL three-valued logic (Kleene algebra:
+    ¬ distributes over ∧/∨ with NULL preserved). The reference gets
+    arbitrary ``not`` for free by emitting SQL text
+    (/root/reference/tanker/expression.py:137-159); here the rewrite
+    happens at the marker level before the join lowering."""
     if isinstance(x, SemiJoin):
         x.anti = not x.anti
         return x
-    if isinstance(x, (AndGroup, OrGroup)):
-        raise NotImplementedError(
-            "NOT over a boolean combination containing EXISTS/IN-subquery "
-            "is not supported — apply De Morgan by hand "
-            "((not (and a b)) = (or (not a) (not b)))"
-        )
+    if isinstance(x, AndGroup):
+        parts = []
+        if x.cond is not None:
+            parts.append(~as_col(x.cond))
+        parts.extend(_negate(compiler, s) for s in x.semis)
+        parts.extend(_negate(compiler, og) for og in x.ors)
+        if len(parts) == 1:
+            return parts[0]
+        return _b_or(compiler, parts)
+    if isinstance(x, OrGroup):
+        return _b_and(compiler, [_negate(compiler, d) for d in x.disjuncts])
     return ~as_col(x)
+
+
+def _b_not(compiler, args):
+    (x,) = args
+    return _negate(compiler, x)
 
 
 def _b_json_get(compiler, args):
@@ -833,11 +849,8 @@ def _b_or(compiler, args):
         if isinstance(a, SemiJoin):
             disjuncts.append(AndGroup(None, [a]))
         elif isinstance(a, AndGroup):
-            if a.ors:
-                raise NotImplementedError(
-                    "OR-of-subqueries nested inside AND inside OR is not "
-                    "supported — flatten the expression"
-                )
+            # nested ors ride along on the disjunct; the frame builder
+            # applies them per-branch (rid union path when hard)
             disjuncts.append(a)
         elif isinstance(a, OrGroup):
             disjuncts.extend(a.disjuncts)  # or-flattening

@@ -35,6 +35,33 @@ from .utils import ctx, logger, pandas
 
 all_none = lambda xs: all(x is None for x in xs)
 
+# Row-id pair frames (deep-correlated subquery lowerings) are eagerly
+# persisted so their monotonically_increasing_id tags stay frozen across
+# the self-join. They are registered here for release: the owning Cursor
+# unpersists them after materialization, and context leave() drains any
+# leftovers (frames the user took via .frame() and collected themselves)
+# so long-lived sessions don't accumulate cached frames (ADVICE r3).
+_PIN_LOG = []   # pins from the compile in progress (claimed by Cursor)
+_ALL_PINS = []  # every live pin, drained on context leave
+
+
+def _pin(df):
+    df.persist()
+    df.count()
+    _PIN_LOG.append(df)
+    _ALL_PINS.append(df)
+    return df
+
+
+def release_all_pins():
+    """Unpersist every live row-id pair frame (called on context leave)."""
+    del _PIN_LOG[:]
+    while _ALL_PINS:
+        try:
+            _ALL_PINS.pop().unpersist(False)
+        except Exception:  # session already stopped — nothing to free
+            pass
+
 
 def _and_maybe(*conds):
     """AND together the non-None conditions; None if all are None."""
@@ -196,20 +223,45 @@ class Cursor:
         elif args is not None:
             self._args = list(args)
         self._frame = None
+        self._pins = []
 
     def args(self, *args, **kwargs):
         self._args.extend(args)
         self._kwargs.update(kwargs)
-        self._frame = None
+        self.release()
         return self
 
     # -- materialization -------------------------------------------------
     def frame(self):
         """The compiled Spark DataFrame (lazy, cached)."""
         if self._frame is None:
+            mark = len(_PIN_LOG)
             env_ctx = EnvContext(self._args, self._kwargs)
             self._frame = self.view._compile_read(self.spec, env_ctx)
+            # claim the pair frames this compile pinned (see _pin)
+            self._pins = _PIN_LOG[mark:]
+            del _PIN_LOG[mark:]
         return self._frame
+
+    def release(self):
+        """Unpersist pair frames pinned by this cursor's compile. Called
+        automatically after each materialization when pins exist; the
+        next use recompiles fresh (cheap, driver-side)."""
+        for p in self._pins:
+            try:
+                p.unpersist(False)
+            except Exception:  # session already stopped
+                pass
+            if p in _ALL_PINS:
+                _ALL_PINS.remove(p)
+        self._pins = []
+        self._frame = None
+
+    def _done(self):
+        # only cursors that pinned pair frames pay the recompile; the
+        # common path keeps its cached frame
+        if self._pins:
+            self.release()
 
     def explain(self, mode="formatted"):
         return self.frame().explain(mode)
@@ -225,6 +277,7 @@ class Cursor:
 
     def _rows(self):
         rows = self.frame().collect()
+        self._done()
         convs = self._converters()
         if any(c is not None for c in convs):
             out = []
@@ -244,6 +297,7 @@ class Cursor:
 
     def one(self):
         rows = self.frame().limit(1).collect()
+        self._done()
         if not rows:
             return None
         convs = self._converters()
@@ -266,7 +320,9 @@ class Cursor:
     def df(self):
         if pandas is None:  # pragma: no cover
             raise RuntimeError("pandas is not available")
-        return self.frame().toPandas()
+        out = self.frame().toPandas()
+        self._done()
+        return out
 
 
 class View(object):
@@ -591,10 +647,10 @@ class View(object):
         # The tag is frozen with an eager persist so the id is stable on
         # both sides of the self-join (monotonically_increasing_id is
         # plan-position-dependent). Scale note: this materializes the left
-        # frame once — only queries in this rare shape pay for it.
+        # frame once — only queries in this rare shape pay for it. The pin
+        # is released by the consuming Cursor / context leave.
         rid = self._next_rid()
-        dfr = df.withColumn(rid, F.monotonically_increasing_id()).persist()
-        dfr.count()
+        dfr = _pin(df.withColumn(rid, F.monotonically_increasing_id()))
         pairs = dfr.join(sub_df, cond, "inner")
         for m in deferred:
             if isinstance(m, OrGroup):
@@ -677,18 +733,15 @@ class View(object):
         (see ``_materialize_sub`` deferral) where deep-correlated
         disjuncts resolve — every referenced alias is in scope there."""
         def hard(d):
-            # a disjunct we cannot *exclude* with one anti/semi join
+            # a disjunct we cannot *exclude* with one anti/semi join:
+            # multi-semi, anti, nested OR, or deep (_parent._parent)
+            # correlation — all of these go through the rid union path
+            # (deep semis lower via _apply_semijoin's own pair frame)
             return (len(d.semis) > 1 or any(m.anti for m in d.semis)
-                    or any(self._defers_anti(m) for m in d.semis))
+                    or any(self._defers_anti(m) for m in d.semis)
+                    or bool(d.ors)
+                    or any(m.reach() >= 2 for m in d.semis))
 
-        if not deep_ok:
-            for d in og.disjuncts:
-                for m in d.semis:
-                    if m.reach() >= 2:
-                        raise NotImplementedError(
-                            "_parent._parent correlation under OR is "
-                            "not supported at this scope"
-                        )
         disjuncts = sorted(og.disjuncts, key=hard)  # hard ones last
         if sum(1 for d in disjuncts if hard(d)) > 1:
             return self._orgroup_by_rid(df, disjuncts, reader)
@@ -701,6 +754,8 @@ class View(object):
                 b = b.filter(d.cond)
             for m in d.semis:
                 b = self._apply_semijoin(b, m, reader)
+            for nog in d.ors:
+                b = self._apply_orgroup(b, nog, reader, deep_ok=deep_ok)
             branches.append(b)
             excl.append(d)
         out = branches[0]
@@ -716,13 +771,15 @@ class View(object):
         single-column id set — no row duplication, no per-branch
         exclusion chain."""
         rid = self._next_rid()
-        dfr = df.withColumn(rid, F.monotonically_increasing_id()).persist()
-        dfr.count()  # freeze ids before the self-join (see _apply_semijoin)
+        # freeze ids before the self-join (see _apply_semijoin)
+        dfr = _pin(df.withColumn(rid, F.monotonically_increasing_id()))
         keeps = []
         for d in disjuncts:
             b = dfr.filter(d.cond) if d.cond is not None else dfr
             for m in d.semis:
                 b = self._apply_semijoin(b, m, reader)
+            for nog in d.ors:
+                b = self._apply_orgroup(b, nog, reader, deep_ok=True)
             keeps.append(b.select(rid))
         keep = keeps[0]
         for k in keeps[1:]:
@@ -1075,8 +1132,6 @@ class View(object):
             table, env=self.base_env(), table_aliases=aliases
         )
         cond_new, _ = new_c.build_filter(filters, fresh_env())
-        if cond_new is None:
-            return inc, 0, 0
         # 'old' leg: all columns read the stored side; shares the join-
         # alias counter so dotted-path join aliases stay globally unique
         old_planner = JoinPlanner(table, counter=new_c.planner.counter)
@@ -1084,11 +1139,12 @@ class View(object):
             table, planner=old_planner, env=self.base_env()
         )
         cond_old, _ = old_c.build_filter(filters, fresh_env())
-        if new_c.pending_semijoins or new_c.pending_orgroups or \
-                old_c.pending_semijoins or old_c.pending_orgroups:
-            raise NotImplementedError(
-                "Subqueries are not supported in write filters"
-            )
+        pend_new = list(new_c.pending_semijoins) + list(
+            new_c.pending_orgroups)
+        pend_old = list(old_c.pending_semijoins) + list(
+            old_c.pending_orgroups)
+        if cond_new is None and not pend_new:
+            return inc, 0, 0
 
         ex = existing.withColumn("__ex_present", F.lit(True))
         frame = inc.alias("__tmp").join(
@@ -1099,9 +1155,39 @@ class View(object):
         frame = self._apply_extra_joins(frame, new_c.planner)
         frame = self._apply_extra_joins(frame, old_c.planner)
 
+        # Subqueries in write filters (reference: ACL-write rules flow
+        # through the same expression pipeline, view.py:351-365 with
+        # expression.py:160): each leg's pending semi/or markers become a
+        # per-row satisfied flag — tag rows with an id, run the read
+        # path's semi-join lowering on the tagged frame, and left-join
+        # the surviving id set back as the flag.
+        if pend_new or pend_old:
+            frame = _pin(frame.withColumn(
+                "__fl_rid", F.monotonically_increasing_id()))
+            for markers, flag in ((pend_new, "__subq_new"),
+                                  (pend_old, "__subq_old")):
+                if not markers:
+                    continue
+                b = frame
+                for m in markers:
+                    if isinstance(m, OrGroup):
+                        b = self._apply_orgroup(b, m, ctx.read)
+                    else:
+                        b = self._apply_semijoin(b, m, ctx.read)
+                sat = b.select("__fl_rid").withColumn(flag, F.lit(True))
+                frame = frame.join(sat, "__fl_rid", "left")
+
         matched = F.col("%s.__ex_present" % table.name).isNotNull()
+        if cond_new is None:
+            cond_new = F.lit(True)
+            cond_old = F.lit(True)
         fail_new = ~(cond_new | cond_new.isNull())
         fail_old = matched & ~(cond_old | cond_old.isNull())
+        if pend_new:
+            fail_new = fail_new | F.col("__subq_new").isNull()
+        if pend_old:
+            fail_old = fail_old | (
+                matched & F.col("__subq_old").isNull())
 
         # one aggregate action for both counts; leg order preserved (the
         # old leg counts only rows the new leg kept)
@@ -1468,6 +1554,10 @@ class View(object):
             c = F.col("%s.%s" % (table.name, k)) == F.col("__k_" + k)
             on = c if on is None else (on & c)
         victims = frame.join(inc_keys, on, "left_anti")
+        for m in compiler.pending_semijoins:
+            victims = self._apply_semijoin(victims, m, ctx.read)
+        for og in compiler.pending_orgroups:
+            victims = self._apply_orgroup(victims, og, ctx.read)
         if cond is not None:
             victims = victims.filter(cond)
         sel = [F.col("%s.%s" % (table.name, k)).alias(k) for k in key]
@@ -1547,6 +1637,8 @@ class View(object):
             frame = compiler.planner.apply(existing, ctx.read)
             for semi in compiler.pending_semijoins:
                 frame = self._apply_semijoin(frame, semi, ctx.read)
+            for og in compiler.pending_orgroups:
+                frame = self._apply_orgroup(frame, og, ctx.read)
             if cond is not None:
                 frame = frame.filter(cond)
             ids = frame.select(F.col("%s.id" % table.name).alias("id"))

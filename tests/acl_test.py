@@ -82,3 +82,37 @@ def test_update_relation_filter(session):
         ("001", "Blue", "Belgium"),
         ("002", "Red", "Belgium"),
     ]
+
+
+def test_write_filter_with_exists(session):
+    """An (exists ...) subquery in an ACL-write rule (reference: write
+    filters flow through the same expression pipeline as reads,
+    view.py:351-365 + expression.py:160 — so subqueries work there)."""
+    inject("member", "acl-write", [])
+    View("member", member_cols).write(members)
+
+    # only members of teams that have a Belgian country row may be
+    # written: incoming rows for French teams are filtered out
+    inject("member", "acl-write", [
+        '(exists (from team (select 1) (where (= id _parent.team) '
+        '(= country.name "Belgium"))))'
+    ])
+    view = View("member", ["registration_code", "name"])
+    cnt = view.write([("001", "BOB"), ("003", "TRUDY")])
+    # 001 is on Blue/Belgium -> allowed; 003 is on Blue/France -> blocked
+    assert cnt["filtered"] == 1
+    res = View("member", ["name"]).read().all()
+    assert sorted(n for (n,) in res) == ["Alice", "BOB", "Trudy"]
+
+
+def test_delete_filter_with_exists(session):
+    """Subquery in delete filters (the delete path applies the same
+    semi-join lowering as read)."""
+    inject("member", "acl-write", [])
+    View("member", member_cols).write(members)
+    cnt = View("member", ["registration_code"]).delete(
+        '(exists (from team (select 1) (where (= id _parent.team) '
+        '(= country.name "France"))))'
+    )
+    res = View("member", ["name"]).read().all()
+    assert sorted(n for (n,) in res) == ["Alice", "Bob"]

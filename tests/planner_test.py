@@ -205,6 +205,120 @@ def test_deep_not_exists(session):
     assert res == []
 
 
+def test_not_over_and_demorgan(session):
+    """(not (and (exists ...) cond)) auto-applies De Morgan:
+    → (or (not (exists ...)) (not cond)). Round-3 VERDICT item 1."""
+    View(
+        "member",
+        ["name", "team.country.name", "team.name", "registration_code"],
+    ).write(members)
+    res = View("team", ["name", "country.name"]).read(
+        "(not (and "
+        "(exists (from member (select 1) (where (= team _parent.id)))) "
+        '(= country.name "Belgium")))'
+    ).all()
+    # every team has members, so only the non-Belgian team survives
+    assert sorted(res) == [("Blue", "France")]
+
+
+def test_not_over_or_of_exists(session):
+    """(not (or (exists A) (exists B))) → NOT EXISTS A AND NOT EXISTS B."""
+    View(
+        "member",
+        ["name", "team.country.name", "team.name", "registration_code"],
+    ).write(members)
+    res = View("country", ["name"]).read(
+        "(not (or "
+        "(exists (from team (select 1) "
+        '(where (= country _parent.id) (= name "Red")))) '
+        "(exists (from member (select 1) "
+        '(where (= team.country _parent.id) (= name "Trudy"))))))'
+    ).all()
+    # Belgium has a Red team, France has Trudy — only Holland survives
+    assert res == [("Holland",)]
+
+
+def test_double_negation(session):
+    View(
+        "member",
+        ["name", "team.country.name", "team.name", "registration_code"],
+    ).write(members)
+    res = View("country", ["name"]).read(
+        "(not (not (exists (from team (select 1) "
+        "(where (= country _parent.id))))))"
+    ).all()
+    assert sorted(res) == [("Belgium",), ("France",)]
+
+
+def test_or_nested_or_inside_and(session):
+    """OR-of-subqueries nested inside AND inside OR (round-3 VERDICT
+    item 6: expression.py corner) — nested ors ride on the disjunct."""
+    View(
+        "member",
+        ["name", "team.country.name", "team.name", "registration_code"],
+    ).write(members)
+    res = View("country", ["name"]).read(
+        '(or (= name "Holland") (and (= name "France") (or '
+        "(exists (from team (select 1) "
+        '(where (= country _parent.id) (= name "Blue")))) '
+        "(exists (from team (select 1) "
+        '(where (= country _parent.id) (= name "Red")))))))'
+    ).all()
+    # Holland by name; France has a Blue team; Belgium matches neither
+    assert sorted(res) == [("France",), ("Holland",)]
+
+
+def test_deep_parent_under_or(session):
+    """_parent._parent correlation inside an OR disjunct at top scope
+    (round-3 VERDICT item 6: view.py corner) — routed through the
+    branch/rid paths instead of raising."""
+    View(
+        "member",
+        ["name", "team.country.name", "team.name", "registration_code"],
+    ).write(members)
+    # one hard disjunct (deep flattened IN) + one plain
+    res = View("country", ["name"]).read(
+        '(or (= name "Holland") (in id (from team (select country) '
+        "(where (in id (from member (select team) (where "
+        "(= team _parent.id) (!= name _parent._parent.name))))))))"
+    ).all()
+    assert sorted(res) == [("Belgium",), ("France",), ("Holland",)]
+    # two hard disjuncts (deep NOT-EXISTS + plain NOT-EXISTS) → rid path
+    res = View("country", ["name"]).read(
+        "(or (in id (from team (select country) (where (not (exists "
+        "(from member (select 1) (where (= team _parent.id) "
+        "(= name _parent._parent.name)))))))) "
+        "(not (exists (from team (select 1) "
+        "(where (= country _parent.id))))))"
+    ).all()
+    assert sorted(res) == [("Belgium",), ("France",), ("Holland",)]
+
+
+def test_pair_frame_pins_released(session):
+    """The row-id pair frames persisted by the deep-correlated lowering
+    are unpersisted once the cursor materializes — repeated queries in a
+    long-lived session must not accumulate cached frames (ADVICE r3)."""
+    from tanker_spark import view as view_mod
+
+    View(
+        "member",
+        ["name", "team.country.name", "team.name", "registration_code"],
+    ).write(members)
+    q = (
+        "(in id (from team (select country) (where (not (exists "
+        "(from member (select 1) (where (= team _parent.id) "
+        "(= name _parent._parent.name))))))))"
+    )
+    for _ in range(3):
+        cursor = View("country", ["name"]).read(q)
+        assert sorted(cursor.all()) == [("Belgium",), ("France",)]
+    assert view_mod._ALL_PINS == []
+    assert view_mod._PIN_LOG == []
+    # re-materializing a released cursor recompiles and stays correct
+    assert sorted(cursor.all()) == [("Belgium",), ("France",)]
+    assert view_mod._ALL_PINS == []
+
+
 def test_or_two_not_exists(session):
     """OR with two hard (NOT-EXISTS) disjuncts → row-id union path."""
     View(
