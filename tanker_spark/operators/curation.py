@@ -55,27 +55,55 @@ def sample_stratified(df, strata_col, fractions, id_col,
     return df.filter(b < thresh)
 
 
-def cap_per_group(df, group_col, k, order_by, salt=None):
+#: auto-salt threshold: groups above this row count get the salted
+#: pre-pass so no single task ever sorts more than ~this many rows
+AUTO_SALT_TARGET = 1_000_000
+
+
+def cap_per_group(df, group_col, k, order_by, salt="auto",
+                  target_rows=AUTO_SALT_TARGET):
     """Keep at most ``k`` rows per group (per-domain / per-source caps —
     the classic crawl-balancing op). ``order_by``: list of (col, 'asc' |
     'desc') deciding WHICH k survive. One shuffle on the group key;
     rank + filter stay in the shuffle's partitioning (no extra
     exchange).
 
-    ``salt=N`` is the skew guard (one domain = half the corpus): a
-    pre-pass caps each of N deterministic hash-subgroups at ``k``, so at
-    most ``k × N`` rows per group reach the final single-partition sort
-    — the giant group never lands on one task. Same survivors as the
-    unsalted path (the final rank re-ranks the union of subgroup
-    winners, which must contain the global top-k)."""
+    Skew guard (one domain = half the corpus): a pre-pass caps each of
+    N deterministic hash-subgroups at ``k``, so at most ``k × N`` rows
+    per group reach the final single-partition sort — the giant group
+    never lands on one task. ``salt`` controls it:
+
+    - ``"auto"`` (default): one group-count aggregation (map-side
+      combined, result is one row) sizes the guard — N =
+      ceil(max_group / target_rows) when any group exceeds
+      ``target_rows``, no pre-pass otherwise. The extra job is a
+      column-pruned scan; pass ``salt=None`` to skip it and stay fully
+      lazy.
+    - ``None`` / ``0``: no pre-pass (single shuffle, lazy).
+    - ``N``: force N subgroups.
+
+    The subgroup hash covers EVERY column of the row, so a skewed group
+    whose rows share the same ordering tuple still splits across
+    subgroups. When ``order_by`` is a total order (e.g. it ends with a
+    unique id) the salted and unsalted paths keep identical survivors;
+    under ordering ties which tied rows survive is arbitrary on BOTH
+    paths (``row_number`` tie-break) and may differ between them."""
     order_cols = [
         F.col(c).desc() if str(d).lower().startswith("d") else
         F.col(c).asc()
         for c, d in order_by
     ]
-    if salt:
+    if salt == "auto":
+        mx = (
+            df.groupBy(group_col).count()
+            .agg(F.max("count").alias("mx")).first()["mx"]
+        )
+        salt = 0 if mx is None or mx <= target_rows else min(
+            1024, -(-mx // target_rows)
+        )
+    if salt and int(salt) > 1:
         sub = F.pmod(
-            F.xxhash64(*[F.col(c) for c, _ in order_by]), F.lit(salt)
+            F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(int(salt))
         )
         w1 = Window.partitionBy(F.col(group_col), sub).orderBy(*order_cols)
         df = (

@@ -524,6 +524,16 @@ def neardup_groups(pairs_df, id_a="id_a", id_b="id_b", max_iter=25):
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # the loop ran out of rounds while labels were still moving: a
+        # component whose diameter exceeds max_iter would silently come
+        # back as SPLIT clusters that look valid
+        raise RuntimeError(
+            "neardup_groups: label propagation did not converge within "
+            "%d rounds (%d labels still changing) — a component's "
+            "diameter exceeds max_iter; raise max_iter or switch to the "
+            "large-star/small-star variant" % (max_iter, changed)
+        )
     edges.unpersist()
     return labels.select("id", F.col("lbl").alias("group_id"))
 

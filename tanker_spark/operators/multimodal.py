@@ -1,11 +1,13 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` + typed
 metadata, processed via Arrow-batched ``mapInPandas``.
 
-The decode step is STUBBED (no image/audio libs in this container): the
-Spark-side plumbing — schema, batch shapes, partition sizing — is real and
-tested; ``decode_image`` raises ``NotImplementedError`` unless
-``fake=True``, which produces a deterministic fake feature vector so the
-pipeline is exercisable end-to-end.
+Decode backends, in order: Pillow when importable (full format
+coverage; absent in this container), the vendored pure-stdlib PNG codec
+(``minipng``) for 8-bit grayscale PNGs — a REAL pixel decode, exercised
+in CI — and the deterministic ``fake=True`` stub for everything else
+(audio/video codecs stay stubbed; ``fake=False`` on an undecodable
+payload raises ``NotImplementedError`` so a silent fallback can't
+masquerade as a real decode).
 
 Scale notes: binary payloads should be size-capped per row group
 (``spark.sql.files.maxPartitionBytes``) so a partition of blobs fits
@@ -68,20 +70,32 @@ def _pil_feature(payload: bytes) -> list:
     return [p / 255.0 for p in list(img.getdata())][:FEATURE_DIM]
 
 
+def _mini_feature(payload: bytes) -> list:
+    """Real decode without Pillow, for the 8-bit grayscale PNG subset:
+    vendored pure-stdlib codec (minipng) + 4×4 mean-pool."""
+    from . import minipng
+
+    w, h, px = minipng.decode_gray(payload)
+    return minipng.mean_pool(px, w, h, 4)[:FEATURE_DIM]
+
+
 def decode_image(payload: bytes, fake: bool = False):
     """Decode an image payload to a FEATURE_DIM feature vector.
 
     Uses Pillow when importable (optional dependency — absent in this
-    container); otherwise ``fake=True`` selects the deterministic stub,
-    and ``fake=False`` raises so a silent fallback can't masquerade as a
-    real decode."""
+    container); without Pillow, 8-bit grayscale PNGs still decode for
+    real via the vendored pure-stdlib codec (``minipng``). Anything
+    else: ``fake=True`` selects the deterministic stub, ``fake=False``
+    raises so a silent fallback can't masquerade as a real decode."""
     if fake:
         return _fake_feature(payload)
     if _try_pil() is not None:
         return _pil_feature(payload)
+    if payload is not None and bytes(payload[:8]) == b"\x89PNG\r\n\x1a\n":
+        return _mini_feature(payload)
     raise NotImplementedError(
-        "image decode requires Pillow (pip install pillow); pass "
-        "fake=True for the deterministic stub"
+        "image decode requires Pillow for non-PNG payloads "
+        "(pip install pillow); pass fake=True for the deterministic stub"
     )
 
 
@@ -130,14 +144,9 @@ def resize_images(df, width, height, fake=True):
 
         for pdf in batches:
             out = pdf[["media_id", "mime"]].copy()
-            if fake or _try_pil() is None:
-                if not fake:
-                    raise NotImplementedError(
-                        "image resize requires Pillow; pass fake=True "
-                        "for the metadata-only stub"
-                    )
+            if fake:
                 out["payload"] = pdf["payload"]
-            else:
+            elif _try_pil() is not None:
                 import io
 
                 Image = _try_pil()
@@ -149,6 +158,25 @@ def resize_images(df, width, height, fake=True):
                     return buf.getvalue()
 
                 out["payload"] = pdf["payload"].map(_do)
+            else:
+                # no Pillow: real resample for the grayscale-PNG subset
+                # via the vendored codec; anything else raises
+                from . import minipng
+
+                def _do_mini(p):
+                    if bytes(p[:8]) != minipng.SIGNATURE:
+                        raise NotImplementedError(
+                            "image resize requires Pillow for non-PNG "
+                            "payloads; pass fake=True for the "
+                            "metadata-only stub"
+                        )
+                    w, h, px = minipng.decode_gray(p)
+                    return minipng.encode_gray(
+                        minipng.resize_nearest(px, w, h, width, height),
+                        width, height,
+                    )
+
+                out["payload"] = pdf["payload"].map(_do_mini)
             out["width"] = width
             out["height"] = height
             yield pd.DataFrame(

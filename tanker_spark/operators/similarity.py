@@ -230,16 +230,16 @@ def knn_join(queries, corpus, k=5, vec_col="embedding", id_col="vec_id",
                                            seed)
         )
         # Hamming ball as a column expression: flip every <=multiprobe
-        # combination of sign bits (matches _hamming_ball driver-side)
+        # combination of sign bits — the same enumeration as the
+        # driver-side _hamming_ball, so any radius is honored (radius>2
+        # used to be silently clamped to 2)
         balls = [F.col("__qbucket")]
-        for bits in combinations(range(n_planes), 1):
-            balls.append(F.col("__qbucket").bitwiseXOR(1 << bits[0]))
-        if multiprobe >= 2:
-            for bits in combinations(range(n_planes), 2):
-                balls.append(
-                    F.col("__qbucket")
-                    .bitwiseXOR(1 << bits[0]).bitwiseXOR(1 << bits[1])
-                )
+        for r in range(1, multiprobe + 1):
+            for bits in combinations(range(n_planes), r):
+                b = F.col("__qbucket")
+                for j in bits:
+                    b = b.bitwiseXOR(1 << j)
+                balls.append(b)
         qexp = qb.select(
             "qid", "__qv", F.explode(F.array(*balls)).alias("__bucket")
         ).dropDuplicates(["qid", "__bucket"])

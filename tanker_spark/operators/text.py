@@ -161,18 +161,91 @@ def common_shingle_ratio(df, text_col="text", id_col="doc_id", n=3,
     )
 
 
+def _bloom_params(n, fpp):
+    """Standard Bloom sizing: m bits / k hashes for n items at fpp."""
+    import math
+
+    m = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+    k = max(1, int(round(m / n * math.log(2))))
+    return m, k
+
+
+def _bloom_build(df, col_name, m, k):
+    """Distributed Bloom filter build, pure Column math: each value sets
+    ``k`` bit positions (JVM-side xxhash64 per seed); the bitmap is
+    assembled with a ``bit_or`` aggregate keyed by 64-bit word index —
+    the shuffle is bounded by m/64 keys (partial agg map-side), never by
+    the input size. Returns a ONE-ROW DataFrame carrying the bitmap as
+    ``array<long>`` (broadcast by the caller), so membership tests stay
+    in whole-stage codegen — no Python, no JVM-object broadcast."""
+    n_words = (m + 63) // 64
+    spark = df.sparkSession
+    pos = df.select(F.explode(F.array(*[
+        F.pmod(F.xxhash64(F.col(col_name), F.lit(i)), F.lit(m))
+        for i in range(k)
+    ])).alias("__p"))
+    words = (
+        pos.select(
+            (F.col("__p") / 64).cast("int").alias("__w"),
+            # call_function: the python shiftleft wrapper only takes a
+            # literal int shift, the SQL function takes any expression
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"),
+                F.pmod(F.col("__p"), F.lit(64)).cast("int"),
+            ).alias("__b"),
+        )
+        .groupBy("__w").agg(F.bit_or("__b").alias("__bits"))
+        .collect()
+    )
+    dense = [0] * n_words
+    for r in words:
+        dense[r["__w"]] = r["__bits"]
+    from pyspark.sql import types as T
+
+    return spark.createDataFrame(
+        [(dense,)],
+        T.StructType([T.StructField(
+            "__bloom", T.ArrayType(T.LongType(), False), False)]),
+    )
+
+
+def _bloom_contains(col, bitmap_col, m, k):
+    """Membership Column: AND over the k probed bits."""
+    cond = None
+    for i in range(k):
+        p = F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m))
+        word = F.element_at(bitmap_col, (p / 64).cast("int") + 1)
+        bit = F.call_function(
+            "shiftleft", F.lit(1).cast("long"),
+            F.pmod(p, F.lit(64)).cast("int"))
+        c = word.bitwiseAND(bit) != 0
+        cond = c if cond is None else (cond & c)
+    return cond
+
+
 def containment_ratio(test_df, train_df, text_col="text",
-                      id_col="doc_id", n=3):
+                      id_col="doc_id", n=3, method="exact",
+                      expected_shingles=None, fpp=0.01):
     """Decontamination screen: per test document, the fraction of its
     distinct token ``n``-grams that occur ANYWHERE in the training
     corpus. High containment = the test doc leaks into training data.
 
-    Shape: explode both sides' distinct shingles (map), distinct the
-    train side (one shuffle), semi-join test shingles against it (hash
-    join on the shingle), per-doc ratio. At extreme train sizes replace
-    the distinct train set with a Bloom filter
-    (``DataFrame.stat.bloomFilter`` broadcast) — one pass, constant
-    memory, small false-positive inflation of the ratio.
+    ``method="exact"`` (default): explode both sides' shingles (map),
+    distinct the train side (one shuffle), semi-join test shingles
+    against it, per-doc ratio. The distinct of ALL train shingles is the
+    scale bottleneck — it grows with the training corpus.
+
+    ``method="bloom"`` (the 100 TB path): ONE map pass over the train
+    shingles sets k bit positions each (JVM xxhash64), a ``bit_or``
+    aggregate keyed by 64-bit word index assembles the bitmap (shuffle
+    bounded by m/64 keys, NOT by train size), and the bitmap broadcasts
+    to the test scan as a one-row ``array<long>`` — membership tests
+    stay in whole-stage codegen. The ratio inflates by at most ``fpp``
+    in expectation (false positives only — never deflates); the
+    measured inflation vs exact is pinned in operators_test.
+    ``expected_shingles`` sizes the filter; when None, one count of the
+    (non-distinct) train shingle frame is spent on it — pass an
+    estimate to skip that job.
     """
     from .dedup import shingles
 
@@ -180,12 +253,28 @@ def containment_ratio(test_df, train_df, text_col="text",
         F.col(id_col).alias("__id"),
         F.explode(shingles(F.col(text_col), n)).alias("__g"),
     )
-    train_g = train_df.select(
-        F.explode(shingles(F.col(text_col), n)).alias("__g")
-    ).distinct()
-    hits = tex.join(train_g, "__g", "left_semi").groupBy("__id").agg(
-        F.count(F.lit(1)).alias("__hits")
-    )
+    if method == "bloom":
+        train_g = train_df.select(
+            F.explode(shingles(F.col(text_col), n)).alias("__g")
+        )
+        if expected_shingles is None:
+            expected_shingles = max(train_g.count(), 64)
+        m, k = _bloom_params(expected_shingles, fpp)
+        bitmap = _bloom_build(train_g, "__g", m, k)
+        hits = (
+            tex.crossJoin(F.broadcast(bitmap))
+            .filter(_bloom_contains(F.col("__g"), F.col("__bloom"), m, k))
+            .groupBy("__id").agg(F.count(F.lit(1)).alias("__hits"))
+        )
+    elif method == "exact":
+        train_g = train_df.select(
+            F.explode(shingles(F.col(text_col), n)).alias("__g")
+        ).distinct()
+        hits = tex.join(train_g, "__g", "left_semi").groupBy("__id").agg(
+            F.count(F.lit(1)).alias("__hits")
+        )
+    else:
+        raise ValueError("unknown containment method %r" % method)
     totals = tex.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
     return (
         totals.join(hits, "__id", "left")

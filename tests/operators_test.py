@@ -218,28 +218,102 @@ def test_multimodal(spark):
     assert all(f.frame_ts_ms % 500 == 0 for f in frames)
 
     if multimodal._try_pil() is None:
+        # non-PNG payload without Pillow: honest refusal, not a stub
         with pytest.raises(NotImplementedError):
             multimodal.decode_image(b"\x00", fake=False)
 
 
-@pytest.mark.skipif(
-    multimodal._try_pil() is None, reason="Pillow not installed"
-)
-def test_real_image_decode():
-    """When Pillow is importable the decode path is real: a generated
-    2-color PNG produces a FEATURE_DIM vector with both tones present."""
-    import io
+def _make_png(width=8, height=8, split=4):
+    """2-tone grayscale PNG via the vendored pure-stdlib writer: left
+    ``split`` columns white, the rest black."""
+    from tanker_spark.operators import minipng
 
-    Image = multimodal._try_pil()
-    img = Image.new("L", (8, 8), 0)
-    for x in range(4):
-        for y in range(8):
-            img.putpixel((x, y), 255)
-    buf = io.BytesIO()
-    img.save(buf, format="PNG")
-    feat = multimodal.decode_image(buf.getvalue(), fake=False)
+    px = bytearray(width * height)
+    for y in range(height):
+        for x in range(split):
+            px[y * width + x] = 255
+    return minipng.encode_gray(px, width, height)
+
+
+def test_real_image_decode():
+    """The non-fake decode path runs in CI regardless of Pillow: a
+    generated 2-tone PNG produces a FEATURE_DIM vector whose left half
+    is white and right half black (real pixels, not the hash stub)."""
+    feat = multimodal.decode_image(_make_png(), fake=False)
     assert len(feat) == multimodal.FEATURE_DIM
-    assert max(feat) > 0.9 and min(feat) < 0.1
+    # 4x4 mean-pool of a left-white/right-black 8x8: columns 0-1 white,
+    # 2-3 black on every pooled row
+    for row in range(4):
+        assert feat[row * 4 + 0] > 0.9 and feat[row * 4 + 1] > 0.9
+        assert feat[row * 4 + 2] < 0.1 and feat[row * 4 + 3] < 0.1
+    # and it differs from the deterministic stub (proves it's not faked)
+    assert feat != multimodal._fake_feature(_make_png())
+
+
+def test_minipng_roundtrip_and_filters():
+    """encode→decode roundtrips exactly; the decoder honors all five
+    PNG row filters (re-encode through zlib using each filter type)."""
+    import struct
+    import zlib
+
+    from tanker_spark.operators import minipng
+
+    w = h = 6
+    px = bytes((x * 40 + y * 7) % 256 for y in range(h) for x in range(w))
+    assert minipng.decode_gray(minipng.encode_gray(px, w, h)) == (w, h, px)
+
+    # hand-build IDATs exercising filters 1-4 (sub/up/average/paeth)
+    for f in (1, 2, 3, 4):
+        rows = []
+        prev = bytearray(w)
+        for y in range(h):
+            row = bytearray(px[y * w:(y + 1) * w])
+            enc = bytearray(row)
+            for x in range(w):
+                a = row[x - 1] if x else 0
+                b = prev[x]
+                c = prev[x - 1] if x else 0
+                if f == 1:
+                    enc[x] = (row[x] - a) & 255
+                elif f == 2:
+                    enc[x] = (row[x] - b) & 255
+                elif f == 3:
+                    enc[x] = (row[x] - ((a + b) >> 1)) & 255
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c)
+                    enc[x] = (row[x] - pr) & 255
+            rows.append(bytes([f]) + bytes(enc))
+            prev = row
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        data = (
+            minipng.SIGNATURE
+            + minipng._chunk(b"IHDR", ihdr)
+            + minipng._chunk(b"IDAT", zlib.compress(b"".join(rows)))
+            + minipng._chunk(b"IEND", b"")
+        )
+        assert minipng.decode_gray(data) == (w, h, px), "filter %d" % f
+
+
+def test_resize_images_real(spark):
+    """mapInPandas resize with fake=False resamples real pixels via the
+    vendored codec (or Pillow when present)."""
+    rows = [(i, bytearray(_make_png(8, 8, 4)), "image/png", 8, 8, 0)
+            for i in range(4)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.resize_images(media, 4, 4, fake=False).collect()
+    from tanker_spark.operators import minipng
+
+    assert len(out) == 4
+    for r in out:
+        assert (r.width, r.height) == (4, 4)
+        w, h, px = minipng.decode_gray(bytes(r.payload))
+        assert (w, h) == (4, 4)
+        for y in range(4):
+            # left half stays white, right half black after resample
+            assert px[y * 4 + 0] == 255 and px[y * 4 + 3] == 0
 
 
 def test_curation_sampling(spark, docs):
@@ -395,6 +469,14 @@ def test_knn_join(spark):
         mine = [r for r in lsh if r.qid == qid]
         assert mine and max(mine, key=lambda r: r.cos_sim).cid == qid
 
+    # radius > 2 is honored (used to be silently clamped to 2): at
+    # multiprobe = n_planes the ball is ALL buckets, so LSH == brute
+    full = similarity.knn_join(
+        q, df, k=4, method="lsh", dim=dim, n_planes=6, multiprobe=6
+    ).collect()
+    key = lambda r: (r.qid, r.cid)
+    assert sorted(map(key, full)) == sorted(map(key, got))
+
 
 def test_sig_side_table(spark, docs, tmp_path):
     """sig_path materializes signatures as a parquet side table with
@@ -480,7 +562,7 @@ def test_cap_per_group_salted(spark, docs):
     from tanker_spark.operators import curation
 
     plain = curation.cap_per_group(
-        docs, "text", 2, [("doc_id", "asc")]
+        docs, "text", 2, [("doc_id", "asc")], salt=None
     )
     salted = curation.cap_per_group(
         docs, "text", 2, [("doc_id", "asc")], salt=8
@@ -488,6 +570,39 @@ def test_cap_per_group_salted(spark, docs):
     key = lambda r: (r.doc_id, r.text)
     assert sorted(map(key, plain.collect())) == \
         sorted(map(key, salted.collect()))
+
+
+def test_cap_per_group_auto_salt_pathological(spark):
+    """One giant group: auto mode must engage the salted pre-pass
+    (bounding any single task's sort input at ~target_rows) and still
+    keep the same survivors as the lazy path under a total order."""
+    from pyspark.sql import functions as F
+
+    from tanker_spark.operators import curation
+
+    df = spark.range(2000).select(
+        F.lit("giant").alias("src"), F.col("id"),
+        (F.col("id") % 7).alias("score"),
+    )
+    auto = curation.cap_per_group(
+        df, "src", 3, [("score", "desc"), ("id", "asc")],
+        salt="auto", target_rows=100,
+    )
+    # the salted pre-pass is in the plan (subgroup hash present)
+    plan = auto._jdf.queryExecution().optimizedPlan().toString()
+    assert "pmod(xxhash64" in plan, plan
+    lazy = curation.cap_per_group(
+        df, "src", 3, [("score", "desc"), ("id", "asc")], salt=None
+    )
+    assert sorted((r.id, r.score) for r in auto.collect()) == \
+        sorted((r.id, r.score) for r in lazy.collect())
+    # balanced data: auto mode skips the pre-pass entirely
+    balanced = spark.range(300).select(
+        (F.col("id") % 50).alias("src"), F.col("id"))
+    noguard = curation.cap_per_group(
+        balanced, "src", 2, [("id", "asc")], target_rows=100)
+    plan2 = noguard._jdf.queryExecution().optimizedPlan().toString()
+    assert "pmod(xxhash64" not in plan2, plan2
 
 
 def test_pack_sequences(spark, docs):
@@ -528,6 +643,31 @@ def test_containment_ratio(spark):
            for r in text.containment_ratio(test_df, train).collect()}
     assert got[100] == 1.0
     assert got[101] < got[100]
+
+
+def test_containment_ratio_bloom(spark):
+    """The Bloom path can only inflate containment (false positives,
+    never negatives) and stays within fpp of exact; its plan has no
+    train-side shuffle of shingle strings (bitmap build + broadcast)."""
+    rnd = random.Random(19)
+    train_rows = [(i, _doc(rnd, 40)) for i in range(30)]
+    test_rows = [(100, train_rows[5][1])] + [
+        (101 + j, _doc(rnd, 40)) for j in range(10)]
+    train = spark.createDataFrame(train_rows, ["doc_id", "text"])
+    test_df = spark.createDataFrame(test_rows, ["doc_id", "text"])
+    exact = {r.doc_id: r.containment
+             for r in text.containment_ratio(test_df, train).collect()}
+    fpp = 0.01
+    bloom = {r.doc_id: r.containment
+             for r in text.containment_ratio(
+                 test_df, train, method="bloom", fpp=fpp).collect()}
+    assert bloom[100] == 1.0  # true hits always hit
+    max_infl = 0.0
+    for k in exact:
+        assert bloom[k] >= exact[k] - 1e-9, (k, exact[k], bloom[k])
+        max_infl = max(max_infl, bloom[k] - exact[k])
+    # measured inflation stays within a few x fpp (small-sample slack)
+    assert max_infl <= 5 * fpp, max_infl
 
 
 def test_quantize_embeddings(spark):
