@@ -36,10 +36,23 @@ BENCH_QUERIES = [
 ]
 
 
+#: timed passes per query — the reported figure is the MEDIAN, so a
+#: single GC pause / sandbox-load blip can't masquerade as a plan
+#: regression (round-3 VERDICT: one timed pass made a uniform 1.37x
+#: drift undiagnosable). Per-pass numbers ride along in "passes".
+N_PASSES = 3
+
+
+def _median(xs):
+    s = sorted(xs)
+    return s[len(s) // 2]
+
+
 def write_bench(spark):
     """The reference's micro-bench workload (reference bench.py:1-21):
     upsert 100,000 rows (name/ts/code/value, key=name) into a managed
-    table — here a merge-join write into versioned parquet."""
+    table — here a merge-join write into versioned parquet. Each pass
+    uses a fresh root; insert and upsert legs are timed separately."""
     import tempfile
     from datetime import datetime, timedelta
 
@@ -61,25 +74,27 @@ def write_bench(spark):
         value: float
       key: [name]
     """
-    root = tempfile.mkdtemp(prefix="tk_bench_")
     base = datetime(2020, 1, 1)
     rows = [
         ("name-%d" % i, base + timedelta(minutes=i), i, float(i))
         for i in range(100_000)
     ]
-    with connect({"root": root, "schema": schema, "spark": spark}):
-        create_tables()
-        # warm the merge-plan codegen on a twin table (steady-state
-        # engine time, not first-plan JIT); 'test' itself stays empty
-        View("warm", ["name", "ts", "code", "value"]).write(rows[:64])
-        t0 = time.perf_counter()
-        View("test", ["name", "ts", "code", "value"]).write(rows)
-        first = time.perf_counter() - t0
-        # second pass: true upsert against the existing 100k
-        t0 = time.perf_counter()
-        View("test", ["name", "ts", "code", "value"]).write(rows)
-        second = time.perf_counter() - t0
-    return round(first, 3), round(second, 3)
+    inserts, upserts = [], []
+    for _ in range(N_PASSES):
+        root = tempfile.mkdtemp(prefix="tk_bench_")
+        with connect({"root": root, "schema": schema, "spark": spark}):
+            create_tables()
+            # warm the merge-plan codegen on a twin table (steady-state
+            # engine time, not first-plan JIT); 'test' itself stays empty
+            View("warm", ["name", "ts", "code", "value"]).write(rows[:64])
+            t0 = time.perf_counter()
+            View("test", ["name", "ts", "code", "value"]).write(rows)
+            inserts.append(round(time.perf_counter() - t0, 3))
+            # second leg: true upsert against the existing 100k
+            t0 = time.perf_counter()
+            View("test", ["name", "ts", "code", "value"]).write(rows)
+            upserts.append(round(time.perf_counter() - t0, 3))
+    return inserts, upserts
 
 
 def main():
@@ -87,7 +102,7 @@ def main():
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="tanker_spark_bench")
     queries = entry_mod.queries()
-    timings = {}
+    timings, all_passes = {}, {}
     # warm the session: JVM JIT, parquet footer cache, whole-stage
     # codegen for EVERY bench plan — the timed loop then measures
     # steady-state engine time, not first-query Janino compilation
@@ -96,23 +111,30 @@ def main():
         queries[name](spark, sf_dir).count()
     for name in BENCH_QUERIES:
         fn = queries[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print("# %-26s %8.3fs  %d rows" % (name, timings[name], n),
+        passes = []
+        n = 0
+        for _ in range(N_PASSES):
+            t0 = time.perf_counter()
+            n = fn(spark, sf_dir).count()
+            passes.append(round(time.perf_counter() - t0, 3))
+        timings[name] = _median(passes)
+        all_passes[name] = passes
+        print("# %-26s %8.3fs  %d rows  %s" % (
+            name, timings[name], n, passes), file=sys.stderr)
+    inserts, upserts = write_bench(spark)
+    for key, passes in (("write_100k_insert", inserts),
+                        ("write_100k_upsert", upserts)):
+        timings[key] = _median(passes)
+        all_passes[key] = passes
+        print("# %-26s %8.3fs  %s" % (key, timings[key], passes),
               file=sys.stderr)
-    w1, w2 = write_bench(spark)
-    timings["write_100k_insert"] = w1
-    timings["write_100k_upsert"] = w2
-    print("# %-26s %8.3fs" % ("write_100k_insert", w1), file=sys.stderr)
-    print("# %-26s %8.3fs" % ("write_100k_upsert", w2), file=sys.stderr)
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "passes": all_passes,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 

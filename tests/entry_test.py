@@ -35,17 +35,27 @@ def test_oracle_keys_subset():
 
 
 def test_driver_row_budget_ordering():
-    """The driver's correctness run has covered only the first ~50
-    entries (round 2 lost rows this way): every one of the first 50
-    queries must be oracle-checkable, and the queries the round-2
-    VERDICT called out must sit inside that window."""
+    """The driver's correctness run covers only the first 50 entries
+    (round 2 lost rows this way): every one of the first 50 queries
+    must be oracle-checkable, and the queries the round-2/3 VERDICTs
+    called out must sit inside that window. The oracle-checkable
+    entries demoted past 50 (55 oracle queries > 50 slots) are exactly
+    the five whose §2 rows are multiply-cited elsewhere."""
     names = list(QUERIES)
     oracles = set(entry_mod.oracle_sql())
     for name in names[:50]:
         assert name in oracles, "%s has no oracle but sits in the " \
             "driver's row budget" % name
-    for name in ("cap_per_source", "redact_pii", "curation_pipeline"):
-        assert names.index(name) < 50
+    for name in ("cap_per_source", "redact_pii", "curation_pipeline",
+                 "boilerplate_ratio", "contamination_check",
+                 "quantize_roundtrip", "not_over_or_exists",
+                 "or_composite_grammar"):
+        assert names.index(name) < 50, name
+    demoted = [n for n in names[50:] if n in oracles]
+    assert set(demoted) == {
+        "q6_forecast_revenue", "q12_priority_counts", "agg_global_stats",
+        "alias_fields", "embedding_label_norms",
+    }, demoted
 
 
 def test_events_ts_stays_timestamp():
