@@ -842,6 +842,64 @@ def boilerplate_ratio(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def repetition_docs(spark, sf_dir):
+    """Gopher-style within-document repetition filters (dup-line
+    fraction, dup-line char fraction, top-2-gram char coverage,
+    duplicated-3-gram char coverage) — the repetition-removal family
+    from the published web-scale curation pipelines, as one map +
+    per-doc aggregate (see text.repetition_signals)."""
+    df = _read(spark, sf_dir, "documents")
+    return text.repetition_signals(
+        df, "text", "doc_id", top_n=2, dup_n=3
+    ).orderBy("doc_id")
+
+
+def embedding_outliers(spark, sf_dir):
+    """Embedding-space outlier screen: top-10 vectors by cosine
+    distance to their label centroid (mislabel/OOD detection; see
+    similarity.centroid_outliers)."""
+    df = _read(spark, sf_dir, "embeddings")
+    return similarity.centroid_outliers(
+        df, "embedding", "vec_id", "label", k=10
+    )
+
+
+def lang_id_confusion(spark, sf_dir):
+    """Language-ID evaluation: confusion matrix of the stopword-argmax
+    heuristic (text.lang_id) against the declared lang column. Puts the
+    lang-ID decision rule itself — per-language stopword ratios, the
+    0.02 floor, the es>de>fr>en tie priority — under the SQL oracle."""
+    df = _read(spark, sf_dir, "documents")
+    return (
+        df.select("lang", text.lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+def bigram_surprisal_docs(spark, sf_dir):
+    """Corpus-trained bigram LM surprisal per doc (the KenLM-quality-
+    filter stand-in; see text.bigram_surprisal)."""
+    df = _read(spark, sf_dir, "documents")
+    return text.bigram_surprisal(
+        df, "text", "doc_id", k=0.5
+    ).orderBy("doc_id")
+
+
+def chunk_docs_windows(spark, sf_dir):
+    """Context-window chunking: overlapping token windows (size 32,
+    stride 24 ⇒ 8-token overlap) per document — the pre-tokenization
+    splitting step of a training pipeline. Map-only posexplode (see
+    curation.chunk_docs)."""
+    from tanker_spark.operators import curation
+
+    df = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return curation.chunk_docs(
+        df, "text", "doc_id", size=32, stride=24
+    ).orderBy("doc_id", "chunk_id")
+
+
 def doc_len_quantiles(spark, sf_dir):
     """Per-source corpus length stats with EXACT percentiles
     (F.percentile — sort-per-group; at 100 TB swap for
@@ -1039,8 +1097,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "null_safe_buckets": null_safe_buckets,
         "filter_like_in": filter_like_in,
-        "dict_filter_topn": dict_filter_topn,
-        "distinct_segments": distinct_segments,
         "order_limit_offset": order_limit_offset,
         "cast_trunc_extract": cast_trunc_extract,
         "o2m_nation_count": o2m_nation_count,
@@ -1048,7 +1104,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "in_subquery": in_subquery,
         "nested_exists_2level": nested_exists_2level,
         "not_exists_2level": not_exists_2level,
-        "or_exists_filter": or_exists_filter,
         "or_two_not_exists": or_two_not_exists,
         "not_over_or_exists": not_over_or_exists,
         "or_composite_grammar": or_composite_grammar,
@@ -1060,7 +1115,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_roundtrip": delete_roundtrip,
         "write_fk_resolution": write_fk_resolution,
         "acl_write_roundtrip": acl_write_roundtrip,
-        "params_notin": params_notin,
         "json_extract_events": json_extract_events,
         "unnest_embedding": unnest_embedding,
         "any_all_arrays": any_all_arrays,
@@ -1069,7 +1123,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": sessionize_events,
         "asof_last_purchase": asof_last_purchase,
         "dedup_exact_docs": dedup_exact_docs,
-        "text_stats": text_stats,
         "knn_cosine_bruteforce": knn_cosine_bruteforce,
         "knn_join_batch": knn_join_batch,
         "embedding_neardup": embedding_neardup,
@@ -1084,16 +1137,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_ratio": boilerplate_ratio,
         "contamination_check": contamination_check,
         "quantize_roundtrip": quantize_roundtrip,
-        # -- oracle-checkable but OUTSIDE the driver's 50-row budget (55
-        # oracle queries > 50 slots): these five are the only entries
-        # whose §2 operator rows are multiply-cited elsewhere, so
-        # demoting them loses no sole-citation coverage; their oracle
-        # SQL stays runnable by hand / scripts/oracle_check.py
+        # round-4 additions, inside the driver window so they get
+        # CORRECTNESS rows in their debut round:
+        "repetition_docs": repetition_docs,
+        "chunk_docs_windows": chunk_docs_windows,
+        "bigram_surprisal_docs": bigram_surprisal_docs,
+        "lang_id_confusion": lang_id_confusion,
+        "embedding_outliers": embedding_outliers,
+        # -- oracle-checkable but OUTSIDE the driver's 50-row budget (60
+        # oracle queries > 50 slots): every demoted entry's §2 operator
+        # row is also covered by other in-window queries and/or the
+        # ported golden pytest suites, and each was driver-verified
+        # green in CORRECTNESS_r03 (or r1-r3); their oracle SQL stays
+        # runnable by hand / scripts/oracle_check.py
         "q6_forecast_revenue": q6_forecast_revenue,
         "q12_priority_counts": q12_priority_counts,
         "agg_global_stats": agg_global_stats,
         "alias_fields": alias_fields,
         "embedding_label_norms": embedding_label_norms,
+        "dict_filter_topn": dict_filter_topn,
+        "distinct_segments": distinct_segments,
+        "params_notin": params_notin,
+        "or_exists_filter": or_exists_filter,
+        "text_stats": text_stats,
         # -- no-oracle (rows-only) entries LAST: if the driver's run caps
         # the query count, every oracle-checkable entry above still gets
         # a CORRECTNESS row (round-2 lost 3 green rows to this)
@@ -1751,6 +1817,161 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, n_tok FROM uniq
             WHERE (doc_id * 7919) % 10000 < 5000
             ORDER BY doc_id
+        """,
+        "repetition_docs": """
+            WITH base AS (
+              SELECT doc_id, greatest(length(text), 1) AS chars, text
+              FROM documents
+            ), lines AS (
+              SELECT doc_id, chars,
+                     unnest(string_split(text, chr(10))) AS ln
+              FROM base
+            ), lc AS (
+              SELECT doc_id, chars, ln, count(*) AS c
+              FROM lines GROUP BY 1, 2, 3
+            ), lsig AS (
+              SELECT doc_id,
+                     round(1.0 - count(*)::DOUBLE / sum(c), 4)
+                         AS dup_line_frac,
+                     round(least(
+                       sum((c - 1) * length(ln))::DOUBLE / first(chars),
+                       1.0), 4) AS dup_line_char_frac
+              FROM lc GROUP BY doc_id
+            ), toks AS (
+              SELECT doc_id, chars,
+                     regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM base
+            ), g2c AS (
+              SELECT doc_id, chars, g, count(*) AS c FROM (
+                SELECT doc_id, chars,
+                       unnest([concat_ws(' ', t[i], t[i+1])
+                               for i in range(1, len(t))]) AS g
+                FROM toks
+              ) GROUP BY 1, 2, 3
+            ), tsig AS (
+              SELECT doc_id,
+                     round(least(
+                       max(c * length(g))::DOUBLE / first(chars),
+                       1.0), 4) AS top_gram_char_frac
+              FROM g2c GROUP BY doc_id
+            ), g3c AS (
+              SELECT doc_id, chars, g, count(*) AS c FROM (
+                SELECT doc_id, chars,
+                       unnest([concat_ws(' ', t[i], t[i+1], t[i+2])
+                               for i in range(1, len(t) - 1)]) AS g
+                FROM toks
+              ) GROUP BY 1, 2, 3
+            ), dsig AS (
+              SELECT doc_id,
+                     round(least(
+                       coalesce(sum(CASE WHEN c > 1
+                                    THEN c * length(g) END), 0)::DOUBLE
+                       / first(chars), 1.0), 4) AS dup_gram_char_frac
+              FROM g3c GROUP BY doc_id
+            )
+            SELECT l.doc_id, dup_line_frac, dup_line_char_frac,
+                   top_gram_char_frac, dup_gram_char_frac
+            FROM lsig l JOIN tsig USING (doc_id)
+                        JOIN dsig USING (doc_id)
+            ORDER BY doc_id
+        """,
+        "embedding_outliers": """
+            WITH ex AS (
+              SELECT label, vec_id, unnest(embedding) AS v,
+                     unnest(range(1, len(embedding) + 1)) AS i
+              FROM embeddings
+            ), cent AS (
+              SELECT label, i, avg(v) AS c FROM ex GROUP BY label, i
+            ), d AS (
+              SELECT e.vec_id, e.label,
+                     sum(e.v * c.c) AS dot,
+                     sqrt(sum(e.v * e.v)) AS na,
+                     sqrt(sum(c.c * c.c)) AS nc
+              FROM ex e JOIN cent c ON e.label = c.label AND e.i = c.i
+              GROUP BY e.vec_id, e.label
+            )
+            SELECT vec_id, label,
+                   round(1.0 - dot / (na * nc), 4) AS cdist
+            FROM d
+            ORDER BY cdist DESC, vec_id ASC
+            LIMIT 10
+        """,
+        "lang_id_confusion": """
+            WITH t AS (
+              SELECT lang,
+                     list_transform(
+                       regexp_split_to_array(trim(text), '\\s+'),
+                       x -> lower(x)) AS toks
+              FROM documents
+            ), r AS (
+              SELECT lang,
+                len(list_filter(toks, x -> list_contains(
+                  ['the','a','an','of','and','to','in','is','it','that'],
+                  x)))::DOUBLE / greatest(len(toks), 1) AS r_en,
+                len(list_filter(toks, x -> list_contains(
+                  ['le','la','les','de','des','et','un','une','est',
+                   'que'], x)))::DOUBLE / greatest(len(toks), 1) AS r_fr,
+                len(list_filter(toks, x -> list_contains(
+                  ['der','die','das','und','ist','ein','eine','zu',
+                   'den'], x)))::DOUBLE / greatest(len(toks), 1) AS r_de,
+                len(list_filter(toks, x -> list_contains(
+                  ['el','la','los','de','y','un','una','es','que','en'],
+                  x)))::DOUBLE / greatest(len(toks), 1) AS r_es
+              FROM t
+            ), p AS (
+              SELECT lang,
+                CASE WHEN best <= 0.02 THEN 'und'
+                     WHEN r_es = best THEN 'es'
+                     WHEN r_de = best THEN 'de'
+                     WHEN r_fr = best THEN 'fr'
+                     WHEN r_en = best THEN 'en'
+                     ELSE 'und' END AS lang_pred
+              FROM (SELECT lang, r_en, r_fr, r_de, r_es,
+                           greatest(r_en, r_fr, r_de, r_es) AS best
+                    FROM r)
+            )
+            SELECT lang, lang_pred, count(*) AS n
+            FROM p GROUP BY lang, lang_pred
+            ORDER BY lang, lang_pred
+        """,
+        "bigram_surprisal_docs": """
+            WITH ex AS (
+              SELECT doc_id,
+                     unnest([concat_ws(' ', t[i], t[i+1])
+                             for i in range(1, len(t))]) AS g
+              FROM (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)),
+                                             '\\s+') AS t
+                FROM documents
+              )
+            ), counts AS (
+              SELECT g, count(*) AS c FROM ex GROUP BY g
+            ), tot AS (
+              SELECT sum(c) AS n, count(*) AS v FROM counts
+            )
+            SELECT ex.doc_id,
+                   round(avg(-ln((c + 0.5) / (n + 0.5 * v))), 4)
+                       AS surprisal
+            FROM ex JOIN counts USING (g), tot
+            GROUP BY ex.doc_id
+            ORDER BY ex.doc_id
+        """,
+        "chunk_docs_windows": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents WHERE doc_id < 100
+            ), starts AS (
+              SELECT doc_id, t,
+                     unnest(range(0, greatest(len(t), 1), 24)) AS s
+              FROM toks
+            )
+            SELECT doc_id, (s // 24)::INT AS chunk_id,
+                   len(t[s+1 : s+32]) AS n_chunk_tokens,
+                   array_to_string(t[s+1 : s+32], ' ') AS chunk_text
+            FROM starts
+            ORDER BY doc_id, chunk_id
         """,
         # minhash/simhash/doc_fingerprints/knn_lsh/knn_ivf/multimodal:
         # hash/UDF internals or approximate recall are not portably

@@ -55,6 +55,43 @@ def sample_stratified(df, strata_col, fractions, id_col,
     return df.filter(b < thresh)
 
 
+def chunk_docs(df, text_col="text", id_col="doc_id", size=64, stride=48):
+    """Split documents into overlapping token windows — the
+    context-window chunking step before tokenization/packing in a
+    training pipeline (stride < size ⇒ overlap of ``size - stride``
+    tokens between consecutive chunks, the standard trick to avoid
+    truncating semantic units at window borders).
+
+    Per row: whitespace tokens, window starts ``0, stride, 2·stride …``
+    while < n_tokens; each chunk carries its 0-based ``chunk_id``, its
+    token count (the final chunk may be short) and the re-joined text.
+
+    Map-only — posexplode of a per-row start sequence, no shuffle; at
+    100 TB this is a pure scan→scan stage and the output partitioning
+    follows the input (good: downstream packing wants doc-locality).
+    """
+    from .text import tokens
+
+    toks = tokens(F.col(text_col))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(toks) - 1, F.lit(0)),
+        F.lit(int(stride)),
+    )
+    ex = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.posexplode(starts).alias("chunk_id", "__start"),
+    )
+    chunk = F.slice(F.col("__toks"), F.col("__start") + 1, int(size))
+    return ex.select(
+        F.col(id_col),
+        "chunk_id",
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
 #: auto-salt threshold: groups above this row count get the salted
 #: pre-pass so no single task ever sorts more than ~this many rows
 AUTO_SALT_TARGET = 1_000_000

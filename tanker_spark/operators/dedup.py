@@ -81,8 +81,10 @@ def dedup_exact_rows(df, key_cols, id_col="doc_id"):
 # shingles + minhash
 # ---------------------------------------------------------------------------
 
-def shingles(col, n=3):
-    """Token n-gram shingles as an array<string> (distinct).
+def shingles_all(col, n=3):
+    """Token n-gram shingles as an array<string>, one entry PER
+    OCCURRENCE (duplicates preserved — repetition analysis needs the
+    counts that :func:`shingles` throws away).
 
     Built by zip_with over shifted array copies — O(1) work per element.
     (The obvious ``transform(seq, i -> slice(toks, i, n))`` is O(n) array
@@ -95,9 +97,13 @@ def shingles(col, n=3):
         grams = F.zip_with(
             grams, shifted, lambda a, b: F.concat_ws(" ", a, b)
         )
-    return F.array_distinct(
-        F.slice(grams, 1, F.greatest(size - (n - 1), F.lit(1)))
-    )
+    return F.slice(grams, 1, F.greatest(size - (n - 1), F.lit(1)))
+
+
+def shingles(col, n=3):
+    """Distinct token n-gram shingles as an array<string> (the set view
+    used by MinHash / Jaccard / containment)."""
+    return F.array_distinct(shingles_all(col, n))
 
 
 def _perm_params(num_hashes, seed=42):

@@ -191,6 +191,53 @@ def cosine_cols(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def centroid_outliers(df, vec_col="embedding", id_col="vec_id",
+                      label_col="label", k=10):
+    """Embedding-space dataset QA: cosine distance of every vector to
+    its label's mean centroid, returning the ``k`` most-distant rows —
+    the standard screen for mislabeled / out-of-distribution examples
+    before training.
+
+    Shape at 100 TB: posexplode (map) → centroid aggregate keyed by
+    (label, dim) — the shuffle is bounded by |labels|·dim keys with
+    map-side partial sums, NOT by row count — → broadcast the tiny
+    centroid table back onto the scan → one TakeOrderedAndProject for
+    the top-k. No driver loop, no pairwise products.
+
+    The top-k boundary orders by the ROUNDED distance (4 dp) with the
+    id as tie-break, so the selected set is reproducible across engines
+    and partitionings despite float-sum ordering noise.
+    """
+    ex = df.select(
+        F.col(label_col).alias("__lbl"),
+        F.posexplode(F.col(vec_col)).alias("__i", "__v"),
+    )
+    cent = (
+        ex.groupBy("__lbl", "__i")
+        .agg(F.avg("__v").alias("__c"))
+        .groupBy("__lbl")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__i", "__c"))),
+                lambda s: s["__c"],
+            ).alias("__cent")
+        )
+    )
+    joined = df.join(
+        F.broadcast(cent), df[label_col] == cent["__lbl"]
+    )
+    cdist = F.round(
+        1.0 - cosine_cols(F.col(vec_col), F.col("__cent")), 4
+    )
+    return (
+        joined.select(
+            F.col(id_col), F.col(label_col), cdist.alias("cdist")
+        )
+        .orderBy(F.col("cdist").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def knn_join(queries, corpus, k=5, vec_col="embedding", id_col="vec_id",
              method="brute", dim=64, n_planes=None, seed=42, multiprobe=1):
     """Batch KNN join: for EVERY query row, the top-k nearest corpus

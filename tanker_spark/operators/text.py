@@ -161,6 +161,146 @@ def common_shingle_ratio(df, text_col="text", id_col="doc_id", n=3,
     )
 
 
+def repetition_signals(df, text_col="text", id_col="doc_id",
+                       top_n=2, dup_n=3):
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models", Table A1 — the repetition-removal family),
+    per document:
+
+    - ``dup_line_frac``: fraction of lines that are repeats of an
+      earlier line (1 - distinct/total).
+    - ``dup_line_char_frac``: fraction of characters contained in the
+      repeated occurrences of duplicated lines.
+    - ``top_gram_char_frac``: characters covered by the single most
+      frequent token ``top_n``-gram / total characters.
+    - ``dup_gram_char_frac``: characters covered by all token
+      ``dup_n``-grams occurring more than once / total characters.
+
+    Char fractions use occurrence_count × gram_length over the raw text
+    length and are capped at 1.0 (overlapping occurrences can over-count
+    — same simplification Gopher documents), rounded to 4 decimals.
+
+    Shape at 100 TB: two explode branches (lines, grams) each aggregate
+    on (doc, value) then on doc — partial aggregation is map-side, the
+    shuffles are keyed by doc id, never doc×doc. This is exactly how the
+    published web-scale curation pipelines run this filter.
+    """
+    from .dedup import shingles_all
+
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.greatest(F.length(F.col(text_col)), F.lit(1)).alias("__chars"),
+        F.col(text_col).alias("__t"),
+    )
+
+    lines = base.select(
+        "__id", "__chars",
+        F.explode(F.split(F.col("__t"), "\n")).alias("__ln"),
+    )
+    line_counts = lines.groupBy("__id", "__chars", "__ln").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    line_sig = line_counts.groupBy("__id").agg(
+        F.round(
+            F.lit(1.0) - F.count(F.lit(1)) / F.sum("__c"), 4
+        ).alias("dup_line_frac"),
+        F.round(
+            F.least(
+                F.sum((F.col("__c") - 1) * F.length("__ln"))
+                / F.first("__chars"),
+                F.lit(1.0),
+            ), 4
+        ).alias("dup_line_char_frac"),
+    )
+
+    def gram_counts(n):
+        ex = base.select(
+            "__id", "__chars",
+            F.explode(shingles_all(F.col("__t"), n)).alias("__g"),
+        )
+        return ex.groupBy("__id", "__chars", "__g").agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+
+    top_sig = gram_counts(top_n).groupBy("__id").agg(
+        F.round(
+            F.least(
+                F.max(F.col("__c") * F.length("__g"))
+                / F.first("__chars").cast("double"),
+                F.lit(1.0),
+            ), 4
+        ).alias("top_gram_char_frac"),
+    )
+    dup_sig = gram_counts(dup_n).groupBy("__id").agg(
+        F.round(
+            F.least(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("__c") > 1,
+                            F.col("__c") * F.length("__g"),
+                        )
+                    ),
+                    F.lit(0),
+                ) / F.first("__chars").cast("double"),
+                F.lit(1.0),
+            ), 4
+        ).alias("dup_gram_char_frac"),
+    )
+
+    return (
+        line_sig.join(top_sig, "__id").join(dup_sig, "__id")
+        .select(
+            F.col("__id").alias(id_col),
+            "dup_line_frac", "dup_line_char_frac",
+            "top_gram_char_frac", "dup_gram_char_frac",
+        )
+    )
+
+
+def bigram_surprisal(df, text_col="text", id_col="doc_id", k=0.5):
+    """Perplexity-style quality signal without an external LM: train a
+    bigram frequency model ON THE CORPUS ITSELF, then score each doc by
+    its mean token-bigram surprisal −ln p̂(g), with add-k smoothing
+    p̂(g) = (c(g)+k)/(N+k·V) over N total / V distinct corpus bigrams.
+    Low surprisal = in-distribution, repetitive text; high = rare or
+    noisy text (the cheap stand-in for the KenLM-filter stage of
+    published pipelines, which this container cannot host).
+
+    Shape at 100 TB: explode lowercased bigrams (map) → corpus counts
+    (one shuffle, map-side partial agg) → join doc grams to counts
+    (shuffle on the gram key — the textbook distributed-LM-count job)
+    → per-doc mean (shuffle on doc id). N and V ride along as a
+    broadcast one-row frame. Nothing touches the driver.
+    """
+    from .dedup import shingles_all
+
+    ex = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            shingles_all(F.lower(F.col(text_col)), 2)
+        ).alias("__g"),
+    )
+    counts = ex.groupBy("__g").agg(F.count(F.lit(1)).alias("__c"))
+    tot = counts.agg(
+        F.sum("__c").alias("__n"), F.count(F.lit(1)).alias("__v")
+    )
+    scored = (
+        ex.join(counts, "__g")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "__id",
+            (-F.log(
+                (F.col("__c") + F.lit(k))
+                / (F.col("__n") + F.lit(k) * F.col("__v"))
+            )).alias("__s"),
+        )
+    )
+    return scored.groupBy("__id").agg(
+        F.round(F.avg("__s"), 4).alias("surprisal")
+    ).select(F.col("__id").alias(id_col), "surprisal")
+
+
 def _bloom_params(n, fpp):
     """Standard Bloom sizing: m bits / k hashes for n items at fpp."""
     import math

@@ -697,3 +697,85 @@ def test_quantize_embeddings(spark):
         deq.withColumnRenamed("deq", "embedding"), probe_row[1], k=1
     ).collect()
     assert got[0].vec_id == 5
+
+
+def test_repetition_signals(spark):
+    clean = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    loopy = "spam ham eggs\nspam ham eggs\nspam ham eggs\nfresh line"
+    df = spark.createDataFrame(
+        [(1, clean), (2, loopy)], ["doc_id", "text"]
+    )
+    out = {
+        r.doc_id: r
+        for r in text.repetition_signals(df, top_n=2, dup_n=3).collect()
+    }
+    c, l = out[1], out[2]
+    # clean doc: single line, no repeated 2/3-grams
+    assert c.dup_line_frac == 0.0
+    assert c.dup_line_char_frac == 0.0
+    assert c.dup_gram_char_frac == 0.0
+    # loopy doc: 4 lines, 2 distinct -> dup_line_frac = 1 - 2/4
+    assert l.dup_line_frac == 0.5
+    # two repeated occurrences of 'spam ham eggs' (13 chars each)
+    assert l.dup_line_char_frac == round(2 * 13 / len(loopy), 4)
+    assert l.dup_gram_char_frac > 0.0
+    assert 0.0 < l.top_gram_char_frac <= 1.0
+    # clean doc: every 2-gram occurs once -> the longest one wins
+    ctoks = clean.split()
+    longest = max(
+        len(f"{a} {b}") for a, b in zip(ctoks, ctoks[1:])
+    )
+    assert c.top_gram_char_frac == round(longest / len(clean), 4)
+
+
+def test_chunk_docs(spark):
+    from tanker_spark.operators import curation
+
+    toks = [f"t{i}" for i in range(10)]
+    df = spark.createDataFrame([(1, " ".join(toks))], ["doc_id", "text"])
+    got = (
+        curation.chunk_docs(df, size=4, stride=3)
+        .orderBy("chunk_id").collect()
+    )
+    # starts 0,3,6,9 -> 4 chunks, the last is a single token
+    assert [r.chunk_id for r in got] == [0, 1, 2, 3]
+    assert [r.n_chunk_tokens for r in got] == [4, 4, 4, 1]
+    assert got[0].chunk_text == "t0 t1 t2 t3"
+    assert got[1].chunk_text == "t3 t4 t5 t6"    # 1-token overlap
+    assert got[3].chunk_text == "t9"
+    # reconstruction: stride tokens of each full chunk cover the doc
+    recon = []
+    for r in got:
+        recon.extend(r.chunk_text.split()[:3])
+    assert recon[:10] == toks
+
+
+def test_bigram_surprisal(spark):
+    rep = "the cat sat " * 20          # one dominant bigram pattern
+    rare = "zephyr quixotic jumbled oracle nebula vortex lattice prism"
+    df = spark.createDataFrame(
+        [(1, rep.strip()), (2, rare)], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r.surprisal
+           for r in text.bigram_surprisal(df).collect()}
+    # corpus-frequent bigrams are unsurprising; hapax bigrams are not
+    assert out[1] < out[2]
+    assert out[1] > 0.0
+
+
+def test_centroid_outliers(spark):
+    rnd = random.Random(13)
+    rows = []
+    for i in range(20):
+        base = [1.0, 0.0, 0.0, 0.0]
+        rows.append((i, [v + rnd.gauss(0, 0.01) for v in base], 0))
+    for i in range(20, 40):
+        base = [0.0, 1.0, 0.0, 0.0]
+        rows.append((i, [v + rnd.gauss(0, 0.01) for v in base], 1))
+    rows.append((99, [0.0, 0.0, 1.0, 0.0], 0))   # planted mislabel
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = similarity.centroid_outliers(df, k=3)
+    out = got.collect()
+    assert out[0].vec_id == 99 and out[0].cdist > 0.9
+    # the rest of its label cluster is tight
+    assert all(r.cdist < 0.1 for r in out[1:]) or len(out) == 3
