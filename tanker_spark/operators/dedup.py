@@ -471,21 +471,28 @@ def ngram_jaccard_exact(df, text_col="text", id_col="doc_id", n=3,
 # near-dup group resolution (connected components)
 # ---------------------------------------------------------------------------
 
-def neardup_groups(pairs_df, id_a="id_a", id_b="id_b", max_iter=25):
+def neardup_groups(pairs_df, id_a="id_a", id_b="id_b", max_iter=25,
+                   method="propagate"):
     """Resolve pairwise near-dup matches into dedup clusters: connected
-    components by iterative min-label propagation. Returns
-    ``(id, group_id)`` for every id appearing in a pair, where
-    ``group_id`` is the smallest id in the component (the canonical
-    keeper a dedup pipeline retains).
+    components. Returns ``(id, group_id)`` for every id appearing in a
+    pair, where ``group_id`` is the smallest id in the component (the
+    canonical keeper a dedup pipeline retains).
 
+    ``method="propagate"`` (default): iterative min-label propagation.
     Each round is one shuffle (edge join + min-agg) and converges in
     O(component diameter) rounds — near-dup clusters are shallow, so
     this is 2-3 rounds in practice. The per-round convergence check is
     a count on the label frame (metadata-sized: one row per distinct
-    id). At extreme skew (a giant component), swap in the
-    large-star/small-star variant (Kiveris et al., "Connected
-    Components in MapReduce") — same join primitive, fewer rounds.
+    id). Raises if a component's diameter exceeds ``max_iter``.
+
+    ``method="star"``: alternating large-star/small-star (Kiveris et
+    al. 2014, "Connected Components in MapReduce and Beyond") —
+    converges in O(log n) rounds regardless of diameter, the right
+    call when components can be long chains or a giant near-dup blob
+    (exactly the 100 TB failure mode of propagation). Same output.
     """
+    if method == "star":
+        return _neardup_groups_star(pairs_df, id_a, id_b, max_iter)
     edges = (
         pairs_df.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionAll(
@@ -542,6 +549,103 @@ def neardup_groups(pairs_df, id_a="id_a", id_b="id_b", max_iter=25):
         )
     edges.unpersist()
     return labels.select("id", F.col("lbl").alias("group_id"))
+
+
+def _neardup_groups_star(pairs_df, id_a="id_a", id_b="id_b",
+                         max_iter=50):
+    """Alternating large-star/small-star connected components.
+
+    Each round is two grouped aggregations over the edge list (no
+    label side-table): large-star hooks every neighbor LARGER than a
+    node onto the node's minimum neighbor, small-star re-points the
+    smaller neighbors. The edge set contracts toward a star per
+    component (every node → component min) in O(log n) rounds — no
+    dependence on component diameter, so a million-doc duplicate chain
+    costs ~20 rounds where propagation would need a million.
+
+    Convergence check per round: edge count + order-insensitive
+    xxhash64 checksum (two metadata-sized actions on an aggregated
+    frame, no row data to the driver).
+    """
+    e = (
+        pairs_df.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+
+    def _sym(edges):
+        return edges.unionAll(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+
+    def _large_star(edges):
+        s = _sym(edges)
+        mins = s.groupBy("u").agg(
+            F.least(F.min("v"), F.col("u")).alias("m")
+        )
+        return (
+            s.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(edges):
+        # orient each edge from its larger endpoint, group there
+        d = edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        mins = d.groupBy("u").agg(F.min("v").alias("m"))
+        hooked = (
+            d.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionAll(mins.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        return hooked
+
+    def _sig(edges):
+        # per-edge terms bounded to 31 bits so the ANSI-checked long
+        # sum cannot overflow below ~2^32 edges per comparison
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.pmod(F.xxhash64("u", "v"), F.lit(1 << 31))
+            ).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = None
+    for _ in range(max_iter):
+        # localCheckpoint truncates lineage: each round's plan would
+        # otherwise embed ~4 copies of the previous round's (sym ×2 +
+        # join), growing the logical tree 4^rounds → analyzer OOM. On a
+        # real cluster prefer spark.sparkContext.setCheckpointDir + .
+        # checkpoint() so a lost executor can't lose edge blocks.
+        nxt = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        sig = _sig(nxt)
+        e.unpersist()
+        e = nxt
+        if sig == prev:
+            break
+        prev = sig
+    else:
+        raise RuntimeError(
+            "neardup_groups(star): did not converge within %d rounds"
+            % max_iter
+        )
+    # e is now a star per component: (node, root). Roots map to
+    # themselves; every other node appears exactly once as u.
+    roots = e.select(F.col("v").alias("id")).distinct()
+    labels = e.select(
+        F.col("u").alias("id"), F.col("v").alias("group_id")
+    ).unionAll(roots.select("id", F.col("id").alias("group_id")))
+    out = labels.distinct()
+    e.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -779,3 +779,31 @@ def test_centroid_outliers(spark):
     assert out[0].vec_id == 99 and out[0].cdist > 0.9
     # the rest of its label cluster is tight
     assert all(r.cdist < 0.1 for r in out[1:]) or len(out) == 3
+
+
+def test_neardup_groups_star(spark):
+    # a 60-node chain: diameter 59 >> propagate's default 25 rounds,
+    # but O(log n) for the star variant
+    chain = [(i, i + 1) for i in range(60)]
+    pairs = spark.createDataFrame(chain, ["id_a", "id_b"])
+    got = dedup.neardup_groups(pairs, method="star").collect()
+    assert len(got) == 61
+    assert all(r.group_id == 0 for r in got)
+
+    # equivalence with propagation on a multi-component random graph
+    rnd = random.Random(5)
+    edges, n = set(), 40
+    for _ in range(50):
+        a, b = rnd.randrange(n), rnd.randrange(n)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    pairs2 = spark.createDataFrame(sorted(edges), ["id_a", "id_b"])
+    star = {r.id: r.group_id
+            for r in dedup.neardup_groups(pairs2, method="star").collect()}
+    prop = {r.id: r.group_id
+            for r in dedup.neardup_groups(pairs2).collect()}
+    assert star == prop
+
+    # propagation raises on the chain instead of silently splitting
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.neardup_groups(pairs, max_iter=5)
