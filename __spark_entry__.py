@@ -854,6 +854,19 @@ def repetition_docs(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def event_funnel(spark, sf_dir):
+    """Conversion funnel: per user, how many 'view' events were
+    followed by a 'click' within 30 minutes — the batch twin of the
+    watermarked stream-stream interval join
+    (streaming.events.interval_join / funnel_batch)."""
+    from tanker_spark.streaming import events as sev
+
+    df = _read(spark, sf_dir, "events")
+    return sev.funnel_batch(
+        df, "view", "click", within="30 minutes", ts_col="ts"
+    ).orderBy("user_id")
+
+
 def embedding_outliers(spark, sf_dir):
     """Embedding-space outlier screen: top-10 vectors by cosine
     distance to their label centroid (mislabel/OOD detection; see
@@ -1124,7 +1137,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_last_purchase": asof_last_purchase,
         "dedup_exact_docs": dedup_exact_docs,
         "knn_cosine_bruteforce": knn_cosine_bruteforce,
-        "knn_join_batch": knn_join_batch,
         "embedding_neardup": embedding_neardup,
         "ngram_jaccard_docs": ngram_jaccard_docs,
         "neardup_groups_docs": neardup_groups_docs,
@@ -1144,6 +1156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_surprisal_docs": bigram_surprisal_docs,
         "lang_id_confusion": lang_id_confusion,
         "embedding_outliers": embedding_outliers,
+        "event_funnel": event_funnel,
         # -- oracle-checkable but OUTSIDE the driver's 50-row budget (60
         # oracle queries > 50 slots): every demoted entry's §2 operator
         # row is also covered by other in-window queries and/or the
@@ -1160,6 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "params_notin": params_notin,
         "or_exists_filter": or_exists_filter,
         "text_stats": text_stats,
+        "knn_join_batch": knn_join_batch,
         # -- no-oracle (rows-only) entries LAST: if the driver's run caps
         # the query count, every oracle-checkable entry above still gets
         # a CORRECTNESS row (round-2 lost 3 green rows to this)
@@ -1874,6 +1888,30 @@ def oracle_sql() -> dict[str, str]:
             FROM lsig l JOIN tsig USING (doc_id)
                         JOIN dsig USING (doc_id)
             ORDER BY doc_id
+        """,
+        "event_funnel": """
+            WITH a AS (
+              SELECT user_id, event_id, ts FROM events
+              WHERE event_type = 'view'
+            ), b AS (
+              SELECT user_id, ts FROM events
+              WHERE event_type = 'click'
+            ), conv AS (
+              SELECT DISTINCT a.user_id, a.event_id
+              FROM a JOIN b ON a.user_id = b.user_id
+               AND b.ts >= a.ts
+               AND b.ts <= a.ts + INTERVAL 30 MINUTE
+            ), f AS (
+              SELECT user_id, count(*) AS n_first FROM a
+              GROUP BY user_id
+            ), c AS (
+              SELECT user_id, count(*) AS n_converted FROM conv
+              GROUP BY user_id
+            )
+            SELECT f.user_id, f.n_first,
+                   coalesce(c.n_converted, 0) AS n_converted
+            FROM f LEFT JOIN c USING (user_id)
+            ORDER BY f.user_id
         """,
         "embedding_outliers": """
             WITH ex AS (

@@ -33,6 +33,10 @@ BENCH_QUERIES = [
     "doc_fingerprints",
     "curation_pipeline",
     "redact_pii",
+    # round-4 additions (kept at the end: earlier indexes stay
+    # comparable round-over-round)
+    "repetition_docs",
+    "bigram_surprisal_docs",
 ]
 
 

@@ -210,6 +210,81 @@ def run_to_memory(stream_query_df, name="events_agg", timeout=120,
     return spark.table(name)
 
 
+def enrich_stream(stream_df, dim_df, on, how="left"):
+    """Stream-static enrichment join: every micro-batch joins against
+    the static dimension frame. With a broadcast hint the dim ships to
+    executors once per batch and the stream side never shuffles — the
+    standard shape for attaching user/account attributes to an event
+    stream. ``dim_df`` is a plain batch DataFrame (re-read per batch if
+    backed by a mutable table, so slowly-changing dims stay current)."""
+    return stream_df.join(F.broadcast(dim_df), on, how)
+
+
+def interval_join(left, right, key="user_id", ts_col="event_ts",
+                  within="30 minutes", watermark="2 hours"):
+    """Watermarked stream-stream interval join: pair each left event
+    with right events of the same ``key`` whose timestamp falls in
+    ``[left.ts, left.ts + within]`` — the clicks-after-views /
+    conversion-attribution shape.
+
+    Both sides carry watermarks and the join condition is time-bounded
+    in BOTH directions, so Spark can evict state: each side buffers at
+    most ``watermark + within`` of history per key. Without the time
+    bound the state store would grow forever — that is the scale
+    constraint this wrapper enforces."""
+    lw = left.withWatermark(ts_col, watermark)
+    rw = right.withWatermark(ts_col, watermark)
+    lcols = [F.col(c).alias("l_" + c) for c in lw.columns]
+    rcols = [F.col(c).alias("r_" + c) for c in rw.columns]
+    lw, rw = lw.select(*lcols), rw.select(*rcols)
+    cond = (
+        (F.col("l_" + key) == F.col("r_" + key))
+        & (F.col("r_" + ts_col) >= F.col("l_" + ts_col))
+        & (
+            F.col("r_" + ts_col)
+            <= F.col("l_" + ts_col) + F.expr("INTERVAL " + within)
+        )
+    )
+    return lw.join(rw, cond, "inner")
+
+
+def funnel_batch(df, first_type, then_type, within="30 minutes",
+                 key="user_id", ts_col="event_ts",
+                 type_col="event_type"):
+    """Batch twin of the streaming interval join, shaped as a funnel:
+    per ``key``, how many ``first_type`` events were followed by a
+    ``then_type`` event within ``within``. One equi-join on the key
+    (the range predicate rides along as a post-join filter on the
+    matched pairs), one aggregate — both shuffles on ``key``."""
+    a = df.filter(F.col(type_col) == first_type).select(
+        F.col(key).alias("__k"), F.col(ts_col).alias("__ta"),
+        F.col("event_id").alias("__ida"),
+    )
+    b = df.filter(F.col(type_col) == then_type).select(
+        F.col(key).alias("__k"), F.col(ts_col).alias("__tb"),
+    )
+    pairs = a.join(b, "__k").filter(
+        (F.col("__tb") >= F.col("__ta"))
+        & (F.col("__tb") <= F.col("__ta") + F.expr("INTERVAL " + within))
+    )
+    # a first-event converts if ANY then-event landed in its window
+    conv = pairs.select("__k", "__ida").distinct()
+    return (
+        a.groupBy("__k").agg(F.count(F.lit(1)).alias("n_first"))
+        .join(
+            conv.groupBy("__k").agg(
+                F.count(F.lit(1)).alias("n_converted")
+            ),
+            "__k", "left",
+        )
+        .select(
+            F.col("__k").alias(key),
+            "n_first",
+            F.coalesce("n_converted", F.lit(0)).alias("n_converted"),
+        )
+    )
+
+
 def dedup_stream(stream_df, key_cols=("event_id",), ts_col="event_ts",
                  watermark="2 hours"):
     """Streaming exact dedup: drop rows whose key was already seen

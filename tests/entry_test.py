@@ -53,14 +53,15 @@ def test_driver_row_budget_ordering():
                  "quantize_roundtrip", "not_over_or_exists",
                  "or_composite_grammar", "repetition_docs",
                  "chunk_docs_windows", "bigram_surprisal_docs",
-                 "lang_id_confusion", "embedding_outliers"):
+                 "lang_id_confusion", "embedding_outliers",
+                 "event_funnel"):
         assert names.index(name) < 50, name
     demoted = [n for n in names[50:] if n in oracles]
     assert set(demoted) == {
         "q6_forecast_revenue", "q12_priority_counts", "agg_global_stats",
         "alias_fields", "embedding_label_norms", "dict_filter_topn",
         "distinct_segments", "params_notin", "or_exists_filter",
-        "text_stats",
+        "text_stats", "knn_join_batch",
     }, demoted
 
 

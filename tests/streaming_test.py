@@ -110,3 +110,52 @@ def test_stream_upsert_ingest(spark, events_dir, tmp_path):
     with connect(cfg):
         assert View("event_log", ["event_id"]).read().frame().count() \
             == n_src
+
+
+def test_enrich_stream(spark, events_dir):
+    dim = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(
+            ["click", "view", "purchase", "signup", "error"])],
+        ["event_type", "type_rank"],
+    )
+    stream = sev.read_events_stream(spark, events_dir)
+    enriched = sev.enrich_stream(stream, dim, "event_type")
+    out = sev.run_to_memory(enriched, name="t_enrich",
+                            output_mode="append")
+    batch = spark.read.parquet(events_dir)
+    assert out.count() == batch.count()
+    assert out.filter(out.type_rank.isNull()).count() == 0
+
+
+def test_interval_join_stream_matches_batch_funnel(spark, events_dir):
+    stream = sev.read_events_stream(spark, events_dir)
+    views = stream.filter(stream.event_type == "view")
+    clicks = stream.filter(stream.event_type == "click")
+    joined = sev.interval_join(
+        views, clicks, within="30 minutes", watermark="10 hours"
+    )
+    out = sev.run_to_memory(joined, name="t_ij", output_mode="append")
+    pairs = out.select("l_event_id", "r_event_id").distinct().count()
+
+    # batch oracle: same pair count from a plain join
+    batch = sev.with_event_ts(spark.read.parquet(events_dir))
+    import pyspark.sql.functions as F
+    a = batch.filter("event_type = 'view'").select(
+        F.col("user_id").alias("k"), F.col("event_ts").alias("ta"),
+        F.col("event_id").alias("ida"))
+    b = batch.filter("event_type = 'click'").select(
+        F.col("user_id").alias("k"), F.col("event_ts").alias("tb"),
+        F.col("event_id").alias("idb"))
+    want = a.join(b, "k").filter(
+        (F.col("tb") >= F.col("ta"))
+        & (F.col("tb") <= F.col("ta") + F.expr("INTERVAL 30 MINUTES"))
+    ).count()
+    assert pairs == want and pairs > 0
+
+
+def test_funnel_batch(spark, events_dir):
+    batch = sev.with_event_ts(spark.read.parquet(events_dir))
+    out = sev.funnel_batch(batch, "view", "click").collect()
+    assert out
+    for r in out:
+        assert 0 <= r.n_converted <= r.n_first
