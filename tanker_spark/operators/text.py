@@ -213,31 +213,51 @@ def repetition_signals(df, text_col="text", id_col="doc_id",
         ).alias("dup_line_char_frac"),
     )
 
-    def gram_counts(n):
-        ex = base.select(
-            "__id", "__chars",
-            F.explode(shingles_all(F.col("__t"), n)).alias("__g"),
-        )
-        return ex.groupBy("__id", "__chars", "__g").agg(
-            F.count(F.lit(1)).alias("__c")
+    # both gram sizes ride ONE tagged explode so the text column is
+    # scanned once for the gram metrics (not once per n) and the
+    # (doc, n, gram) count shuffle is shared by both downstream
+    # aggregates via ReusedExchange — at 100 TB that's a full saved
+    # pass over the corpus
+    def _tag(n):
+        return F.transform(
+            shingles_all(F.col("__t"), n),
+            lambda g: F.struct(F.lit(n).alias("n"), g.alias("g")),
         )
 
-    top_sig = gram_counts(top_n).groupBy("__id").agg(
+    tagged = (
+        _tag(top_n) if top_n == dup_n
+        else F.concat(_tag(top_n), _tag(dup_n))
+    )
+    ex = base.select(
+        "__id", "__chars", F.explode(tagged).alias("__t2")
+    ).select(
+        "__id", "__chars",
+        F.col("__t2.n").alias("__n"), F.col("__t2.g").alias("__g"),
+    )
+    gc = ex.groupBy("__id", "__chars", "__n", "__g").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    # one aggregate computes BOTH metrics via conditionals (a per-n
+    # filter would be pushed down to the scan by Catalyst, splitting
+    # the shared branch back into two full passes over the corpus)
+    gram_sig = gc.groupBy("__id").agg(
         F.round(
             F.least(
-                F.max(F.col("__c") * F.length("__g"))
-                / F.first("__chars").cast("double"),
+                F.max(
+                    F.when(
+                        F.col("__n") == top_n,
+                        F.col("__c") * F.length("__g"),
+                    )
+                ) / F.first("__chars").cast("double"),
                 F.lit(1.0),
             ), 4
         ).alias("top_gram_char_frac"),
-    )
-    dup_sig = gram_counts(dup_n).groupBy("__id").agg(
         F.round(
             F.least(
                 F.coalesce(
                     F.sum(
                         F.when(
-                            F.col("__c") > 1,
+                            (F.col("__n") == dup_n) & (F.col("__c") > 1),
                             F.col("__c") * F.length("__g"),
                         )
                     ),
@@ -249,7 +269,7 @@ def repetition_signals(df, text_col="text", id_col="doc_id",
     )
 
     return (
-        line_sig.join(top_sig, "__id").join(dup_sig, "__id")
+        line_sig.join(gram_sig, "__id")
         .select(
             F.col("__id").alias(id_col),
             "dup_line_frac", "dup_line_char_frac",
