@@ -301,7 +301,14 @@ def bigram_surprisal(df, text_col="text", id_col="doc_id", k=0.5):
             shingles_all(F.lower(F.col(text_col)), 2)
         ).alias("__g"),
     )
-    counts = ex.groupBy("__g").agg(F.count(F.lit(1)).alias("__c"))
+    # the corpus gram-count table feeds BOTH the N/V scalar aggregate
+    # and the per-doc score join; without the eager persist each
+    # consumer re-explodes the whole corpus (a full extra pass at
+    # 100 TB). Same pattern as minhash signatures — for a durable
+    # variant write counts to a parquet side table and read it back.
+    counts = ex.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("__c")
+    ).persist()
     tot = counts.agg(
         F.sum("__c").alias("__n"), F.count(F.lit(1)).alias("__v")
     )
@@ -435,6 +442,65 @@ def containment_ratio(test_df, train_df, text_col="text",
         )
     else:
         raise ValueError("unknown containment method %r" % method)
+    totals = tex.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        totals.join(hits, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.round(
+                F.coalesce(F.col("__hits"), F.lit(0)) / F.col("__n"), 4
+            ).alias("containment"),
+        )
+    )
+
+
+def build_contamination_filter(train_df, path, text_col="text", n=3,
+                               expected_shingles=None, fpp=0.01):
+    """Build the train-corpus shingle Bloom filter ONCE and persist it
+    as a one-row parquet (bitmap ``array<long>`` + m/k/n metadata).
+
+    This is the production decontamination shape: the expensive pass
+    over the 100 TB training corpus happens once, then every eval/test
+    set is screened against the saved artifact with
+    :func:`containment_ratio_indexed` — a broadcast + map-only filter,
+    no touch of the training data. Returns ``(m, k)``."""
+    from .dedup import shingles
+
+    train_g = train_df.select(
+        F.explode(shingles(F.col(text_col), n)).alias("__g")
+    )
+    if expected_shingles is None:
+        expected_shingles = max(train_g.count(), 64)
+    m, k = _bloom_params(expected_shingles, fpp)
+    bitmap = _bloom_build(train_g, "__g", m, k)
+    bitmap.select(
+        F.col("__bloom"),
+        F.lit(m).alias("m"), F.lit(k).alias("k"), F.lit(n).alias("n"),
+    ).write.mode("overwrite").parquet(path)
+    return m, k
+
+
+def containment_ratio_indexed(test_df, path, text_col="text",
+                              id_col="doc_id"):
+    """Containment screen against a persisted Bloom artifact written by
+    :func:`build_contamination_filter` — broadcast the one-row bitmap,
+    test per-doc shingles in whole-stage codegen, aggregate per doc. The
+    training corpus is never read."""
+    from .dedup import shingles
+
+    spark = test_df.sparkSession
+    flt = spark.read.parquet(path)
+    meta = flt.select("m", "k", "n").collect()[0]
+    m, k, n = meta["m"], meta["k"], meta["n"]
+    tex = test_df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingles(F.col(text_col), n)).alias("__g"),
+    )
+    hits = (
+        tex.crossJoin(F.broadcast(flt.select("__bloom")))
+        .filter(_bloom_contains(F.col("__g"), F.col("__bloom"), m, k))
+        .groupBy("__id").agg(F.count(F.lit(1)).alias("__hits"))
+    )
     totals = tex.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
     return (
         totals.join(hits, "__id", "left")

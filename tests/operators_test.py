@@ -807,3 +807,64 @@ def test_neardup_groups_star(spark):
     # propagation raises on the chain instead of silently splitting
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.neardup_groups(pairs, max_iter=5)
+
+
+def test_contamination_filter_persisted(spark, docs, tmp_path):
+    """Saved Bloom artifact ≡ live bloom screen (same m/k/seeds), and
+    the indexed path never reads the training frame."""
+    train = docs.filter("doc_id < 20")
+    test = docs.filter("doc_id >= 20")
+    path = str(tmp_path / "contam_filter")
+    m, k = text.build_contamination_filter(train, path, fpp=0.05)
+    assert m >= 64 and k >= 1
+    live = {r.doc_id: r.containment
+            for r in text.containment_ratio(
+                test, train, method="bloom", fpp=0.05).collect()}
+    idx = {r.doc_id: r.containment
+           for r in text.containment_ratio_indexed(test, path).collect()}
+    assert idx == live
+    # sanity: a doc copied from train has full containment
+    spiked = test.unionAll(train.limit(1))
+    got = {r.doc_id: r.containment
+           for r in text.containment_ratio_indexed(spiked, path).collect()}
+    train_id = train.limit(1).collect()[0].doc_id
+    assert got[train_id] == 1.0
+
+
+def test_chunk_docs_invariants_randomized(spark):
+    """Randomized invariant sweep (one Spark job): for any doc and any
+    (size, stride), concatenating the first `stride` tokens of every
+    chunk plus the tail of the last reconstructs the doc exactly, chunk
+    ids are dense, and every chunk except the last has `size` tokens
+    when it fits."""
+    from tanker_spark.operators import curation
+
+    rnd = random.Random(99)
+    cases = {}
+    rows = []
+    for i in range(30):
+        n = rnd.randint(1, 200)
+        toks = ["w%d_%d" % (i, j) for j in range(n)]
+        rows.append((i, " ".join(toks)))
+        cases[i] = toks
+    size, stride = 16, 11
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = curation.chunk_docs(df, size=size, stride=stride).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(cases)
+    for i, toks in cases.items():
+        chunks = sorted(by_doc[i], key=lambda r: r.chunk_id)
+        assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+        recon = []
+        for c in chunks[:-1]:
+            ct = c.chunk_text.split()
+            assert len(ct) == c.n_chunk_tokens
+            recon.extend(ct[:stride])
+        recon.extend(chunks[-1].chunk_text.split())
+        assert recon == toks, i
+        # every chunk starts at chunk_id*stride and is full when it fits
+        for c in chunks:
+            start = c.chunk_id * stride
+            assert c.n_chunk_tokens == min(size, len(toks) - start)
