@@ -168,6 +168,49 @@ def minhash_signatures_df(df, text_col="text", id_col="doc_id",
     return hashed.select("__id", F.array(*mins).alias("__sig"))
 
 
+def _band_explode(base, num_hashes, bands):
+    """(__id, __sig) → one row per (id, band-bucket): the band hash
+    mixes the band index with that band's signature slice. Map-only."""
+    rows_per_band = num_hashes // bands
+    band_cols = [
+        F.xxhash64(
+            F.concat_ws(
+                ",",
+                F.lit(b),
+                *[
+                    F.element_at(F.col("__sig"), b * rows_per_band + r + 1)
+                    for r in range(rows_per_band)
+                ],
+            )
+        ).alias("__band%d" % b)
+        for b in range(bands)
+    ]
+    banded = base.select("__id", "__sig", *band_cols)
+    return banded.select(
+        "__id", "__sig",
+        F.explode(
+            F.array(*[F.col("__band%d" % b) for b in range(bands)])
+        ).alias("__bucket"),
+    )
+
+
+def _sig_agreement(num_hashes):
+    """est_jaccard Column: fraction of agreeing minhash slots between
+    L.__sig and R.__sig."""
+    return (
+        F.size(
+            F.filter(
+                F.zip_with(
+                    F.col("L.__sig"), F.col("R.__sig"),
+                    lambda x, y: (x == y).cast("int"),
+                ),
+                lambda v: v == 1,
+            )
+        )
+        / F.lit(float(num_hashes))
+    )
+
+
 def minhash_lsh_pairs(
     df, text_col="text", id_col="doc_id",
     num_hashes=16, bands=4, shingle_n=3, threshold=0.5, seed=42,
@@ -198,26 +241,7 @@ def minhash_lsh_pairs(
         base = base.persist()
         base.count()
 
-    band_cols = [
-        F.xxhash64(
-            F.concat_ws(
-                ",",
-                F.lit(b),
-                *[
-                    F.element_at(F.col("__sig"), b * rows_per_band + r + 1)
-                    for r in range(rows_per_band)
-                ],
-            )
-        ).alias("__band%d" % b)
-        for b in range(bands)
-    ]
-    banded = base.select("__id", "__sig", *band_cols)
-    exploded = banded.select(
-        "__id", "__sig",
-        F.explode(
-            F.array(*[F.col("__band%d" % b) for b in range(bands)])
-        ).alias("__bucket"),
-    )
+    exploded = _band_explode(base, num_hashes, bands)
     left = exploded.alias("L")
     right = exploded.alias("R")
     pairs = (
@@ -229,23 +253,81 @@ def minhash_lsh_pairs(
         .select(
             F.col("L.__id").alias("id_a"),
             F.col("R.__id").alias("id_b"),
-            (
-                F.size(
-                    F.filter(
-                        F.zip_with(
-                            F.col("L.__sig"), F.col("R.__sig"),
-                            lambda x, y: (x == y).cast("int"),
-                        ),
-                        lambda v: v == 1,
-                    )
-                )
-                / F.lit(float(num_hashes))
-            ).alias("est_jaccard"),
+            _sig_agreement(num_hashes).alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= threshold)
         .distinct()
     )
     return pairs
+
+
+def minhash_incremental(new_df, sig_path, text_col="text",
+                        id_col="doc_id", num_hashes=16, bands=4,
+                        shingle_n=3, threshold=0.5, seed=42):
+    """Incremental dedup: match a NEW batch of documents against an
+    existing signature corpus (the ``sig_path`` parquet written by
+    :func:`minhash_lsh_pairs` or :func:`minhash_append_signatures`)
+    WITHOUT recomputing corpus signatures — the continuous-ingestion
+    shape: the 100 TB historical corpus is touched only through its
+    signature side table (num_hashes longs per doc, ~1000× smaller
+    than the text), and each arriving batch costs
+    O(batch + matching buckets).
+
+    Returns (id_a, id_b, est_jaccard) where id_a is always a NEW doc:
+    new-vs-corpus matches plus new-vs-new matches (id_a < id_b for
+    those). Corpus-vs-corpus pairs are never re-emitted. Hash params
+    MUST match the ones the side table was built with (same seed /
+    num_hashes / shingle_n — signatures are only comparable within one
+    parameterization).
+
+    After consuming the pairs, persist the batch with
+    :func:`minhash_append_signatures` so the next increment sees it.
+    """
+    spark = new_df.sparkSession
+    new_sigs = minhash_signatures_df(
+        new_df, text_col, id_col, num_hashes, shingle_n, seed
+    ).persist()
+    new_sigs.count()
+    old_sigs = spark.read.parquet(sig_path)
+
+    new_x = _band_explode(new_sigs, num_hashes, bands)
+    all_x = _band_explode(
+        old_sigs, num_hashes, bands
+    ).withColumn("__new", F.lit(0)).unionAll(
+        new_x.withColumn("__new", F.lit(1))
+    )
+    left = new_x.alias("L")
+    right = all_x.alias("R")
+    return (
+        left.join(
+            right,
+            (F.col("L.__bucket") == F.col("R.__bucket"))
+            & (F.col("L.__id") != F.col("R.__id"))
+            & (
+                (F.col("R.__new") == 0)
+                | (F.col("L.__id") < F.col("R.__id"))
+            ),
+        )
+        .select(
+            F.col("L.__id").alias("id_a"),
+            F.col("R.__id").alias("id_b"),
+            _sig_agreement(num_hashes).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .distinct()
+    )
+
+
+def minhash_append_signatures(new_df, sig_path, text_col="text",
+                              id_col="doc_id", num_hashes=16,
+                              shingle_n=3, seed=42):
+    """Append a batch's signatures to the ``sig_path`` side table.
+    Call AFTER consuming :func:`minhash_incremental`'s pairs — the
+    incremental read lists the parquet directory lazily, so appending
+    first would double-match the batch against itself."""
+    minhash_signatures_df(
+        new_df, text_col, id_col, num_hashes, shingle_n, seed
+    ).write.mode("append").parquet(sig_path)
 
 
 # ---------------------------------------------------------------------------

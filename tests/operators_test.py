@@ -868,3 +868,39 @@ def test_chunk_docs_invariants_randomized(spark):
         for c in chunks:
             start = c.chunk_id * stride
             assert c.n_chunk_tokens == min(size, len(toks) - start)
+
+
+def test_minhash_incremental(spark, docs, tmp_path):
+    """Incremental batch-vs-corpus dedup finds the same planted pairs
+    as the full-corpus run, without re-emitting corpus-internal pairs."""
+    sig_path = str(tmp_path / "sigs")
+    corpus = docs.filter("doc_id < 100")          # docs 0..39
+    batch = docs.filter("doc_id >= 100")          # planted dups 100-102
+
+    # build the corpus side table (full run over the initial corpus)
+    full = dedup.minhash_lsh_pairs(
+        corpus, threshold=0.5, num_hashes=16, bands=8, sig_path=sig_path
+    )
+    corpus_pairs = {(r.id_a, r.id_b) for r in full.collect()}
+    assert corpus_pairs == set()   # no dups inside the base corpus
+
+    inc = dedup.minhash_incremental(
+        batch, sig_path, threshold=0.5, num_hashes=16, bands=8
+    ).collect()
+    found = {(min(r.id_a, r.id_b), max(r.id_a, r.id_b)) for r in inc}
+    assert (0, 100) in found       # exact dup of corpus doc
+    assert (1, 101) in found
+    assert (2, 102) in found
+    # every emitted pair involves a new doc
+    for r in inc:
+        assert r.id_a >= 100
+
+    # appending then re-running a DIFFERENT batch sees the first batch
+    dedup.minhash_append_signatures(batch, sig_path, num_hashes=16)
+    batch2 = batch.withColumn("doc_id", F.col("doc_id") + 100)  # 200-202
+    inc2 = dedup.minhash_incremental(
+        batch2, sig_path, threshold=0.5, num_hashes=16, bands=8
+    ).collect()
+    found2 = {(min(r.id_a, r.id_b), max(r.id_a, r.id_b)) for r in inc2}
+    assert (100, 200) in found2    # matches the appended batch
+    assert (0, 200) in found2      # and still the original corpus
