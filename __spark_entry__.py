@@ -854,6 +854,22 @@ def repetition_docs(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def mix_temperature_langs(spark, sf_dir):
+    """Temperature-reweighted language mixing (p_i ∝ n_i^0.5 — the
+    multilingual-training recipe; curation.mix_sources_temperature):
+    the skewed lang distribution (en ≈ 3× fr) is smoothed toward
+    uniform while the binding lang keeps 100% of its rows. Plain
+    doc_id modulus bucket so DuckDB reproduces the exact sample."""
+    from tanker_spark.operators import curation
+
+    df = _read(spark, sf_dir, "documents")
+    out = curation.mix_sources_temperature(
+        df, "lang", "doc_id", alpha=0.5,
+        bucket_expr=F.pmod(F.col("doc_id") * F.lit(7919), F.lit(10000)),
+    )
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
 def event_funnel(spark, sf_dir):
     """Conversion funnel: per user, how many 'view' events were
     followed by a 'click' within 30 minutes — the batch twin of the
@@ -1174,6 +1190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "or_exists_filter": or_exists_filter,
         "text_stats": text_stats,
         "knn_join_batch": knn_join_batch,
+        "mix_temperature_langs": mix_temperature_langs,
         # -- no-oracle (rows-only) entries LAST: if the driver's run caps
         # the query count, every oracle-checkable entry above still gets
         # a CORRECTNESS row (round-2 lost 3 green rows to this)
@@ -1888,6 +1905,25 @@ def oracle_sql() -> dict[str, str]:
             FROM lsig l JOIN tsig USING (doc_id)
                         JOIN dsig USING (doc_id)
             ORDER BY doc_id
+        """,
+        "mix_temperature_langs": """
+            WITH c AS (
+              SELECT lang, count(*) AS n FROM documents GROUP BY lang
+            ), w AS (
+              SELECT lang, n, pow(n, 0.5) AS wgt FROM c
+            ), t AS (
+              SELECT sum(wgt) AS sw FROM w
+            ), k AS (
+              SELECT lang, n, wgt / sw AS frac FROM w, t
+            ), s AS (
+              SELECT min(n / frac) AS tt FROM k
+            ), keep AS (
+              SELECT lang, least(frac * tt / n, 1.0) AS kf FROM k, s
+            )
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN keep USING (lang)
+            WHERE (d.doc_id * 7919) % 10000 < floor(kf * 10000)
+            ORDER BY d.doc_id
         """,
         "event_funnel": """
             WITH a AS (

@@ -188,6 +188,47 @@ def redact_df(df, text_col="text", rules=None):
              .withColumn(text_col, clean)
 
 
+def mix_sources_temperature(df, source_col, id_col, alpha=0.5,
+                            bucket_expr=None):
+    """Temperature-reweighted source mixing — the multilingual /
+    multi-source training recipe (e.g. mBERT, XLM-R exponential
+    smoothing): the kept subset's source shares follow
+    ``p_i ∝ n_i^alpha``, so ``alpha < 1`` upweights small sources
+    relative to their raw frequency and ``alpha = 1`` keeps the input
+    mix. Keeps the largest subset honoring the target shares: with
+    ``T = min_i n_i / frac_i`` the binding source keeps 100% and every
+    other keeps ``frac_i · T / n_i``.
+
+    Two tiny aggregates over the per-source count frame (|sources|
+    rows) produce the keep fractions, which broadcast back onto the
+    scan; row selection is the deterministic hash bucket — map-only
+    over the data, reproducible across cluster sizes and re-runs.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    w = counts.select(
+        source_col, "__n", F.pow("__n", F.lit(alpha)).alias("__w")
+    )
+    tot = w.agg(F.sum("__w").alias("__sw"))
+    k = w.crossJoin(F.broadcast(tot)).select(
+        source_col, "__n", (F.col("__w") / F.col("__sw")).alias("__frac")
+    )
+    scale = k.agg(F.min(F.col("__n") / F.col("__frac")).alias("__t"))
+    keep = k.crossJoin(F.broadcast(scale)).select(
+        source_col,
+        F.least(
+            F.col("__frac") * F.col("__t") / F.col("__n"), F.lit(1.0)
+        ).alias("__keep"),
+    )
+    b = bucket_expr if bucket_expr is not None else hash_bucket(
+        F.col(id_col)
+    )
+    return (
+        df.join(F.broadcast(keep), source_col)
+        .filter(b < F.floor(F.col("__keep") * SAMPLE_MOD))
+        .drop("__keep")
+    )
+
+
 def mix_sources(dfs_with_weights, id_col, bucket_expr=None):
     """Weighted dataset mixing: union of deterministic samples, one per
     (DataFrame, weight≤1) pair — the 'data recipe' op for training

@@ -61,7 +61,7 @@ def test_driver_row_budget_ordering():
         "q6_forecast_revenue", "q12_priority_counts", "agg_global_stats",
         "alias_fields", "embedding_label_norms", "dict_filter_topn",
         "distinct_segments", "params_notin", "or_exists_filter",
-        "text_stats", "knn_join_batch",
+        "text_stats", "knn_join_batch", "mix_temperature_langs",
     }, demoted
 
 

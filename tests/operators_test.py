@@ -904,3 +904,27 @@ def test_minhash_incremental(spark, docs, tmp_path):
     found2 = {(min(r.id_a, r.id_b), max(r.id_a, r.id_b)) for r in inc2}
     assert (100, 200) in found2    # matches the appended batch
     assert (0, 200) in found2      # and still the original corpus
+
+
+def test_mix_sources_temperature(spark):
+    from tanker_spark.operators import curation
+
+    rows = [(i, "big") for i in range(900)] + \
+           [(900 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = curation.mix_sources_temperature(
+        df, "source", "doc_id", alpha=0.5,
+        bucket_expr=F.pmod(F.col("doc_id") * F.lit(7919), F.lit(10000)),
+    )
+    got = out.groupBy("source").count().collect()
+    n = {r.source: r["count"] for r in got}
+    # binding source (small: highest n^a/n) keeps everything
+    assert n["small"] == 100
+    # big keeps ~ sqrt(900)/sqrt(100) * 100 = 300 of 900
+    assert abs(n["big"] - 300) < 30
+    # alpha=1 keeps the input mix (every keep fraction is 1.0)
+    all_kept = curation.mix_sources_temperature(
+        df, "source", "doc_id", alpha=1.0,
+        bucket_expr=F.pmod(F.col("doc_id") * F.lit(7919), F.lit(10000)),
+    )
+    assert all_kept.count() == 1000
