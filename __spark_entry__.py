@@ -854,6 +854,29 @@ def repetition_docs(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def event_anomalies(spark, sf_dir):
+    """Hourly volume anomalies per event type: rolling 24h mean/std
+    (ROWS window excluding the current hour), |z| >= 2 flagged
+    (streaming.events.hourly_anomalies)."""
+    from tanker_spark.streaming import events as sev
+
+    df = _read(spark, sf_dir, "events")
+    return sev.hourly_anomalies(df, lookback=24, z_thresh=2.0).orderBy(
+        "event_type", "hour"
+    )
+
+
+def user_retention_cohorts(spark, sf_dir):
+    """Cohort retention triangle: distinct active users per (first-seen
+    day, day offset 0..7) (streaming.events.cohort_retention)."""
+    from tanker_spark.streaming import events as sev
+
+    df = _read(spark, sf_dir, "events")
+    return sev.cohort_retention(df, max_offset=7).orderBy(
+        "cohort_day", "day_offset"
+    )
+
+
 def mix_temperature_langs(spark, sf_dir):
     """Temperature-reweighted language mixing (p_i ∝ n_i^0.5 — the
     multilingual-training recipe; curation.mix_sources_temperature):
@@ -1191,6 +1214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": text_stats,
         "knn_join_batch": knn_join_batch,
         "mix_temperature_langs": mix_temperature_langs,
+        "event_anomalies": event_anomalies,
+        "user_retention_cohorts": user_retention_cohorts,
         # -- no-oracle (rows-only) entries LAST: if the driver's run caps
         # the query count, every oracle-checkable entry above still gets
         # a CORRECTNESS row (round-2 lost 3 green rows to this)
@@ -1905,6 +1930,39 @@ def oracle_sql() -> dict[str, str]:
             FROM lsig l JOIN tsig USING (doc_id)
                         JOIN dsig USING (doc_id)
             ORDER BY doc_id
+        """,
+        "event_anomalies": """
+            WITH hourly AS (
+              SELECT event_type, date_trunc('hour', ts) AS hour,
+                     count(*) AS n
+              FROM events GROUP BY 1, 2
+            ), scored AS (
+              SELECT event_type, hour, n,
+                     avg(n) OVER w AS mu, stddev(n) OVER w AS sd
+              FROM hourly
+              WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                           ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT event_type, hour, n,
+                   round((n - mu) / sd, 4) AS z
+            FROM scored
+            WHERE sd > 0 AND abs((n - mu) / sd) >= 2.0
+            ORDER BY event_type, hour
+        """,
+        "user_retention_cohorts": """
+            WITH firsts AS (
+              SELECT user_id AS u, min(CAST(ts AS DATE)) AS cohort_day
+              FROM events GROUP BY user_id
+            ), active AS (
+              SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
+              FROM events
+            )
+            SELECT cohort_day, (day - cohort_day) AS day_offset,
+                   count(DISTINCT u) AS n_users
+            FROM active JOIN firsts USING (u)
+            WHERE (day - cohort_day) <= 7
+            GROUP BY cohort_day, day_offset
+            ORDER BY cohort_day, day_offset
         """,
         "mix_temperature_langs": """
             WITH c AS (

@@ -293,3 +293,66 @@ def dedup_stream(stream_df, key_cols=("event_id",), ts_col="event_ts",
     effectively-once ingest step in front of the windowed aggregates."""
     return stream_df.withWatermark(ts_col, watermark) \
         .dropDuplicatesWithinWatermark(list(key_cols))
+
+
+def hourly_anomalies(df, ts_col="ts", type_col="event_type",
+                     lookback=24, z_thresh=2.0):
+    """Volume-anomaly screen over an event table: hourly counts per
+    type, rolling mean/stddev over the preceding ``lookback`` hours
+    (ROWS window, current hour excluded), flag hours whose z-score
+    exceeds ``z_thresh`` — the monitoring query every event pipeline
+    runs.
+
+    One aggregate shuffles on (type, hour) — partial agg map-side, so
+    shuffle volume is bounded by the type×hour cardinality, not the
+    event count; the window sort then runs per type on that tiny
+    frame. Hours with fewer than 2 prior points or zero variance are
+    skipped (no z-score exists)."""
+    from pyspark.sql import Window
+
+    hourly = df.groupBy(
+        F.col(type_col).alias("event_type"),
+        F.date_trunc("hour", F.col(ts_col)).alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type").orderBy("hour")
+        .rowsBetween(-lookback, -1)
+    )
+    scored = hourly.select(
+        "event_type", "hour", "n",
+        F.avg("n").over(w).alias("mu"),
+        F.stddev("n").over(w).alias("sd"),
+    )
+    return (
+        scored.filter(F.col("sd") > 0)
+        .select(
+            "event_type", "hour", "n",
+            F.round((F.col("n") - F.col("mu")) / F.col("sd"), 4)
+            .alias("z"),
+        )
+        .filter(F.abs(F.col("z")) >= z_thresh)
+    )
+
+
+def cohort_retention(df, ts_col="ts", user_col="user_id", max_offset=7):
+    """Cohort retention matrix: users grouped by first-seen day, then
+    for each day-offset 0..``max_offset`` the count of distinct users
+    of that cohort active that day — the standard retention triangle.
+
+    Shape: first-seen aggregate (shuffle on user), distinct active
+    days (same key — co-partitioned join), final aggregate on the
+    small (cohort, offset) key space. Nothing touches the driver."""
+    firsts = df.groupBy(F.col(user_col).alias("user")).agg(
+        F.min(F.to_date(F.col(ts_col))).alias("cohort_day")
+    )
+    active = df.select(
+        F.col(user_col).alias("user"),
+        F.to_date(F.col(ts_col)).alias("day"),
+    ).distinct()
+    return (
+        active.join(firsts, "user")
+        .withColumn("day_offset", F.datediff("day", "cohort_day"))
+        .filter(F.col("day_offset") <= max_offset)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user").alias("n_users"))
+    )

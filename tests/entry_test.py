@@ -62,6 +62,7 @@ def test_driver_row_budget_ordering():
         "alias_fields", "embedding_label_norms", "dict_filter_topn",
         "distinct_segments", "params_notin", "or_exists_filter",
         "text_stats", "knn_join_batch", "mix_temperature_langs",
+        "event_anomalies", "user_retention_cohorts",
     }, demoted
 
 
