@@ -309,17 +309,12 @@ def knn_join(queries, corpus, k=5, vec_col="embedding", id_col="vec_id",
     )
 
 
-def quantize_embeddings(df, vec_col="embedding", id_col="vec_id"):
-    """Per-vector 8-bit linear quantization: stores vectors as
-    ``array<tinyint>`` + (min, scale) — 4× smaller ANN side tables, the
-    standard first rung of vector compression at corpus scale. Pure
-    column math (array_min/max + transform), map-only.
+def quant_cols(v):
+    """(code, min, scale) quantization Columns for a vector Column.
 
     ``floor(x + 0.5)`` instead of ``round`` so the lattice assignment
     is reproducible across engines (HALF_UP everywhere). Constant
-    vectors get scale 0 and decode exactly.
-    """
-    v = F.col(vec_col)
+    vectors get scale 0 and decode exactly."""
     mn = F.array_min(v).cast("double")
     scale = ((F.array_max(v).cast("double") - mn) / F.lit(255.0))
     code = F.transform(
@@ -330,6 +325,16 @@ def quantize_embeddings(df, vec_col="embedding", id_col="vec_id"):
             ).cast("int") - 128
         ).cast("tinyint"),
     )
+    return code, mn, scale
+
+
+def quantize_embeddings(df, vec_col="embedding", id_col="vec_id"):
+    """Per-vector 8-bit linear quantization: stores vectors as
+    ``array<tinyint>`` + (min, scale) — 4× smaller ANN side tables, the
+    standard first rung of vector compression at corpus scale. Pure
+    column math (array_min/max + transform), map-only.
+    """
+    code, mn, scale = quant_cols(F.col(vec_col))
     return df.select(
         F.col(id_col),
         code.alias("qcode"),
@@ -348,7 +353,8 @@ def dequantize_col(qcode, qmin, qscale):
 # -- persisted index (the 100 TB steady state) ----------------------------
 def build_ann_index(df, path, method="lsh", vec_col="embedding",
                     id_col="vec_id", dim=64, n_planes=8, seed=42,
-                    n_cells=16, centroid_method="sample"):
+                    n_cells=16, centroid_method="sample",
+                    quantize=False):
     """Materialize the ANN side table: (id, vector, __bucket), written as
     parquet PARTITIONED BY the bucket/cell — probes prune to the matching
     partition directories instead of recomputing signatures over the full
@@ -356,7 +362,13 @@ def build_ann_index(df, path, method="lsh", vec_col="embedding",
     Index parameters ride along in ``_ann_meta.json`` (underscore-prefixed
     files are invisible to parquet readers). ``n_planes=None`` sizes the
     bucket space from the corpus so per-partition-directory row counts
-    stay bounded as the table grows."""
+    stay bounded as the table grows.
+
+    ``quantize=True`` stores int8 codes + (min, scale) instead of the
+    float vector — a ~4× smaller index. Bucket assignment still uses
+    the ORIGINAL float vector (quantization error never moves a row to
+    another bucket); probes dequantize on the fly inside codegen, so
+    ranking error is bounded by the lattice step."""
     if method == "lsh":
         if n_planes is None:
             n_planes = auto_n_planes(df.count())
@@ -371,10 +383,18 @@ def build_ann_index(df, path, method="lsh", vec_col="embedding",
                 "vec_col": vec_col, "id_col": id_col}
     else:
         raise ValueError("unknown ANN index method %r" % method)
-    (
-        df.select(F.col(id_col), F.col(vec_col), col.alias("__bucket"))
-        .write.mode("overwrite").partitionBy("__bucket").parquet(path)
-    )
+    meta["quantized"] = bool(quantize)
+    if quantize:
+        code, mn, scale = quant_cols(F.col(vec_col))
+        stored = df.select(
+            F.col(id_col), code.alias("qcode"), mn.alias("qmin"),
+            scale.alias("qscale"), col.alias("__bucket"),
+        )
+    else:
+        stored = df.select(
+            F.col(id_col), F.col(vec_col), col.alias("__bucket")
+        )
+    stored.write.mode("overwrite").partitionBy("__bucket").parquet(path)
     with open(os.path.join(path, ANN_META), "w") as fh:
         json.dump(meta, fh)
     return path
@@ -395,7 +415,13 @@ def knn_indexed(spark, path, probe_vec, k=10, multiprobe=1, n_probe=4):
     else:
         buckets = _probe_cells(meta["centroids"], probe_vec, n_probe)
     idx = spark.read.parquet(path).filter(F.col("__bucket").isin(buckets))
-    sim = cosine_to(F.col(meta["vec_col"]), probe_vec)
+    if meta.get("quantized"):
+        vec = dequantize_col(
+            F.col("qcode"), F.col("qmin"), F.col("qscale")
+        )
+    else:
+        vec = F.col(meta["vec_col"])
+    sim = cosine_to(vec, probe_vec)
     return (
         idx.select(F.col(meta["id_col"]), sim.alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col(meta["id_col"]).asc())

@@ -928,3 +928,34 @@ def test_mix_sources_temperature(spark):
         bucket_expr=F.pmod(F.col("doc_id") * F.lit(7919), F.lit(10000)),
     )
     assert all_kept.count() == 1000
+
+
+def test_ann_index_quantized(spark, tmp_path):
+    rnd = random.Random(31)
+    dim = 16
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(dim)]) for i in range(80)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    probe = rows[7][1]
+    qpath = str(tmp_path / "ann_q")
+    fpath = str(tmp_path / "ann_f")
+    similarity.build_ann_index(df, qpath, method="lsh", dim=dim,
+                               n_planes=6, quantize=True)
+    similarity.build_ann_index(df, fpath, method="lsh", dim=dim,
+                               n_planes=6)
+    got_q = similarity.knn_indexed(spark, qpath, probe, k=5,
+                                   multiprobe=2).collect()
+    got_f = similarity.knn_indexed(spark, fpath, probe, k=5,
+                                   multiprobe=2).collect()
+    # same candidate buckets -> same ids modulo quantization re-ranking;
+    # the self-match survives with near-1 similarity
+    assert got_q[0].vec_id == 7 and got_q[0].cos_sim > 0.99
+    assert {r.vec_id for r in got_q} == {r.vec_id for r in got_f} or \
+        abs(got_q[-1].cos_sim - got_f[-1].cos_sim) < 0.05
+    for rq, rf in zip(got_q, got_f):
+        if rq.vec_id == rf.vec_id:
+            assert abs(rq.cos_sim - rf.cos_sim) < 0.02
+    # quantized index stores int8 codes, not floats
+    import pyspark.sql.types as T
+    sch = spark.read.parquet(qpath).schema
+    assert "qcode" in sch.names and "embedding" not in sch.names
+    assert isinstance(sch["qcode"].dataType.elementType, T.ByteType)
