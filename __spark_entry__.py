@@ -99,6 +99,30 @@ def q5_local_supplier_volume(spark, sf_dir):
         ).frame()
 
 
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10-style: 3-hop dotted aggregation (lineitem→orders→
+    customer→nation) with a quarter date window on the middle hop and
+    revenue top-20 — the classic 'who returned the most' report."""
+    with _cx(spark, sf_dir):
+        v = View("lineitem", {
+            "c_name": "l_orderkey.o_custkey.c_name",
+            "n_name": "l_orderkey.o_custkey.c_nationkey.n_name",
+            "revenue":
+                "(round (sum (* l_extendedprice (- 1 l_discount))) 2)",
+        })
+        return v.read(
+            [
+                '(= l_returnflag "R")',
+                '(>= l_orderkey.o_orderdate '
+                '(cast "1995-01-01" (timestamptz)))',
+                '(< l_orderkey.o_orderdate '
+                '(cast "1995-07-01" (timestamptz)))',
+            ],
+            order=[("revenue", "DESC"), "c_name"],
+            limit=20,
+        ).frame()
+
+
 def q6_forecast_revenue(spark, sf_dir):
     """TPC-H Q6-style: pure filter + global aggregate (pushdown check)."""
     with _cx(spark, sf_dir):
@@ -954,20 +978,14 @@ def chunk_docs_windows(spark, sf_dir):
 
 def doc_len_quantiles(spark, sf_dir):
     """Per-source corpus length stats with EXACT percentiles
-    (F.percentile — sort-per-group; at 100 TB swap for
-    approx_percentile, whose t-digest sketch is one pass and
-    merge-combinable). DuckDB quantile_cont uses the same linear
+    (text.length_quantiles; the approx=True t-digest variant is the
+    100 TB path, pinned by a tolerance test since sketches aren't
+    cross-engine hashable). DuckDB quantile_cont uses the same linear
     interpolation, so values hash-match."""
     df = _read(spark, sf_dir, "documents")
-    return (
-        df.groupBy("source")
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.percentile("n_chars", 0.5), 2).alias("p50"),
-            F.round(F.percentile("n_chars", 0.9), 2).alias("p90"),
-        )
-        .orderBy("source")
-    )
+    return text.length_quantiles(
+        df, "source", "n_chars", qs=(0.5, 0.9)
+    ).orderBy("source")
 
 
 def neardup_groups_docs(spark, sf_dir):
@@ -1216,6 +1234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_temperature_langs": mix_temperature_langs,
         "event_anomalies": event_anomalies,
         "user_retention_cohorts": user_retention_cohorts,
+        "q10_returned_items": q10_returned_items,
         # -- no-oracle (rows-only) entries LAST: if the driver's run caps
         # the query count, every oracle-checkable entry above still gets
         # a CORRECTNESS row (round-2 lost 3 green rows to this)
@@ -1930,6 +1949,21 @@ def oracle_sql() -> dict[str, str]:
             FROM lsig l JOIN tsig USING (doc_id)
                         JOIN dsig USING (doc_id)
             ORDER BY doc_id
+        """,
+        "q10_returned_items": """
+            SELECT c_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM lineitem
+            LEFT JOIN orders ON l_orderkey = o_orderkey
+            LEFT JOIN customer ON o_custkey = c_custkey
+            LEFT JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+            GROUP BY c_name, n_name
+            ORDER BY revenue DESC, c_name
+            LIMIT 20
         """,
         "event_anomalies": """
             WITH hourly AS (

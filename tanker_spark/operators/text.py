@@ -161,6 +161,38 @@ def common_shingle_ratio(df, text_col="text", id_col="doc_id", n=3,
     )
 
 
+def length_quantiles(df, group_col="source", len_col="n_chars",
+                     qs=(0.5, 0.9), approx=False, accuracy=10000):
+    """Per-group length distribution stats.
+
+    ``approx=False``: exact ``F.percentile`` — a sort per group, fine
+    at any realistic per-group cardinality, and cross-engine exact
+    (DuckDB ``quantile_cont`` uses the same linear interpolation).
+
+    ``approx=True``: ``percentile_approx`` — a single-pass,
+    merge-combinable t-digest sketch whose error is bounded by
+    ``1/accuracy`` rank units; THE path at 100 TB where a per-group
+    sort of raw lengths is a needless full shuffle of the column.
+    Sketches are not bit-identical across engines, so this variant is
+    pinned by a tolerance test rather than the hash oracle."""
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for q in qs:
+        name = "p%02d" % int(round(q * 100))
+        if approx:
+            aggs.append(
+                F.round(
+                    F.percentile_approx(
+                        len_col, q, accuracy
+                    ).cast("double"), 2
+                ).alias(name)
+            )
+        else:
+            aggs.append(
+                F.round(F.percentile(len_col, q), 2).alias(name)
+            )
+    return df.groupBy(group_col).agg(*aggs)
+
+
 def repetition_signals(df, text_col="text", id_col="doc_id",
                        top_n=2, dup_n=3):
     """Gopher-style within-document repetition signals (Rae et al. 2021,

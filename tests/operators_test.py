@@ -959,3 +959,20 @@ def test_ann_index_quantized(spark, tmp_path):
     sch = spark.read.parquet(qpath).schema
     assert "qcode" in sch.names and "embedding" not in sch.names
     assert isinstance(sch["qcode"].dataType.elementType, T.ByteType)
+
+
+def test_length_quantiles_approx(spark):
+    rnd = random.Random(17)
+    rows = [(i, "s%d" % (i % 3), rnd.randint(1, 10_000))
+            for i in range(3000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    exact = {r.source: (r.p50, r.p90)
+             for r in text.length_quantiles(df).collect()}
+    approx = {r.source: (r.p50, r.p90)
+              for r in text.length_quantiles(df, approx=True).collect()}
+    assert set(exact) == set(approx)
+    for s in exact:
+        for e, a in zip(exact[s], approx[s]):
+            # t-digest rank error 1/accuracy -> value error bounded by
+            # a few points of the [1,10000] uniform range
+            assert abs(e - a) <= 0.02 * 10_000, (s, e, a)
