@@ -1000,6 +1000,19 @@ def neardup_groups_docs(spark, sf_dir):
     return dedup.neardup_groups(pairs).orderBy("id")
 
 
+def neardup_groups_star_docs(spark, sf_dir):
+    """Same dedup-cluster resolution as neardup_groups_docs but via the
+    O(log n) large-star/small-star algorithm (Kiveris et al. 2014) —
+    diameter-independent, the giant-component-safe path. Must produce
+    byte-identical groups to the propagation method and the recursive
+    SQL oracle."""
+    df = _read(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_exact(
+        df, "text", "doc_id", n=3, threshold=0.5
+    )
+    return dedup.neardup_groups(pairs, method="star").orderBy("id")
+
+
 def text_quality(spark, sf_dir):
     """Gopher-style quality score, heuristic language ID and BPE-ish
     token counts per doc (composite: keeps every oracle-checkable op
@@ -1235,6 +1248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_anomalies": event_anomalies,
         "user_retention_cohorts": user_retention_cohorts,
         "q10_returned_items": q10_returned_items,
+        "neardup_groups_star_docs": neardup_groups_star_docs,
         # -- no-oracle (rows-only) entries LAST: if the driver's run caps
         # the query count, every oracle-checkable entry above still gets
         # a CORRECTNESS row (round-2 lost 3 green rows to this)
@@ -1733,6 +1747,40 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY source ORDER BY source
         """,
         "neardup_groups_docs": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct([concat_ws(' ', t[i], t[i+1], t[i+2])
+                                    for i in range(1, len(t) - 1)]) AS s
+              FROM toks
+            ), ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+            ), pairs AS (
+              SELECT cand.id_a, cand.id_b
+              FROM cand JOIN sh x ON cand.id_a = x.doc_id
+                        JOIN sh y ON cand.id_b = y.doc_id
+              WHERE len(list_intersect(x.s, y.s))::DOUBLE /
+                    (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)))
+                    >= 0.5
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ), reach AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r
+              JOIN edges e ON r.dst = e.src
+              WHERE e.dst != r.src
+            )
+            SELECT src AS id, least(src, min(dst)) AS group_id
+            FROM reach GROUP BY src ORDER BY id
+        """,
+"neardup_groups_star_docs": """
             WITH RECURSIVE toks AS (
               SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
               FROM documents

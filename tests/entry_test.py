@@ -63,7 +63,7 @@ def test_driver_row_budget_ordering():
         "distinct_segments", "params_notin", "or_exists_filter",
         "text_stats", "knn_join_batch", "mix_temperature_langs",
         "event_anomalies", "user_retention_cohorts",
-        "q10_returned_items",
+        "q10_returned_items", "neardup_groups_star_docs",
     }, demoted
 
 
