@@ -1148,6 +1148,36 @@ def curation_pipeline(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def curation_pipeline_v2(spark, sf_dir):
+    """The round-4 curation composition — the full Gopher-style recipe
+    as ONE Catalyst plan: repetition gate (dup-3-gram + top-2-gram char
+    coverage) → corpus-LM surprisal band → exact dedup → temperature
+    lang mixing. Every stage is an independently-oracle-verified
+    operator; this query pins their composition end-to-end."""
+    from tanker_spark.operators import curation, dedup
+
+    df = _read(spark, sf_dir, "documents")
+    rep = text.repetition_signals(df).select(
+        "doc_id", "dup_gram_char_frac", "top_gram_char_frac"
+    )
+    surp = text.bigram_surprisal(df)
+    gated = (
+        df.select("doc_id", "lang", "text")
+        .join(rep, "doc_id").join(surp, "doc_id")
+        .filter(
+            (F.col("dup_gram_char_frac") <= 0.1)
+            & (F.col("top_gram_char_frac") <= 0.2)
+            & (F.col("surprisal") <= 6.95)
+        )
+    )
+    uniq = dedup.dedup_exact_rows(gated, "text")
+    mixed = curation.mix_sources_temperature(
+        uniq, "lang", "doc_id", alpha=0.5,
+        bucket_expr=F.pmod(F.col("doc_id") * F.lit(7919), F.lit(10000)),
+    )
+    return mixed.select("doc_id", "lang", "surprisal").orderBy("doc_id")
+
+
 def multimodal_features(spark, sf_dir):
     """Multimodal plumbing: deterministic fake media → mapInPandas
     feature extraction (Arrow-batched). Rows-only: binary/UDF internals
@@ -1249,6 +1279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_retention_cohorts": user_retention_cohorts,
         "q10_returned_items": q10_returned_items,
         "neardup_groups_star_docs": neardup_groups_star_docs,
+        "curation_pipeline_v2": curation_pipeline_v2,
         # -- no-oracle (rows-only) entries LAST: if the driver's run caps
         # the query count, every oracle-checkable entry above still gets
         # a CORRECTNESS row (round-2 lost 3 green rows to this)
@@ -1997,6 +2028,92 @@ def oracle_sql() -> dict[str, str]:
             FROM lsig l JOIN tsig USING (doc_id)
                         JOIN dsig USING (doc_id)
             ORDER BY doc_id
+        """,
+        "curation_pipeline_v2": """
+            WITH base AS (
+              SELECT doc_id, lang, text,
+                     greatest(length(text), 1) AS chars
+              FROM documents
+            ), toks AS (
+              SELECT doc_id, chars,
+                     regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM base
+            ), g3c AS (
+              SELECT doc_id, chars, g, count(*) AS c FROM (
+                SELECT doc_id, chars,
+                       unnest([concat_ws(' ', t[i], t[i+1], t[i+2])
+                               for i in range(1, len(t) - 1)]) AS g
+                FROM toks
+              ) GROUP BY 1, 2, 3
+            ), dsig AS (
+              SELECT doc_id,
+                     round(least(
+                       coalesce(sum(CASE WHEN c > 1
+                                    THEN c * length(g) END), 0)::DOUBLE
+                       / first(chars), 1.0), 4) AS dgf
+              FROM g3c GROUP BY doc_id
+            ), g2c AS (
+              SELECT doc_id, chars, g, count(*) AS c FROM (
+                SELECT doc_id, chars,
+                       unnest([concat_ws(' ', t[i], t[i+1])
+                               for i in range(1, len(t))]) AS g
+                FROM toks
+              ) GROUP BY 1, 2, 3
+            ), tsig AS (
+              SELECT doc_id,
+                     round(least(
+                       max(c * length(g))::DOUBLE / first(chars),
+                       1.0), 4) AS tgf
+              FROM g2c GROUP BY doc_id
+            ), ex2 AS (
+              SELECT doc_id,
+                     unnest([concat_ws(' ', t[i], t[i+1])
+                             for i in range(1, len(t))]) AS g
+              FROM (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)),
+                                             '\\s+') AS t
+                FROM documents
+              )
+            ), counts AS (
+              SELECT g, count(*) AS c FROM ex2 GROUP BY g
+            ), tot AS (
+              SELECT sum(c) AS n, count(*) AS v FROM counts
+            ), surp AS (
+              SELECT ex2.doc_id,
+                     round(avg(-ln((c + 0.5) / (n + 0.5 * v))), 4)
+                         AS surprisal
+              FROM ex2 JOIN counts USING (g), tot
+              GROUP BY ex2.doc_id
+            ), gated AS (
+              SELECT b.doc_id, b.lang, b.text, surp.surprisal
+              FROM base b
+              JOIN dsig USING (doc_id) JOIN tsig USING (doc_id)
+              JOIN surp USING (doc_id)
+              WHERE dgf <= 0.1 AND tgf <= 0.2 AND surprisal <= 6.95
+            ), uniq AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY text ORDER BY doc_id) AS rn
+                FROM gated
+              ) WHERE rn = 1
+            ), lc AS (
+              SELECT lang, count(*) AS n FROM uniq GROUP BY lang
+            ), w AS (
+              SELECT lang, n, pow(n, 0.5) AS wgt FROM lc
+            ), t2 AS (
+              SELECT sum(wgt) AS sw FROM w
+            ), k AS (
+              SELECT lang, n, wgt / sw AS frac FROM w, t2
+            ), s2 AS (
+              SELECT min(n / frac) AS tt FROM k
+            ), keep AS (
+              SELECT lang, least(frac * tt / n, 1.0) AS kf FROM k, s2
+            )
+            SELECT u.doc_id, u.lang, u.surprisal
+            FROM uniq u JOIN keep USING (lang)
+            WHERE (u.doc_id * 7919) % 10000 < floor(kf * 10000)
+            ORDER BY u.doc_id
         """,
         "q10_returned_items": """
             SELECT c_name, n_name,
