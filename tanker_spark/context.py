@@ -232,20 +232,27 @@ class TankerContext:
             yaml.safe_dump(defs, fh, sort_keys=False)
 
     # -- table IO -------------------------------------------------------
-    def read(self, table_name):
+    def read(self, table_name, version=None):
         """Load a registered table as a DataFrame.
 
         Managed tables read with their declared schema (stable types, and
-        empty partitioned dirs can't infer one); external tables infer."""
+        empty partitioned dirs can't infer one); external tables infer.
+        ``version`` time-travels to a retained snapshot (see
+        :func:`storage.read_table`)."""
         table = self.registry[table_name]
         schema = table.spark_schema() if table.surrogate_id else None
         return storage.read_table(self.spark, self.root, table_name,
-                                  schema=schema)
+                                  schema=schema, version=version)
+
+    def versions(self, table_name):
+        """Snapshot versions still on disk for a managed table."""
+        return storage.list_versions(self.root, table_name)
 
     def write(self, table_name, df):
         table = self.registry[table_name]
         return storage.write_table(
-            df, self.root, table_name, partition_by=table.partition_by
+            df, self.root, table_name, partition_by=table.partition_by,
+            keep=self.cfg.get("keep_versions"),
         )
 
     def reset_cache(self, table=None):

@@ -45,6 +45,30 @@ def current_version_path(root, name):
     return os.path.join(table_dir(root, name), version)
 
 
+def list_versions(root, name):
+    """Version numbers present on disk (ascending). The retention
+    window (``keep_versions``, default 2) bounds how far back time
+    travel reaches."""
+    tdir = table_dir(root, name)
+    if not os.path.isdir(tdir):
+        return []
+    return sorted(
+        int(v[2:]) for v in os.listdir(tdir) if v.startswith("v_")
+    )
+
+
+def version_path(root, name, version):
+    """Path of an explicit snapshot version (int), or raise KeyError
+    listing what is still on disk."""
+    p = os.path.join(table_dir(root, name), "v_%06d" % version)
+    if not os.path.isdir(p):
+        raise KeyError(
+            'Table "%s" has no snapshot v_%06d — on disk: %s'
+            % (name, version, list_versions(root, name))
+        )
+    return p
+
+
 def external_path(root, name):
     """Read-only single-file / plain-dir parquet table."""
     p = os.path.join(root, name + ".parquet")
@@ -72,8 +96,14 @@ def exists(root, name):
     return resolve_path(root, name) is not None
 
 
-def read_table(spark, root, name, schema=None):
-    path = resolve_path(root, name)
+def read_table(spark, root, name, schema=None, version=None):
+    """Load a table DataFrame; ``version`` (int) reads an older
+    retained snapshot instead of the current pointer (time travel —
+    Delta's ``VERSION AS OF``). External tables have no versions."""
+    if version is not None:
+        path = version_path(root, name, version)
+    else:
+        path = resolve_path(root, name)
     if path is None:
         raise KeyError(
             'Table "%s" has no data under %s — run create_tables()'
@@ -85,8 +115,9 @@ def read_table(spark, root, name, schema=None):
     return reader.parquet(path)
 
 
-def write_table(df, root, name, partition_by=None):
-    """Write a new version directory and atomically flip the pointer."""
+def write_table(df, root, name, partition_by=None, keep=None):
+    """Write a new version directory and atomically flip the pointer.
+    ``keep`` overrides KEEP_VERSIONS (the time-travel horizon)."""
     tdir = table_dir(root, name)
     os.makedirs(tdir, exist_ok=True)
     versions = sorted(
@@ -103,9 +134,9 @@ def write_table(df, root, name, partition_by=None):
     with open(tmp, "w") as fh:
         fh.write(nxt)
     os.replace(tmp, _pointer_path(root, name))
-    # GC old versions beyond KEEP_VERSIONS
+    # GC old versions beyond the retention window
     versions.append(nxt)
-    for old in versions[:-KEEP_VERSIONS]:
+    for old in versions[:-(keep or KEEP_VERSIONS)]:
         shutil.rmtree(os.path.join(tdir, old), ignore_errors=True)
     return target
 
@@ -126,7 +157,7 @@ def _link_tree(src, dst):
 
 
 def write_table_partial(df_changed, root, name, partition_by,
-                        changed_values):
+                        changed_values, keep=None):
     """Partition-scoped merge commit: write only the partitions touched by
     a merge; hard-link every untouched partition directory from the
     previous version into the new one.
@@ -169,7 +200,7 @@ def write_table_partial(df_changed, root, name, partition_by,
         fh.write(nxt)
     os.replace(tmp, _pointer_path(root, name))
     versions.append(nxt)
-    for old in versions[:-KEEP_VERSIONS]:
+    for old in versions[:-(keep or KEEP_VERSIONS)]:
         shutil.rmtree(os.path.join(tdir, old), ignore_errors=True)
     return target
 

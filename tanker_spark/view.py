@@ -397,6 +397,7 @@ class View(object):
         distinct=False,
         offset=None,
         disable_acl=False,
+        version=None,
     ):
         spec = {
             "filters": filters,
@@ -406,6 +407,7 @@ class View(object):
             "distinct": distinct,
             "offset": offset,
             "disable_acl": disable_acl,
+            "version": version,
         }
         return Cursor(self, spec, args=args)
 
@@ -466,9 +468,12 @@ class View(object):
         if order is not None and isinstance(order, (str, tuple)):
             order = [order]
 
-        # 5. build the frame: base + joins
+        # 5. build the frame: base + joins. ``version`` time-travels
+        # the view's MAIN table to a retained snapshot; joined
+        # dimensions stay current (Delta's per-table VERSION AS OF
+        # semantics — pin each table independently if needed)
         active = ctx
-        base_df = active.read(table.name)
+        base_df = active.read(table.name, version=spec.get("version"))
         reader = lambda name: active.read(name)
         df = self._build_frame(compiler, base_df, reader, cond)
 
@@ -1373,6 +1378,7 @@ class View(object):
             storage.write_table_partial(
                 merged.filter(cond), ctx.root, table.name, pby,
                 sorted(changed, key=str),
+                keep=ctx.cfg.get("keep_versions"),
             )
         else:
             ctx.write(table.name, merged)
@@ -1674,6 +1680,7 @@ class View(object):
                     _storage.write_table_partial(
                         kept.filter(cond), ctx.root, table.name, pby,
                         sorted(parts, key=str),
+                        keep=ctx.cfg.get("keep_versions"),
                     )
             else:
                 deleted = victims.count()

@@ -44,3 +44,39 @@ def test_add_column(spark, tmp_path):
             order="name"
         ).all()
         assert res == [("a", 1.0, "red"), ("b", 2.0, None)]
+
+
+def test_time_travel_read(spark, tmp_path):
+    """Snapshot versioning: read an older retained version by number,
+    current pointer unaffected; horizon configurable via keep_versions."""
+    import pytest
+
+    from tanker_spark import View, connect, create_tables, ctx
+
+    schema = """
+    - table: item
+      columns:
+        sku: varchar
+        qty: integer
+      key: [sku]
+    """
+    cfg = {"root": str(tmp_path / "tt"), "schema": schema,
+           "spark": spark, "keep_versions": 3}
+    with connect(cfg):
+        create_tables()
+        v = View("item", ["sku", "qty"])
+        v.write([("a", 1)])                      # v1
+        v.write([("a", 2), ("b", 5)])            # v2
+        v.write([("b", 9)])                      # v3
+        versions = ctx.versions("item")
+        assert len(versions) == 3
+        v1, v2, v3 = versions
+        assert sorted(v.read(version=v1).all()) == [("a", 1)]
+        assert sorted(v.read(version=v2).all()) == [("a", 2), ("b", 5)]
+        # current == latest
+        assert sorted(v.read().all()) == [("a", 2), ("b", 9)]
+        # filters compose with time travel
+        assert v.read("(= sku {})", args=["a"], version=v2).one() == ("a", 2)
+        # a GC'd / unknown version raises with the available list
+        with pytest.raises(KeyError, match="no snapshot"):
+            v.read(version=999).all()
