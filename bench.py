@@ -37,6 +37,8 @@ BENCH_QUERIES = [
     # comparable round-over-round)
     "repetition_docs",
     "bigram_surprisal_docs",
+    "event_funnel",
+    "curation_pipeline_v2",
 ]
 
 

@@ -54,6 +54,10 @@ def cli(argv=None):
     parser.add_argument("--tic", help="Tic character to use for plot")
     parser.add_argument("-d", "--debug", action="store_true")
     parser.add_argument("-H", "--hide-headers", action="store_true")
+    parser.add_argument(
+        "--at", type=int, metavar="VERSION",
+        help="Time-travel read: pin the table to snapshot VERSION",
+    )
 
     args = parser.parse_args(argv)
     if args.debug:
@@ -180,6 +184,7 @@ def cli_main(args):
             order=order or None,
             limit=args.limit,
             offset=args.offset,
+            version=args.at,
         )
         rows = cursor.all()
         headers = None if args.hide_headers else [

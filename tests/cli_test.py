@@ -80,3 +80,25 @@ def test_cli_roundtrip(cfg_file, capsys, spark):
     # version
     run_cli(["version"], cfg_file)
     assert capsys.readouterr().out.strip()
+
+
+def test_cli_time_travel(cfg_file, capsys, spark):
+    run_cli(["init"], cfg_file)
+    run_cli(["write", "country", "name"], cfg_file, stdin="name\nSpain\n")
+    run_cli(["write", "country", "name"], cfg_file, stdin="name\nItaly\n")
+    # current read sees both; --at pins the snapshot after the 1st write
+    from tanker_spark import connect, ctx
+
+    import yaml as _yaml
+    cfg = _yaml.safe_load(open(cfg_file))
+    with connect(cfg):
+        versions = ctx.versions("country")
+    v_after_first = versions[-2]
+    capsys.readouterr()
+    run_cli(["read", "country", "name", "--at", str(v_after_first),
+             "-s", "name"], cfg_file)
+    old = capsys.readouterr().out
+    assert "Spain" in old and "Italy" not in old
+    run_cli(["read", "country", "name", "-s", "name"], cfg_file)
+    now = capsys.readouterr().out
+    assert "Spain" in now and "Italy" in now
