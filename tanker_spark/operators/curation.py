@@ -1,11 +1,13 @@
 """Training-data curation operators: deterministic sampling, per-group
-caps, PII redaction, weighted source mixing.
+caps, PII redaction, weighted and temperature-based source mixing,
+context-window chunking, shard export, sequence packing.
 
 These are the dataset-shaping verbs of a large-scale LLM data pipeline
 (alongside dedup/similarity/text in this package). All are pure
-DataFrame transformations: sampling and redaction are map-only
-(whole-stage codegen, no shuffle); capping shuffles once on the group
-key. Nothing collects to the driver.
+DataFrame transformations: sampling, redaction and chunking are
+map-only (whole-stage codegen, no shuffle); capping shuffles once on
+the group key; temperature mixing aggregates only the |sources|-row
+count frame. Nothing collects to the driver.
 """
 
 from __future__ import annotations

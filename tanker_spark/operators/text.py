@@ -1,6 +1,14 @@
-"""Text analysis operators: tokenization, language ID, quality scoring,
-fingerprinting. All pure Column expressions → whole-stage codegen, linear
-scans, no shuffle — these run at 100 TB as a single map stage.
+"""Text analysis operators.
+
+Per-document signals (tokenization, language ID, quality scoring,
+fingerprinting) are pure Column expressions → whole-stage codegen,
+linear scans, no shuffle — a single map stage at 100 TB.
+
+Corpus-level signals (repetition stats, bigram-LM surprisal,
+boilerplate ratio, contamination screens, length quantiles) add the
+minimum shuffle their semantics require — always keyed by doc id or
+gram, never doc×doc — with Bloom / persisted-artifact variants for the
+shapes whose exact form grows with the training corpus.
 """
 
 from __future__ import annotations
