@@ -1013,6 +1013,26 @@ def neardup_groups_star_docs(spark, sf_dir):
     return dedup.neardup_groups(pairs, method="star").orderBy("id")
 
 
+def train_test_split_docs(spark, sf_dir):
+    """Leakage-safe 80/10/10 split: near-dup clusters (exact n-gram
+    Jaccard ≥ 0.5 → connected components) are assigned to a split AS A
+    UNIT, so no near-duplicate pair straddles train/test
+    (curation.split_by_group). Plain modulus bucket for cross-engine
+    reproducibility."""
+    from tanker_spark.operators import curation
+
+    df = _read(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_exact(
+        df, "text", "doc_id", n=3, threshold=0.5
+    )
+    groups = dedup.neardup_groups(pairs)
+    out = curation.split_by_group(
+        df, groups, [("train", 0.8), ("val", 0.1), ("test", 0.1)],
+        bucket_expr=lambda gid: F.pmod(gid * F.lit(7919), F.lit(10000)),
+    )
+    return out.select("doc_id", "split").orderBy("doc_id")
+
+
 def text_quality(spark, sf_dir):
     """Gopher-style quality score, heuristic language ID and BPE-ish
     token counts per doc (composite: keeps every oracle-checkable op
@@ -1280,6 +1300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": q10_returned_items,
         "neardup_groups_star_docs": neardup_groups_star_docs,
         "curation_pipeline_v2": curation_pipeline_v2,
+        "train_test_split_docs": train_test_split_docs,
         # -- no-oracle (rows-only) entries LAST: if the driver's run caps
         # the query count, every oracle-checkable entry above still gets
         # a CORRECTNESS row (round-2 lost 3 green rows to this)
@@ -2027,6 +2048,52 @@ def oracle_sql() -> dict[str, str]:
                    top_gram_char_frac, dup_gram_char_frac
             FROM lsig l JOIN tsig USING (doc_id)
                         JOIN dsig USING (doc_id)
+            ORDER BY doc_id
+        """,
+        "train_test_split_docs": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct([concat_ws(' ', t[i], t[i+1], t[i+2])
+                                    for i in range(1, len(t) - 1)]) AS s
+              FROM toks
+            ), ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+            ), pairs AS (
+              SELECT cand.id_a, cand.id_b
+              FROM cand JOIN sh x ON cand.id_a = x.doc_id
+                        JOIN sh y ON cand.id_b = y.doc_id
+              WHERE len(list_intersect(x.s, y.s))::DOUBLE /
+                    (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)))
+                    >= 0.5
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ), reach AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r
+              JOIN edges e ON r.dst = e.src
+              WHERE e.dst != r.src
+            ), groups AS (
+              SELECT src AS id, least(src, min(dst)) AS group_id
+              FROM reach GROUP BY src
+            ), resolved AS (
+              SELECT d.doc_id,
+                     coalesce(g.group_id, d.doc_id) AS gid
+              FROM documents d LEFT JOIN groups g ON d.doc_id = g.id
+            )
+            SELECT doc_id,
+                   CASE WHEN (gid * 7919) % 10000 < 8000 THEN 'train'
+                        WHEN (gid * 7919) % 10000 < 9000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM resolved
             ORDER BY doc_id
         """,
         "curation_pipeline_v2": """

@@ -231,6 +231,47 @@ def mix_sources_temperature(df, source_col, id_col, alpha=0.5,
     )
 
 
+def split_by_group(df, group_df, fractions, id_col="doc_id",
+                   group_col="group_id", bucket_expr=None):
+    """Leakage-safe train/val/test assignment: the split is decided by
+    the row's near-dup GROUP id (from :func:`dedup.neardup_groups`),
+    so every member of a duplicate cluster lands in the SAME split —
+    the guard against test-set leakage through near-duplicates that
+    plain row-hash splitting cannot give. Rows without a group use
+    their own id (singleton group).
+
+    ``fractions``: ordered (name, fraction) pairs; fractions must sum
+    to 1 (the last split absorbs rounding). One broadcast-friendly
+    left join against the group table (tiny relative to the corpus —
+    only matched rows have entries), then a map-only deterministic
+    bucket of the group id. ``bucket_expr``, when given, is a CALLABLE
+    Column → Column (the bucket must be computed from the resolved
+    group id, not a fixed column).
+    """
+    pairs = list(fractions.items() if isinstance(fractions, dict)
+                 else fractions)
+    total = sum(f for _, f in pairs)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError("split fractions must sum to 1, got %s" % total)
+    g = group_df.select(
+        F.col("id").alias("__gid_key"), F.col(group_col).alias("__gid")
+    )
+    joined = df.join(g, df[id_col] == g["__gid_key"], "left").drop(
+        "__gid_key"
+    )
+    gid = F.coalesce(F.col("__gid"), F.col(id_col))
+    b = bucket_expr(gid) if bucket_expr is not None else hash_bucket(gid)
+    split = F.lit(pairs[-1][0])
+    acc = 0.0
+    conds = []
+    for name, frac in pairs[:-1]:
+        acc += frac
+        conds.append((int(round(acc * SAMPLE_MOD)), name))
+    for threshold, name in reversed(conds):
+        split = F.when(b < threshold, F.lit(name)).otherwise(split)
+    return joined.withColumn("split", split).drop("__gid")
+
+
 def mix_sources(dfs_with_weights, id_col, bucket_expr=None):
     """Weighted dataset mixing: union of deterministic samples, one per
     (DataFrame, weight≤1) pair — the 'data recipe' op for training

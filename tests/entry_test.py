@@ -64,7 +64,7 @@ def test_driver_row_budget_ordering():
         "text_stats", "knn_join_batch", "mix_temperature_langs",
         "event_anomalies", "user_retention_cohorts",
         "q10_returned_items", "neardup_groups_star_docs",
-        "curation_pipeline_v2",
+        "curation_pipeline_v2", "train_test_split_docs",
     }, demoted
 
 

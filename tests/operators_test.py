@@ -976,3 +976,26 @@ def test_length_quantiles_approx(spark):
             # t-digest rank error 1/accuracy -> value error bounded by
             # a few points of the [1,10000] uniform range
             assert abs(e - a) <= 0.02 * 10_000, (s, e, a)
+
+
+def test_split_by_group_leakage_safe(spark, docs):
+    """Planted near-dup pairs must land in the same split; fractions
+    roughly honored; bad fractions rejected."""
+    from tanker_spark.operators import curation
+
+    pairs = dedup.ngram_jaccard_exact(docs, threshold=0.5)
+    groups = dedup.neardup_groups(pairs)
+    out = curation.split_by_group(
+        docs, groups, [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    ).collect()
+    split_of = {r.doc_id: r.split for r in out}
+    assert len(split_of) == docs.count()
+    # every near-dup pair co-located
+    for r in pairs.collect():
+        assert split_of[r.id_a] == split_of[r.id_b], (r.id_a, r.id_b)
+    assert set(split_of.values()) <= {"train", "val", "test"}
+    n_train = sum(1 for s in split_of.values() if s == "train")
+    assert n_train > len(split_of) * 0.6
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        curation.split_by_group(docs, groups, [("a", 0.5), ("b", 0.2)])
