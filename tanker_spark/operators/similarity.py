@@ -400,6 +400,39 @@ def build_ann_index(df, path, method="lsh", vec_col="embedding",
     return path
 
 
+def ann_index_append(new_df, path):
+    """Incremental index maintenance: append a batch of new vectors to
+    an existing persisted ANN index WITHOUT rebuilding — bucket
+    assignment re-derives from the stored metadata (same hyperplanes /
+    centroids), so old and new rows share one bucket space and probes
+    see both. At 100 TB this is the only sane steady state: the index
+    grows by appended partition files, a rebuild never touches the
+    historical corpus.
+
+    Works for both lsh and ivf indexes, quantized or not (the batch is
+    stored in the same layout the index was built with)."""
+    with open(os.path.join(path, ANN_META)) as fh:
+        meta = json.load(fh)
+    vec_col, id_col = meta["vec_col"], meta["id_col"]
+    if meta["method"] == "lsh":
+        col = hyperplane_bucket(
+            F.col(vec_col), meta["dim"], meta["n_planes"], meta["seed"]
+        )
+    else:
+        col = ivf_cell_col(meta["centroids"], vec_col)
+    if meta.get("quantized"):
+        code, mn, scale = quant_cols(F.col(vec_col))
+        stored = new_df.select(
+            F.col(id_col), code.alias("qcode"), mn.alias("qmin"),
+            scale.alias("qscale"), col.alias("__bucket"),
+        )
+    else:
+        stored = new_df.select(
+            F.col(id_col), F.col(vec_col), col.alias("__bucket")
+        )
+    stored.write.mode("append").partitionBy("__bucket").parquet(path)
+
+
 def knn_indexed(spark, path, probe_vec, k=10, multiprobe=1, n_probe=4):
     """Probe a persisted ANN index: the probe's bucket set is computed in
     plain python from the stored metadata (NO Spark job), and the scan is

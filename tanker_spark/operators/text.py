@@ -368,6 +368,64 @@ def bigram_surprisal(df, text_col="text", id_col="doc_id", k=0.5):
     ).select(F.col("__id").alias(id_col), "surprisal")
 
 
+def build_lm_counts(df, path, text_col="text"):
+    """Persist the corpus bigram-count table (the 'language model') as
+    a parquet side table: train once over the 100 TB corpus, then
+    score any arriving batch against the FROZEN counts with
+    :func:`bigram_surprisal_indexed` — no re-pass over the training
+    text. The artifact is the (gram, count) frame, ~the distinct-bigram
+    vocabulary, orders of magnitude smaller than the corpus."""
+    from .dedup import shingles_all
+
+    (
+        df.select(
+            F.explode(
+                shingles_all(F.lower(F.col(text_col)), 2)
+            ).alias("__g")
+        )
+        .groupBy("__g").agg(F.count(F.lit(1)).alias("__c"))
+        .write.mode("overwrite").parquet(path)
+    )
+    return path
+
+
+def bigram_surprisal_indexed(new_df, path, text_col="text",
+                             id_col="doc_id", k=0.5):
+    """Score a batch against a frozen LM artifact from
+    :func:`build_lm_counts`. Bigrams unseen in the training corpus get
+    count 0 (left join + coalesce) — maximal surprisal under the same
+    add-k smoothing, which is exactly what an out-of-distribution
+    screen wants. Shuffles only on the gram key and the batch doc id.
+    """
+    spark = new_df.sparkSession
+    counts = spark.read.parquet(path)
+    tot = counts.agg(
+        F.sum("__c").alias("__n"), F.count(F.lit(1)).alias("__v")
+    )
+    from .dedup import shingles_all
+
+    ex = new_df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            shingles_all(F.lower(F.col(text_col)), 2)
+        ).alias("__g"),
+    )
+    scored = (
+        ex.join(counts, "__g", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "__id",
+            (-F.log(
+                (F.coalesce(F.col("__c"), F.lit(0)) + F.lit(k))
+                / (F.col("__n") + F.lit(k) * F.col("__v"))
+            )).alias("__s"),
+        )
+    )
+    return scored.groupBy("__id").agg(
+        F.round(F.avg("__s"), 4).alias("surprisal")
+    ).select(F.col("__id").alias(id_col), "surprisal")
+
+
 def _bloom_params(n, fpp):
     """Standard Bloom sizing: m bits / k hashes for n items at fpp."""
     import math

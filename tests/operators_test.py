@@ -999,3 +999,46 @@ def test_split_by_group_leakage_safe(spark, docs):
 
     with pytest.raises(ValueError, match="sum to 1"):
         curation.split_by_group(docs, groups, [("a", 0.5), ("b", 0.2)])
+
+
+def test_ann_index_append(spark, tmp_path):
+    rnd = random.Random(41)
+    dim = 16
+    base = [(i, [rnd.gauss(0, 1) for _ in range(dim)]) for i in range(60)]
+    extra = [(100 + i, [rnd.gauss(0, 1) for _ in range(dim)])
+             for i in range(20)]
+    df = spark.createDataFrame(base, ["vec_id", "embedding"])
+    new = spark.createDataFrame(extra, ["vec_id", "embedding"])
+    path = str(tmp_path / "ann_inc")
+    similarity.build_ann_index(df, path, method="lsh", dim=dim,
+                               n_planes=6)
+    similarity.ann_index_append(new, path)
+    # appended vector is findable; equivalent to a full rebuild
+    probe = extra[3][1]
+    got = similarity.knn_indexed(spark, path, probe, k=3,
+                                 multiprobe=2).collect()
+    assert got[0].vec_id == 103 and got[0].cos_sim > 0.999
+    full = str(tmp_path / "ann_full")
+    similarity.build_ann_index(df.unionAll(new), full, method="lsh",
+                               dim=dim, n_planes=6)
+    want = similarity.knn_indexed(spark, full, probe, k=3,
+                                  multiprobe=2).collect()
+    assert [(r.vec_id, round(r.cos_sim, 9)) for r in got] == \
+        [(r.vec_id, round(r.cos_sim, 9)) for r in want]
+
+
+def test_bigram_surprisal_indexed(spark, docs, tmp_path):
+    path = str(tmp_path / "lm_counts")
+    text.build_lm_counts(docs, path)
+    # scoring the training docs against the frozen artifact == in-corpus
+    live = {r.doc_id: r.surprisal
+            for r in text.bigram_surprisal(docs).collect()}
+    idx = {r.doc_id: r.surprisal
+           for r in text.bigram_surprisal_indexed(docs, path).collect()}
+    assert idx == live
+    # an out-of-distribution batch scores strictly higher than any
+    # in-corpus doc (every bigram unseen -> max smoothed surprisal)
+    ood = spark.createDataFrame(
+        [(999, "zzz qqq www eee rrr ttt yyy uuu")], ["doc_id", "text"])
+    s = text.bigram_surprisal_indexed(ood, path).collect()[0].surprisal
+    assert s > max(live.values())
