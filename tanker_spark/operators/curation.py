@@ -121,8 +121,9 @@ def cap_per_group(df, group_col, k, order_by, salt="auto",
     - ``None`` / ``0``: no pre-pass (single shuffle, lazy).
     - ``N``: force N subgroups.
 
-    The subgroup hash covers EVERY column of the row, so a skewed group
-    whose rows share the same ordering tuple still splits across
+    The subgroup hash covers every HASHABLE column of the row (map
+    columns can't feed ``xxhash64`` and are skipped), so a skewed
+    group whose rows share the same ordering tuple still splits across
     subgroups. When ``order_by`` is a total order (e.g. it ends with a
     unique id) the salted and unsalted paths keep identical survivors;
     under ordering ties which tied rows survive is arbitrary on BOTH
@@ -141,8 +142,21 @@ def cap_per_group(df, group_col, k, order_by, salt="auto",
             1024, -(-mx // target_rows)
         )
     if salt and int(salt) > 1:
+        from pyspark.sql import types as T
+
+        def _hashable(dt):
+            if isinstance(dt, T.MapType):
+                return False
+            if isinstance(dt, T.ArrayType):
+                return _hashable(dt.elementType)
+            if isinstance(dt, T.StructType):
+                return all(_hashable(f.dataType) for f in dt.fields)
+            return True
+
+        cols = [f.name for f in df.schema.fields
+                if _hashable(f.dataType)] or [group_col]
         sub = F.pmod(
-            F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(int(salt))
+            F.xxhash64(*[F.col(c) for c in cols]), F.lit(int(salt))
         )
         w1 = Window.partitionBy(F.col(group_col), sub).orderBy(*order_cols)
         df = (

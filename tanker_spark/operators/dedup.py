@@ -282,6 +282,11 @@ def minhash_incremental(new_df, sig_path, text_col="text",
 
     After consuming the pairs, persist the batch with
     :func:`minhash_append_signatures` so the next increment sees it.
+    The batch signatures are eagerly cached while the returned pairs
+    are consumed (two join consumers); the cache is LRU-evicted under
+    memory pressure and batch-sized, so per-batch occupancy is bounded
+    — long-lived drivers cycling many batches can also call
+    ``spark.catalog.clearCache()`` between increments.
     """
     spark = new_df.sparkSession
     new_sigs = minhash_signatures_df(

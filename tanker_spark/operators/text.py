@@ -344,8 +344,11 @@ def bigram_surprisal(df, text_col="text", id_col="doc_id", k=0.5):
     # the corpus gram-count table feeds BOTH the N/V scalar aggregate
     # and the per-doc score join; without the eager persist each
     # consumer re-explodes the whole corpus (a full extra pass at
-    # 100 TB). Same pattern as minhash signatures — for a durable
-    # variant write counts to a parquet side table and read it back.
+    # 100 TB). Same pattern as minhash signatures. The cached frame
+    # lives until Spark evicts it (storage memory is LRU) or the
+    # session ends — for repeated scoring use build_lm_counts +
+    # bigram_surprisal_indexed, which replace the cache with a durable
+    # parquet artifact.
     counts = ex.groupBy("__g").agg(
         F.count(F.lit(1)).alias("__c")
     ).persist()

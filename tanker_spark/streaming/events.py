@@ -250,7 +250,7 @@ def interval_join(left, right, key="user_id", ts_col="event_ts",
 
 def funnel_batch(df, first_type, then_type, within="30 minutes",
                  key="user_id", ts_col="event_ts",
-                 type_col="event_type"):
+                 type_col="event_type", event_id_col="event_id"):
     """Batch twin of the streaming interval join, shaped as a funnel:
     per ``key``, how many ``first_type`` events were followed by a
     ``then_type`` event within ``within``. One equi-join on the key
@@ -258,7 +258,7 @@ def funnel_batch(df, first_type, then_type, within="30 minutes",
     matched pairs), one aggregate — both shuffles on ``key``."""
     a = df.filter(F.col(type_col) == first_type).select(
         F.col(key).alias("__k"), F.col(ts_col).alias("__ta"),
-        F.col("event_id").alias("__ida"),
+        F.col(event_id_col).alias("__ida"),
     )
     b = df.filter(F.col(type_col) == then_type).select(
         F.col(key).alias("__k"), F.col(ts_col).alias("__tb"),
@@ -323,14 +323,17 @@ def hourly_anomalies(df, ts_col="ts", type_col="event_type",
         F.avg("n").over(w).alias("mu"),
         F.stddev("n").over(w).alias("sd"),
     )
+    # threshold on the UNROUNDED z (rounding only in the projection):
+    # thresholding the rounded value would flip rows whose true |z|
+    # sits within half an ulp-of-rounding below the cutoff
+    z_raw = (F.col("n") - F.col("mu")) / F.col("sd")
     return (
         scored.filter(F.col("sd") > 0)
+        .filter(F.abs(z_raw) >= z_thresh)
         .select(
             "event_type", "hour", "n",
-            F.round((F.col("n") - F.col("mu")) / F.col("sd"), 4)
-            .alias("z"),
+            F.round(z_raw, 4).alias("z"),
         )
-        .filter(F.abs(F.col("z")) >= z_thresh)
     )
 
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 from collections import defaultdict
+from contextlib import contextmanager
 
 from pyspark.sql import functions as F
 
@@ -61,6 +62,43 @@ def release_all_pins():
             _ALL_PINS.pop().unpersist(False)
         except Exception:  # session already stopped — nothing to free
             pass
+
+
+@contextmanager
+def _claim_pins():
+    """Release the pins created inside the block when it exits.
+
+    The write/delete paths pin pair frames (subquery write filters)
+    but have no Cursor to claim them — without this, every filtered
+    write in a long-lived session would leave a persisted frame in
+    executor storage until context leave. Safe because those paths
+    fully materialize their output (the parquet commit) before
+    returning."""
+    mark = len(_PIN_LOG)
+    try:
+        yield
+    finally:
+        claimed = _PIN_LOG[mark:]
+        del _PIN_LOG[mark:]
+        for p in claimed:
+            try:
+                p.unpersist(False)
+            except Exception:
+                pass
+            try:
+                _ALL_PINS.remove(p)
+            except ValueError:
+                pass
+
+
+def _claims_pins(fn):
+    """Method decorator form of :func:`_claim_pins`."""
+    def wrapper(*a, **kw):
+        with _claim_pins():
+            return fn(*a, **kw)
+    wrapper.__name__ = fn.__name__
+    wrapper.__doc__ = fn.__doc__
+    return wrapper
 
 
 def _and_maybe(*conds):
@@ -1273,10 +1311,11 @@ class View(object):
             )
         self.ins_filter_cnt = self.upd_filter_cnt = 0
         try:
-            return self._write_exec(
-                inc, purge, insert, update, filters, disable_acl,
-                fresh_env,
-            )
+            with _claim_pins():
+                return self._write_exec(
+                    inc, purge, insert, update, filters, disable_acl,
+                    fresh_env,
+                )
         except ValueError:
             raise
         except Exception as e:  # surface plan-embedded guards cleanly
@@ -1588,6 +1627,7 @@ class View(object):
     # ------------------------------------------------------------------
     # DELETE
     # ------------------------------------------------------------------
+    @_claims_pins
     def delete(self, filters=None, data=None, args=None, swap=False):
         """Delete rows matching filters/data (or NOT matching if swap).
 
