@@ -1177,9 +1177,7 @@ def curation_pipeline_v2(spark, sf_dir):
     from tanker_spark.operators import curation, dedup
 
     df = _read(spark, sf_dir, "documents")
-    rep = text.repetition_signals(df).select(
-        "doc_id", "dup_gram_char_frac", "top_gram_char_frac"
-    )
+    rep = text.repetition_signals(df, include_lines=False)
     surp = text.bigram_surprisal(df)
     gated = (
         df.select("doc_id", "lang", "text")

@@ -202,7 +202,7 @@ def length_quantiles(df, group_col="source", len_col="n_chars",
 
 
 def repetition_signals(df, text_col="text", id_col="doc_id",
-                       top_n=2, dup_n=3):
+                       top_n=2, dup_n=3, include_lines=True):
     """Gopher-style within-document repetition signals (Rae et al. 2021,
     "Scaling Language Models", Table A1 — the repetition-removal family),
     per document:
@@ -224,6 +224,9 @@ def repetition_signals(df, text_col="text", id_col="doc_id",
     on (doc, value) then on doc — partial aggregation is map-side, the
     shuffles are keyed by doc id, never doc×doc. This is exactly how the
     published web-scale curation pipelines run this filter.
+    ``include_lines=False`` skips the line branch entirely (one whole
+    corpus pass saved) when only the gram metrics feed a downstream
+    gate.
     """
     from .dedup import shingles_all
 
@@ -233,25 +236,27 @@ def repetition_signals(df, text_col="text", id_col="doc_id",
         F.col(text_col).alias("__t"),
     )
 
-    lines = base.select(
-        "__id", "__chars",
-        F.explode(F.split(F.col("__t"), "\n")).alias("__ln"),
-    )
-    line_counts = lines.groupBy("__id", "__chars", "__ln").agg(
-        F.count(F.lit(1)).alias("__c")
-    )
-    line_sig = line_counts.groupBy("__id").agg(
-        F.round(
-            F.lit(1.0) - F.count(F.lit(1)) / F.sum("__c"), 4
-        ).alias("dup_line_frac"),
-        F.round(
-            F.least(
-                F.sum((F.col("__c") - 1) * F.length("__ln"))
-                / F.first("__chars"),
-                F.lit(1.0),
-            ), 4
-        ).alias("dup_line_char_frac"),
-    )
+    line_sig = None
+    if include_lines:
+        lines = base.select(
+            "__id", "__chars",
+            F.explode(F.split(F.col("__t"), "\n")).alias("__ln"),
+        )
+        line_counts = lines.groupBy("__id", "__chars", "__ln").agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        line_sig = line_counts.groupBy("__id").agg(
+            F.round(
+                F.lit(1.0) - F.count(F.lit(1)) / F.sum("__c"), 4
+            ).alias("dup_line_frac"),
+            F.round(
+                F.least(
+                    F.sum((F.col("__c") - 1) * F.length("__ln"))
+                    / F.first("__chars"),
+                    F.lit(1.0),
+                ), 4
+            ).alias("dup_line_char_frac"),
+        )
 
     # both gram sizes ride ONE tagged explode so the text column is
     # scanned once for the gram metrics (not once per n) and the
@@ -308,6 +313,11 @@ def repetition_signals(df, text_col="text", id_col="doc_id",
         ).alias("dup_gram_char_frac"),
     )
 
+    if line_sig is None:
+        return gram_sig.select(
+            F.col("__id").alias(id_col),
+            "top_gram_char_frac", "dup_gram_char_frac",
+        )
     return (
         line_sig.join(gram_sig, "__id")
         .select(
