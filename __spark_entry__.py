@@ -866,6 +866,24 @@ def boilerplate_ratio(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def corpus_stats(spark, sf_dir):
+    """Dataset-card summary: one row of corpus-level facts (doc count,
+    token/char volume, language and source diversity, exact-dup rate).
+    Pure aggregates — one pass, map-side partials, no joins."""
+    df = _read(spark, sf_dir, "documents")
+    return df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(text.token_count(F.col("text"))).alias("n_tokens"),
+        F.sum(F.length("text")).alias("n_chars"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.round(
+            F.lit(1.0) - F.count_distinct("text")
+            / F.count(F.lit(1)), 4
+        ).alias("dup_rate"),
+    )
+
+
 def repetition_docs(spark, sf_dir):
     """Gopher-style within-document repetition filters (dup-line
     fraction, dup-line char fraction, top-2-gram char coverage,
@@ -1299,6 +1317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_groups_star_docs": neardup_groups_star_docs,
         "curation_pipeline_v2": curation_pipeline_v2,
         "train_test_split_docs": train_test_split_docs,
+        "corpus_stats": corpus_stats,
         # -- no-oracle (rows-only) entries LAST: if the driver's run caps
         # the query count, every oracle-checkable entry above still gets
         # a CORRECTNESS row (round-2 lost 3 green rows to this)
@@ -2047,6 +2066,17 @@ def oracle_sql() -> dict[str, str]:
             FROM lsig l JOIN tsig USING (doc_id)
                         JOIN dsig USING (doc_id)
             ORDER BY doc_id
+        """,
+        "corpus_stats": """
+            SELECT count(*) AS n_docs,
+                   sum(len(regexp_split_to_array(trim(text), '\\s+')))
+                       AS n_tokens,
+                   sum(length(text)) AS n_chars,
+                   count(DISTINCT lang) AS n_langs,
+                   count(DISTINCT source) AS n_sources,
+                   round(1.0 - count(DISTINCT text)::DOUBLE / count(*),
+                         4) AS dup_rate
+            FROM documents
         """,
         "train_test_split_docs": """
             WITH RECURSIVE toks AS (

@@ -65,6 +65,7 @@ def test_driver_row_budget_ordering():
         "event_anomalies", "user_retention_cohorts",
         "q10_returned_items", "neardup_groups_star_docs",
         "curation_pipeline_v2", "train_test_split_docs",
+        "corpus_stats",
     }, demoted
 
 
@@ -85,3 +86,15 @@ def test_events_ts_stays_timestamp():
         "events.ts physical type changed to %s — see this test's "
         "docstring for the fix" % t
     )
+
+
+def test_q10_plan_shape(spark):
+    """Q10's physical plan: filter pushed to both scans, all three dim
+    joins broadcast, and Catalyst's LeftOuter->Inner conversion on the
+    null-rejecting date filter."""
+    df = entry_mod.queries()["q10_returned_items"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "SortMergeJoin" not in plan
