@@ -398,19 +398,11 @@ def simhash_df(df, text_col="text", id_col="doc_id", bits=64):
     return hashed.select("__id", fp.alias("__fp"))
 
 
-def simhash_pairs(df, text_col="text", id_col="doc_id", max_hamming=3,
-                  band_bits=16):
-    """SimHash near-dup candidates: band the 64-bit fingerprint into
-    ``64/band_bits`` chunks; pairs agreeing on ≥1 chunk are candidates
-    (any pair within hamming distance < #bands shares a chunk); verify
-    with exact popcount of XOR."""
+def _simhash_band_explode(base, band_bits):
+    """(__id, __fp) → one row per (id, band-bucket). Bucket key per
+    band: hash of (band idx, fp AND band-mask) — masks instead of
+    shifts keep everything in plain long arithmetic."""
     n_bands = 64 // band_bits
-    # persist: the fingerprint feeds n_bands buckets and both join
-    # sides; eager so the join stages don't race to fill the cache
-    base = simhash_df(df, text_col, id_col).persist()
-    base.count()
-    # bucket key per band: hash of (band idx, fp AND band-mask) — masks
-    # instead of shifts keep everything in plain long arithmetic
     buckets = [
         F.xxhash64(
             F.lit(b),
@@ -422,9 +414,22 @@ def simhash_pairs(df, text_col="text", id_col="doc_id", max_hamming=3,
         )
         for b in range(n_bands)
     ]
-    exploded = base.select(
+    return base.select(
         "__id", "__fp", F.explode(F.array(*buckets)).alias("__bucket")
     )
+
+
+def simhash_pairs(df, text_col="text", id_col="doc_id", max_hamming=3,
+                  band_bits=16):
+    """SimHash near-dup candidates: band the 64-bit fingerprint into
+    ``64/band_bits`` chunks; pairs agreeing on ≥1 chunk are candidates
+    (any pair within hamming distance < #bands shares a chunk); verify
+    with exact popcount of XOR."""
+    # persist: the fingerprint feeds n_bands buckets and both join
+    # sides; eager so the join stages don't race to fill the cache
+    base = simhash_df(df, text_col, id_col).persist()
+    base.count()
+    exploded = _simhash_band_explode(base, band_bits)
     L, R = exploded.alias("L"), exploded.alias("R")
     return (
         L.join(
@@ -441,6 +446,59 @@ def simhash_pairs(df, text_col="text", id_col="doc_id", max_hamming=3,
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+def simhash_incremental(new_df, fp_path, text_col="text",
+                        id_col="doc_id", max_hamming=3, band_bits=16):
+    """Incremental SimHash dedup: match an arriving batch against the
+    fingerprint side table at ``fp_path`` (written by
+    :func:`simhash_append_fingerprints`) — the SimHash twin of
+    :func:`minhash_incremental`. The historical corpus is touched only
+    through its 8-byte-per-doc fingerprints. Returns
+    (id_a, id_b, hamming) with id_a always a NEW doc; corpus-internal
+    pairs are never re-emitted. ``band_bits`` must match the build.
+
+    Append the batch with :func:`simhash_append_fingerprints` AFTER
+    consuming the pairs (the read lists the directory lazily)."""
+    spark = new_df.sparkSession
+    new_fp = simhash_df(new_df, text_col, id_col).persist()
+    new_fp.count()
+    old_fp = spark.read.parquet(fp_path)
+    new_x = _simhash_band_explode(new_fp, band_bits)
+    all_x = _simhash_band_explode(
+        old_fp, band_bits
+    ).withColumn("__new", F.lit(0)).unionAll(
+        new_x.withColumn("__new", F.lit(1))
+    )
+    L, R = new_x.alias("L"), all_x.alias("R")
+    return (
+        L.join(
+            R,
+            (F.col("L.__bucket") == F.col("R.__bucket"))
+            & (F.col("L.__id") != F.col("R.__id"))
+            & (
+                (F.col("R.__new") == 0)
+                | (F.col("L.__id") < F.col("R.__id"))
+            ),
+        )
+        .select(
+            F.col("L.__id").alias("id_a"),
+            F.col("R.__id").alias("id_b"),
+            F.bit_count(
+                F.col("L.__fp").bitwiseXOR(F.col("R.__fp"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def simhash_append_fingerprints(new_df, fp_path, text_col="text",
+                                id_col="doc_id"):
+    """Append a batch's fingerprints to the ``fp_path`` side table."""
+    simhash_df(new_df, text_col, id_col).write.mode("append").parquet(
+        fp_path
     )
 
 

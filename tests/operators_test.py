@@ -1042,3 +1042,18 @@ def test_bigram_surprisal_indexed(spark, docs, tmp_path):
         [(999, "zzz qqq www eee rrr ttt yyy uuu")], ["doc_id", "text"])
     s = text.bigram_surprisal_indexed(ood, path).collect()[0].surprisal
     assert s > max(live.values())
+
+
+def test_simhash_incremental(spark, docs, tmp_path):
+    fp_path = str(tmp_path / "fps")
+    corpus = docs.filter("doc_id < 100")
+    batch = docs.filter("doc_id >= 100")
+    dedup.simhash_append_fingerprints(corpus, fp_path)
+    inc = dedup.simhash_incremental(batch, fp_path, max_hamming=8)
+    rows = inc.collect()
+    found = {(min(r.id_a, r.id_b), max(r.id_a, r.id_b)) for r in rows}
+    assert (0, 100) in found
+    ham = {(r.id_a, r.id_b): r.hamming for r in rows}
+    assert ham[(100, 0)] == 0 or ham.get((0, 100)) == 0
+    for r in rows:
+        assert r.id_a >= 100   # every pair involves a new doc
