@@ -255,6 +255,20 @@ class TankerContext:
             keep=self.cfg.get("keep_versions"),
         )
 
+    def sql(self, query):
+        """Escape hatch to full Spark SQL: every registered table is
+        exposed as a temp view (registered fresh per call, so views
+        always see the CURRENT snapshot), and ``query`` runs through
+        ``spark.sql`` — window functions, CTEs, lateral views,
+        anything the engine's s-expr surface doesn't model. Returns
+        the DataFrame."""
+        for name in self.registry:
+            try:
+                self.read(name).createOrReplaceTempView(name)
+            except KeyError:
+                pass  # registered but no data yet
+        return self.spark.sql(query)
+
     def reset_cache(self, table=None):
         self._df_cache.clear()
 

@@ -56,3 +56,38 @@ def test_introspect_parquet(spark):
         assert [r[0] for r in rows] == ["A", "N", "R"]
         with pytest.raises(ValueError):
             View("region", ["r_name"]).write([("X",)])
+
+
+def test_ctx_sql_escape_hatch(spark, tmp_path):
+    """ctx.sql(): full Spark SQL over the registered tables (window
+    functions and CTEs the s-expr surface doesn't model), seeing the
+    current snapshot after writes."""
+    from tanker_spark import View, connect, create_tables, ctx
+
+    schema = """
+    - table: score
+      columns:
+        player: varchar
+        points: integer
+      key: [player]
+    """
+    with connect({"root": str(tmp_path / "sqlroot"), "schema": schema,
+                  "spark": spark}):
+        create_tables()
+        View("score", ["player", "points"]).write(
+            [("a", 10), ("b", 30), ("c", 20)])
+        out = ctx.sql("""
+            WITH ranked AS (
+              SELECT player, points,
+                     rank() OVER (ORDER BY points DESC) AS rk
+              FROM score
+            )
+            SELECT player, rk FROM ranked WHERE rk <= 2
+            ORDER BY rk
+        """).collect()
+        assert [(r.player, r.rk) for r in out] == [("b", 1), ("c", 2)]
+        View("score", ["player", "points"]).write([("d", 99)])
+        top = ctx.sql(
+            "SELECT player FROM score ORDER BY points DESC LIMIT 1"
+        ).collect()
+        assert top[0].player == "d"
