@@ -99,6 +99,34 @@ def q5_local_supplier_volume(spark, sf_dir):
         ).frame()
 
 
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7-style: bilateral trade volume — OR of two (supplier
+    nation, customer nation) pairings across DIFFERENT join paths from
+    the same fact table, grouped by both nations and ship year. The
+    stress case for join CSE + OR over multi-hop dotted paths."""
+    with _cx(spark, sf_dir):
+        v = View("lineitem", {
+            "supp_nation": "l_suppkey.s_nationkey.n_name",
+            "cust_nation": "l_orderkey.o_custkey.c_nationkey.n_name",
+            "l_year": '(extract "year" l_shipdate)',
+            "revenue":
+                "(round (sum (* l_extendedprice (- 1 l_discount))) 2)",
+        })
+        return v.read(
+            [
+                '(>= l_shipdate (cast "1995-01-01" (timestamptz)))',
+                '(< l_shipdate (cast "1997-01-01" (timestamptz)))',
+                '(or (and (= l_suppkey.s_nationkey.n_name "NATION_1")'
+                '         (= l_orderkey.o_custkey.c_nationkey.n_name'
+                '            "NATION_2"))'
+                '    (and (= l_suppkey.s_nationkey.n_name "NATION_2")'
+                '         (= l_orderkey.o_custkey.c_nationkey.n_name'
+                '            "NATION_1")))',
+            ],
+            order=["supp_nation", "cust_nation", "l_year"],
+        ).frame()
+
+
 def q10_returned_items(spark, sf_dir):
     """TPC-H Q10-style: 3-hop dotted aggregation (lineitem→orders→
     customer→nation) with a quarter date window on the middle hop and
@@ -1318,6 +1346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline_v2": curation_pipeline_v2,
         "train_test_split_docs": train_test_split_docs,
         "corpus_stats": corpus_stats,
+        "q7_volume_shipping": q7_volume_shipping,
         # -- no-oracle (rows-only) entries LAST: if the driver's run caps
         # the query count, every oracle-checkable entry above still gets
         # a CORRECTNESS row (round-2 lost 3 green rows to this)
@@ -2066,6 +2095,26 @@ def oracle_sql() -> dict[str, str]:
             FROM lsig l JOIN tsig USING (doc_id)
                         JOIN dsig USING (doc_id)
             ORDER BY doc_id
+        """,
+        "q7_volume_shipping": """
+            SELECT sn.n_name AS supp_nation,
+                   cn.n_name AS cust_nation,
+                   CAST(extract(year FROM l_shipdate) AS BIGINT)
+                       AS l_year,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM lineitem
+            LEFT JOIN supplier ON l_suppkey = s_suppkey
+            LEFT JOIN nation sn ON s_nationkey = sn.n_nationkey
+            LEFT JOIN orders ON l_orderkey = o_orderkey
+            LEFT JOIN customer ON o_custkey = c_custkey
+            LEFT JOIN nation cn ON c_nationkey = cn.n_nationkey
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+              AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+                OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+            GROUP BY sn.n_name, cn.n_name, l_year
+            ORDER BY supp_nation, cust_nation, l_year
         """,
         "corpus_stats": """
             SELECT count(*) AS n_docs,
