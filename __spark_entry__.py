@@ -2287,9 +2287,11 @@ def oracle_sql() -> dict[str, str]:
                            ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
             )
             SELECT event_type, hour, n,
-                   round((n - mu) / sd, 4) AS z
+                   CASE WHEN sd > 0 THEN round((n - mu) / sd, 4)
+                   END AS z
             FROM scored
-            WHERE sd > 0 AND abs((n - mu) / sd) >= 2.0
+            WHERE (sd > 0 AND abs((n - mu) / sd) >= 2.0)
+               OR (sd = 0 AND n != mu)
             ORDER BY event_type, hour
         """,
         "user_retention_cohorts": """

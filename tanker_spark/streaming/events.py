@@ -325,15 +325,17 @@ def hourly_anomalies(df, ts_col="ts", type_col="event_type",
     )
     # threshold on the UNROUNDED z (rounding only in the projection):
     # thresholding the rounded value would flip rows whose true |z|
-    # sits within half an ulp-of-rounding below the cutoff
+    # sits within half an ulp-of-rounding below the cutoff. A spike
+    # over a PERFECTLY constant baseline has sd = 0 and no finite z —
+    # still an anomaly (the worst kind); flagged with z = NULL.
     z_raw = (F.col("n") - F.col("mu")) / F.col("sd")
-    return (
-        scored.filter(F.col("sd") > 0)
-        .filter(F.abs(z_raw) >= z_thresh)
-        .select(
-            "event_type", "hour", "n",
-            F.round(z_raw, 4).alias("z"),
-        )
+    flagged = (
+        ((F.col("sd") > 0) & (F.abs(z_raw) >= z_thresh))
+        | ((F.col("sd") == 0) & (F.col("n") != F.col("mu")))
+    )
+    return scored.filter(flagged).select(
+        "event_type", "hour", "n",
+        F.when(F.col("sd") > 0, F.round(z_raw, 4)).alias("z"),
     )
 
 

@@ -159,3 +159,28 @@ def test_funnel_batch(spark, events_dir):
     assert out
     for r in out:
         assert 0 <= r.n_converted <= r.n_first
+
+
+def test_hourly_anomalies_planted_spike(spark):
+    from datetime import datetime, timedelta
+
+    rows = []
+    eid = 0
+    base = datetime(2024, 1, 1)
+    for h in range(48):
+        n = 10 if h != 40 else 200     # planted 20x spike at hour 40
+        for i in range(n):
+            rows.append((eid, base + timedelta(hours=h, minutes=i % 60),
+                         1, "click", 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value",
+               "props"])
+    got = sev.hourly_anomalies(df, lookback=24, z_thresh=2.0).collect()
+    hours = {r.hour.hour + 24 * (r.hour.day - 1) for r in got}
+    assert 40 in hours                  # the spike is flagged
+    spike = [r for r in got if r.hour.hour + 24 * (r.hour.day - 1) == 40]
+    # constant baseline -> sd = 0 -> no finite z, flagged with NULL z
+    assert spike[0].n == 200 and spike[0].z is None
+    # steady hours are not flagged
+    assert all(r.n != 10 for r in got)
