@@ -1235,6 +1235,13 @@ def curation_pipeline_v2(spark, sf_dir):
         )
     )
     uniq = dedup.dedup_exact_rows(gated, "text")
+    # stage boundary: temperature mixing references the gated+deduped
+    # frame twice (per-lang counts + the join back); without a
+    # checkpoint each reference re-derives the whole repetition +
+    # surprisal upstream (~4 full corpus passes, 35 scans in the
+    # physical plan). In a production pipeline this is the point where
+    # the intermediate lands in a parquet staging table.
+    uniq = uniq.localCheckpoint(eager=True)
     mixed = curation.mix_sources_temperature(
         uniq, "lang", "doc_id", alpha=0.5,
         bucket_expr=F.pmod(F.col("doc_id") * F.lit(7919), F.lit(10000)),

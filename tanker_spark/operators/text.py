@@ -362,6 +362,9 @@ def bigram_surprisal(df, text_col="text", id_col="doc_id", k=0.5):
     counts = ex.groupBy("__g").agg(
         F.count(F.lit(1)).alias("__c")
     ).persist()
+    counts.count()  # eager: lazy caching lets the N/V aggregate and
+    # the score join race and fill the cache twice (same reason the
+    # minhash signature persist is eager)
     tot = counts.agg(
         F.sum("__c").alias("__n"), F.count(F.lit(1)).alias("__v")
     )
