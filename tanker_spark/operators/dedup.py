@@ -638,6 +638,11 @@ def neardup_groups(pairs_df, id_a="id_a", id_b="id_b", max_iter=25,
     """
     if method == "star":
         return _neardup_groups_star(pairs_df, id_a, id_b, max_iter)
+    # localCheckpoint (not persist): every downstream consumer —
+    # including the caller's plan that embeds the returned labels —
+    # would otherwise carry the full per-round join lineage (the
+    # train/test-split composite hit 91 scans / 356 exchanges in one
+    # physical plan before this; the analyzer tree grows ~4^rounds)
     edges = (
         pairs_df.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionAll(
@@ -646,15 +651,14 @@ def neardup_groups(pairs_df, id_a="id_a", id_b="id_b", max_iter=25,
             )
         )
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.groupBy("src")
         .agg(F.least(F.min("dst"), F.col("src")).alias("lbl"))
         .select(F.col("src").alias("id"), "lbl")
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    labels.count()
     for _ in range(max_iter):
         # min label among self and neighbors' current labels
         nbr = (
@@ -670,7 +674,7 @@ def neardup_groups(pairs_df, id_a="id_a", id_b="id_b", max_iter=25,
                     F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
                 ).alias("lbl"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -678,7 +682,6 @@ def neardup_groups(pairs_df, id_a="id_a", id_b="id_b", max_iter=25,
             .filter(F.col("n.lbl") != F.col("o.lbl"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
@@ -692,7 +695,6 @@ def neardup_groups(pairs_df, id_a="id_a", id_b="id_b", max_iter=25,
             "diameter exceeds max_iter; raise max_iter or switch to the "
             "large-star/small-star variant" % (max_iter, changed)
         )
-    edges.unpersist()
     return labels.select("id", F.col("lbl").alias("group_id"))
 
 
@@ -716,7 +718,7 @@ def _neardup_groups_star(pairs_df, id_a="id_a", id_b="id_b",
         pairs_df.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
 
     def _sym(edges):
