@@ -317,6 +317,24 @@ def export_shards(df, path, n_shards, id_col, seed=42):
         .sortWithinPartitions(F.xxhash64(F.col(id_col), F.lit(seed + 1)))
         .write.mode("overwrite").partitionBy("shard").parquet(path)
     )
+    # delivery manifest: per-shard row counts + params, written beside
+    # the data (underscore prefix = invisible to parquet readers) so a
+    # consumer can verify completeness without a scan
+    import json
+    import os
+
+    rows = (
+        df.sparkSession.read.parquet(path)
+        .groupBy("shard").count().collect()
+    )
+    manifest = {
+        "n_shards": n_shards,
+        "seed": seed,
+        "total_rows": sum(r["count"] for r in rows),
+        "shards": {str(r["shard"]): r["count"] for r in rows},
+    }
+    with open(os.path.join(path, "_manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
     return path
 
 

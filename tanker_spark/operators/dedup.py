@@ -698,6 +698,20 @@ def neardup_groups(pairs_df, id_a="id_a", id_b="id_b", max_iter=25,
     return labels.select("id", F.col("lbl").alias("group_id"))
 
 
+def dedup_near_rows(df, pairs_df, id_col="doc_id", id_a="id_a",
+                    id_b="id_b", method="propagate"):
+    """The end-to-end near-dedup verb: resolve pairwise matches into
+    clusters and return the corpus WITHOUT the non-canonical members
+    (each cluster keeps its smallest id). One anti-join against the
+    (tiny) loser set — the final step every dedup pipeline runs after
+    any pairwise matcher."""
+    groups = neardup_groups(pairs_df, id_a, id_b, method=method)
+    losers = groups.filter(F.col("id") != F.col("group_id")).select("id")
+    return df.join(
+        losers, df[id_col] == losers["id"], "left_anti"
+    )
+
+
 def _neardup_groups_star(pairs_df, id_a="id_a", id_b="id_b",
                          max_iter=50):
     """Alternating large-star/small-star connected components.

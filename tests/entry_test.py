@@ -65,7 +65,7 @@ def test_driver_row_budget_ordering():
         "event_anomalies", "user_retention_cohorts",
         "q10_returned_items", "neardup_groups_star_docs",
         "curation_pipeline_v2", "train_test_split_docs",
-        "corpus_stats", "q7_volume_shipping",
+        "corpus_stats", "q7_volume_shipping", "neardup_dedup_rows",
     }, demoted
 
 

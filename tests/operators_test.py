@@ -1057,3 +1057,25 @@ def test_simhash_incremental(spark, docs, tmp_path):
     assert ham[(100, 0)] == 0 or ham.get((0, 100)) == 0
     for r in rows:
         assert r.id_a >= 100   # every pair involves a new doc
+
+
+def test_export_shards_manifest(spark, docs, tmp_path):
+    import json as _json
+
+    from tanker_spark.operators import curation
+
+    path = str(tmp_path / "shards_m")
+    curation.export_shards(docs, path, n_shards=4, id_col="doc_id")
+    man = _json.load(open(path + "/_manifest.json"))
+    assert man["n_shards"] == 4 and man["total_rows"] == docs.count()
+    assert sum(man["shards"].values()) == docs.count()
+
+
+def test_dedup_near_rows(spark, docs):
+    pairs = dedup.ngram_jaccard_exact(docs, threshold=0.5)
+    kept = dedup.dedup_near_rows(docs, pairs)
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    # canonical keepers survive, planted dups are dropped
+    assert {0, 1, 2} <= ids
+    assert not ({100, 101, 102} & ids)
+    assert len(ids) == docs.count() - 3
