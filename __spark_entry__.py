@@ -127,6 +127,27 @@ def q7_volume_shipping(spark, sf_dir):
         ).frame()
 
 
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4-style: correlated EXISTS feeding an aggregate — count
+    orders per priority (one date quarter) having at least one
+    returned line. Semi-join + auto-groupby in one plan."""
+    with _cx(spark, sf_dir):
+        v = View("orders", {
+            "o_orderpriority": "o_orderpriority",
+            "n": "(count)",
+        })
+        return v.read(
+            [
+                '(>= o_orderdate (cast "1995-01-01" (timestamptz)))',
+                '(< o_orderdate (cast "1995-04-01" (timestamptz)))',
+                '(exists (from lineitem (select 1) (where (and '
+                '(= l_orderkey _parent.o_orderkey) '
+                '(= l_returnflag "R")))))',
+            ],
+            order="o_orderpriority",
+        ).frame()
+
+
 def q10_returned_items(spark, sf_dir):
     """TPC-H Q10-style: 3-hop dotted aggregation (lineitem→orders→
     customer→nation) with a quarter date window on the middle hop and
@@ -1368,6 +1389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": corpus_stats,
         "q7_volume_shipping": q7_volume_shipping,
         "neardup_dedup_rows": neardup_dedup_rows,
+        "q4_order_priority": q4_order_priority,
         # -- no-oracle (rows-only) entries LAST: if the driver's run caps
         # the query count, every oracle-checkable entry above still gets
         # a CORRECTNESS row (round-2 lost 3 green rows to this)
@@ -2157,6 +2179,19 @@ def oracle_sql() -> dict[str, str]:
             FROM lsig l JOIN tsig USING (doc_id)
                         JOIN dsig USING (doc_id)
             ORDER BY doc_id
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS n
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
+              AND EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey
+                  AND l_returnflag = 'R'
+              )
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
         """,
         "q7_volume_shipping": """
             SELECT sn.n_name AS supp_nation,
