@@ -1198,6 +1198,28 @@ def cap_per_source(spark, sf_dir):
     return out.select("doc_id", "source", "n_chars").orderBy("doc_id")
 
 
+def pii_audit_docs(spark, sf_dir):
+    """Per-doc PII occurrence counts over planted emails/phones/IPs —
+    the audit pass before redaction (curation.pii_audit; same regexes
+    as redact, mirrored by DuckDB regexp_extract_all)."""
+    from tanker_spark.operators import curation
+
+    df = _read(spark, sf_dir, "documents")
+    planted = df.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.col("text"), F.lit(" contact: user"),
+                F.col("doc_id").cast("string"), F.lit("@mail.com"),
+                F.lit(" call +1 555 0100 100 ip 10.0.0."),
+                (F.col("doc_id") % 255).cast("string"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return curation.pii_audit(planted).orderBy("doc_id")
+
+
 def redact_pii(spark, sf_dir):
     """PII redaction over text with planted emails/phones/IPs (map-only
     regexp_replace chain; DuckDB mirrors the same regexes)."""
@@ -1390,6 +1412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_volume_shipping": q7_volume_shipping,
         "neardup_dedup_rows": neardup_dedup_rows,
         "q4_order_priority": q4_order_priority,
+        "pii_audit_docs": pii_audit_docs,
         # -- no-oracle (rows-only) entries LAST: if the driver's run caps
         # the query count, every oracle-checkable entry above still gets
         # a CORRECTNESS row (round-2 lost 3 green rows to this)
@@ -2071,6 +2094,28 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY n_chars DESC, doc_id ASC) AS rk
               FROM documents
             ) WHERE rk <= 5 ORDER BY doc_id
+        """,
+        "pii_audit_docs": """
+            WITH planted AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 10 = 0 THEN
+                       text || ' contact: user' || doc_id || '@mail.com'
+                            || ' call +1 555 0100 100 ip 10.0.0.'
+                            || (doc_id % 255)
+                     ELSE text END AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                     AS n_emails,
+                   len(regexp_extract_all(text,
+                     '\\+[0-9][0-9()\\-\\s.]{5,17}[0-9]'
+                     || '|\\(?[0-9]{3}\\)?[-.][0-9]{3}[-.][0-9]{4}'
+                     || '|\\b[0-9]{7,15}\\b')) AS n_phones,
+                   len(regexp_extract_all(text,
+                     '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS n_ips
+            FROM planted ORDER BY doc_id
         """,
         "redact_pii": """
             WITH planted AS (

@@ -189,6 +189,21 @@ REDACT_RULES = [
 ]
 
 
+def pii_audit(df, text_col="text", id_col="doc_id", rules=None):
+    """Per-doc PII occurrence counts (one column per redaction rule) —
+    the audit pass a pipeline runs BEFORE committing to redaction, and
+    the evidence trail afterwards. Map-only ``regexp_count`` chain,
+    same RE2-compatible patterns as :func:`redact`."""
+    names = ["n_emails", "n_phones", "n_ips"]
+    cols = {
+        name: F.regexp_count(F.col(text_col), F.lit(pattern))
+        for name, (pattern, _) in zip(names, rules or REDACT_RULES)
+    }
+    return df.select(F.col(id_col), *[
+        c.alias(n) for n, c in cols.items()
+    ])
+
+
 def redact(col, rules=None):
     """Chained regexp_replace PII scrub — map-only, codegen'd, no UDF."""
     out = col

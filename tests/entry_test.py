@@ -66,7 +66,7 @@ def test_driver_row_budget_ordering():
         "q10_returned_items", "neardup_groups_star_docs",
         "curation_pipeline_v2", "train_test_split_docs",
         "corpus_stats", "q7_volume_shipping", "neardup_dedup_rows",
-        "q4_order_priority",
+        "q4_order_priority", "pii_audit_docs",
     }, demoted
 
 
