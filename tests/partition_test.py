@@ -138,3 +138,22 @@ def test_partial_purge(psession):
         ("a", "2024-01-02", 3.0),
         ("a", "2024-01-03", 4.0),
     ]
+
+
+def test_partitioned_time_travel(psession):
+    """Partition-scoped commits keep prior versions complete (links)
+    so time travel works on partitioned tables too."""
+    v = View("reading", ["site", "day", "value"])
+    before = sorted(v.read().all())
+    # upsert touching ONE partition -> partial commit
+    v.write([("a", "2024-01-02", 99.0)])
+    versions = ctx.versions("reading")
+    assert len(versions) >= 2
+    old = sorted(v.read(version=versions[-2]).all())
+    assert old == before                      # pre-upsert snapshot intact
+    now = sorted(v.read().all())
+    assert ("a", "2024-01-02", 99.0) in now
+    assert ("a", "2024-01-02", 3.0) not in now
+    # untouched partitions readable from BOTH versions (hard links)
+    assert [r for r in old if r[1] == "2024-01-01"] == \
+        [r for r in now if r[1] == "2024-01-01"]
