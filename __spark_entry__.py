@@ -968,6 +968,15 @@ def user_retention_cohorts(spark, sf_dir):
     )
 
 
+def event_transitions_matrix(spark, sf_dir):
+    """Event-type Markov transition counts over per-user time-ordered
+    sequences (streaming.events.event_transitions)."""
+    from tanker_spark.streaming import events as sev
+
+    df = _read(spark, sf_dir, "events")
+    return sev.event_transitions(df).orderBy("from_type", "to_type")
+
+
 def mix_temperature_langs(spark, sf_dir):
     """Temperature-reweighted language mixing (p_i ∝ n_i^0.5 — the
     multilingual-training recipe; curation.mix_sources_temperature):
@@ -1413,6 +1422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_dedup_rows": neardup_dedup_rows,
         "q4_order_priority": q4_order_priority,
         "pii_audit_docs": pii_audit_docs,
+        "event_transitions_matrix": event_transitions_matrix,
         # -- no-oracle (rows-only) entries LAST: if the driver's run caps
         # the query count, every oracle-checkable entry above still gets
         # a CORRECTNESS row (round-2 lost 3 green rows to this)
@@ -2415,6 +2425,20 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_name, n_name
             ORDER BY revenue DESC, c_name
             LIMIT 20
+        """,
+        "event_transitions_matrix": """
+            WITH seq AS (
+              SELECT user_id,
+                     lag(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id) AS from_type,
+                     event_type AS to_type
+              FROM events
+            )
+            SELECT from_type, to_type, count(*) AS n
+            FROM seq WHERE from_type IS NOT NULL
+            GROUP BY from_type, to_type
+            ORDER BY from_type, to_type
         """,
         "event_anomalies": """
             WITH hourly AS (

@@ -339,6 +339,33 @@ def hourly_anomalies(df, ts_col="ts", type_col="event_type",
     )
 
 
+def event_transitions(df, ts_col="ts", user_col="user_id",
+                      type_col="event_type", id_col="event_id"):
+    """Per-user event-type transition counts (the Markov matrix of the
+    event stream): for each user's time-ordered sequence, count
+    (previous type → type) pairs — the input to funnel discovery and
+    next-event models.
+
+    One window (lag over the per-user order, ``id_col`` as the
+    deterministic tie-break within equal timestamps) + one aggregate on
+    the tiny type×type key space. The window sort shuffles once on
+    user_id — same key as sessionize, so a pipeline computing both
+    reuses the partitioning."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col), F.col(id_col)
+    )
+    seq = df.select(
+        F.col(user_col),
+        F.lag(type_col).over(w).alias("from_type"),
+        F.col(type_col).alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    return seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
 def cohort_retention(df, ts_col="ts", user_col="user_id", max_offset=7):
     """Cohort retention matrix: users grouped by first-seen day, then
     for each day-offset 0..``max_offset`` the count of distinct users
