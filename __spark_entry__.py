@@ -915,6 +915,22 @@ def boilerplate_ratio(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def vocab_top_tokens(spark, sf_dir):
+    """Corpus vocabulary head: top-20 lowercased whitespace tokens by
+    frequency (count desc, token asc tie-break) — the counting pass a
+    tokenizer-training pipeline starts from. Explode (map) → count
+    (one shuffle, map-side partials) → TakeOrderedAndProject."""
+    df = _read(spark, sf_dir, "documents")
+    return (
+        df.select(
+            F.explode(text.tokens(F.lower(F.col("text")))).alias("tok")
+        )
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(20)
+    )
+
+
 def corpus_stats(spark, sf_dir):
     """Dataset-card summary: one row of corpus-level facts (doc count,
     token/char volume, language and source diversity, exact-dup rate).
@@ -1423,6 +1439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_order_priority": q4_order_priority,
         "pii_audit_docs": pii_audit_docs,
         "event_transitions_matrix": event_transitions_matrix,
+        "vocab_top_tokens": vocab_top_tokens,
         # -- no-oracle (rows-only) entries LAST: if the driver's run caps
         # the query count, every oracle-checkable entry above still gets
         # a CORRECTNESS row (round-2 lost 3 green rows to this)
@@ -2267,6 +2284,16 @@ def oracle_sql() -> dict[str, str]:
                 OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
             GROUP BY sn.n_name, cn.n_name, l_year
             ORDER BY supp_nation, cust_nation, l_year
+        """,
+        "vocab_top_tokens": """
+            SELECT tok, count(*) AS n FROM (
+              SELECT unnest(
+                regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+              FROM documents
+            )
+            GROUP BY tok
+            ORDER BY n DESC, tok ASC
+            LIMIT 20
         """,
         "corpus_stats": """
             SELECT count(*) AS n_docs,

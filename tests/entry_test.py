@@ -67,7 +67,7 @@ def test_driver_row_budget_ordering():
         "curation_pipeline_v2", "train_test_split_docs",
         "corpus_stats", "q7_volume_shipping", "neardup_dedup_rows",
         "q4_order_priority", "pii_audit_docs",
-        "event_transitions_matrix",
+        "event_transitions_matrix", "vocab_top_tokens",
     }, demoted
 
 
