@@ -915,6 +915,26 @@ def boilerplate_ratio(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def orders_monthly_growth(spark, sf_dir):
+    """Month-over-month order volume with growth rate: aggregate to
+    month, then a lag window OVER THE AGGREGATE (a frame of ~tens of
+    rows — the window sort is free) for pct change."""
+    from pyspark.sql import Window
+
+    orders = _read(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    w = Window.orderBy("month")
+    prev = F.lag("n_orders").over(w)
+    return monthly.select(
+        "month", "n_orders",
+        F.round(
+            (F.col("n_orders") - prev) / prev * 100.0, 2
+        ).alias("growth_pct"),
+    ).orderBy("month")
+
+
 def customer_rfm(spark, sf_dir):
     """RFM segmentation: per customer, recency (days since last order,
     vs the corpus max date), frequency (order count) and monetary
@@ -1463,6 +1483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions_matrix": event_transitions_matrix,
         "vocab_top_tokens": vocab_top_tokens,
         "customer_rfm": customer_rfm,
+        "orders_monthly_growth": orders_monthly_growth,
         # -- no-oracle (rows-only) entries LAST: if the driver's run caps
         # the query count, every oracle-checkable entry above still gets
         # a CORRECTNESS row (round-2 lost 3 green rows to this)
@@ -2307,6 +2328,21 @@ def oracle_sql() -> dict[str, str]:
                 OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
             GROUP BY sn.n_name, cn.n_name, l_year
             ORDER BY supp_nation, cust_nation, l_year
+        """,
+        "orders_monthly_growth": """
+            WITH monthly AS (
+              SELECT CAST(date_trunc('month', o_orderdate)
+                          AS TIMESTAMP) AS month,
+                     count(*) AS n_orders
+              FROM orders GROUP BY 1
+            )
+            SELECT month, n_orders,
+                   round((n_orders - lag(n_orders) OVER w)::DOUBLE
+                         / lag(n_orders) OVER w * 100.0, 2)
+                       AS growth_pct
+            FROM monthly
+            WINDOW w AS (ORDER BY month)
+            ORDER BY month
         """,
         "customer_rfm": """
             WITH mx AS (SELECT max(o_orderdate) AS m FROM orders)

@@ -68,7 +68,7 @@ def test_driver_row_budget_ordering():
         "corpus_stats", "q7_volume_shipping", "neardup_dedup_rows",
         "q4_order_priority", "pii_audit_docs",
         "event_transitions_matrix", "vocab_top_tokens",
-        "customer_rfm",
+        "customer_rfm", "orders_monthly_growth",
     }, demoted
 
 
