@@ -148,6 +148,60 @@ def q4_order_priority(spark, sf_dir):
         ).frame()
 
 
+def q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17-style: correlated scalar subquery — revenue from
+    small-quantity orders, where 'small' is per-part (quantity below
+    20% of that part's average). Lowers to the decorrelated
+    groupBy-on-partkey + equi-join plan (View._apply_scalarsub)."""
+    with _cx(spark, sf_dir):
+        v = View("lineitem", {
+            "avg_yearly": "(round (/ (sum l_extendedprice) 7.0) 2)",
+        })
+        return v.read(
+            [
+                '(= l_partkey.p_brand "Brand#1")',
+                "(< l_quantity (from lineitem "
+                "(select (* 0.2 (avg l_quantity))) "
+                "(where (= l_partkey _parent.l_partkey))))",
+            ],
+        ).frame()
+
+
+def q22_wealthy_inactive(spark, sf_dir):
+    """TPC-H Q22-style: BOTH scalar shapes in one query — customers
+    richer than the (uncorrelated) positive-balance average who placed
+    fewer than 6 orders (correlated COUNT scalar, coalesced to 0 for
+    customers with no orders), grouped per nation."""
+    with _cx(spark, sf_dir):
+        v = View("customer", {
+            "nk": "c_nationkey",
+            "n": "(count)",
+            "bal": "(round (sum c_acctbal) 2)",
+        })
+        return v.read(
+            [
+                "(> c_acctbal (from customer (select (avg c_acctbal)) "
+                "(where (> c_acctbal 0.0))))",
+                "(> 6 (from orders (select (count)) "
+                "(where (= o_custkey _parent.c_custkey))))",
+            ],
+            order="nk",
+        ).frame()
+
+
+def scalar_rank_suppliers(spark, sf_dir):
+    """Non-equi correlated scalar (row-id pair-frame path): suppliers
+    whose balance beats the max balance of every lower-numbered
+    nation."""
+    with _cx(spark, sf_dir):
+        v = View("supplier", ["s_suppkey"])
+        return v.read(
+            "(> s_acctbal (from supplier (select (max s_acctbal)) "
+            "(where (< s_nationkey _parent.s_nationkey))))",
+            order="s_suppkey",
+        ).frame()
+
+
 def q10_returned_items(spark, sf_dir):
     """TPC-H Q10-style: 3-hop dotted aggregation (lineitem→orders→
     customer→nation) with a quarter date window on the middle hop and
@@ -1403,8 +1457,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "null_safe_buckets": null_safe_buckets,
-        "filter_like_in": filter_like_in,
-        "order_limit_offset": order_limit_offset,
         "cast_trunc_extract": cast_trunc_extract,
         "o2m_nation_count": o2m_nation_count,
         "exists_correlated": exists_correlated,
@@ -1414,7 +1466,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "or_two_not_exists": or_two_not_exists,
         "not_over_or_exists": not_over_or_exists,
         "or_composite_grammar": or_composite_grammar,
-        "every_aggregate": every_aggregate,
+        # round-4.2 debut: scalar subqueries (all three lowering shapes)
+        "q17_small_qty_revenue": q17_small_qty_revenue,
+        "q22_wealthy_inactive": q22_wealthy_inactive,
+        "scalar_rank_suppliers": scalar_rank_suppliers,
         "write_upsert_roundtrip": write_upsert_roundtrip,
         "write_partial_update": write_partial_update,
         "write_insert_update_legs": write_insert_update_legs,
@@ -1457,6 +1512,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ported golden pytest suites, and each was driver-verified
         # green in CORRECTNESS_r03 (or r1-r3); their oracle SQL stays
         # runnable by hand / scripts/oracle_check.py
+        "every_aggregate": every_aggregate,
+        "filter_like_in": filter_like_in,
+        "order_limit_offset": order_limit_offset,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q12_priority_counts": q12_priority_counts,
         "agg_global_stats": agg_global_stats,
@@ -2295,6 +2353,37 @@ def oracle_sql() -> dict[str, str]:
             FROM lsig l JOIN tsig USING (doc_id)
                         JOIN dsig USING (doc_id)
             ORDER BY doc_id
+        """,
+        "q17_small_qty_revenue": """
+            SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM lineitem l
+            LEFT JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_brand = 'Brand#1'
+              AND l.l_quantity < (
+                    SELECT 0.2 * avg(l2.l_quantity)
+                    FROM lineitem l2
+                    WHERE l2.l_partkey = l.l_partkey)
+        """,
+        "q22_wealthy_inactive": """
+            SELECT c.c_nationkey AS nk, count(*) AS n,
+                   round(sum(c.c_acctbal), 2) AS bal
+            FROM customer c
+            WHERE c.c_acctbal > (
+                    SELECT avg(c2.c_acctbal) FROM customer c2
+                    WHERE c2.c_acctbal > 0.0)
+              AND 6 > (
+                    SELECT count(*) FROM orders o
+                    WHERE o.o_custkey = c.c_custkey)
+            GROUP BY c.c_nationkey
+            ORDER BY nk
+        """,
+        "scalar_rank_suppliers": """
+            SELECT s.s_suppkey
+            FROM supplier s
+            WHERE s.s_acctbal > (
+                    SELECT max(s2.s_acctbal) FROM supplier s2
+                    WHERE s2.s_nationkey < s.s_nationkey)
+            ORDER BY s.s_suppkey
         """,
         "q4_order_priority": """
             SELECT o_orderpriority, count(*) AS n

@@ -261,16 +261,40 @@ class Subquery:
     ``nested_semis`` / ``orgroups`` carry subqueries found inside this
     subquery's own WHERE (reference supports arbitrary nesting,
     expression.py:320-329); the frame builder applies them recursively.
+
+    ``where_entries`` (one :class:`WhereEntry` per plain WHERE conjunct)
+    and the ``select_*`` flags feed the scalar-subquery lowering in the
+    frame builder: an equality-correlated aggregate subquery decorrelates
+    into a groupBy + equi-join, everything else falls back to the row-id
+    pair frame.
     """
 
     def __init__(self, compiler, select_cols, where_cond, distinct=False,
-                 nested_semis=None, orgroups=None):
+                 nested_semis=None, orgroups=None, where_entries=None,
+                 select_is_agg=False, select_is_count=False,
+                 select_bare_count=False):
         self.compiler = compiler  # child ExpressionCompiler
         self.select_cols = select_cols
         self.where_cond = where_cond
         self.distinct = distinct
         self.nested_semis = nested_semis or []
         self.orgroups = orgroups or []
+        self.where_entries = where_entries or []
+        self.select_is_agg = select_is_agg
+        self.select_is_count = select_is_count
+        self.select_bare_count = select_bare_count
+
+
+class WhereEntry:
+    """One plain WHERE conjunct of a subquery: its compiled condition,
+    its ``_parent.``-reference depth, and — when it is a simple
+    ``(= local _parent.x)`` equality — the (local, parent) column pair
+    that lets a scalar subquery decorrelate into groupBy + equi-join."""
+
+    def __init__(self, cond, depth, pair):
+        self.cond = cond
+        self.depth = depth
+        self.pair = pair  # None | (local Column, parent Column)
 
 
 class SemiJoin:
@@ -307,15 +331,40 @@ class SemiJoin:
         return r
 
 
+class ScalarSub:
+    """Pending scalar-subquery comparison: ``(< x (from t (select (avg y))
+    (where ...)))``. The reference gets scalar subqueries for free by
+    emitting the parenthesized SELECT as SQL text in operand position
+    (/root/reference/tanker/expression.py:213-219); here the marker is
+    lowered by the frame builder (``View._apply_scalarsub``) into one of
+    three shapes: uncorrelated → 1-row broadcast cross join;
+    equality-correlated aggregate → decorrelated groupBy + equi-join
+    (the 100 TB plan); anything else → row-id pair frame."""
+
+    def __init__(self, op, other, sub, sub_on_left):
+        self.op = op  # one of _OPS comparison callables
+        self.other = other  # the non-subquery operand (Column / literal)
+        self.sub = sub
+        self.sub_on_left = sub_on_left
+        self.owner_depth = 0
+
+    def cond(self, vcol):
+        """The comparison Column once the scalar is available as vcol."""
+        a, b = (vcol, self.other) if self.sub_on_left else (self.other, vcol)
+        return self.op(as_col(a), b)
+
+
 class AndGroup:
     """A conjunction that carries lifted semi-joins: ``(and (exists ...)
     (= a b))`` splits into a plain condition + pending joins. ``ors``
-    carries OR-disjunctions that themselves contain subqueries."""
+    carries OR-disjunctions that themselves contain subqueries;
+    ``scalars`` carries scalar-subquery comparisons."""
 
-    def __init__(self, cond, semis, ors=None):
+    def __init__(self, cond, semis, ors=None, scalars=None):
         self.cond = cond  # Column or None
         self.semis = semis
         self.ors = ors or []
+        self.scalars = scalars or []
 
 
 class OrGroup:
@@ -374,6 +423,8 @@ class ExpressionCompiler:
         self.pending_semijoins = []
         # OR-disjunctions containing subqueries (lowered to frame unions)
         self.pending_orgroups = []
+        # scalar-subquery comparisons (lowered by _apply_scalarsub)
+        self.pending_scalarsubs = []
         # deepest `_parent.` chain compiled in THIS compiler's scope —
         # drives SemiJoin.reach() (correlation-depth analysis)
         self._ext_depth = 0
@@ -518,7 +569,9 @@ class ExpressionCompiler:
         )
         select_cols, where_cond = [], None
         distinct = False
+        select_is_agg = select_is_count = select_bare_count = False
         semis, ors = [], []
+        entries = []
         for item in node.items[1:]:
             if isinstance(item, Node):
                 h = item.head_token()
@@ -527,21 +580,42 @@ class ExpressionCompiler:
                     select_cols = [
                         child.compile(a, env_ctx) for a in item.items[1:]
                     ]
+                    if len(item.items) == 2 and isinstance(
+                            item.items[1], Node):
+                        sel_node = item.items[1]
+                        select_is_agg = sel_node.is_aggregate()
+                        select_is_count = _count_headed(sel_node)
+                        select_bare_count = (
+                            sel_node.head_token() == "count"
+                            and len(sel_node.items) == 1
+                        )
                     continue
                 if h == "where":
                     plains = []
                     for a in item.items[1:]:
-                        c = _compile_filter_item(child, a, env_ctx)
-                        p, s, o = _split_markers([c])
+                        c, depth = _compile_filter_item_d(child, a, env_ctx)
+                        p, s, o, sc = _split_markers([c])
+                        if sc:
+                            raise NotImplementedError(
+                                "scalar subqueries nested inside a "
+                                "subquery WHERE are not supported"
+                            )
                         if p is not None:
                             plains.append(p)
+                            pair = None
+                            if depth == 1:
+                                pair = _corr_eq_pair(child, a, env_ctx)
+                            entries.append(WhereEntry(p, depth, pair))
                         semis.extend(s)
                         ors.extend(o)
                     where_cond = _and_all(plains) if plains else None
                     continue
             raise ValueError("Unexpected subquery clause %r" % item)
         return Subquery(child, select_cols, where_cond, distinct,
-                        nested_semis=semis, orgroups=ors)
+                        nested_semis=semis, orgroups=ors,
+                        where_entries=entries, select_is_agg=select_is_agg,
+                        select_is_count=select_is_count,
+                        select_bare_count=select_bare_count)
 
     # -- filter helpers -------------------------------------------------
     def build_filter(self, filters, env_ctx, acl_filters=None):
@@ -574,9 +648,10 @@ class ExpressionCompiler:
                 conds.append(
                     _compile_filter_item(self, self.parse(line), env_ctx)
                 )
-        cond, semis, ors = _split_markers(conds)
+        cond, semis, ors, scalars = _split_markers(conds)
         self.pending_semijoins.extend(semis)
         self.pending_orgroups.extend(ors)
+        self.pending_scalarsubs.extend(scalars)
         return cond, semis
 
 
@@ -620,27 +695,37 @@ def _and_all(conds):
 
 
 def _split_markers(conds):
-    """Split compiled conditions into (plain AND-cond, semijoins, orgroups)."""
-    plain, semis, ors = [], [], []
+    """Split compiled conditions into (plain AND-cond, semijoins,
+    orgroups, scalar-subquery comparisons)."""
+    plain, semis, ors, scalars = [], [], [], []
     for c in conds:
         if isinstance(c, SemiJoin):
             semis.append(c)
+        elif isinstance(c, ScalarSub):
+            scalars.append(c)
         elif isinstance(c, AndGroup):
             semis.extend(c.semis)
             ors.extend(c.ors)
+            scalars.extend(c.scalars)
             if c.cond is not None:
                 plain.append(c.cond)
         elif isinstance(c, OrGroup):
             ors.append(c)
         else:
             plain.append(as_col(c))
-    return (_and_all(plain) if plain else None), semis, ors
+    return (_and_all(plain) if plain else None), semis, ors, scalars
 
 
 def _compile_filter_item(compiler, node, env_ctx):
     """Compile one filter item, stamping the ``_parent.``-walk depth of its
     own-scope symbols onto any subquery markers it produces (feeds
     :meth:`SemiJoin.reach`)."""
+    return _compile_filter_item_d(compiler, node, env_ctx)[0]
+
+
+def _compile_filter_item_d(compiler, node, env_ctx):
+    """Like :func:`_compile_filter_item` but also returns the item's own
+    ``_parent.``-reference depth (0 = fully local)."""
     saved = compiler._ext_depth
     compiler._ext_depth = 0
     c = compiler.compile(node, env_ctx)
@@ -648,17 +733,63 @@ def _compile_filter_item(compiler, node, env_ctx):
     compiler._ext_depth = max(saved, item_depth)
     if item_depth:
         _stamp_owner_depth(c, item_depth)
-    return c
+    return c, item_depth
+
+
+def _count_headed(node):
+    """True if the select expression bottoms out in ``(count ...)`` —
+    possibly wrapped in scalar math like ``(* 0.2 (count x))`` — so the
+    scalar-subquery lowering knows to coalesce a no-match NULL to 0
+    (SQL: a scalar ``count`` over zero rows is 0, not NULL)."""
+    if not isinstance(node, Node):
+        return False
+    if node.head_token() == "count":
+        return True
+    return any(_count_headed(it) for it in node.items)
+
+
+def _corr_eq_pair(child, node, env_ctx):
+    """If ``node`` is a simple correlation equality ``(= local _parent.x)``
+    (either operand order), return the (local Column, parent Column)
+    pair; else None. Re-compiling the two sides is cheap — the
+    JoinPlanner dedups aliases — and keeps the main compile path
+    untouched."""
+    if (not isinstance(node, Node) or node.head_token() != "="
+            or len(node.items) != 3):
+        return None
+    sides = []
+    for part in node.items[1:]:
+        saved = child._ext_depth
+        child._ext_depth = 0
+        try:
+            col = child.compile(part, env_ctx)
+        except Exception:
+            child._ext_depth = saved
+            return None
+        d = child._ext_depth
+        child._ext_depth = max(saved, d)
+        if isinstance(col, (SemiJoin, AndGroup, OrGroup, Subquery,
+                            AnyAll, ScalarSub)):
+            return None
+        sides.append((col, d))
+    (c0, d0), (c1, d1) = sides
+    if d0 == 0 and d1 == 1:
+        return (as_col(c0), as_col(c1))
+    if d0 == 1 and d1 == 0:
+        return (as_col(c1), as_col(c0))
+    return None
 
 
 def _stamp_owner_depth(c, depth):
-    if isinstance(c, SemiJoin):
+    if isinstance(c, (SemiJoin, ScalarSub)):
         c.owner_depth = max(c.owner_depth, depth)
     elif isinstance(c, AndGroup):
         for s in c.semis:
             _stamp_owner_depth(s, depth)
         for og in c.ors:
             _stamp_owner_depth(og, depth)
+        for sc in c.scalars:
+            _stamp_owner_depth(sc, depth)
     elif isinstance(c, OrGroup):
         c.owner_depth = max(c.owner_depth, depth)
         for d in c.disjuncts:
@@ -682,6 +813,19 @@ def _flatten_values(args):
 def _cmp(op):
     def fn(compiler, args):
         x, y = args
+        if isinstance(x, Subquery) or isinstance(y, Subquery):
+            if isinstance(x, Subquery) and isinstance(y, Subquery):
+                raise NotImplementedError(
+                    "comparing two scalar subqueries is not supported"
+                )
+            sub_on_left = isinstance(x, Subquery)
+            sub = x if sub_on_left else y
+            other = y if sub_on_left else x
+            if len(sub.select_cols) != 1:
+                raise ValueError(
+                    "scalar subquery must select exactly one column"
+                )
+            return ScalarSub(op, other, sub, sub_on_left)
         if isinstance(y, AnyAll):
             return _any_all_cmp(op, x, y)
         if isinstance(x, AnyAll):
@@ -728,6 +872,10 @@ _OPS = {"eq": _op_eq, "ne": _op_ne, "gt": _op_gt, "lt": _op_lt,
         "ge": _op_ge, "le": _op_le}
 for _n, _f in _OPS.items():
     _f.__name__ = _n
+
+#: logical negation of each comparison (for De-Morgan over ScalarSub)
+_NEG_OP = {"eq": "ne", "ne": "eq", "lt": "ge", "ge": "lt",
+           "gt": "le", "le": "gt"}
 
 
 def _any_all_cmp(op, scalar, marker):
@@ -810,12 +958,18 @@ def _negate(compiler, x):
     if isinstance(x, SemiJoin):
         x.anti = not x.anti
         return x
+    if isinstance(x, ScalarSub):
+        # ¬(a op s) ≡ (a ¬op s) under 3VL: both sides are NULL exactly
+        # when either operand is NULL, so filter semantics agree.
+        x.op = _OPS[_NEG_OP[x.op.__name__]]
+        return x
     if isinstance(x, AndGroup):
         parts = []
         if x.cond is not None:
             parts.append(~as_col(x.cond))
         parts.extend(_negate(compiler, s) for s in x.semis)
         parts.extend(_negate(compiler, og) for og in x.ors)
+        parts.extend(_negate(compiler, sc) for sc in x.scalars)
         if len(parts) == 1:
             return parts[0]
         return _b_or(compiler, parts)
@@ -835,19 +989,22 @@ def _b_json_get(compiler, args):
 
 
 def _b_and(compiler, args):
-    cond, semis, ors = _split_markers(args)
-    if semis or ors:
-        return AndGroup(cond, semis, ors)
+    cond, semis, ors, scalars = _split_markers(args)
+    if semis or ors or scalars:
+        return AndGroup(cond, semis, ors, scalars)
     return cond
 
 
 def _b_or(compiler, args):
-    if not any(isinstance(a, (SemiJoin, AndGroup, OrGroup)) for a in args):
+    if not any(isinstance(a, (SemiJoin, AndGroup, OrGroup, ScalarSub))
+               for a in args):
         return _or_all(args)
     disjuncts, plains = [], []
     for a in args:
         if isinstance(a, SemiJoin):
             disjuncts.append(AndGroup(None, [a]))
+        elif isinstance(a, ScalarSub):
+            disjuncts.append(AndGroup(None, [], scalars=[a]))
         elif isinstance(a, AndGroup):
             # nested ors ride along on the disjunct; the frame builder
             # applies them per-branch (rid union path when hard)

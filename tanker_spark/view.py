@@ -28,6 +28,7 @@ from .expression import (
     ExpressionCompiler,
     JoinPlanner,
     OrGroup,
+    ScalarSub,
     SemiJoin,
     as_col,
 )
@@ -661,12 +662,14 @@ class View(object):
         return compiler.compile_ref(desc, env_ctx)
 
     def _build_frame(self, compiler, base_df, reader, cond):
-        """base + inferred joins + subquery semis/ors + plain filter."""
+        """base + inferred joins + subquery semis/ors/scalars + filter."""
         df = compiler.planner.apply(base_df, reader)
         for semi in compiler.pending_semijoins:
             df = self._apply_semijoin(df, semi, reader)
         for og in compiler.pending_orgroups:
             df = self._apply_orgroup(df, og, reader)
+        for sc in compiler.pending_scalarsubs:
+            df = self._apply_scalarsub(df, sc, reader)
         if cond is not None:
             df = df.filter(cond)
         return df
@@ -707,6 +710,106 @@ class View(object):
 
     def _next_rid(self):
         return "__rid%d" % next(View._rid_seq)
+
+    def _apply_scalarsub(self, df, sc: ScalarSub, reader):
+        """Lower a scalar-subquery comparison ``(op x (from t (select
+        (agg y)) (where ...)))`` (reference: any parenthesized SELECT is
+        a valid SQL operand, /root/reference/tanker/expression.py:213-219).
+
+        Three shapes, cheapest plan that fits:
+
+        - **uncorrelated** → the one-row aggregate frame is broadcast
+          cross-joined (no driver collect: the scalar stays a lazy plan
+          node, so the whole query remains one job);
+        - **equality-correlated aggregate** (every ``_parent.``-touching
+          conjunct is a simple ``(= local _parent.x)``) → classic
+          decorrelation: groupBy the correlation keys on the subquery
+          side, aggregate, LEFT equi-join back — one shuffle on the
+          keys, the TPC-H Q17 plan that survives 100× scale;
+        - **anything else** (non-equi correlation) → row-id pair frame:
+          tag left rows, left-outer join the subquery side on the full
+          correlation condition, aggregate per row id, join back. One
+          bounded materialization of the left frame (same machinery as
+          deep-correlated NOT EXISTS).
+
+        A no-match group yields NULL (SQL scalar-subquery semantics);
+        ``count`` coalesces to 0. Non-aggregate selects are allowed only
+        uncorrelated, taking the first row (SQL errors on >1 row; here
+        the choice is documented as arbitrary).
+        """
+        sub = sc.sub
+        sub_df, lifted, deferred = self._materialize_sub(sub, reader)
+        if deferred:
+            raise NotImplementedError(
+                "deep-correlated subqueries inside a scalar subquery "
+                "are not supported"
+            )
+        (sel,) = sub.select_cols
+        val = self._next_rid() + "_v"
+        depth = sub.compiler._ext_depth
+        if depth == 0 and lifted is None:
+            sdf = sub_df
+            if sub.where_cond is not None:
+                sdf = sdf.filter(sub.where_cond)
+            if sub.select_is_agg:
+                one = sdf.agg(sel.alias(val))
+            else:
+                sdf = sdf.select(sel.alias(val))
+                if sub.distinct:
+                    sdf = sdf.distinct()
+                one = sdf.limit(1)
+            out = df.crossJoin(F.broadcast(one))
+            return out.filter(sc.cond(F.col(val))).drop(val)
+        if not sub.select_is_agg:
+            raise NotImplementedError(
+                "correlated scalar subqueries must select an aggregate"
+            )
+        entries = sub.where_entries
+        equi_ok = (
+            lifted is None
+            and entries
+            and all(e.pair is not None for e in entries if e.depth)
+            and any(e.depth for e in entries)
+            and not sub.orgroups
+        )
+        if equi_ok:
+            local = [e.cond for e in entries if not e.depth]
+            pairs = [e.pair for e in entries if e.depth]
+            sdf = sub_df
+            for c in local:
+                sdf = sdf.filter(c)
+            kas = ["%s_k%d" % (val, i) for i in range(len(pairs))]
+            gb = sdf.groupBy(
+                *[loc.alias(ka) for (loc, _), ka in zip(pairs, kas)]
+            ).agg(sel.alias(val))
+            on = None
+            for (_, par), ka in zip(pairs, kas):
+                c = par == gb[ka]
+                on = c if on is None else (on & c)
+            out = df.join(gb, on, "left")
+            vcol = gb[val]
+            if sub.select_is_count:
+                vcol = F.coalesce(vcol, F.lit(0))
+            out = out.filter(sc.cond(vcol))
+            return out.drop(val, *kas)
+        # general correlation: row-id pair frame
+        rid = self._next_rid()
+        dfr = _pin(df.withColumn(rid, F.monotonically_increasing_id()))
+        mark = rid + "_m"
+        sdfm = sub_df.withColumn(mark, F.lit(1))
+        jc = _and_maybe(sub.where_cond, lifted)
+        pframe = dfr.join(
+            sdfm, jc if jc is not None else F.lit(True), "left_outer"
+        )
+        agg_col = (
+            F.count(F.col(mark)) if sub.select_bare_count else sel
+        )
+        scal = pframe.groupBy(rid).agg(agg_col.alias(val))
+        out = dfr.join(scal, rid, "left")
+        vcol = F.col(val)
+        if sub.select_is_count and not sub.select_bare_count:
+            vcol = F.coalesce(vcol, F.lit(0))
+        return out.filter(sc.cond(vcol)).drop(rid, val)
 
     def _materialize_sub(self, sub, reader):
         """Build a subquery's frame, applying its own nested subqueries.
@@ -777,12 +880,13 @@ class View(object):
         disjuncts resolve — every referenced alias is in scope there."""
         def hard(d):
             # a disjunct we cannot *exclude* with one anti/semi join:
-            # multi-semi, anti, nested OR, or deep (_parent._parent)
-            # correlation — all of these go through the rid union path
-            # (deep semis lower via _apply_semijoin's own pair frame)
+            # multi-semi, anti, nested OR, scalar comparison, or deep
+            # (_parent._parent) correlation — all of these go through the
+            # rid union path (deep semis lower via _apply_semijoin's own
+            # pair frame)
             return (len(d.semis) > 1 or any(m.anti for m in d.semis)
                     or any(self._defers_anti(m) for m in d.semis)
-                    or bool(d.ors)
+                    or bool(d.ors) or bool(d.scalars)
                     or any(m.reach() >= 2 for m in d.semis))
 
         disjuncts = sorted(og.disjuncts, key=hard)  # hard ones last
@@ -799,6 +903,8 @@ class View(object):
                 b = self._apply_semijoin(b, m, reader)
             for nog in d.ors:
                 b = self._apply_orgroup(b, nog, reader, deep_ok=deep_ok)
+            for scm in d.scalars:
+                b = self._apply_scalarsub(b, scm, reader)
             branches.append(b)
             excl.append(d)
         out = branches[0]
@@ -823,6 +929,8 @@ class View(object):
                 b = self._apply_semijoin(b, m, reader)
             for nog in d.ors:
                 b = self._apply_orgroup(b, nog, reader, deep_ok=True)
+            for scm in d.scalars:
+                b = self._apply_scalarsub(b, scm, reader)
             keeps.append(b.select(rid))
         keep = keeps[0]
         for k in keeps[1:]:
@@ -1182,10 +1290,12 @@ class View(object):
             table, planner=old_planner, env=self.base_env()
         )
         cond_old, _ = old_c.build_filter(filters, fresh_env())
-        pend_new = list(new_c.pending_semijoins) + list(
-            new_c.pending_orgroups)
-        pend_old = list(old_c.pending_semijoins) + list(
-            old_c.pending_orgroups)
+        pend_new = (list(new_c.pending_semijoins)
+                    + list(new_c.pending_orgroups)
+                    + list(new_c.pending_scalarsubs))
+        pend_old = (list(old_c.pending_semijoins)
+                    + list(old_c.pending_orgroups)
+                    + list(old_c.pending_scalarsubs))
         if cond_new is None and not pend_new:
             return inc, 0, 0
 
@@ -1215,6 +1325,8 @@ class View(object):
                 for m in markers:
                     if isinstance(m, OrGroup):
                         b = self._apply_orgroup(b, m, ctx.read)
+                    elif isinstance(m, ScalarSub):
+                        b = self._apply_scalarsub(b, m, ctx.read)
                     else:
                         b = self._apply_semijoin(b, m, ctx.read)
                 sat = b.select("__fl_rid").withColumn(flag, F.lit(True))
@@ -1603,6 +1715,8 @@ class View(object):
             victims = self._apply_semijoin(victims, m, ctx.read)
         for og in compiler.pending_orgroups:
             victims = self._apply_orgroup(victims, og, ctx.read)
+        for scm in compiler.pending_scalarsubs:
+            victims = self._apply_scalarsub(victims, scm, ctx.read)
         if cond is not None:
             victims = victims.filter(cond)
         sel = [F.col("%s.%s" % (table.name, k)).alias(k) for k in key]
@@ -1685,6 +1799,8 @@ class View(object):
                 frame = self._apply_semijoin(frame, semi, ctx.read)
             for og in compiler.pending_orgroups:
                 frame = self._apply_orgroup(frame, og, ctx.read)
+            for scm in compiler.pending_scalarsubs:
+                frame = self._apply_scalarsub(frame, scm, ctx.read)
             if cond is not None:
                 frame = frame.filter(cond)
             ids = frame.select(F.col("%s.id" % table.name).alias("id"))

@@ -54,7 +54,8 @@ def test_driver_row_budget_ordering():
                  "or_composite_grammar", "repetition_docs",
                  "chunk_docs_windows", "bigram_surprisal_docs",
                  "lang_id_confusion", "embedding_outliers",
-                 "event_funnel"):
+                 "event_funnel", "q17_small_qty_revenue",
+                 "q22_wealthy_inactive", "scalar_rank_suppliers"):
         assert names.index(name) < 50, name
     demoted = [n for n in names[50:] if n in oracles]
     assert set(demoted) == {
@@ -69,6 +70,7 @@ def test_driver_row_budget_ordering():
         "q4_order_priority", "pii_audit_docs",
         "event_transitions_matrix", "vocab_top_tokens",
         "customer_rfm", "orders_monthly_growth",
+        "every_aggregate", "filter_like_in", "order_limit_offset",
     }, demoted
 
 

@@ -1,0 +1,137 @@
+"""Scalar-subquery comparisons: ``(op x (from t (select (agg y))
+(where ...)))``.
+
+The reference supports these for free — any parenthesized SELECT is a
+valid SQL operand (/root/reference/tanker/expression.py:213-219); here
+they lower via ``View._apply_scalarsub`` into broadcast cross join /
+decorrelated groupBy / row-id pair frame (see the docstring there).
+"""
+
+import pytest
+
+from tanker_spark import View
+
+from .conftest import members
+
+
+def _load(include_members=True):
+    if include_members:
+        View(
+            "member",
+            ["name", "team.country.name", "team.name", "registration_code"],
+        ).write(members)
+
+
+def test_uncorrelated_agg(session):
+    """Members whose name is longer than the average name length.
+    Names: Bob(3) Alice(5) Trudy(5); avg = 13/3 ≈ 4.33."""
+    _load()
+    res = View("member", ["name"]).read(
+        "(> (length name) (from member (select (avg (length name)))))"
+    ).all()
+    assert sorted(res) == [("Alice",), ("Trudy",)]
+
+
+def test_uncorrelated_nonagg_single_row(session):
+    """A non-aggregate scalar select works uncorrelated (one row)."""
+    _load()
+    res = View("member", ["name"]).read(
+        '(= name (from member (select-distinct name) '
+        '(where (= registration_code "001"))))'
+    ).all()
+    assert res == [("Bob",)]
+
+
+def test_correlated_equi_count(session):
+    """Countries having at least one team — Q17-shape decorrelation:
+    groupBy the correlation key + equi-join back."""
+    res = View("country", ["name"]).read(
+        "(>= (from team (select (count)) (where (= country _parent.id))) 1)"
+    ).all()
+    assert sorted(res) == [("Belgium",), ("France",)]
+
+
+def test_correlated_count_empty_group_is_zero(session):
+    """SQL: a scalar COUNT over zero matching rows is 0, not NULL —
+    countries with no teams must satisfy ``(= 0 (count))``."""
+    res = View("country", ["name"]).read(
+        "(= 0 (from team (select (count)) (where (= country _parent.id))))"
+    ).all()
+    assert res == [("Holland",)]
+
+
+def test_correlated_equi_max(session):
+    """Members who are their team's alphabetically-last member."""
+    _load()
+    res = View("member", ["name"]).read(
+        "(= name (from member (select (max name)) "
+        "(where (= team _parent.team))))"
+    ).all()
+    # Blue(BE): Bob alone; Red(BE): Alice alone; Blue(FR): Trudy alone
+    assert sorted(res) == [("Alice",), ("Bob",), ("Trudy",)]
+
+
+def test_non_equi_correlation_rid_path(session):
+    """Rank-style non-equi correlation: the member preceded by nobody
+    alphabetically (count of earlier names = 0) is the global minimum."""
+    _load()
+    res = View("member", ["name"]).read(
+        "(= 0 (from member (select (count)) (where (< name _parent.name))))"
+    ).all()
+    assert res == [("Alice",)]
+
+
+def test_not_over_scalar(session):
+    """De Morgan: ``(not (> x sub))`` ≡ ``(<= x sub)``."""
+    _load()
+    res = View("member", ["name"]).read(
+        "(not (> (length name) (from member (select (avg (length name))))))"
+    ).all()
+    assert res == [("Bob",)]
+
+
+def test_or_with_scalar(session):
+    """Scalar comparison under OR goes through the rid union path."""
+    _load()
+    res = View("member", ["name"]).read(
+        '(or (= name "Trudy") '
+        "(> (length name) (from member (select (avg (length name))))))"
+    ).all()
+    assert sorted(res) == [("Alice",), ("Trudy",)]
+
+
+def test_scalar_with_and_conjunct(session):
+    _load()
+    res = View("member", ["name"]).read(
+        "(and (!= name \"Trudy\") "
+        "(>= (length name) (from member (select (min (length name))))))"
+    ).all()
+    assert sorted(res) == [("Alice",), ("Bob",)]
+
+
+def test_delete_with_scalar_filter(session):
+    """Scalar subqueries work in delete filters (same lowering)."""
+    _load()
+    View("member").delete(
+        "(< (length name) (from member (select (avg (length name)))))"
+    )
+    res = View("member", ["name"]).read().all()
+    assert sorted(res) == [("Alice",), ("Trudy",)]
+
+
+def test_nested_scalar_in_subquery_where_raises(session):
+    _load()
+    with pytest.raises(NotImplementedError):
+        View("member", ["name"]).read(
+            "(exists (from member (select 1) (where "
+            "(> (length name) (from member (select (avg (length name))))))))"
+        ).all()
+
+
+def test_correlated_nonagg_raises(session):
+    _load()
+    with pytest.raises(NotImplementedError):
+        View("member", ["name"]).read(
+            "(= name (from member (select name) "
+            "(where (= team _parent.team))))"
+        ).all()
