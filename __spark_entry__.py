@@ -202,6 +202,22 @@ def scalar_rank_suppliers(spark, sf_dir):
         ).frame()
 
 
+def q20_nested_scalar_in(spark, sf_dir):
+    """TPC-H Q20 shape: IN-subquery whose WHERE carries a correlated
+    scalar — suppliers in nations that have customers worth more than
+    2.2× their nation's average balance. The inner scalar decorrelates
+    against the enclosing subquery's frame (Subquery.nested_scalars)."""
+    with _cx(spark, sf_dir):
+        v = View("supplier", ["s_suppkey"])
+        return v.read(
+            "(in s_nationkey (from customer (select-distinct c_nationkey) "
+            "(where (> c_acctbal (from customer "
+            "(select (* 2.2 (avg c_acctbal))) "
+            "(where (= c_nationkey _parent.c_nationkey)))))))",
+            order="s_suppkey",
+        ).frame()
+
+
 def q10_returned_items(spark, sf_dir):
     """TPC-H Q10-style: 3-hop dotted aggregation (lineitem→orders→
     customer→nation) with a quarter date window on the middle hop and
@@ -792,6 +808,16 @@ def dedup_exact_docs(spark, sf_dir):
     """Exact dedup winners over documents (hash-groupBy)."""
     df = _read(spark, sf_dir, "documents")
     return dedup.dedup_exact(df, "text", "doc_id").orderBy("keep_id")
+
+
+def substring_dup_docs(spark, sf_dir):
+    """Suffix-array-style substring dedup signal: per-doc fraction of
+    20-token windows (stride 5) that repeat ≥2 times corpus-wide
+    (operators/dedup.py substring_dup_stats). One window shuffle."""
+    df = _read(spark, sf_dir, "documents")
+    return dedup.substring_dup_stats(
+        df, win=20, stride=5, min_count=2
+    ).orderBy("doc_id")
 
 
 def text_stats(spark, sf_dir):
@@ -1456,7 +1482,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
-        "null_safe_buckets": null_safe_buckets,
         "cast_trunc_extract": cast_trunc_extract,
         "o2m_nation_count": o2m_nation_count,
         "exists_correlated": exists_correlated,
@@ -1470,8 +1495,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_qty_revenue": q17_small_qty_revenue,
         "q22_wealthy_inactive": q22_wealthy_inactive,
         "scalar_rank_suppliers": scalar_rank_suppliers,
+        "q20_nested_scalar_in": q20_nested_scalar_in,
+        "substring_dup_docs": substring_dup_docs,
         "write_upsert_roundtrip": write_upsert_roundtrip,
-        "write_partial_update": write_partial_update,
         "write_insert_update_legs": write_insert_update_legs,
         "write_purge_filtered": write_purge_filtered,
         "delete_roundtrip": delete_roundtrip,
@@ -1515,6 +1541,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "every_aggregate": every_aggregate,
         "filter_like_in": filter_like_in,
         "order_limit_offset": order_limit_offset,
+        "null_safe_buckets": null_safe_buckets,
+        "write_partial_update": write_partial_update,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q12_priority_counts": q12_priority_counts,
         "agg_global_stats": agg_global_stats,
@@ -2384,6 +2412,49 @@ def oracle_sql() -> dict[str, str]:
                     SELECT max(s2.s_acctbal) FROM supplier s2
                     WHERE s2.s_nationkey < s.s_nationkey)
             ORDER BY s.s_suppkey
+        """,
+        "substring_dup_docs": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents
+            ),
+            w AS (
+              SELECT doc_id,
+                     unnest(range(0, greatest(len(t) - 19, 1), 5)) AS off,
+                     t
+              FROM toks
+            ),
+            h AS (
+              SELECT doc_id, off,
+                     array_to_string(t[off+1 : off+20], ' ') AS wtext
+              FROM w
+            ),
+            freq AS (
+              SELECT wtext FROM h GROUP BY wtext HAVING count(*) >= 2
+            ),
+            perdoc AS (
+              SELECT doc_id, count(*) AS n_windows FROM h GROUP BY doc_id
+            ),
+            dupdoc AS (
+              SELECT doc_id, count(*) AS dup_windows FROM h
+              WHERE wtext IN (SELECT wtext FROM freq) GROUP BY doc_id
+            )
+            SELECT p.doc_id, p.n_windows,
+                   coalesce(d.dup_windows, 0) AS dup_windows,
+                   round(coalesce(d.dup_windows, 0) / p.n_windows, 6)
+                       AS dup_ratio
+            FROM perdoc p LEFT JOIN dupdoc d USING (doc_id)
+            ORDER BY doc_id
+        """,
+        "q20_nested_scalar_in": """
+            SELECT s_suppkey
+            FROM supplier
+            WHERE s_nationkey IN (
+                SELECT DISTINCT c_nationkey FROM customer c
+                WHERE c.c_acctbal > (
+                    SELECT 2.2 * avg(c2.c_acctbal) FROM customer c2
+                    WHERE c2.c_nationkey = c.c_nationkey))
+            ORDER BY s_suppkey
         """,
         "q4_order_priority": """
             SELECT o_orderpriority, count(*) AS n

@@ -272,7 +272,7 @@ class Subquery:
     def __init__(self, compiler, select_cols, where_cond, distinct=False,
                  nested_semis=None, orgroups=None, where_entries=None,
                  select_is_agg=False, select_is_count=False,
-                 select_bare_count=False):
+                 select_bare_count=False, nested_scalars=None):
         self.compiler = compiler  # child ExpressionCompiler
         self.select_cols = select_cols
         self.where_cond = where_cond
@@ -283,6 +283,9 @@ class Subquery:
         self.select_is_agg = select_is_agg
         self.select_is_count = select_is_count
         self.select_bare_count = select_bare_count
+        # scalar comparisons inside this subquery's own WHERE (TPC-H
+        # Q20 shape); applied on the subquery frame by _materialize_sub
+        self.nested_scalars = nested_scalars or []
 
 
 class WhereEntry:
@@ -570,7 +573,7 @@ class ExpressionCompiler:
         select_cols, where_cond = [], None
         distinct = False
         select_is_agg = select_is_count = select_bare_count = False
-        semis, ors = [], []
+        semis, ors, scalars = [], [], []
         entries = []
         for item in node.items[1:]:
             if isinstance(item, Node):
@@ -595,11 +598,7 @@ class ExpressionCompiler:
                     for a in item.items[1:]:
                         c, depth = _compile_filter_item_d(child, a, env_ctx)
                         p, s, o, sc = _split_markers([c])
-                        if sc:
-                            raise NotImplementedError(
-                                "scalar subqueries nested inside a "
-                                "subquery WHERE are not supported"
-                            )
+                        scalars.extend(sc)
                         if p is not None:
                             plains.append(p)
                             pair = None
@@ -615,7 +614,8 @@ class ExpressionCompiler:
                         nested_semis=semis, orgroups=ors,
                         where_entries=entries, select_is_agg=select_is_agg,
                         select_is_count=select_is_count,
-                        select_bare_count=select_bare_count)
+                        select_bare_count=select_bare_count,
+                        nested_scalars=scalars)
 
     # -- filter helpers -------------------------------------------------
     def build_filter(self, filters, env_ctx, acl_filters=None):

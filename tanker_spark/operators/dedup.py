@@ -935,3 +935,205 @@ def embedding_dedup_pairs(df, vec_col="embedding", id_col="vec_id",
         .filter(F.col("cos_sim") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+# ---------------------------------------------------------------------------
+# substring-level dedup (suffix-array-style duplicated-span detection)
+# ---------------------------------------------------------------------------
+
+def _doc_windows(df, text_col, id_col, win, stride):
+    """(doc_id, off, w): every ``stride``-th ``win``-token window of each
+    document, in token order. Docs shorter than ``win`` contribute one
+    partial window (their whole token stream)."""
+    grams = shingles_all(F.col(text_col), win)
+    return (
+        df.select(F.col(id_col).alias("doc_id"), grams.alias("__g"))
+        .select(
+            "doc_id",
+            F.posexplode("__g").alias("off", "w"),
+        )
+        .filter(F.col("off") % stride == 0)
+    )
+
+
+def substring_dup_stats(df, text_col="text", id_col="doc_id", win=20,
+                        stride=5, min_count=2):
+    """Per-document duplicated-window statistics — the distributed
+    analog of suffix-array substring dedup over a training corpus
+    (exact ``win``-token spans repeated anywhere in the corpus, the
+    signal used to strip boilerplate/licence blocks and verbatim
+    repeats before training).
+
+    Plan shape: one map stage builds the windows (zip_with shingles,
+    no per-element copying), one shuffle groups window hashes
+    corpus-wide to find repeated ones, then doc-level aggregates. At
+    100 TB the shuffle volume is ~tokens/stride × 8-byte hashes —
+    ``stride`` is the knob that trades span resolution for shuffle
+    size (the published pipelines use 50-token windows at stride ≥ 1
+    on suffix arrays; hashed windows at stride s give the same
+    duplicated-span recall quantized to s tokens).
+
+    Returns (doc_id, n_windows, dup_windows, dup_ratio) — dup_ratio is
+    the fraction of sampled windows that occur ≥ ``min_count`` times in
+    the corpus (window identity by xxhash64; cross-engine oracles can
+    group by the window text itself — identical modulo 2^-64 hash
+    collisions).
+    """
+    h = _doc_windows(df, text_col, id_col, win, stride).select(
+        "doc_id", "off", F.xxhash64("w").alias("h")
+    )
+    freq = (
+        h.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+    )
+    dup = h.join(freq.select("h"), "h", "left_semi")
+    per_doc = h.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows"))
+    per_dup = dup.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dup_windows"))
+    return (
+        per_doc.join(per_dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            F.coalesce("dup_windows", F.lit(0)).alias("dup_windows"),
+            F.round(
+                F.coalesce("dup_windows", F.lit(0))
+                / F.col("n_windows"), 6
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+def substring_dedup_spans(df, text_col="text", id_col="doc_id", win=20,
+                          stride=5, min_count=2):
+    """Merged duplicated token spans per document: every window that
+    repeats ≥ ``min_count`` times corpus-wide contributes the interval
+    [off, off+win) in token coordinates; overlapping intervals merge.
+
+    Returns (doc_id, spans array<struct<s,e>>, dup_tokens) for documents
+    that have at least one duplicated span — feed to a masking/cutting
+    step. Interval merging is a Column-level fold over the sorted
+    offsets (no UDF, no per-doc Python)."""
+    h = _doc_windows(df, text_col, id_col, win, stride).select(
+        "doc_id", "off", F.xxhash64("w").alias("h")
+    )
+    freq = (
+        h.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+    )
+    dup = h.join(freq.select("h"), "h", "left_semi")
+    offs = dup.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("off")).alias("offs")
+    )
+    empty = F.array().cast("array<struct<s:int,e:int>>")
+    merged = F.aggregate(
+        F.col("offs"),
+        empty,
+        lambda acc, o: F.when(
+            (F.size(acc) > 0) & (o <= F.element_at(acc, -1)["e"]),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.struct(
+                    F.element_at(acc, -1)["s"].alias("s"),
+                    (o + F.lit(win)).alias("e"),
+                )),
+            ),
+        ).otherwise(
+            F.concat(acc, F.array(F.struct(
+                o.alias("s"), (o + F.lit(win)).alias("e"))))
+        ),
+    )
+    return offs.select(
+        "doc_id",
+        merged.alias("spans"),
+        F.aggregate(
+            merged, F.lit(0), lambda acc, sp: acc + sp["e"] - sp["s"]
+        ).alias("dup_tokens"),
+    )
+
+
+def substring_dedup_spans_keep_first(df, text_col="text", id_col="doc_id",
+                                     win=20, stride=5, min_count=2):
+    """Like :func:`substring_dedup_spans` but keeps ONE canonical
+    occurrence of each duplicated window: the corpus-wide first
+    (min (doc_id, off)) occurrence contributes no span, so the text
+    survives somewhere — the published remove-all-but-one policy.
+
+    One extra min_by aggregate rides the same window-frequency shuffle.
+    """
+    h = _doc_windows(df, text_col, id_col, win, stride).select(
+        "doc_id", "off", F.xxhash64("w").alias("h")
+    )
+    freq = h.groupBy("h").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.min(F.struct("doc_id", "off")).alias("owner"),
+    ).filter(F.col("c") >= min_count)
+    dup = (
+        h.join(freq.select("h", "owner"), "h")
+        .filter(
+            (F.col("doc_id") != F.col("owner.doc_id"))
+            | (F.col("off") != F.col("owner.off"))
+        )
+    )
+    offs = dup.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("off")).alias("offs")
+    )
+    empty = F.array().cast("array<struct<s:int,e:int>>")
+    merged = F.aggregate(
+        F.col("offs"),
+        empty,
+        lambda acc, o: F.when(
+            (F.size(acc) > 0) & (o <= F.element_at(acc, -1)["e"]),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.struct(
+                    F.element_at(acc, -1)["s"].alias("s"),
+                    (o + F.lit(win)).alias("e"),
+                )),
+            ),
+        ).otherwise(
+            F.concat(acc, F.array(F.struct(
+                o.alias("s"), (o + F.lit(win)).alias("e"))))
+        ),
+    )
+    return offs.select(
+        "doc_id",
+        merged.alias("spans"),
+        F.aggregate(
+            merged, F.lit(0), lambda acc, sp: acc + sp["e"] - sp["s"]
+        ).alias("dup_tokens"),
+    )
+
+
+def substring_dedup_rows(df, text_col="text", id_col="doc_id", win=20,
+                         stride=5, min_count=2):
+    """End-to-end substring dedup: rewrite each document with its
+    duplicated spans (keep-first policy) cut out, in token coordinates.
+
+    The masking is a Column-level indexed filter over the token array —
+    no UDF; cost O(tokens × spans) per row, spans being the merged
+    (hence few) intervals. Docs without duplicated spans pass through
+    untouched (left join + coalesce)."""
+    spans_df = substring_dedup_spans_keep_first(
+        df, text_col, id_col, win, stride, min_count
+    ).withColumnRenamed("doc_id", "__sid")
+    joined = df.join(
+        spans_df, F.col(id_col) == F.col("__sid"), "left"
+    )
+    toks = tokens(F.col(text_col))
+    kept = F.filter(
+        toks,
+        lambda x, i: ~F.coalesce(
+            F.exists(
+                F.col("spans"), lambda sp: (i >= sp["s"]) & (i < sp["e"])
+            ),
+            F.lit(False),
+        ),
+    )
+    out_text = F.when(
+        F.col("spans").isNull(), F.col(text_col)
+    ).otherwise(F.concat_ws(" ", kept))
+    return joined.withColumn(text_col, out_text).drop(
+        "__sid", "spans", "dup_tokens"
+    )

@@ -833,6 +833,18 @@ class View(object):
         )
         lifted = None
         deferred = []
+        for scm in sub.nested_scalars:
+            # a scalar comparison inside this subquery's WHERE (TPC-H
+            # Q20 shape): its correlation targets THIS frame, where the
+            # aliases are in scope — apply it here. Deeper correlation
+            # (the scalar's subquery reaching past this frame) has no
+            # pair-frame home yet.
+            if scm.sub.compiler._ext_depth >= 2:
+                raise NotImplementedError(
+                    "scalar subquery correlating past its enclosing "
+                    "subquery is not supported"
+                )
+            df = self._apply_scalarsub(df, scm, reader)
         for m in sub.nested_semis:
             if m.reach() <= 1:
                 df = self._apply_semijoin(df, m, reader)

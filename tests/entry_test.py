@@ -55,7 +55,8 @@ def test_driver_row_budget_ordering():
                  "chunk_docs_windows", "bigram_surprisal_docs",
                  "lang_id_confusion", "embedding_outliers",
                  "event_funnel", "q17_small_qty_revenue",
-                 "q22_wealthy_inactive", "scalar_rank_suppliers"):
+                 "q22_wealthy_inactive", "scalar_rank_suppliers",
+                 "q20_nested_scalar_in", "substring_dup_docs"):
         assert names.index(name) < 50, name
     demoted = [n for n in names[50:] if n in oracles]
     assert set(demoted) == {
@@ -71,6 +72,7 @@ def test_driver_row_budget_ordering():
         "event_transitions_matrix", "vocab_top_tokens",
         "customer_rfm", "orders_monthly_growth",
         "every_aggregate", "filter_like_in", "order_limit_offset",
+        "null_safe_buckets", "write_partial_update",
     }, demoted
 
 

@@ -1079,3 +1079,87 @@ def test_dedup_near_rows(spark, docs):
     assert {0, 1, 2} <= ids
     assert not ({100, 101, 102} & ids)
     assert len(ids) == docs.count() - 3
+
+
+def test_substring_dup_stats_and_spans(spark):
+    para = " ".join("tok%d" % i for i in range(30))
+    rows = [
+        (1, para + " unique one two three four five six seven eight"),
+        (2, "prefix words here " + para + " tail tail2"),
+        (3, " ".join("z%d" % i for i in range(40))),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    stats = {
+        r.doc_id: r
+        for r in dedup.substring_dup_stats(df, win=10, stride=1).collect()
+    }
+    # every window fully inside the shared 30-token paragraph repeats
+    assert stats[1].dup_windows == 21 and stats[1].n_windows == 30
+    assert stats[2].dup_windows == 21
+    assert stats[3].dup_windows == 0 and stats[3].dup_ratio == 0.0
+    spans = {
+        r.doc_id: r
+        for r in dedup.substring_dedup_spans(df, win=10, stride=1).collect()
+    }
+    # merged interval covers exactly the shared paragraph (token coords)
+    assert [(s.s, s.e) for s in spans[1].spans] == [(0, 30)]
+    assert [(s.s, s.e) for s in spans[2].spans] == [(3, 33)]
+    assert spans[1].dup_tokens == 30 and spans[2].dup_tokens == 30
+    assert 3 not in spans  # clean docs produce no span row
+
+
+def test_substring_spans_merge_disjoint(spark):
+    blk_a = " ".join("a%d" % i for i in range(12))
+    blk_b = " ".join("b%d" % i for i in range(12))
+    mid = " ".join("m%d" % i for i in range(20))
+    rows = [
+        (1, blk_a + " " + mid + " " + blk_b),
+        (2, blk_a + " other words entirely " + blk_b),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = {
+        r.doc_id: [(s.s, s.e) for s in r.spans]
+        for r in dedup.substring_dedup_spans(df, win=10, stride=1).collect()
+    }
+    # two separate duplicated blocks → two disjoint merged spans
+    assert len(spans[1]) == 2 and len(spans[2]) == 2
+    assert spans[1][0] == (0, 12)
+    assert spans[1][1] == (32, 44)  # blk_b starts at token 12+20
+    assert spans[2][0] == (0, 12)
+
+
+def test_knn_join_gemm_matches_brute(spark):
+    """The GEMM path is exact: identical (qid, cid) sets and sims
+    (to float tolerance) as the crossJoin brute path."""
+    rnd = random.Random(11)
+    dim = 16
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(dim)]) for i in range(60)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(4)
+    q = df.filter(F.col("vec_id") < 5)
+    brute = {(r.qid, r.cid): r.cos_sim
+             for r in similarity.knn_join(q, df, k=4).collect()}
+    gemm = {(r.qid, r.cid): r.cos_sim
+            for r in similarity.knn_join(q, df, k=4,
+                                         method="gemm").collect()}
+    assert set(brute) == set(gemm)
+    for key in brute:
+        assert abs(brute[key] - gemm[key]) < 1e-9
+
+
+def test_substring_dedup_rows_keep_first(spark):
+    para = " ".join("tok%d" % i for i in range(30))
+    rows = [
+        (1, para + " unique one two three four five six seven eight"),
+        (2, "prefix words here " + para + " tail tail2"),
+        (3, " ".join("z%d" % i for i in range(40))),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.text
+           for r in dedup.substring_dedup_rows(df, win=10,
+                                               stride=1).collect()}
+    # keep-first: doc 1 (the corpus-wide first occurrence) keeps the
+    # paragraph; doc 2 loses exactly it; doc 3 passes through untouched
+    assert out[1] == rows[0][1]
+    assert out[2] == "prefix words here tail tail2"
+    assert out[3] == rows[2][1]
+    assert len(out) == 3  # row count preserved

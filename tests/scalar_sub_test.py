@@ -119,12 +119,26 @@ def test_delete_with_scalar_filter(session):
     assert sorted(res) == [("Alice",), ("Trudy",)]
 
 
-def test_nested_scalar_in_subquery_where_raises(session):
+def test_nested_scalar_in_subquery_where(session):
+    """TPC-H Q20 shape: a scalar comparison inside a subquery's WHERE is
+    applied while materializing that subquery's frame."""
+    _load()
+    res = View("team", ["name", "country.name"]).read(
+        "(exists (from member (select 1) (where (and "
+        "(= team _parent.id) "
+        "(> (length name) (from member (select (avg (length name)))))))))"
+    ).all()
+    # members longer than avg(4.33): Alice (Red/BE), Trudy (Blue/FR)
+    assert sorted(res) == [("Blue", "France"), ("Red", "Belgium")]
+
+
+def test_scalar_correlating_past_enclosing_subquery_raises(session):
     _load()
     with pytest.raises(NotImplementedError):
-        View("member", ["name"]).read(
+        View("country", ["name"]).read(
             "(exists (from member (select 1) (where "
-            "(> (length name) (from member (select (avg (length name))))))))"
+            "(> (length name) (from member (select (avg (length name))) "
+            "(where (= team.country _parent._parent.id)))))))"
         ).all()
 
 
