@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "bigram_surprisal_docs",
     "event_funnel",
     "curation_pipeline_v2",
+    "q17_small_qty_revenue",
+    "substring_dup_docs",
 ]
 
 

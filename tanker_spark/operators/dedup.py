@@ -942,17 +942,47 @@ def embedding_dedup_pairs(df, vec_col="embedding", id_col="vec_id",
 # ---------------------------------------------------------------------------
 
 def _doc_windows(df, text_col, id_col, win, stride):
-    """(doc_id, off, w): every ``stride``-th ``win``-token window of each
-    document, in token order. Docs shorter than ``win`` contribute one
-    partial window (their whole token stream)."""
-    grams = shingles_all(F.col(text_col), win)
+    """(doc_id, off, h): xxhash64-chain of every ``stride``-th
+    ``win``-token window of each document, in token order. Docs shorter
+    than ``win`` contribute one partial window (their whole token
+    stream).
+
+    The window hash is built WITHOUT materializing window strings: the
+    per-token hash array is materialized ONCE per row (its own
+    projection, so the tokenize+hash subtree is never duplicated into
+    the window expressions), then each sampled offset folds its
+    ``win``-slice with chained xxhash64 — pure long arithmetic, and
+    only every ``stride``-th window is ever hashed (the
+    build-all-then-filter shape did stride× extra work and its
+    ``win``-deep nested expression fell out of whole-stage codegen:
+    ~9× slower at sf0.1 for win=20, stride=5). Identical token
+    sequences always chain to the same hash (cross-engine oracles can
+    group by the window text itself; agreement modulo 2⁻⁶⁴
+    collisions)."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(
+            tokens(F.col(text_col)), lambda x: F.xxhash64(x)
+        ).alias("__th"),
+    )
+    th = F.col("__th")
+    n_off = F.greatest(F.size(th) - (win - 1), F.lit(1))
+    offs = F.sequence(F.lit(0), n_off - 1, F.lit(stride))
+    wh = F.transform(
+        offs,
+        lambda o: F.aggregate(
+            F.slice(th, o + 1, win),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: F.xxhash64(acc, x),
+        ),
+    )
     return (
-        df.select(F.col(id_col).alias("doc_id"), grams.alias("__g"))
+        base.select("doc_id", F.posexplode(wh).alias("pos", "h"))
         .select(
             "doc_id",
-            F.posexplode("__g").alias("off", "w"),
+            (F.col("pos") * stride).alias("off"),
+            "h",
         )
-        .filter(F.col("off") % stride == 0)
     )
 
 
@@ -979,9 +1009,7 @@ def substring_dup_stats(df, text_col="text", id_col="doc_id", win=20,
     group by the window text itself — identical modulo 2^-64 hash
     collisions).
     """
-    h = _doc_windows(df, text_col, id_col, win, stride).select(
-        "doc_id", "off", F.xxhash64("w").alias("h")
-    )
+    h = _doc_windows(df, text_col, id_col, win, stride)
     freq = (
         h.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= min_count)
@@ -1015,9 +1043,7 @@ def substring_dedup_spans(df, text_col="text", id_col="doc_id", win=20,
     that have at least one duplicated span — feed to a masking/cutting
     step. Interval merging is a Column-level fold over the sorted
     offsets (no UDF, no per-doc Python)."""
-    h = _doc_windows(df, text_col, id_col, win, stride).select(
-        "doc_id", "off", F.xxhash64("w").alias("h")
-    )
+    h = _doc_windows(df, text_col, id_col, win, stride)
     freq = (
         h.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= min_count)
@@ -1062,9 +1088,7 @@ def substring_dedup_spans_keep_first(df, text_col="text", id_col="doc_id",
 
     One extra min_by aggregate rides the same window-frequency shuffle.
     """
-    h = _doc_windows(df, text_col, id_col, win, stride).select(
-        "doc_id", "off", F.xxhash64("w").alias("h")
-    )
+    h = _doc_windows(df, text_col, id_col, win, stride)
     freq = h.groupBy("h").agg(
         F.count(F.lit(1)).alias("c"),
         F.min(F.struct("doc_id", "off")).alias("owner"),
