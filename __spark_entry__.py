@@ -1345,6 +1345,22 @@ def cap_per_source(spark, sf_dir):
     return out.select("doc_id", "source", "n_chars").orderBy("doc_id")
 
 
+def token_budget_sample(spark, sf_dir):
+    """Budgeted corpus assembly: sample src0/src1 down to a 8000-char
+    budget split 3:1 (curation.sample_to_token_budget — lazy per-source
+    sums → broadcast keep fractions → deterministic hash bucket; the
+    doc_id-modulus bucket here keeps DuckDB bit-exact)."""
+    from tanker_spark.operators import curation
+
+    df = _read(spark, sf_dir, "documents")
+    out = curation.sample_to_token_budget(
+        df, budget=8000, len_col="n_chars", id_col="doc_id",
+        source_col="source", weights={"src0": 3, "src1": 1},
+        bucket_expr=F.pmod(F.col("doc_id") * F.lit(7919), F.lit(10000)),
+    )
+    return out.select("doc_id", "source", "n_chars").orderBy("doc_id")
+
+
 def pii_audit_docs(spark, sf_dir):
     """Per-doc PII occurrence counts over planted emails/phones/IPs —
     the audit pass before redaction (curation.pii_audit; same regexes
@@ -1497,13 +1513,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_rank_suppliers": scalar_rank_suppliers,
         "q20_nested_scalar_in": q20_nested_scalar_in,
         "substring_dup_docs": substring_dup_docs,
+        "token_budget_sample": token_budget_sample,
         "write_upsert_roundtrip": write_upsert_roundtrip,
         "write_insert_update_legs": write_insert_update_legs,
         "write_purge_filtered": write_purge_filtered,
         "delete_roundtrip": delete_roundtrip,
         "write_fk_resolution": write_fk_resolution,
         "acl_write_roundtrip": acl_write_roundtrip,
-        "json_extract_events": json_extract_events,
         "unnest_embedding": unnest_embedding,
         "any_all_arrays": any_all_arrays,
         "strftime_monthly": strftime_monthly,
@@ -1543,6 +1559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_limit_offset": order_limit_offset,
         "null_safe_buckets": null_safe_buckets,
         "write_partial_update": write_partial_update,
+        "json_extract_events": json_extract_events,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q12_priority_counts": q12_priority_counts,
         "agg_global_stats": agg_global_stats,
@@ -2445,6 +2462,25 @@ def oracle_sql() -> dict[str, str]:
                        AS dup_ratio
             FROM perdoc p LEFT JOIN dupdoc d USING (doc_id)
             ORDER BY doc_id
+        """,
+        "token_budget_sample": """
+            WITH counts AS (
+              SELECT source, sum(n_chars) AS toks
+              FROM documents GROUP BY source
+            ),
+            keep AS (
+              SELECT source,
+                     least(1.0,
+                           8000.0 * (CASE source
+                                       WHEN 'src0' THEN 0.75
+                                       WHEN 'src1' THEN 0.25
+                                       ELSE 0.0 END) / toks) AS f
+              FROM counts
+            )
+            SELECT d.doc_id, d.source, d.n_chars
+            FROM documents d JOIN keep k USING (source)
+            WHERE (d.doc_id * 7919) % 10000 < floor(k.f * 10000)
+            ORDER BY d.doc_id
         """,
         "q20_nested_scalar_in": """
             SELECT s_suppkey

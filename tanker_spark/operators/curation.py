@@ -417,3 +417,57 @@ def pack_sequences(df, id_col, len_col, budget, n_partitions=None):
             )
 
     return prepared.mapInPandas(_pack, schema=out_schema)
+
+
+def sample_to_token_budget(df, budget, len_col, id_col,
+                           source_col=None, weights=None,
+                           bucket_expr=None):
+    """Deterministically sample down to a target token budget — the
+    "give me ~N tokens of this corpus" step of assembling a training
+    mix. With ``source_col``/``weights``, each source gets
+    ``budget × w_s / Σw`` tokens (capped at what the source has; no
+    redistribution of a capped source's shortfall — callers wanting
+    exact totals should renormalize weights over the uncapped sources).
+
+    Fully lazy like :func:`mix_sources_temperature`: one per-source
+    (or global) token-sum aggregate computes keep fractions that
+    broadcast back onto the scan, then the deterministic hash bucket
+    selects rows map-side — no driver collect, reproducible across
+    cluster sizes, and the expected kept token mass is
+    ``frac × tokens`` per source (row-level sampling, so the realized
+    total fluctuates by O(√n_docs · avg_len)).
+    """
+    b = bucket_expr if bucket_expr is not None else hash_bucket(
+        F.col(id_col)
+    )
+    if source_col is None:
+        tot = df.agg(F.sum(len_col).alias("__toks"))
+        frac = F.least(
+            F.lit(1.0), F.lit(float(budget)) / F.col("__toks")
+        )
+        return (
+            df.crossJoin(F.broadcast(tot.select(frac.alias("__keep"))))
+            .filter(b < F.floor(F.col("__keep") * SAMPLE_MOD))
+            .drop("__keep")
+        )
+    weights = dict(weights or {})
+    wsum = float(sum(weights.values())) or 1.0
+    pairs = []
+    for k, v in sorted(weights.items()):
+        pairs.extend([F.lit(k), F.lit(float(v) / wsum)])
+    wmap = F.create_map(*pairs) if pairs else F.create_map()
+    counts = df.groupBy(source_col).agg(F.sum(len_col).alias("__toks"))
+    keep = counts.select(
+        source_col,
+        F.least(
+            F.lit(1.0),
+            F.lit(float(budget))
+            * F.coalesce(wmap[F.col(source_col)], F.lit(0.0))
+            / F.col("__toks"),
+        ).alias("__keep"),
+    )
+    return (
+        df.join(F.broadcast(keep), source_col)
+        .filter(b < F.floor(F.col("__keep") * SAMPLE_MOD))
+        .drop("__keep")
+    )

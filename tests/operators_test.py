@@ -1163,3 +1163,34 @@ def test_substring_dedup_rows_keep_first(spark):
     assert out[2] == "prefix words here tail tail2"
     assert out[3] == rows[2][1]
     assert len(out) == 3  # row count preserved
+
+
+def test_sample_to_token_budget(spark):
+    from tanker_spark.operators import curation
+
+    rows = [(i, "s%d" % (i % 3), 100) for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    # global: 30k chars total, ask for ~10k → ~1/3 of rows kept
+    out = curation.sample_to_token_budget(
+        df, budget=10_000, len_col="n_chars", id_col="doc_id")
+    n = out.count()
+    assert 70 <= n <= 130
+    # weighted: s0 gets 3/4 of an 8k budget (60 docs), s1 gets 1/4
+    # (20 docs), s2 (no weight) is dropped entirely
+    out = curation.sample_to_token_budget(
+        df, budget=8_000, len_col="n_chars", id_col="doc_id",
+        source_col="source", weights={"s0": 3, "s1": 1})
+    by_src = {r.source: r.n for r in out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert "s2" not in by_src
+    assert 40 <= by_src["s0"] <= 80 and 8 <= by_src["s1"] <= 32
+    # budget >= corpus → everything kept
+    out = curation.sample_to_token_budget(
+        df, budget=10**9, len_col="n_chars", id_col="doc_id")
+    assert out.count() == 300
+    # deterministic: same inputs → same rows
+    a = {r.doc_id for r in curation.sample_to_token_budget(
+        df, budget=10_000, len_col="n_chars", id_col="doc_id").collect()}
+    b = {r.doc_id for r in curation.sample_to_token_budget(
+        df, budget=10_000, len_col="n_chars", id_col="doc_id").collect()}
+    assert a == b

@@ -149,3 +149,31 @@ def test_correlated_nonagg_raises(session):
             "(= name (from member (select name) "
             "(where (= team _parent.team))))"
         ).all()
+
+
+def test_write_filter_with_scalar(session):
+    """Scalar subqueries work in ACL-write rules (the write filter legs
+    share the read path's marker lowering)."""
+    from tanker_spark import ctx
+
+    _load()
+    # only members at-or-below the current minimum name length may be
+    # inserted: "Jo" (2) passes, "Evangeline" (10) is filtered
+    ctx.cfg["acl-write"] = {"member": [
+        "(<= (length name) "
+        "(from member (select (min (length name)))))",
+    ]}
+    try:
+        cnt = View(
+            "member",
+            ["name", "team.country.name", "team.name",
+             "registration_code"],
+        ).write([
+            ("Jo", "Belgium", "Blue", "010"),
+            ("Evangeline", "Belgium", "Blue", "011"),
+        ])
+        assert cnt["filtered"] == 1
+        names = {r[0] for r in View("member", ["name"]).read().all()}
+        assert "Jo" in names and "Evangeline" not in names
+    finally:
+        ctx.cfg.pop("acl-write", None)
