@@ -688,6 +688,35 @@ def agg_global_stats(spark, sf_dir):
         return v.read().frame()
 
 
+def stats_aggregates(spark, sf_dir):
+    """Statistical aggregates beyond the reference's 8 (stddev, median,
+    exact percentile, count-distinct) — registered AGGREGATE heads so
+    aggregate detection / auto-GROUP-BY see them (expression.py
+    _passthrough_agg)."""
+    with _cx(spark, sf_dir):
+        v = View("customer", {
+            "nk": "c_nationkey",
+            "sd": "(round (stddev c_acctbal) 2)",
+            "med": "(round (median c_acctbal) 2)",
+            "p90": "(round (percentile c_acctbal 0.9) 2)",
+            "nseg": "(count-distinct c_mktsegment)",
+        })
+        return v.read(order="nk").frame()
+
+
+def string_fns_nation(spark, sf_dir):
+    """Unknown-head passthrough to Spark SQL's function registry
+    (substring / concat / repeat): the whole built-in library is
+    reachable from s-expressions (expression.py _compile_node)."""
+    with _cx(spark, sf_dir):
+        v = View("nation", {
+            "abbr": "(substring n_name 1 6)",
+            "shout": "(concat n_name (repeat \"!\" 2))",
+            "n_name": "n_name",
+        })
+        return v.read(order="n_name").frame()
+
+
 def params_notin(spark, sf_dir):
     """Parameter placeholders + notin + dotted path (SURVEY §2.2)."""
     with _cx(spark, sf_dir):
@@ -1523,7 +1552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unnest_embedding": unnest_embedding,
         "any_all_arrays": any_all_arrays,
         "strftime_monthly": strftime_monthly,
-        "events_hourly": events_hourly,
+        "stats_aggregates": stats_aggregates,
         "sessionize_events": sessionize_events,
         "asof_last_purchase": asof_last_purchase,
         "dedup_exact_docs": dedup_exact_docs,
@@ -1531,7 +1560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": embedding_neardup,
         "ngram_jaccard_docs": ngram_jaccard_docs,
         "neardup_groups_docs": neardup_groups_docs,
-        "doc_len_quantiles": doc_len_quantiles,
+        "string_fns_nation": string_fns_nation,
         "text_quality": text_quality,
         "stratified_sample_docs": stratified_sample_docs,
         "cap_per_source": cap_per_source,
@@ -1560,6 +1589,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_safe_buckets": null_safe_buckets,
         "write_partial_update": write_partial_update,
         "json_extract_events": json_extract_events,
+        "events_hourly": events_hourly,
+        "doc_len_quantiles": doc_len_quantiles,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q12_priority_counts": q12_priority_counts,
         "agg_global_stats": agg_global_stats,
@@ -2462,6 +2493,23 @@ def oracle_sql() -> dict[str, str]:
                        AS dup_ratio
             FROM perdoc p LEFT JOIN dupdoc d USING (doc_id)
             ORDER BY doc_id
+        """,
+        "stats_aggregates": """
+            SELECT c_nationkey AS nk,
+                   round(stddev_samp(c_acctbal), 2) AS sd,
+                   round(median(c_acctbal), 2) AS med,
+                   round(quantile_cont(c_acctbal, 0.9), 2) AS p90,
+                   count(DISTINCT c_mktsegment) AS nseg
+            FROM customer
+            GROUP BY c_nationkey
+            ORDER BY nk
+        """,
+        "string_fns_nation": """
+            SELECT substring(n_name, 1, 6) AS abbr,
+                   concat(n_name, repeat('!', 2)) AS shout,
+                   n_name
+            FROM nation
+            ORDER BY n_name
         """,
         "token_budget_sample": """
             WITH counts AS (

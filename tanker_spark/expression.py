@@ -559,7 +559,16 @@ class ExpressionCompiler:
             # tokens never resolve to columns; reference expression.py:331)
             if len(items) == 1:
                 return head.token
-            raise ValueError('Unknown function "%s"' % head.token)
+            # Spark-first extension: any other head passes through to
+            # Spark SQL's function registry, so the whole built-in
+            # library (substring, concat, greatest, datediff, ...) is
+            # usable from s-expressions. The reference silently degrades
+            # unknown heads to a bare string (expression.py:356-366 —
+            # params evaluated then discarded); resolving is strictly
+            # more useful, and a genuinely unknown name still fails fast
+            # at analysis with Spark's UNRESOLVED_ROUTINE error.
+            args = [self.compile(a, env_ctx) for a in items[1:]]
+            return F.call_function(head.token, *[as_col(a) for a in args])
         # head is itself an expression or literal: evaluate it
         vals = [self.compile(a, env_ctx, raw=raw) for a in items]
         if len(vals) == 1:
@@ -1089,7 +1098,30 @@ AGGREGATES = {
     "bool_and": lambda c, args: F.bool_and(as_col(args[0])),
     "bool_or": lambda c, args: F.bool_or(as_col(args[0])),
     "every": lambda c, args: F.every(as_col(args[0])),
+    "count-distinct": lambda c, args: F.count_distinct(
+        *[as_col(a) for a in args]
+    ),
 }
+
+
+def _passthrough_agg(name):
+    return lambda c, args: F.call_function(
+        name, *[as_col(a) for a in args]
+    )
+
+
+# Spark-first extension beyond the reference's 8 aggregates: the common
+# statistical aggregates route through the SQL function registry. They
+# must be REGISTERED heads (not the generic unknown-head passthrough in
+# _compile_node) so Node.is_aggregate sees them and the auto-GROUP-BY /
+# aggregate-detection walk stays correct.
+for _extra in (
+    "stddev", "stddev_pop", "stddev_samp", "variance", "var_pop",
+    "var_samp", "median", "mode", "skewness", "kurtosis",
+    "percentile", "approx_count_distinct", "corr", "covar_pop",
+    "covar_samp",
+):
+    AGGREGATES[_extra] = _passthrough_agg(_extra)
 
 
 def _or_all(conds):

@@ -57,7 +57,8 @@ def test_driver_row_budget_ordering():
                  "event_funnel", "q17_small_qty_revenue",
                  "q22_wealthy_inactive", "scalar_rank_suppliers",
                  "q20_nested_scalar_in", "substring_dup_docs",
-                 "token_budget_sample"):
+                 "token_budget_sample", "stats_aggregates",
+                 "string_fns_nation"):
         assert names.index(name) < 50, name
     demoted = [n for n in names[50:] if n in oracles]
     assert set(demoted) == {
@@ -74,7 +75,7 @@ def test_driver_row_budget_ordering():
         "customer_rfm", "orders_monthly_growth",
         "every_aggregate", "filter_like_in", "order_limit_offset",
         "null_safe_buckets", "write_partial_update",
-        "json_extract_events",
+        "json_extract_events", "events_hourly", "doc_len_quantiles",
     }, demoted
 
 

@@ -1,0 +1,82 @@
+"""Unknown-head passthrough to Spark SQL's function registry, and the
+extended statistical aggregate heads.
+
+The reference evaluates unknown heads to a bare string and DISCARDS the
+arguments (/root/reference/tanker/expression.py:356-366); resolving
+against the SQL registry is strictly more useful and fails fast on a
+genuinely unknown name.
+"""
+
+import pytest
+
+from tanker_spark import View
+
+from .conftest import members
+
+
+def _load():
+    View(
+        "member",
+        ["name", "team.country.name", "team.name", "registration_code"],
+    ).write(members)
+
+
+def test_scalar_passthrough(session):
+    _load()
+    res = View("member", {
+        "ab": "(substring name 1 2)",
+        "shout": '(concat name "!")',
+        "name": "name",
+    }).read(order="name").all()
+    assert res[0] == ("Al", "Alice!", "Alice")
+    assert [r[0] for r in res] == ["Al", "Bo", "Tr"]
+
+
+def test_passthrough_in_filter(session):
+    _load()
+    res = View("member", ["name"]).read(
+        '(= (substring name 1 1) "B")'
+    ).all()
+    assert res == [("Bob",)]
+
+
+def test_stat_aggregates_detected(session):
+    """stddev/median/percentile/count-distinct are registered AGGREGATE
+    heads: auto-GROUP-BY must treat them as aggregates (grouping on the
+    one plain column), not as scalars."""
+    _load()
+    res = View("member", {
+        "c": "team.country.name",
+        "med": "(median (length name))",
+        "n": "(count-distinct name)",
+    }).read(order="c").all()
+    # Belgium: Bob(3), Alice(5) → median 4.0; France: Trudy(5)
+    assert res == [("Belgium", 4.0, 2), ("France", 5.0, 1)]
+
+
+def test_global_stat_aggregate(session):
+    _load()
+    ((sd, p),) = View("member", {
+        "sd": "(round (stddev (length name)) 4)",
+        "p": "(percentile (length name) 0.5)",
+    }).read().all()
+    # lengths 3,5,5: sample stddev = 2/sqrt(3) ≈ 1.1547
+    assert sd == 1.1547 and p == 5.0
+
+
+def test_unknown_function_fails_at_analysis(session):
+    from pyspark.errors import AnalysisException
+
+    _load()
+    with pytest.raises(AnalysisException):
+        View("member", {"x": "(no_such_fn name 1)"}).read().all()
+
+
+def test_zero_arg_head_still_shielded(session):
+    """The `(varchar)` / `(epoch)` rule: a zero-arg unknown head is a
+    bare token (cast targets), not a registry call."""
+    _load()
+    res = View("member", {"n": '(cast registration_code (integer))'}).read(
+        order="n"
+    ).all()
+    assert [r[0] for r in res] == [1, 2, 3]
