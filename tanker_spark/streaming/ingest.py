@@ -11,6 +11,8 @@ idempotent (same keys upsert to the same rows).
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 
 def upsert_sink(stream_df, view_name, fields, cfg, checkpoint_dir,
                 available_now=True):
@@ -26,6 +28,75 @@ def upsert_sink(stream_df, view_name, fields, cfg, checkpoint_dir,
 
     return (
         stream_df.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=available_now)
+        .start()
+    )
+
+
+def neardup_filter_sink(stream_df, out_path, sig_path, checkpoint_dir,
+                        text_col="text", id_col="doc_id", threshold=0.5,
+                        num_hashes=16, bands=4, shingle_n=3, seed=42,
+                        available_now=True):
+    """Streaming near-duplicate gate: each micro-batch is MinHash-matched
+    against the persisted signature corpus (``sig_path``, the side table
+    :func:`operators.dedup.minhash_incremental` reads); docs whose
+    estimated jaccard vs the corpus — or vs an earlier doc in the same
+    batch — clears ``threshold`` are dropped, survivors land in
+    ``out_path`` and their signatures are appended so later batches
+    (and later streams) see them.
+
+    Delivery: the checkpoint makes batch replay at-least-once; output
+    stays exactly-once because each batch overwrites its own
+    deterministic ``batch=N`` subdirectory. Signature appends on replay
+    duplicate rows in the side table, which is benign for matching
+    (a doc never matches its own id) and bounded by the replay count —
+    compact the side table offline if it matters.
+
+    Scale: per batch cost is O(batch signatures + matching buckets);
+    the historical corpus is only ever touched through its signature
+    side table (~1000× smaller than the text).
+    """
+    from ..operators.dedup import (minhash_append_signatures,
+                                   minhash_incremental)
+
+    def _filter_batch(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.persist()
+        import os
+        if os.path.exists(sig_path):
+            pairs = minhash_incremental(
+                batch_df, sig_path, text_col, id_col, num_hashes,
+                bands, shingle_n, threshold, seed,
+            )
+            # vs-corpus pairs (id_b outside the batch): drop id_a, the
+            # batch doc. Intra-batch pairs (id_a < id_b, both in batch):
+            # keep the earlier doc, drop id_b.
+            bids = batch_df.select(
+                F.col(id_col).alias("id_b")
+            ).distinct()
+            drop_intra = pairs.join(bids, "id_b", "left_semi").select(
+                F.col("id_b").alias(id_col)
+            )
+            drop_corpus = pairs.join(bids, "id_b", "left_anti").select(
+                F.col("id_a").alias(id_col)
+            )
+            dup_ids = drop_intra.unionAll(drop_corpus).distinct()
+            keep = batch_df.join(dup_ids, id_col, "left_anti")
+        else:
+            keep = batch_df
+        keep.write.mode("overwrite").parquet(
+            "%s/batch=%d" % (out_path, batch_id)
+        )
+        minhash_append_signatures(
+            keep, sig_path, text_col, id_col, num_hashes, shingle_n,
+            seed,
+        )
+        batch_df.unpersist()
+
+    return (
+        stream_df.writeStream.foreachBatch(_filter_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=available_now)
         .start()

@@ -184,3 +184,71 @@ def test_hourly_anomalies_planted_spike(spark):
     assert spike[0].n == 200 and spike[0].z is None
     # steady hours are not flagged
     assert all(r.n != 10 for r in got)
+
+
+def test_neardup_filter_stream(spark, tmp_path):
+    """Streaming MinHash near-dup gate: batch docs matching the
+    persisted signature corpus (or an earlier doc in the same batch)
+    are dropped; survivors' signatures extend the corpus for the next
+    run."""
+    import random
+
+    from tanker_spark.operators import dedup
+    from tanker_spark.streaming.ingest import neardup_filter_sink
+
+    rnd = random.Random(3)
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lam mu nu xi omicron pi rho sigma tau upsilon").split()
+
+    def doc(n=60):
+        return " ".join(rnd.choice(words) for _ in range(n))
+
+    corpus = [(i, doc()) for i in range(20)]
+    sig_path = str(tmp_path / "sigs")
+    corpus_df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    dedup.minhash_append_signatures(corpus_df, sig_path)
+
+    # batch: 2 fresh docs, 1 near-dup of corpus doc 0, 1 exact intra-
+    # batch dup of one of the fresh docs
+    fresh_a, fresh_b = doc(), doc()
+    batch = [
+        (100, fresh_a),
+        (101, fresh_b),
+        (102, corpus[0][1] + " tail"),   # near-dup of corpus doc 0
+        (103, fresh_a),                  # intra-batch dup of 100
+    ]
+    src = str(tmp_path / "stream_src")
+    spark.createDataFrame(batch, ["doc_id", "text"]).coalesce(1) \
+        .write.parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string").parquet(src)
+    )
+    out_path = str(tmp_path / "out")
+    q = neardup_filter_sink(
+        stream, out_path, sig_path, str(tmp_path / "ckpt"),
+        threshold=0.5,
+    )
+    q.awaitTermination(120)
+    kept = {r.doc_id for r in spark.read.parquet(out_path).collect()}
+    assert kept == {100, 101}
+    # survivors' signatures were appended: replaying the same docs with
+    # NEW ids drops everything
+    batch2 = [(200, fresh_a), (201, corpus[0][1] + " tail")]
+    src2 = str(tmp_path / "src2")
+    spark.createDataFrame(batch2, ["doc_id", "text"]).coalesce(1) \
+        .write.parquet(src2)
+    stream2 = (
+        spark.readStream.schema("doc_id long, text string").parquet(src2)
+    )
+    out2 = str(tmp_path / "out2")
+    q2 = neardup_filter_sink(
+        stream2, out2, sig_path, str(tmp_path / "ckpt2"),
+        threshold=0.5,
+    )
+    q2.awaitTermination(120)
+    import os
+    kept2 = (
+        {r.doc_id for r in spark.read.parquet(out2).collect()}
+        if os.path.exists(out2) else set()
+    )
+    assert kept2 == set()
