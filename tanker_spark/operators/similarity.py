@@ -525,3 +525,28 @@ def knn_indexed(spark, path, probe_vec, k=10, multiprobe=1, n_probe=4):
         .orderBy(F.col("cos_sim").desc(), F.col(meta["id_col"]).asc())
         .limit(k)
     )
+
+
+def random_projection(df, out_dim, dim, vec_col="embedding", seed=42,
+                      out_col=None):
+    """Johnson-Lindenstrauss random projection: map each vector through
+    a deterministic Gaussian matrix to ``out_dim`` dimensions, scaled
+    by 1/√out_dim so expected pairwise distances are preserved.
+
+    Map-only Column math over literal projection rows (no UDF, no
+    shuffle, reproducible across engines/cluster sizes from ``seed``) —
+    the cheap precursor to ANN indexing or near-dup banding when raw
+    embeddings are wide: a 1024-d float corpus projected to 64-d cuts
+    the signature side table and every downstream dot product ~16×
+    while keeping cosine neighborhoods (JL lemma: distortion ε needs
+    out_dim ≳ 8·ln(n)/ε²)."""
+    from .dedup import _dot, _hyperplanes
+
+    rows = _hyperplanes(dim, out_dim, seed)
+    inv = 1.0 / math.sqrt(out_dim)
+    proj = F.array(*[
+        (_dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in row]))
+         * F.lit(inv)).cast("float")
+        for row in rows
+    ])
+    return df.withColumn(out_col or vec_col, proj)

@@ -1194,3 +1194,35 @@ def test_sample_to_token_budget(spark):
     b = {r.doc_id for r in curation.sample_to_token_budget(
         df, budget=10_000, len_col="n_chars", id_col="doc_id").collect()}
     assert a == b
+
+
+def test_random_projection_preserves_neighborhoods(spark):
+    """JL projection: deterministic, right shape, and the planted
+    near-duplicate pair stays the nearest pair after projection."""
+    import math as _math
+
+    rnd = random.Random(13)
+    dim, out_dim = 64, 16
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(dim)]) for i in range(30)]
+    dup = [x + rnd.gauss(0, 0.01) for x in rows[0][1]]
+    rows.append((100, dup))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    proj = similarity.random_projection(df, out_dim, dim)
+    got = {r.vec_id: r.embedding for r in proj.collect()}
+    assert all(len(v) == out_dim for v in got.values())
+    # deterministic
+    again = {r.vec_id: r.embedding
+             for r in similarity.random_projection(df, out_dim,
+                                                   dim).collect()}
+    assert got == again
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = _math.sqrt(sum(x * x for x in a))
+        nb = _math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    # the planted pair is still each other's nearest neighbor
+    sims = {j: cos(got[100], got[j]) for j in got if j != 100}
+    assert max(sims, key=sims.get) == 0
+    assert sims[0] > 0.9

@@ -366,3 +366,31 @@ def test_deep_not_exists_under_or(session):
     # every team's members differ from the country name → the NOT
     # EXISTS disjunct never holds; only the Red team (Belgium) matches
     assert res == [("Belgium",)]
+
+
+def test_scalar_subquery_plan_shapes(session):
+    """Scalar subqueries lower to join plans, never nested loops:
+    equality-correlated aggregates decorrelate (HashAggregate +
+    equi-join), uncorrelated scalars broadcast — no
+    BroadcastNestedLoopJoin / CartesianProduct anywhere."""
+    View(
+        "member",
+        ["name", "team.country.name", "team.name", "registration_code"],
+    ).write(members)
+    # correlated equi (Q17 shape)
+    f = View("member", ["name"]).read(
+        "(= name (from member (select (max name)) "
+        "(where (= team _parent.team))))"
+    ).frame()
+    plan = f._jdf.queryExecution().executedPlan().toString()
+    assert "Aggregate" in plan  # Hash/Sort/ObjectHashAggregate
+    assert "HashJoin" in plan   # decorrelated equi-join
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # uncorrelated: the 1-row aggregate frame is broadcast
+    f = View("member", ["name"]).read(
+        "(> (length name) (from member (select (avg (length name)))))"
+    ).frame()
+    plan = f._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "Broadcast" in plan
+    assert "CartesianProduct" not in plan
