@@ -71,8 +71,11 @@ def test_pa_norm_session_tz():
     naive = datetime(2024, 1, 1, 12, 0)
     (out,) = _pa_norm([naive], T.TimestampType(), "Europe/Brussels")
     assert out == datetime(2024, 1, 1, 11, 0, tzinfo=timezone.utc)
+    # UTC session: naive values pass through untouched — pa.array
+    # stores the same wall time for a naive value as for its aware-UTC
+    # twin, so no reconstruction is needed (staging fast path)
     (out_utc,) = _pa_norm([naive], T.TimestampType(), "UTC")
-    assert out_utc == datetime(2024, 1, 1, 12, 0, tzinfo=timezone.utc)
+    assert out_utc == naive and out_utc.tzinfo is None
     aware = datetime(2024, 1, 1, 12, 0, tzinfo=timezone.utc)
     (out_aw,) = _pa_norm([aware], T.TimestampType(), "Europe/Brussels")
     assert out_aw == aware
