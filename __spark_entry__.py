@@ -202,6 +202,25 @@ def scalar_rank_suppliers(spark, sf_dir):
         ).frame()
 
 
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14-style: conditional aggregation via the `if` passthrough
+    head — promo revenue share over one ship month, a ratio of two
+    aggregates over the same dotted join."""
+    with _cx(spark, sf_dir):
+        v = View("lineitem", {
+            "promo_pct":
+                '(round (/ (* 100.0 (sum (if (= l_partkey.p_type '
+                '"PROMO") (* l_extendedprice (- 1 l_discount)) 0.0)))'
+                " (sum (* l_extendedprice (- 1 l_discount)))) 4)",
+        })
+        return v.read(
+            [
+                '(>= l_shipdate (cast "1995-09-01" (timestamptz)))',
+                '(< l_shipdate (cast "1995-10-01" (timestamptz)))',
+            ],
+        ).frame()
+
+
 def q20_nested_scalar_in(spark, sf_dir):
     """TPC-H Q20 shape: IN-subquery whose WHERE carries a correlated
     scalar — suppliers in nations that have customers worth more than
@@ -1550,7 +1569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "write_fk_resolution": write_fk_resolution,
         "acl_write_roundtrip": acl_write_roundtrip,
         "unnest_embedding": unnest_embedding,
-        "any_all_arrays": any_all_arrays,
+        "q14_promo_revenue": q14_promo_revenue,
         "strftime_monthly": strftime_monthly,
         "stats_aggregates": stats_aggregates,
         "sessionize_events": sessionize_events,
@@ -1589,6 +1608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_safe_buckets": null_safe_buckets,
         "write_partial_update": write_partial_update,
         "json_extract_events": json_extract_events,
+        "any_all_arrays": any_all_arrays,
         "events_hourly": events_hourly,
         "doc_len_quantiles": doc_len_quantiles,
         "q6_forecast_revenue": q6_forecast_revenue,
@@ -2529,6 +2549,18 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN keep k USING (source)
             WHERE (d.doc_id * 7919) % 10000 < floor(k.f * 10000)
             ORDER BY d.doc_id
+        """,
+        "q14_promo_revenue": """
+            SELECT round(
+                100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                                 THEN l.l_extendedprice * (1 - l.l_discount)
+                                 ELSE 0.0 END)
+                / sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                AS promo_pct
+            FROM lineitem l
+            LEFT JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+              AND l.l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'
         """,
         "q20_nested_scalar_in": """
             SELECT s_suppkey
