@@ -1161,3 +1161,39 @@ def substring_dedup_rows(df, text_col="text", id_col="doc_id", win=20,
     return joined.withColumn(text_col, out_text).drop(
         "__sid", "spans", "dup_tokens"
     )
+
+
+def compact_side_table(spark, path, key_col="__id", keep="first",
+                       target_rows_per_file=1_000_000):
+    """Compact a parquet side table (MinHash signatures, SimHash
+    fingerprints, ANN buckets): drop duplicate keys — streaming replay
+    appends duplicates by design (streaming/ingest.neardup_filter_sink)
+    — and rewrite the accumulated small append-files into sensibly
+    sized ones. The rewrite lands in a temp directory and swaps in with
+    two renames, so concurrent readers see either the old or the new
+    table, never a partial one.
+
+    Run it out-of-band (the side-table analog of Delta OPTIMIZE +
+    VACUUM); matching semantics are unchanged because duplicate keys
+    never alter join results, only inflate them.
+    """
+    import math as _math
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    w = Window.partitionBy(key_col).orderBy(F.lit(1))
+    deduped = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    n = deduped.count()
+    parts = max(1, _math.ceil(n / target_rows_per_file))
+    tmp = path.rstrip("/") + "__compact_tmp"
+    old = path.rstrip("/") + "__compact_old"
+    deduped.coalesce(parts).write.mode("overwrite").parquet(tmp)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n

@@ -1226,3 +1226,20 @@ def test_random_projection_preserves_neighborhoods(spark):
     sims = {j: cos(got[100], got[j]) for j in got if j != 100}
     assert max(sims, key=sims.get) == 0
     assert sims[0] > 0.9
+
+
+def test_compact_side_table(spark, docs, tmp_path):
+    sig_path = str(tmp_path / "sigs_c")
+    dedup.minhash_append_signatures(docs, sig_path)
+    dedup.minhash_append_signatures(docs, sig_path)  # replay duplicates
+    assert spark.read.parquet(sig_path).count() == 2 * docs.count()
+    n = dedup.compact_side_table(spark, sig_path)
+    assert n == docs.count()
+    after = spark.read.parquet(sig_path)
+    assert after.count() == docs.count()
+    assert after.select("__id").distinct().count() == docs.count()
+    # matching still works against the compacted table
+    batch = docs.filter(F.col("doc_id") == 0).withColumn(
+        "doc_id", F.col("doc_id") + 500)
+    pairs = dedup.minhash_incremental(batch, sig_path, threshold=0.9)
+    assert any(r.id_b == 0 for r in pairs.collect())
