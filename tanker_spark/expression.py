@@ -824,9 +824,17 @@ def _cmp(op):
         x, y = args
         if isinstance(x, Subquery) or isinstance(y, Subquery):
             if isinstance(x, Subquery) and isinstance(y, Subquery):
-                raise NotImplementedError(
-                    "comparing two scalar subqueries is not supported"
-                )
+                # both sides scalar: the right one rides along in
+                # `other`; the frame builder broadcasts both one-row
+                # frames (uncorrelated only — correlation on either
+                # side raises there)
+                for s in (x, y):
+                    if len(s.select_cols) != 1:
+                        raise ValueError(
+                            "scalar subquery must select exactly one "
+                            "column"
+                        )
+                return ScalarSub(op, y, x, sub_on_left=True)
             sub_on_left = isinstance(x, Subquery)
             sub = x if sub_on_left else y
             other = y if sub_on_left else x

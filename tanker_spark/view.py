@@ -743,7 +743,38 @@ class View(object):
         ``count`` coalesces to 0. Non-aggregate selects are allowed only
         uncorrelated, taking the first row (SQL errors on >1 row; here
         the choice is documented as arbitrary).
+
+        Two-scalar comparisons ``(op sub1 sub2)`` are supported
+        uncorrelated: the right side's one-row frame is broadcast in
+        first and its value column becomes ``other``.
         """
+        from .expression import Subquery as _Subquery
+
+        if isinstance(sc.other, _Subquery):
+            osub = sc.other
+            odf, olifted, odeferred = self._materialize_sub(osub, reader)
+            if (odeferred or olifted is not None
+                    or osub.compiler._ext_depth):
+                raise NotImplementedError(
+                    "a correlated scalar subquery cannot be compared "
+                    "against another scalar subquery"
+                )
+            oval = self._next_rid() + "_o"
+            if osub.where_cond is not None:
+                odf = odf.filter(osub.where_cond)
+            (osel,) = osub.select_cols
+            if osub.select_is_agg:
+                oone = odf.agg(osel.alias(oval))
+            else:
+                odf = odf.select(osel.alias(oval))
+                if osub.distinct:
+                    odf = odf.distinct()
+                oone = odf.limit(1)
+            inner = ScalarSub(sc.op, F.col(oval), sc.sub, sc.sub_on_left)
+            out = self._apply_scalarsub(
+                df.crossJoin(F.broadcast(oone)), inner, reader
+            )
+            return out.drop(oval)
         sub = sc.sub
         sub_df, lifted, deferred = self._materialize_sub(sub, reader)
         if deferred:

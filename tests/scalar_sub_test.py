@@ -177,3 +177,28 @@ def test_write_filter_with_scalar(session):
         assert "Jo" in names and "Evangeline" not in names
     finally:
         ctx.cfg.pop("acl-write", None)
+
+
+def test_two_scalar_comparison(session):
+    """(op sub1 sub2): both uncorrelated scalars broadcast. min name
+    length (3) < max name length (5) → all rows pass; flipped → none."""
+    _load()
+    res = View("member", ["name"]).read(
+        "(< (from member (select (min (length name)))) "
+        "(from member (select (max (length name)))))"
+    ).all()
+    assert len(res) == 3
+    res = View("member", ["name"]).read(
+        "(> (from member (select (min (length name)))) "
+        "(from member (select (max (length name)))))"
+    ).all()
+    assert res == []
+
+
+def test_two_scalar_correlated_raises(session):
+    _load()
+    with pytest.raises(NotImplementedError):
+        View("member", ["name"]).read(
+            "(< (from member (select (min (length name)))) "
+            "(from member (select (count)) (where (= team _parent.team))))"
+        ).all()
