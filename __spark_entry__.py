@@ -202,6 +202,23 @@ def scalar_rank_suppliers(spark, sf_dir):
         ).frame()
 
 
+def orders_rollup(spark, sf_dir):
+    """GROUP BY ROLLUP over (status, priority): per-pair counts,
+    per-status subtotals and a grand total in one pass (partial
+    aggregation handles the super-aggregate rows — no extra shuffle
+    vs the plain groupBy)."""
+    with _cx(spark, sf_dir):
+        v = View("orders", {
+            "st": "o_orderstatus",
+            "pr": "o_orderpriority",
+            "n": "(count)",
+            "total": "(round (sum o_totalprice) 2)",
+        })
+        return v.read(
+            groupby=["o_orderstatus", "o_orderpriority"], rollup=True,
+        ).frame()
+
+
 def q14_promo_revenue(spark, sf_dir):
     """TPC-H Q14-style: conditional aggregation via the `if` passthrough
     head — promo revenue share over one ship month, a ratio of two
@@ -1570,6 +1587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acl_write_roundtrip": acl_write_roundtrip,
         "unnest_embedding": unnest_embedding,
         "q14_promo_revenue": q14_promo_revenue,
+        "orders_rollup": orders_rollup,
         "strftime_monthly": strftime_monthly,
         "stats_aggregates": stats_aggregates,
         "sessionize_events": sessionize_events,
@@ -1581,7 +1599,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_groups_docs": neardup_groups_docs,
         "string_fns_nation": string_fns_nation,
         "text_quality": text_quality,
-        "stratified_sample_docs": stratified_sample_docs,
         "cap_per_source": cap_per_source,
         "redact_pii": redact_pii,
         "curation_pipeline": curation_pipeline,
@@ -1609,6 +1626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "write_partial_update": write_partial_update,
         "json_extract_events": json_extract_events,
         "any_all_arrays": any_all_arrays,
+        "stratified_sample_docs": stratified_sample_docs,
         "events_hourly": events_hourly,
         "doc_len_quantiles": doc_len_quantiles,
         "q6_forecast_revenue": q6_forecast_revenue,
@@ -2549,6 +2567,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN keep k USING (source)
             WHERE (d.doc_id * 7919) % 10000 < floor(k.f * 10000)
             ORDER BY d.doc_id
+        """,
+        "orders_rollup": """
+            SELECT o_orderstatus AS st, o_orderpriority AS pr,
+                   count(*) AS n, round(sum(o_totalprice), 2) AS total
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         """,
         "q14_promo_revenue": """
             SELECT round(

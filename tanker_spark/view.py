@@ -444,6 +444,8 @@ class View(object):
         offset=None,
         disable_acl=False,
         version=None,
+        rollup=False,
+        cube=False,
     ):
         spec = {
             "filters": filters,
@@ -454,6 +456,8 @@ class View(object):
             "offset": offset,
             "disable_acl": disable_acl,
             "version": version,
+            "rollup": rollup,
+            "cube": cube,
         }
         return Cursor(self, spec, args=args)
 
@@ -581,7 +585,20 @@ class View(object):
                                       "DESC" else oc.asc())
             if not aggs:
                 raise ValueError("Aggregated read needs aggregate fields")
-            df = df.groupBy(*gb).agg(*aggs) if gb else df.agg(*aggs)
+            if spec.get("rollup") or spec.get("cube"):
+                # super-aggregate rows (GROUP BY ROLLUP/CUBE): requires
+                # an explicit groupby — auto-groupby has no sensible
+                # hierarchy to roll up
+                if not spec.get("groupby"):
+                    raise ValueError(
+                        "rollup/cube need an explicit groupby"
+                    )
+                grouped = (
+                    df.rollup(*gb) if spec.get("rollup") else df.cube(*gb)
+                )
+                df = grouped.agg(*aggs)
+            else:
+                df = df.groupBy(*gb).agg(*aggs) if gb else df.agg(*aggs)
             if order_cols:
                 df = df.orderBy(*order_cols)
             # final projection, renaming group aliases to field names

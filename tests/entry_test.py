@@ -58,7 +58,8 @@ def test_driver_row_budget_ordering():
                  "q22_wealthy_inactive", "scalar_rank_suppliers",
                  "q20_nested_scalar_in", "substring_dup_docs",
                  "token_budget_sample", "stats_aggregates",
-                 "string_fns_nation", "q14_promo_revenue"):
+                 "string_fns_nation", "q14_promo_revenue",
+                 "orders_rollup"):
         assert names.index(name) < 50, name
     demoted = [n for n in names[50:] if n in oracles]
     assert set(demoted) == {
@@ -76,7 +77,7 @@ def test_driver_row_budget_ordering():
         "every_aggregate", "filter_like_in", "order_limit_offset",
         "null_safe_buckets", "write_partial_update",
         "json_extract_events", "events_hourly", "doc_len_quantiles",
-        "any_all_arrays",
+        "any_all_arrays", "stratified_sample_docs",
     }, demoted
 
 

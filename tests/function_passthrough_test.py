@@ -80,3 +80,26 @@ def test_zero_arg_head_still_shielded(session):
         order="n"
     ).all()
     assert [r[0] for r in res] == [1, 2, 3]
+
+
+def test_rollup_and_cube(session):
+    """GROUP BY ROLLUP/CUBE: super-aggregate rows with NULL group keys."""
+    _load()
+    rows = View("member", {
+        "c": "team.country.name",
+        "t": "team.name",
+        "n": "(count)",
+    }).read(groupby=["team.country.name", "team.name"], rollup=True).all()
+    as_map = {(r[0], r[1]): r[2] for r in rows}
+    assert as_map[(None, None)] == 3          # grand total
+    assert as_map[("Belgium", None)] == 2     # per-country subtotal
+    assert as_map[("Belgium", "Blue")] == 1
+    cube = View("member", {
+        "c": "team.country.name",
+        "t": "team.name",
+        "n": "(count)",
+    }).read(groupby=["team.country.name", "team.name"], cube=True).all()
+    cmap = {(r[0], r[1]): r[2] for r in cube}
+    assert cmap[(None, "Blue")] == 2          # cube-only slice
+    with pytest.raises(ValueError):
+        View("member", {"n": "(count)"}).read(rollup=True).all()
