@@ -625,3 +625,123 @@ def containment_ratio_indexed(test_df, path, text_col="text",
             ).alias("containment"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# trainable BPE tokenizer (sample-trained merges, distributed encode)
+# ---------------------------------------------------------------------------
+
+def train_bpe(df, text_col="text", vocab_size=512, sample_rows=10_000,
+              seed=42):
+    """Train byte-pair-encoding merges on a deterministic sample of the
+    corpus. Returns ``(merges, vocab)`` — ``merges`` is the ordered
+    list of (left, right) pairs, ``vocab`` the resulting symbol set.
+
+    BPE training is inherently sequential (each merge changes the pair
+    counts the next merge ranks), so the merge LOOP runs driver-side on
+    a bounded deterministic sample — exactly how production tokenizers
+    are trained (a few GB sample of a many-TB corpus); the EXPENSIVE
+    side, encoding the full corpus, is distributed
+    (:func:`bpe_encode`). The sample is hash-ordered (xxhash64 of the
+    id-free text) so re-training on the same corpus is reproducible
+    at any cluster size.
+    """
+    from collections import Counter
+
+    rows = (
+        df.select(F.col(text_col).alias("__t"))
+        .orderBy(F.xxhash64(F.col("__t"), F.lit(seed)))
+        .limit(sample_rows)
+        .collect()
+    )
+    # word frequencies over the sample; words as symbol tuples with a
+    # word-end marker so merges can't cross word boundaries
+    words = Counter()
+    for r in rows:
+        for w in (r["__t"] or "").split():
+            words[tuple(w) + ("</w>",)] += 1
+    vocab = set()
+    for sym in words:
+        vocab.update(sym)
+    merges = []
+    while len(vocab) < vocab_size:
+        pairs = Counter()
+        for sym, n in words.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] += n
+        if not pairs:
+            break
+        # deterministic tie-break: max count, then lexicographic
+        (a, b), cnt = max(
+            pairs.items(), key=lambda kv: (kv[1], kv[0])
+        )
+        if cnt < 2:
+            break
+        merges.append((a, b))
+        vocab.add(a + b)
+        merged = Counter()
+        for sym, n in words.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            merged[tuple(out)] += n
+        words = merged
+    return merges, vocab
+
+
+def bpe_encode(df, merges, text_col="text", id_col="doc_id",
+               out_col="bpe_tokens"):
+    """Encode every document with trained BPE merges — the distributed
+    half of the tokenizer: ``mapInPandas`` applies the (broadcast)
+    merge ranks per Arrow batch, so the full corpus never funnels
+    through the driver. Appends ``out_col`` (array<string>) and
+    ``n_bpe`` (its length)."""
+    import pandas as pd
+
+    spark = df.sparkSession
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    bc = spark.sparkContext.broadcast(ranks)
+    in_fields = ", ".join(
+        "%s %s" % (f.name, f.dataType.simpleString())
+        for f in df.schema.fields
+    )
+    schema = "%s, %s array<string>, n_bpe int" % (in_fields, out_col)
+
+    def encode_word(word, rk):
+        sym = list(word) + ["</w>"]
+        while len(sym) > 1:
+            best, bi = None, None
+            for i, pair in enumerate(zip(sym, sym[1:])):
+                r = rk.get(pair)
+                if r is not None and (best is None or r < best):
+                    best, bi = r, i
+            if best is None:
+                break
+            sym[bi:bi + 2] = [sym[bi] + sym[bi + 1]]
+        return sym
+
+    def run(batches):
+        rk = bc.value
+        cache = {}
+        for pdf in batches:
+            toks, lens = [], []
+            for t in pdf[text_col]:
+                out = []
+                for w in (t or "").split():
+                    got = cache.get(w)
+                    if got is None:
+                        got = cache[w] = encode_word(w, rk)
+                    out.extend(got)
+                toks.append(out)
+                lens.append(len(out))
+            pdf = pdf.copy()
+            pdf[out_col] = toks
+            pdf["n_bpe"] = pd.array(lens, dtype="int32")
+            yield pdf
+
+    return df.mapInPandas(run, schema)

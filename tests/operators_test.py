@@ -1243,3 +1243,27 @@ def test_compact_side_table(spark, docs, tmp_path):
         "doc_id", F.col("doc_id") + 500)
     pairs = dedup.minhash_incremental(batch, sig_path, threshold=0.9)
     assert any(r.id_b == 0 for r in pairs.collect())
+
+
+def test_bpe_train_and_encode(spark):
+    rows = [
+        (1, "low lower lowest low low"),
+        (2, "new newer newest new new"),
+        (3, "low new lower newer"),
+    ] * 5
+    df = spark.createDataFrame(
+        [(i, r[1]) for i, r in enumerate(rows)], ["doc_id", "text"])
+    merges, vocab = text.train_bpe(df, vocab_size=40, sample_rows=100)
+    assert merges and len(vocab) <= 40
+    # frequent whole words merge into single symbols
+    assert "low</w>" in vocab and "new</w>" in vocab
+    enc = {r.doc_id: r for r in text.bpe_encode(df, merges).collect()}
+    assert enc[0].n_bpe == len(enc[0].bpe_tokens)
+    # 'low' appears 3x in doc 0 and encodes to the single merged symbol
+    assert enc[0].bpe_tokens.count("low</w>") == 3
+    # every token decodes back to the original text
+    joined = "".join(enc[0].bpe_tokens).replace("</w>", " ").strip()
+    assert joined == rows[0][1]
+    # determinism across runs
+    m2, _ = text.train_bpe(df, vocab_size=40, sample_rows=100)
+    assert m2 == merges
