@@ -471,3 +471,32 @@ def sample_to_token_budget(df, budget, len_col, id_col,
         .filter(b < F.floor(F.col("__keep") * SAMPLE_MOD))
         .drop("__keep")
     )
+
+
+def cluster_balance_sample(df, k=8, per_cluster=100, vec_col="embedding",
+                           id_col="vec_id", seed=42, method="kmeans"):
+    """Topic-balancing sample: cluster the embedding space (MLlib
+    KMeans centroids, or the deterministic hash sample) and keep at
+    most ``per_cluster`` rows per cluster — the standard counter to
+    topic-skewed crawls, where one dominant mode would otherwise eat
+    the token budget.
+
+    Composition of existing scale-safe parts: centroids are a
+    driver-collected ≤k list (similarity.ivf_centroid_vectors), cell
+    assignment is the map-only literal-centroid argmax
+    (similarity.ivf_cell_col — no shuffle), and the per-cluster cap is
+    :func:`cap_per_group` with its salted skew guard. Appends a
+    ``cluster`` column to the kept rows."""
+    from .similarity import ivf_cell_col, ivf_centroid_vectors
+
+    cents = ivf_centroid_vectors(
+        df, n_cells=k, seed=seed, vec_col=vec_col, id_col=id_col,
+        method=method,
+    )
+    tagged = df.withColumn(
+        "cluster", ivf_cell_col(cents, vec_col)
+    ).withColumn("__ord", F.xxhash64(F.col(id_col), F.lit(seed)))
+    return cap_per_group(
+        tagged, "cluster", per_cluster,
+        [("__ord", "asc"), (id_col, "asc")],
+    ).drop("__ord")

@@ -1267,3 +1267,30 @@ def test_bpe_train_and_encode(spark):
     # determinism across runs
     m2, _ = text.train_bpe(df, vocab_size=40, sample_rows=100)
     assert m2 == merges
+
+
+def test_cluster_balance_sample(spark):
+    from tanker_spark.operators import curation
+
+    rnd = random.Random(5)
+    dim = 8
+    rows = []
+    # two tight clusters: 200 rows near +1-vector, 20 near -1-vector
+    for i in range(200):
+        rows.append((i, [1.0 + rnd.gauss(0, 0.05) for _ in range(dim)]))
+    for i in range(200, 220):
+        rows.append((i, [-1.0 + rnd.gauss(0, 0.05) for _ in range(dim)]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = curation.cluster_balance_sample(
+        df, k=2, per_cluster=30, method="kmeans")
+    got = out.collect()
+    by_cluster = {}
+    for r in got:
+        by_cluster.setdefault(r.cluster, []).append(r.vec_id)
+    # the dominant mode is capped at 30; the small one keeps all 20
+    sizes = sorted(len(v) for v in by_cluster.values())
+    assert sizes == [20, 30]
+    # deterministic
+    again = {r.vec_id for r in curation.cluster_balance_sample(
+        df, k=2, per_cluster=30, method="kmeans").collect()}
+    assert again == {r.vec_id for r in got}
