@@ -19,7 +19,8 @@ from .view import View
 def cli(argv=None):
     parser = argparse.ArgumentParser(description="tanker_spark CLI")
     parser.add_argument(
-        "action", help="info, read, write, delete, init or version", nargs=1
+        "action",
+        help="info, read, write, delete, sql, init or version", nargs=1
     )
     parser.add_argument("table", help="Table to query", nargs="*")
     parser.add_argument(
@@ -163,6 +164,25 @@ def cli_main(args):
         else:
             for name in sorted(ctx.registry):
                 out.write(name + "\n")
+        return
+
+    if action == "sql":
+        # full-Spark-SQL escape hatch (ctx.sql): `tk sql "SELECT ..."`
+        if not args.table:
+            raise SystemExit("sql action needs a query string")
+        df = ctx.sql(" ".join(args.table))
+        if args.limit:
+            df = df.limit(args.limit)
+        rows = [tuple(r) for r in df.collect()]
+        headers = None if args.hide_headers else df.columns
+        if args.ascii_table:
+            for line in ascii_table(rows, headers=headers):
+                out.write(line)
+        else:
+            writer = csv.writer(out)
+            if headers:
+                writer.writerow(headers)
+            writer.writerows(rows)
         return
 
     if not args.table:

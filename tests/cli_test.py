@@ -102,3 +102,21 @@ def test_cli_time_travel(cfg_file, capsys, spark):
     run_cli(["read", "country", "name", "-s", "name"], cfg_file)
     now = capsys.readouterr().out
     assert "Spain" in now and "Italy" in now
+
+
+def test_cli_sql(cfg_file, capsys, spark):
+    run_cli(["init"], cfg_file)
+    run_cli(["write", "team"], cfg_file,
+            stdin="name,country.name\nBlue,Belgium\nRed,Belgium\n")
+    capsys.readouterr()
+    run_cli(
+        ["sql", "SELECT name FROM team ORDER BY name"], cfg_file
+    )
+    out = capsys.readouterr().out
+    rows = list(csv.reader(io.StringIO(out)))
+    assert rows[0] == ["name"] and ["Blue"] in rows and ["Red"] in rows
+    run_cli(
+        ["sql", "SELECT count(*) AS n FROM team", "-t"], cfg_file
+    )
+    out = capsys.readouterr().out
+    assert "n" in out and "2" in out
