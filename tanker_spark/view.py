@@ -271,6 +271,14 @@ class Cursor:
         self._frame = None
         self._pins = []
 
+    def pipe(self, fn, *args, **kwargs):
+        """Feed the compiled frame through an operator: the uniform
+        bridge from the View surface to the operator library —
+        ``View("documents").read(fltr).pipe(dedup.dedup_exact, "text")``
+        keeps filters/ACL/joins on the View side and the LLM-pipeline
+        verbs composable on the DataFrame side."""
+        return fn(self.frame(), *args, **kwargs)
+
     def args(self, *args, **kwargs):
         self._args.extend(args)
         self._kwargs.update(kwargs)

@@ -1294,3 +1294,30 @@ def test_cluster_balance_sample(spark):
     again = {r.vec_id for r in curation.cluster_balance_sample(
         df, k=2, per_cluster=30, method="kmeans").collect()}
     assert again == {r.vec_id for r in got}
+
+
+def test_cursor_pipe_bridge(spark, docs, tmp_path):
+    """View.read(...).pipe(op, ...) — operators compose on the cursor."""
+    from tanker_spark import View, connect, create_tables
+
+    schema = """
+    - table: corpus
+      columns:
+        doc_id: bigint
+        text: varchar
+      key: [doc_id]
+    """
+    cfg = {"root": str(tmp_path / "db"), "schema": schema, "spark": spark}
+    with connect(cfg):
+        create_tables()
+        View("corpus", ["doc_id", "text"]).write(
+            docs.select("doc_id", "text"))
+        winners = (
+            View("corpus", ["doc_id", "text"])
+            .read("(< doc_id 101)")
+            .pipe(dedup.dedup_exact, "text", id_col="doc_id")
+        )
+        rows = winners.collect()
+        # docs 0..100 include the planted exact dup (0, 100)
+        assert sum(r.copies for r in rows) == 41
+        assert any(r.copies == 2 and r.keep_id == 0 for r in rows)
