@@ -202,6 +202,23 @@ def scalar_rank_suppliers(spark, sf_dir):
         ).frame()
 
 
+def orders_window_rank(spark, sf_dir):
+    """Window functions from the View surface: per-customer order
+    sequence number and running spend ((over ...) s-expr head —
+    row_number + ordered sum over the same partition spec, one
+    window exchange)."""
+    with _cx(spark, sf_dir):
+        v = View("orders", {
+            "ok": "o_orderkey",
+            "rk": "(over (row_number) (partition o_custkey) "
+                  "(order o_orderdate o_orderkey))",
+            "cum": "(round (over (sum o_totalprice) "
+                   "(partition o_custkey) "
+                   "(order o_orderdate o_orderkey)) 2)",
+        })
+        return v.read(order="ok").frame()
+
+
 def orders_rollup(spark, sf_dir):
     """GROUP BY ROLLUP over (status, priority): per-pair counts,
     per-status subtotals and a grand total in one pass (partial
@@ -1588,6 +1605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unnest_embedding": unnest_embedding,
         "q14_promo_revenue": q14_promo_revenue,
         "orders_rollup": orders_rollup,
+        "orders_window_rank": orders_window_rank,
         "strftime_monthly": strftime_monthly,
         "stats_aggregates": stats_aggregates,
         "sessionize_events": sessionize_events,
@@ -1610,7 +1628,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_docs": repetition_docs,
         "chunk_docs_windows": chunk_docs_windows,
         "bigram_surprisal_docs": bigram_surprisal_docs,
-        "lang_id_confusion": lang_id_confusion,
         "embedding_outliers": embedding_outliers,
         "event_funnel": event_funnel,
         # -- oracle-checkable but OUTSIDE the driver's 50-row budget (60
@@ -1627,6 +1644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract_events": json_extract_events,
         "any_all_arrays": any_all_arrays,
         "stratified_sample_docs": stratified_sample_docs,
+        "lang_id_confusion": lang_id_confusion,
         "events_hourly": events_hourly,
         "doc_len_quantiles": doc_len_quantiles,
         "q6_forecast_revenue": q6_forecast_revenue,
@@ -2567,6 +2585,17 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN keep k USING (source)
             WHERE (d.doc_id * 7919) % 10000 < floor(k.f * 10000)
             ORDER BY d.doc_id
+        """,
+        "orders_window_rank": """
+            SELECT o_orderkey AS ok,
+                   row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS rk,
+                   round(sum(o_totalprice) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey), 2) AS cum
+            FROM orders
+            ORDER BY ok
         """,
         "orders_rollup": """
             SELECT o_orderstatus AS st, o_orderpriority AS pr,

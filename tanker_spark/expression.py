@@ -229,6 +229,10 @@ class Node:
 
     def is_aggregate(self):
         head = self.head_token()
+        if head == "over":
+            # window expressions are ROW-level: the aggregate inside
+            # (over (sum x) ...) must not trigger auto-GROUP-BY
+            return False
         if head in AGGREGATES:
             return True
         return any(
@@ -547,6 +551,8 @@ class ExpressionCompiler:
         head = items[0]
         if isinstance(head, Symbol):
             name = head.token.lower()
+            if name == "over":
+                return self._compile_over(items[1:], env_ctx)
             if name in BUILTINS or name in AGGREGATES:
                 fn = BUILTINS.get(name) or AGGREGATES.get(name)
                 arg_raw = name in RAW_ARG_HEADS
@@ -574,6 +580,43 @@ class ExpressionCompiler:
         if len(vals) == 1:
             return vals[0]
         raise ValueError("Cannot evaluate expression %r" % node)
+
+    def _compile_over(self, items, env_ctx):
+        """Window functions (Spark-first extension; the reference's SQL
+        passthrough would accept ``OVER`` text but tanker never exposes
+        it): ``(over (sum x) (partition a b) (order c (desc d)))`` →
+        ``F.sum(x).over(Window.partitionBy(a, b).orderBy(c, d.desc()))``.
+        The function slot takes any aggregate head or the ranking/offset
+        builtins (row_number/rank/dense_rank/lag/lead/ntile); partition
+        and order are optional (order-less windows span the whole
+        partition)."""
+        from pyspark.sql import Window
+
+        if not items:
+            raise ValueError("(over ...) needs a function expression")
+        func = self.compile(items[0], env_ctx)
+        parts, orders = [], []
+        for item in items[1:]:
+            if not (isinstance(item, Node)
+                    and item.head_token() in ("partition", "order")):
+                raise ValueError(
+                    "(over ...) clauses must be (partition ...) or "
+                    "(order ...)"
+                )
+            for a in item.items[1:]:
+                desc = (isinstance(a, Node)
+                        and a.head_token() == "desc")
+                col = as_col(self.compile(
+                    a.items[1] if desc else a, env_ctx
+                ))
+                if item.head_token() == "partition":
+                    parts.append(col)
+                else:
+                    orders.append(col.desc() if desc else col.asc())
+        w = Window.partitionBy(*parts) if parts else Window.partitionBy()
+        if orders:
+            w = w.orderBy(*orders)
+        return as_col(func).over(w)
 
     def _compile_subquery(self, node, env_ctx):
         child = ExpressionCompiler(
@@ -1085,6 +1128,17 @@ BUILTINS = {
     "false": lambda c, args: F.lit(False),
     "strftime": lambda c, args: F.date_format(
         as_col(args[1]), _strf_to_spark(str(args[0]))
+    ),
+    # ranking / offset window functions (used inside (over ...))
+    "row_number": lambda c, args: F.row_number(),
+    "rank": lambda c, args: F.rank(),
+    "dense_rank": lambda c, args: F.dense_rank(),
+    "ntile": lambda c, args: F.ntile(int(args[0])),
+    "lag": lambda c, args: F.lag(
+        as_col(args[0]), int(args[1]) if len(args) > 1 else 1
+    ),
+    "lead": lambda c, args: F.lead(
+        as_col(args[0]), int(args[1]) if len(args) > 1 else 1
     ),
     # epoch-nanos long → timestamp (exact decimal division — double
     # arithmetic would round the microsecond for ns values > 2^53)

@@ -53,13 +53,13 @@ def test_driver_row_budget_ordering():
                  "quantize_roundtrip", "not_over_or_exists",
                  "or_composite_grammar", "repetition_docs",
                  "chunk_docs_windows", "bigram_surprisal_docs",
-                 "lang_id_confusion", "embedding_outliers",
+                 "embedding_outliers",
                  "event_funnel", "q17_small_qty_revenue",
                  "q22_wealthy_inactive", "scalar_rank_suppliers",
                  "q20_nested_scalar_in", "substring_dup_docs",
                  "token_budget_sample", "stats_aggregates",
                  "string_fns_nation", "q14_promo_revenue",
-                 "orders_rollup"):
+                 "orders_rollup", "orders_window_rank"):
         assert names.index(name) < 50, name
     demoted = [n for n in names[50:] if n in oracles]
     assert set(demoted) == {
@@ -77,7 +77,7 @@ def test_driver_row_budget_ordering():
         "every_aggregate", "filter_like_in", "order_limit_offset",
         "null_safe_buckets", "write_partial_update",
         "json_extract_events", "events_hourly", "doc_len_quantiles",
-        "any_all_arrays", "stratified_sample_docs",
+        "any_all_arrays", "stratified_sample_docs", "lang_id_confusion",
     }, demoted
 
 

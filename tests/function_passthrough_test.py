@@ -103,3 +103,34 @@ def test_rollup_and_cube(session):
     assert cmap[(None, "Blue")] == 2          # cube-only slice
     with pytest.raises(ValueError):
         View("member", {"n": "(count)"}).read(rollup=True).all()
+
+
+def test_window_functions(session):
+    """(over fn (partition ...) (order ...)) — window functions from the
+    View surface; aggregates inside a window do NOT trigger
+    auto-GROUP-BY."""
+    _load()
+    rows = View("member", {
+        "name": "name",
+        "rk": "(over (row_number) (partition team) (order name))",
+        "team_size": "(over (count) (partition team))",
+        "prev": "(over (lag name) (partition team) (order name))",
+    }).read(order="name").all()
+    by_name = {r[0]: r[1:] for r in rows}
+    assert len(rows) == 3                    # row-level, not aggregated
+    assert by_name["Bob"] == (1, 1, None)    # alone on Blue(BE)
+    assert by_name["Alice"][1] == 1
+    # rank over global window (no partition)
+    g = View("member", {
+        "name": "name",
+        "r": "(over (rank) (order (desc (length name)) name))",
+    }).read(order="name").all()
+    gm = dict(g)
+    assert gm["Alice"] == 1 and gm["Trudy"] == 2 and gm["Bob"] == 3
+    # window in a filter is rejected by Spark with a clear error
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        View("member", ["name"]).read(
+            "(= 1 (over (row_number) (partition team) (order name)))"
+        ).all()
