@@ -219,6 +219,23 @@ def orders_window_rank(spark, sf_dir):
         return v.read(order="ok").frame()
 
 
+def orders_qualify_top(spark, sf_dir):
+    """QUALIFY-style window filtering: each customer's single largest
+    order (read(qualify=...) — SQL forbids windows in WHERE; this is
+    DuckDB/Snowflake's QUALIFY, one window exchange + filter)."""
+    with _cx(spark, sf_dir):
+        v = View("orders", {
+            "ok": "o_orderkey",
+            "ck": "o_custkey",
+            "tp": "(round o_totalprice 2)",
+        })
+        return v.read(
+            qualify="(= 1 (over (row_number) (partition o_custkey) "
+                    "(order (desc o_totalprice) o_orderkey)))",
+            order="ok",
+        ).frame()
+
+
 def orders_rollup(spark, sf_dir):
     """GROUP BY ROLLUP over (status, priority): per-pair counts,
     per-status subtotals and a grand total in one pass (partial
@@ -1606,6 +1623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_revenue": q14_promo_revenue,
         "orders_rollup": orders_rollup,
         "orders_window_rank": orders_window_rank,
+        "orders_qualify_top": orders_qualify_top,
         "strftime_monthly": strftime_monthly,
         "stats_aggregates": stats_aggregates,
         "sessionize_events": sessionize_events,
@@ -1619,7 +1637,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": text_quality,
         "cap_per_source": cap_per_source,
         "redact_pii": redact_pii,
-        "curation_pipeline": curation_pipeline,
         "boilerplate_ratio": boilerplate_ratio,
         "contamination_check": contamination_check,
         "quantize_roundtrip": quantize_roundtrip,
@@ -1645,6 +1662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "any_all_arrays": any_all_arrays,
         "stratified_sample_docs": stratified_sample_docs,
         "lang_id_confusion": lang_id_confusion,
+        "curation_pipeline": curation_pipeline,
         "events_hourly": events_hourly,
         "doc_len_quantiles": doc_len_quantiles,
         "q6_forecast_revenue": q6_forecast_revenue,
@@ -2595,6 +2613,15 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY o_custkey
                        ORDER BY o_orderdate, o_orderkey), 2) AS cum
             FROM orders
+            ORDER BY ok
+        """,
+        "orders_qualify_top": """
+            SELECT o_orderkey AS ok, o_custkey AS ck,
+                   round(o_totalprice, 2) AS tp
+            FROM orders
+            QUALIFY row_number() OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey) = 1
             ORDER BY ok
         """,
         "orders_rollup": """

@@ -30,6 +30,7 @@ from .expression import (
     OrGroup,
     ScalarSub,
     SemiJoin,
+    _compile_filter_item,
     as_col,
 )
 from .table import Table
@@ -454,6 +455,7 @@ class View(object):
         version=None,
         rollup=False,
         cube=False,
+        qualify=None,
     ):
         spec = {
             "filters": filters,
@@ -466,6 +468,7 @@ class View(object):
             "version": version,
             "rollup": rollup,
             "cube": cube,
+            "qualify": qualify,
         }
         return Cursor(self, spec, args=args)
 
@@ -534,6 +537,34 @@ class View(object):
         base_df = active.read(table.name, version=spec.get("version"))
         reader = lambda name: active.read(name)
         df = self._build_frame(compiler, base_df, reader, cond)
+
+        # 5b. QUALIFY: filter on a window expression (SQL forbids
+        # windows in WHERE; DuckDB/Snowflake spell this QUALIFY). The
+        # predicate is computed as a hidden column — Spark evaluates
+        # the window in a Project — then filtered and dropped, so
+        # top-per-group is one window exchange + filter.
+        qual = spec.get("qualify")
+        qual_col = None
+        if qual is not None:
+            qual_col = _compile_filter_item(
+                compiler, compiler.parse(qual), env_ctx
+            )
+            if not hasattr(qual_col, "cast"):
+                raise ValueError(
+                    "qualify must be a plain window predicate "
+                    "(no subqueries)"
+                )
+
+        def apply_qual(frame):
+            if qual_col is None:
+                return frame
+            return (
+                frame.withColumn("__qual", qual_col)
+                .filter(F.col("__qual"))
+                .drop("__qual")
+            )
+
+        df = apply_qual(df)
 
         # 6. aggregate / project
         hidden = []
@@ -641,7 +672,11 @@ class View(object):
                         )
                 # a second planner pass may have added joins (order on a
                 # not-yet-joined dotted path): re-apply any new joins
-                df = self._build_frame(compiler, base_df, reader, cond)
+                # (and re-apply QUALIFY — it was filtered on the frame
+                # this rebuild replaces)
+                df = apply_qual(
+                    self._build_frame(compiler, base_df, reader, cond)
+                )
                 df = df.select(*select_cols)
                 if order_cols:
                     df = df.orderBy(*order_cols)

@@ -48,7 +48,7 @@ def test_driver_row_budget_ordering():
     for name in names[:50]:
         assert name in oracles, "%s has no oracle but sits in the " \
             "driver's row budget" % name
-    for name in ("cap_per_source", "redact_pii", "curation_pipeline",
+    for name in ("cap_per_source", "redact_pii",
                  "boilerplate_ratio", "contamination_check",
                  "quantize_roundtrip", "not_over_or_exists",
                  "or_composite_grammar", "repetition_docs",
@@ -59,7 +59,8 @@ def test_driver_row_budget_ordering():
                  "q20_nested_scalar_in", "substring_dup_docs",
                  "token_budget_sample", "stats_aggregates",
                  "string_fns_nation", "q14_promo_revenue",
-                 "orders_rollup", "orders_window_rank"):
+                 "orders_rollup", "orders_window_rank",
+                 "orders_qualify_top"):
         assert names.index(name) < 50, name
     demoted = [n for n in names[50:] if n in oracles]
     assert set(demoted) == {
@@ -78,6 +79,7 @@ def test_driver_row_budget_ordering():
         "null_safe_buckets", "write_partial_update",
         "json_extract_events", "events_hourly", "doc_len_quantiles",
         "any_all_arrays", "stratified_sample_docs", "lang_id_confusion",
+        "curation_pipeline",
     }, demoted
 
 

@@ -134,3 +134,21 @@ def test_window_functions(session):
         View("member", ["name"]).read(
             "(= 1 (over (row_number) (partition team) (order name)))"
         ).all()
+
+
+def test_qualify(session):
+    """read(qualify=...) filters on a window predicate (the QUALIFY
+    clause SQL's WHERE can't express); survives the ordered-read frame
+    rebuild and composes with aggregation."""
+    _load()
+    rows = View("member", ["name", "team.name"]).read(
+        qualify="(= 1 (over (row_number) (partition team) (order name)))",
+        order="name",
+    ).all()
+    # one member per team: Bob (Blue/BE), Alice (Red/BE), Trudy (Blue/FR)
+    assert [r[0] for r in rows] == ["Alice", "Bob", "Trudy"]
+    # aggregated read: qualify filters ROWS before grouping
+    agg = View("member", {"n": "(count)"}).read(
+        qualify="(= 1 (over (row_number) (partition team) (order name)))",
+    ).all()
+    assert agg == [(3,)]
