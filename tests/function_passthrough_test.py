@@ -152,3 +152,17 @@ def test_qualify(session):
         qualify="(= 1 (over (row_number) (partition team) (order name)))",
     ).all()
     assert agg == [(3,)]
+
+
+def test_window_plan_single_exchange(session):
+    """Both window fields share one partition spec → Catalyst fuses
+    them into a single Window node over a single hash exchange (the
+    second exchange is the final ORDER BY range partitioning)."""
+    _load()
+    f = View("member", {
+        "name": "name",
+        "rk": "(over (row_number) (partition team) (order name))",
+        "n": "(over (count) (partition team) (order name))",
+    }).read().frame()
+    plan = f._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("hashpartitioning") == 1
