@@ -745,3 +745,66 @@ def bpe_encode(df, merges, text_col="text", id_col="doc_id",
             yield pdf
 
     return df.mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# trained quality classifier (MLlib-fit, literal-weight Column scoring)
+# ---------------------------------------------------------------------------
+
+def _quality_features(c):
+    """The classifier's feature Columns (shared by train + score so the
+    two can never drift): log token count, mean word length, stopword
+    ratio, punctuation ratio, digit ratio."""
+    n_tok = token_count(c).cast("double")
+    n_chr = char_count(c).cast("double")
+    digits = F.length(F.regexp_replace(c, r"[^0-9]", "")).cast("double")
+    return [
+        F.log1p(n_tok),
+        n_chr / F.greatest(n_tok, F.lit(1.0)),
+        stopword_ratio(c, "en").cast("double"),
+        punct_ratio(c).cast("double"),
+        digits / F.greatest(n_chr, F.lit(1.0)),
+    ]
+
+
+def train_quality_classifier(labeled_df, text_col="text",
+                             label_col="label", max_iter=50):
+    """Fit a logistic quality classifier (the fasttext-classifier step
+    of CCNet-style pipelines, over this engine's cheap text features)
+    on a labeled frame — label 1 = keep-quality, 0 = junk.
+
+    Returns ``(weights, intercept)`` plain python floats: the model IS
+    its literals, so inference (:func:`quality_classifier_score`) is
+    pure Column math — no MLlib, no UDF, no model object on the 100 TB
+    scoring pass."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    c = F.col(text_col)
+    feats = _quality_features(c)
+    names = ["__f%d" % i for i in range(len(feats))]
+    frame = labeled_df.select(
+        F.col(label_col).cast("double").alias("label"),
+        *[f.alias(n) for f, n in zip(feats, names)],
+    )
+    assembled = VectorAssembler(
+        inputCols=names, outputCol="features"
+    ).transform(frame)
+    model = LogisticRegression(
+        maxIter=max_iter, standardization=True
+    ).fit(assembled)
+    return [float(w) for w in model.coefficients], float(model.intercept)
+
+
+def quality_classifier_score(col, weights, intercept):
+    """sigmoid(w · features(text) + b) as a Column — map-only, JVM-side
+    scoring with the trained weights inlined as literals."""
+    feats = _quality_features(as_col_text(col))
+    z = F.lit(float(intercept))
+    for w, f in zip(weights, feats):
+        z = z + F.lit(float(w)) * f
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def as_col_text(col):
+    return F.col(col) if isinstance(col, str) else col

@@ -1321,3 +1321,29 @@ def test_cursor_pipe_bridge(spark, docs, tmp_path):
         # docs 0..100 include the planted exact dup (0, 100)
         assert sum(r.copies for r in rows) == 41
         assert any(r.copies == 2 and r.keep_id == 0 for r in rows)
+
+
+def test_quality_classifier_train_and_score(spark):
+    good = ["the cat is on the roof and it is a fine day in town " + str(i)
+            for i in range(60)]
+    bad = ["@#$ 1234 5678 !!!! @@@ 999 ### " + str(i) + " $$$$"
+           for i in range(60)]
+    df = spark.createDataFrame(
+        [(t, 1) for t in good] + [(t, 0) for t in bad],
+        ["text", "label"])
+    w, b = text.train_quality_classifier(df)
+    assert len(w) == 5
+    scored = df.select(
+        "label",
+        text.quality_classifier_score(F.col("text"), w, b).alias("s"),
+    ).collect()
+    gs = [r.s for r in scored if r.label == 1]
+    bs = [r.s for r in scored if r.label == 0]
+    # clean separation on held-in data; scores are proper probabilities
+    assert min(gs) > 0.9 and max(bs) < 0.1
+    assert all(0.0 <= r.s <= 1.0 for r in scored)
+    # scoring is pure Column math: no UDF / Python eval in the plan
+    plan = df.select(
+        text.quality_classifier_score(F.col("text"), w, b).alias("s")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
