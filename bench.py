@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "curation_pipeline_v2",
     "q17_small_qty_revenue",
     "substring_dup_docs",
+    "orders_qualify_top",
 ]
 
 
@@ -82,12 +83,30 @@ def write_bench(spark):
         value: float
       key: [name]
     """
+    pschema = """
+    - table: ptest
+      columns:
+        name: varchar
+        day: varchar
+        code: integer
+        value: float
+      key: [name, day]
+      partition_by: [day]
+    """
     base = datetime(2020, 1, 1)
     rows = [
         ("name-%d" % i, base + timedelta(minutes=i), i, float(i))
         for i in range(100_000)
     ]
-    inserts, upserts = [], []
+    # 100k rows over 70 day-partitions; the touch-upsert hits only 2
+    prows = [
+        ("name-%d" % i,
+         (base + timedelta(days=i % 70)).strftime("%Y-%m-%d"),
+         i, float(i))
+        for i in range(100_000)
+    ]
+    touch = [r for r in prows if r[1] <= "2020-01-02"]
+    inserts, upserts, pruned = [], [], []
     for _ in range(N_PASSES):
         root = tempfile.mkdtemp(prefix="tk_bench_")
         with connect({"root": root, "schema": schema, "spark": spark}):
@@ -102,7 +121,16 @@ def write_bench(spark):
             t0 = time.perf_counter()
             View("test", ["name", "ts", "code", "value"]).write(rows)
             upserts.append(round(time.perf_counter() - t0, 3))
-    return inserts, upserts
+        # third leg: partition-scoped upsert — rewrite 2 of 70 day
+        # partitions, hard-link the rest (the 100 TB commit shape)
+        proot = tempfile.mkdtemp(prefix="tk_bench_p_")
+        with connect({"root": proot, "schema": pschema, "spark": spark}):
+            create_tables()
+            View("ptest", ["name", "day", "code", "value"]).write(prows)
+            t0 = time.perf_counter()
+            View("ptest", ["name", "day", "code", "value"]).write(touch)
+            pruned.append(round(time.perf_counter() - t0, 3))
+    return inserts, upserts, pruned
 
 
 def main():
@@ -129,9 +157,10 @@ def main():
         all_passes[name] = passes
         print("# %-26s %8.3fs  %d rows  %s" % (
             name, timings[name], n, passes), file=sys.stderr)
-    inserts, upserts = write_bench(spark)
+    inserts, upserts, pruned = write_bench(spark)
     for key, passes in (("write_100k_insert", inserts),
-                        ("write_100k_upsert", upserts)):
+                        ("write_100k_upsert", upserts),
+                        ("write_pruned_upsert_2of70", pruned)):
         timings[key] = _median(passes)
         all_passes[key] = passes
         print("# %-26s %8.3fs  %s" % (key, timings[key], passes),

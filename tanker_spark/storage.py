@@ -125,6 +125,16 @@ def write_table(df, root, name, partition_by=None, keep=None):
     )
     nxt = "v_%06d" % (int(versions[-1][2:]) + 1 if versions else 1)
     target = os.path.join(tdir, nxt)
+    if partition_by:
+        # co-locate each hive partition's rows in one task before the
+        # partitioned write: without this every one of the N shuffle
+        # partitions opens a file in every hive partition (N× small
+        # files — slow scans AND an N×-bigger hard-link loop on
+        # partition-pruned commits). Hash-partitioning on the partition
+        # cols caps it at one file per hive partition; a skewed giant
+        # partition serializes into one task — split such tables by a
+        # finer partition_by instead.
+        df = df.repartition(*partition_by)
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -174,7 +184,8 @@ def write_table_partial(df_changed, root, name, partition_by,
     nxt = "v_%06d" % (int(versions[-1][2:]) + 1 if versions else 1)
     target = os.path.join(tdir, nxt)
 
-    (df_changed.write.mode("overwrite").partitionBy(*partition_by)
+    (df_changed.repartition(*partition_by)
+     .write.mode("overwrite").partitionBy(*partition_by)
      .parquet(target))
 
     # link untouched partitions from the previous version
