@@ -236,6 +236,29 @@ def orders_qualify_top(spark, sf_dir):
         ).frame()
 
 
+def events_top_types(spark, sf_dir):
+    """Daily top-2 event types: aggregated View read piped into a
+    window rank (Cursor.pipe bridge carrying an oracle)."""
+    from pyspark.sql import Window
+
+    with _cx(spark, sf_dir):
+        cur = View("events", {
+            "day": '(cast (cast (date_trunc "day" ts) (date)) (varchar))',
+            "et": "event_type",
+            "n": "(count)",
+        }).read()
+
+        def topk(df):
+            w = Window.partitionBy("day").orderBy(
+                F.col("n").desc(), F.col("et"))
+            return (
+                df.withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") <= 2).drop("rk")
+            )
+
+        return cur.pipe(topk).orderBy("day", "et")
+
+
 def orders_rollup(spark, sf_dir):
     """GROUP BY ROLLUP over (status, priority): per-pair counts,
     per-status subtotals and a grand total in one pass (partial
@@ -1663,6 +1686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_docs": stratified_sample_docs,
         "lang_id_confusion": lang_id_confusion,
         "curation_pipeline": curation_pipeline,
+        "events_top_types": events_top_types,
         "events_hourly": events_hourly,
         "doc_len_quantiles": doc_len_quantiles,
         "q6_forecast_revenue": q6_forecast_revenue,
@@ -2614,6 +2638,16 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY o_orderdate, o_orderkey), 2) AS cum
             FROM orders
             ORDER BY ok
+        """,
+        "events_top_types": """
+            SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR)
+                       AS day,
+                   event_type AS et, count(*) AS n
+            FROM events
+            GROUP BY 1, 2
+            QUALIFY row_number() OVER (
+                PARTITION BY day ORDER BY n DESC, et) <= 2
+            ORDER BY day, et
         """,
         "orders_qualify_top": """
             SELECT o_orderkey AS ok, o_custkey AS ck,

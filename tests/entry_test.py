@@ -79,7 +79,7 @@ def test_driver_row_budget_ordering():
         "null_safe_buckets", "write_partial_update",
         "json_extract_events", "events_hourly", "doc_len_quantiles",
         "any_all_arrays", "stratified_sample_docs", "lang_id_confusion",
-        "curation_pipeline",
+        "curation_pipeline", "events_top_types",
     }, demoted
 
 
