@@ -2936,8 +2936,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT event_type, hour, n,
                      avg(n) OVER w AS mu, stddev(n) OVER w AS sd
               FROM hourly
-              WINDOW w AS (PARTITION BY event_type ORDER BY hour
-                           ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+              WINDOW w AS (PARTITION BY event_type
+                           ORDER BY CAST(epoch(hour) / 3600 AS BIGINT)
+                           RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)
             )
             SELECT event_type, hour, n,
                    CASE WHEN sd > 0 THEN round((n - mu) / sd, 4)

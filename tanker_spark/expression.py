@@ -800,6 +800,14 @@ def _count_headed(node):
     return any(_count_headed(it) for it in node.items)
 
 
+def _has_param(node):
+    if isinstance(node, Param):
+        return True
+    if isinstance(node, Node):
+        return any(_has_param(it) for it in node.items)
+    return False
+
+
 def _corr_eq_pair(child, node, env_ctx):
     """If ``node`` is a simple correlation equality ``(= local _parent.x)``
     (either operand order), return the (local Column, parent Column)
@@ -809,6 +817,16 @@ def _corr_eq_pair(child, node, env_ctx):
     if (not isinstance(node, Node) or node.head_token() != "="
             or len(node.items) != 3):
         return None
+    # the conjunct was already compiled once by _compile_filter_item_d;
+    # re-compiling here must not consume positional {} params a second
+    # time (that would corrupt the queue for every later filter item),
+    # so snapshot and restore the arg queue around the side compiles.
+    # A conjunct that itself CONTAINS params can't be re-compiled
+    # faithfully (the queue has moved past its values) — skip the
+    # equi fast path; the rid lowering uses the original where_cond.
+    if _has_param(node):
+        return None
+    saved_queue = list(env_ctx._queue)
     sides = []
     for part in node.items[1:]:
         saved = child._ext_depth
@@ -817,13 +835,16 @@ def _corr_eq_pair(child, node, env_ctx):
             col = child.compile(part, env_ctx)
         except Exception:
             child._ext_depth = saved
+            env_ctx._queue = saved_queue
             return None
         d = child._ext_depth
         child._ext_depth = max(saved, d)
         if isinstance(col, (SemiJoin, AndGroup, OrGroup, Subquery,
                             AnyAll, ScalarSub)):
+            env_ctx._queue = saved_queue
             return None
         sides.append((col, d))
+    env_ctx._queue = saved_queue
     (c0, d0), (c1, d1) = sides
     if d0 == 0 and d1 == 1:
         return (as_col(c0), as_col(c1))
@@ -1180,8 +1201,13 @@ def _passthrough_agg(name):
 for _extra in (
     "stddev", "stddev_pop", "stddev_samp", "variance", "var_pop",
     "var_samp", "median", "mode", "skewness", "kurtosis",
-    "percentile", "approx_count_distinct", "corr", "covar_pop",
-    "covar_samp",
+    "percentile", "percentile_approx", "approx_percentile",
+    "approx_count_distinct", "corr", "covar_pop", "covar_samp",
+    "max_by", "min_by", "any_value", "first_value", "last_value",
+    "first", "last", "count_if", "collect_list", "collect_set",
+    "array_agg", "listagg", "string_agg", "bit_and", "bit_or",
+    "bit_xor", "try_sum", "try_avg", "histogram_numeric",
+    "hll_sketch_agg",
 ):
     AGGREGATES[_extra] = _passthrough_agg(_extra)
 

@@ -194,10 +194,23 @@ def pii_audit(df, text_col="text", id_col="doc_id", rules=None):
     the audit pass a pipeline runs BEFORE committing to redaction, and
     the evidence trail afterwards. Map-only ``regexp_count`` chain,
     same RE2-compatible patterns as :func:`redact`."""
-    names = ["n_emails", "n_phones", "n_ips"]
+    import re as _re
+
+    rules = rules or REDACT_RULES
+    if rules is REDACT_RULES:
+        names = ["n_emails", "n_phones", "n_ips"]
+    else:
+        # custom rule lists: derive a count-column name from each
+        # rule's replacement token so EVERY rule gets a column — the
+        # old zip against the 3 built-in names silently dropped rule
+        # 4+ from the audit
+        names = [
+            "n_%d_%s" % (i, _re.sub(r"\W+", "", repl).lower() or "rule")
+            for i, (_, repl) in enumerate(rules)
+        ]
     cols = {
         name: F.regexp_count(F.col(text_col), F.lit(pattern))
-        for name, (pattern, _) in zip(names, rules or REDACT_RULES)
+        for name, (pattern, _) in zip(names, rules)
     }
     return df.select(F.col(id_col), *[
         c.alias(n) for n, c in cols.items()
@@ -440,7 +453,10 @@ def sample_to_token_budget(df, budget, len_col, id_col,
     b = bucket_expr if bucket_expr is not None else hash_bucket(
         F.col(id_col)
     )
-    if source_col is None:
+    if source_col is None or not weights:
+        # no per-source weights → uniform allocation, which is exactly
+        # the global fraction (was: an empty weight map silently kept
+        # ZERO rows for every source)
         tot = df.agg(F.sum(len_col).alias("__toks"))
         frac = F.least(
             F.lit(1.0), F.lit(float(budget)) / F.col("__toks")

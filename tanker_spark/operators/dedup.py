@@ -1163,24 +1163,33 @@ def substring_dedup_rows(df, text_col="text", id_col="doc_id", win=20,
     )
 
 
-def compact_side_table(spark, path, key_col="__id", keep="first",
+def compact_side_table(spark, path, key_col="__id",
                        target_rows_per_file=1_000_000):
     """Compact a parquet side table (MinHash signatures, SimHash
     fingerprints, ANN buckets): drop duplicate keys — streaming replay
     appends duplicates by design (streaming/ingest.neardup_filter_sink)
     — and rewrite the accumulated small append-files into sensibly
-    sized ones. The rewrite lands in a temp directory and swaps in with
-    two renames, so concurrent readers see either the old or the new
-    table, never a partial one.
+    sized ones. Which duplicate survives is arbitrary (duplicate keys
+    carry identical payloads in every producer here).
 
     Run it out-of-band (the side-table analog of Delta OPTIMIZE +
     VACUUM); matching semantics are unchanged because duplicate keys
-    never alter join results, only inflate them.
+    never alter join results, only inflate them. The swap is two
+    directory renames: a reader that lists the path in the microseconds
+    between them sees a missing directory and should retry — plain
+    directories have no atomic exchange; move to Delta/Iceberg for a
+    transactional swap. Stale ``__compact_tmp``/``__compact_old``
+    leftovers from a crashed run are cleaned up on entry.
     """
     import math as _math
     import os
     import shutil
 
+    tmp = path.rstrip("/") + "__compact_tmp"
+    old = path.rstrip("/") + "__compact_old"
+    for stale in (tmp, old):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
     df = spark.read.parquet(path)
     w = Window.partitionBy(key_col).orderBy(F.lit(1))
     deduped = (
@@ -1190,8 +1199,6 @@ def compact_side_table(spark, path, key_col="__id", keep="first",
     )
     n = deduped.count()
     parts = max(1, _math.ceil(n / target_rows_per_file))
-    tmp = path.rstrip("/") + "__compact_tmp"
-    old = path.rstrip("/") + "__compact_old"
     deduped.coalesce(parts).write.mode("overwrite").parquet(tmp)
     os.rename(path, old)
     os.rename(tmp, path)

@@ -335,11 +335,15 @@ def _knn_join_gemm(q, c, k):
     from pyspark.sql import Window
 
     rows = q.collect()
-    qids = np.array([r["qid"] for r in rows], dtype=np.int64)
+    # ids keep their source dtype (string/long/... — whatever the id
+    # column holds); only the vectors become a float matrix
+    qids = np.array([r["qid"] for r in rows])
     Q = np.array([r["__qv"] for r in rows], dtype=np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     spark = c.sparkSession
     bc = spark.sparkContext.broadcast((qids, Qn))
+    qid_t = q.schema["qid"].dataType.simpleString()
+    cid_t = c.schema["cid"].dataType.simpleString()
 
     def score(batches):
         b_qids, b_Qn = bc.value
@@ -362,7 +366,7 @@ def _knn_join_gemm(q, c, k):
             })
 
     cand = c.mapInPandas(
-        score, "qid long, cid long, cos_sim double"
+        score, "qid %s, cid %s, cos_sim double" % (qid_t, cid_t)
     )
     w = Window.partitionBy("qid").orderBy(
         F.col("cos_sim").desc(), F.col("cid").asc()

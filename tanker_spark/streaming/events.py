@@ -298,10 +298,17 @@ def dedup_stream(stream_df, key_cols=("event_id",), ts_col="event_ts",
 def hourly_anomalies(df, ts_col="ts", type_col="event_type",
                      lookback=24, z_thresh=2.0):
     """Volume-anomaly screen over an event table: hourly counts per
-    type, rolling mean/stddev over the preceding ``lookback`` hours
-    (ROWS window, current hour excluded), flag hours whose z-score
-    exceeds ``z_thresh`` — the monitoring query every event pipeline
-    runs.
+    type, rolling mean/stddev over the preceding ``lookback`` CLOCK
+    hours (RANGE window on the epoch hour, current hour excluded), flag
+    hours whose z-score exceeds ``z_thresh`` — the monitoring query
+    every event pipeline runs.
+
+    RANGE (not ROWS): a type active only a few hours per day would
+    otherwise baseline against the last N *observed* hours — several
+    days back — instead of the true trailing window. Hours with zero
+    events produce no row at all, so they neither enter the baseline
+    nor can be flagged; detecting drop-to-zero needs a dense hour grid
+    (sequence + explode) joined in first.
 
     One aggregate shuffles on (type, hour) — partial agg map-side, so
     shuffle volume is bounded by the type×hour cardinality, not the
@@ -314,9 +321,13 @@ def hourly_anomalies(df, ts_col="ts", type_col="event_type",
         F.col(type_col).alias("event_type"),
         F.date_trunc("hour", F.col(ts_col)).alias("hour"),
     ).agg(F.count(F.lit(1)).alias("n"))
+    hourly = hourly.withColumn(
+        "__h", (F.unix_timestamp(
+            F.col("hour").cast("timestamp")) / 3600).cast("long")
+    )
     w = (
-        Window.partitionBy("event_type").orderBy("hour")
-        .rowsBetween(-lookback, -1)
+        Window.partitionBy("event_type").orderBy("__h")
+        .rangeBetween(-lookback, -1)
     )
     scored = hourly.select(
         "event_type", "hour", "n",

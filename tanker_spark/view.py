@@ -533,16 +533,13 @@ class View(object):
         # the view's MAIN table to a retained snapshot; joined
         # dimensions stay current (Delta's per-table VERSION AS OF
         # semantics — pin each table independently if needed)
-        active = ctx
-        base_df = active.read(table.name, version=spec.get("version"))
-        reader = lambda name: active.read(name)
-        df = self._build_frame(compiler, base_df, reader, cond)
-
-        # 5b. QUALIFY: filter on a window expression (SQL forbids
+        # 4b. QUALIFY: filter on a window expression (SQL forbids
         # windows in WHERE; DuckDB/Snowflake spell this QUALIFY). The
         # predicate is computed as a hidden column — Spark evaluates
         # the window in a Project — then filtered and dropped, so
-        # top-per-group is one window exchange + filter.
+        # top-per-group is one window exchange + filter. Compiled
+        # BEFORE the frame build so a dotted path in the window spec
+        # registers its join on the planner in time.
         qual = spec.get("qualify")
         qual_col = None
         if qual is not None:
@@ -564,7 +561,10 @@ class View(object):
                 .drop("__qual")
             )
 
-        df = apply_qual(df)
+        active = ctx
+        base_df = active.read(table.name, version=spec.get("version"))
+        reader = lambda name: active.read(name)
+        df = apply_qual(self._build_frame(compiler, base_df, reader, cond))
 
         # 6. aggregate / project
         hidden = []

@@ -166,3 +166,15 @@ def test_window_plan_single_exchange(session):
     }).read().frame()
     plan = f._jdf.queryExecution().executedPlan().toString()
     assert plan.count("hashpartitioning") == 1
+
+
+def test_qualify_dotted_path_registers_join(session):
+    """A qualify window partitioned on a not-otherwise-referenced dotted
+    path must register (and get) its join before the frame builds."""
+    _load()
+    rows = View("member", ["name"]).read(
+        qualify="(= 1 (over (row_number) "
+                "(partition team.country.name) (order name)))",
+    ).all()
+    # first member per country: Alice (Belgium), Trudy (France)
+    assert sorted(rows) == [("Alice",), ("Trudy",)]

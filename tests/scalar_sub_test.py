@@ -202,3 +202,18 @@ def test_two_scalar_correlated_raises(session):
             "(< (from member (select (min (length name)))) "
             "(from member (select (count)) (where (= team _parent.team))))"
         ).all()
+
+
+def test_corr_pair_probe_does_not_consume_params(session):
+    """The equi-pair extraction re-compiles correlation conjuncts; it
+    must not pop positional {} args meant for later filter items."""
+    _load()
+    res = View("member", ["name"]).read(
+        [
+            "(>= (from member (select (count)) "
+            "(where (= team _parent.team))) {})",
+            "(!= name {})",
+        ],
+        args=[1, "Trudy"],
+    ).all()
+    assert sorted(res) == [("Alice",), ("Bob",)]
