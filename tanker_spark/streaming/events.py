@@ -296,7 +296,7 @@ def dedup_stream(stream_df, key_cols=("event_id",), ts_col="event_ts",
 
 
 def hourly_anomalies(df, ts_col="ts", type_col="event_type",
-                     lookback=24, z_thresh=2.0):
+                     lookback=24, z_thresh=2.0, dense=False):
     """Volume-anomaly screen over an event table: hourly counts per
     type, rolling mean/stddev over the preceding ``lookback`` CLOCK
     hours (RANGE window on the epoch hour, current hour excluded), flag
@@ -305,10 +305,13 @@ def hourly_anomalies(df, ts_col="ts", type_col="event_type",
 
     RANGE (not ROWS): a type active only a few hours per day would
     otherwise baseline against the last N *observed* hours — several
-    days back — instead of the true trailing window. Hours with zero
-    events produce no row at all, so they neither enter the baseline
-    nor can be flagged; detecting drop-to-zero needs a dense hour grid
-    (sequence + explode) joined in first.
+    days back — instead of the true trailing window. By default hours
+    with zero events produce no row at all, so they neither enter the
+    baseline nor can be flagged; ``dense=True`` fills each type's
+    [first, last] activity span with zero-count hours (one sequence +
+    explode over the per-type min/max hour — |types| driver-free
+    rows → span-length grid), so drop-to-zero hours ARE flagged and
+    quiet hours pull the baseline down.
 
     One aggregate shuffles on (type, hour) — partial agg map-side, so
     shuffle volume is bounded by the type×hour cardinality, not the
@@ -325,6 +328,30 @@ def hourly_anomalies(df, ts_col="ts", type_col="event_type",
         "__h", (F.unix_timestamp(
             F.col("hour").cast("timestamp")) / 3600).cast("long")
     )
+    if dense:
+        grid = (
+            hourly.groupBy("event_type")
+            .agg(F.min("__h").alias("__lo"), F.max("__h").alias("__hi"))
+            .select(
+                "event_type",
+                F.explode(
+                    F.sequence(F.col("__lo"), F.col("__hi"))
+                ).alias("__h"),
+            )
+        )
+        hourly = (
+            grid.join(hourly, ["event_type", "__h"], "left")
+            .select(
+                "event_type",
+                F.coalesce(
+                    F.col("hour"),
+                    F.timestamp_seconds(F.col("__h") * 3600)
+                    .cast("timestamp_ntz"),
+                ).alias("hour"),
+                F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+                "__h",
+            )
+        )
     w = (
         Window.partitionBy("event_type").orderBy("__h")
         .rangeBetween(-lookback, -1)

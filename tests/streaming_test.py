@@ -252,3 +252,34 @@ def test_neardup_filter_stream(spark, tmp_path):
         if os.path.exists(out2) else set()
     )
     assert kept2 == set()
+
+
+def test_hourly_anomalies_dense_grid_flags_dropout(spark):
+    """dense=True fills zero-count hours so a drop-to-zero hour is
+    flagged; the sparse default cannot see it at all."""
+    from datetime import datetime, timedelta
+
+    from tanker_spark.streaming import events as ev
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(30):
+        if h == 20:
+            continue  # the dropout hour: zero events
+        for k in range(10):
+            rows.append((eid, base + timedelta(hours=h, minutes=k),
+                         1, "buy", 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value",
+               "props"])
+    sparse = ev.hourly_anomalies(df, lookback=6, z_thresh=2.0).collect()
+    assert not any(r.n == 0 for r in sparse)
+    dense = ev.hourly_anomalies(
+        df, lookback=6, z_thresh=2.0, dense=True).collect()
+    drop = [r for r in dense if r.n == 0]
+    assert len(drop) == 1
+    assert drop[0].hour == base + timedelta(hours=20)
+    # constant-baseline dropout: sd == 0 path → z is NULL
+    assert drop[0].z is None
