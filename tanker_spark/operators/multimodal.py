@@ -212,3 +212,24 @@ def make_fake_media(spark, n=100, seed=42):
             "audio/wav", 64, 64, 1000 * (i % 7),
         ))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def media_neardup_pairs(df, threshold=0.99, n_planes=8, seed=42,
+                        fake=True):
+    """Near-duplicate media detection: decode → feature vector →
+    banded hyperplane-LSH cosine pairs — the image-dedup step of a
+    multimodal pipeline, composed from the existing pieces
+    (extract_features + dedup.embedding_dedup_pairs), so the pair
+    search never materializes the O(n²) space and the only Python is
+    the Arrow-batched codec hop.
+
+    Returns (id_a, id_b, cos_sim) over media_id."""
+    from .dedup import embedding_dedup_pairs
+
+    feats = extract_features(df, fake=fake).select(
+        "media_id", F.col("feature").cast("array<float>").alias("feature")
+    )
+    return embedding_dedup_pairs(
+        feats, vec_col="feature", id_col="media_id", dim=FEATURE_DIM,
+        threshold=threshold, n_planes=n_planes, seed=seed,
+    )

@@ -1347,3 +1347,16 @@ def test_quality_classifier_train_and_score(spark):
         text.quality_classifier_score(F.col("text"), w, b).alias("s")
     )._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_media_neardup_pairs(spark):
+    media = multimodal.make_fake_media(spark, n=30)
+    # plant an exact duplicate payload with a new id
+    dup = media.filter(F.col("media_id") == 0).withColumn(
+        "media_id", F.col("media_id") + 100)
+    both = media.unionByName(dup)
+    pairs = multimodal.media_neardup_pairs(both, threshold=0.999).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 100) in found
+    sims = {(r.id_a, r.id_b): r.cos_sim for r in pairs}
+    assert sims[(0, 100)] > 0.999
