@@ -65,8 +65,11 @@ def as_of_join(left, right, by, ts_col, right_cols, suffix="_r"):
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = F.last(F.col(_ROW), ignorenulls=True).over(w)
+    # ts_col is always carried once (last); listing it in right_cols
+    # must not emit a duplicate, ambiguous output column
     carried = [
-        matched[c].alias(c + suffix) for c in right_cols
+        matched[c].alias(c + suffix)
+        for c in right_cols if c != ts_col
     ] + [
         matched[ts_col].alias(ts_col + suffix)
     ]

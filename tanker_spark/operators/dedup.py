@@ -23,6 +23,32 @@ from .text import tokens
 MERSENNE = (1 << 31) - 1
 
 
+#: eagerly-persisted signature frames (see the persist() sites below):
+#: needed while the returned pair frames are consumed, impossible to
+#: unpersist inside the builder. Long-lived drivers cycling many
+#: corpora call release_caches() between calls (the streaming near-dup
+#: sink does, per batch).
+_CACHED_FRAMES = []
+
+
+def _persist(df):
+    df = df.persist()
+    _CACHED_FRAMES.append(df)
+    return df
+
+
+def release_caches():
+    """Unpersist every signature frame this module eagerly cached.
+    Call after the pair frames from minhash/simhash/embedding dedup
+    have been consumed; safe to call any time (lazily recomputes if a
+    frame is re-used)."""
+    while _CACHED_FRAMES:
+        try:
+            _CACHED_FRAMES.pop().unpersist(blocking=False)
+        except Exception:
+            pass
+
+
 def _mask64(m):
     """Python int → signed-64 literal (for masks with the sign bit set)."""
     return m - (1 << 64) if m >= (1 << 63) else m
@@ -171,6 +197,12 @@ def minhash_signatures_df(df, text_col="text", id_col="doc_id",
 def _band_explode(base, num_hashes, bands):
     """(__id, __sig) → one row per (id, band-bucket): the band hash
     mixes the band index with that band's signature slice. Map-only."""
+    if num_hashes % bands:
+        raise ValueError(
+            "bands (%d) must divide num_hashes (%d) — a remainder "
+            "would silently exclude the trailing signature slots from "
+            "banding and lower recall" % (bands, num_hashes)
+        )
     rows_per_band = num_hashes // bands
     band_cols = [
         F.xxhash64(
@@ -230,7 +262,6 @@ def minhash_lsh_pairs(
     are written to a parquet side table and re-read, so they survive
     executor loss, never exceed memory, and can be reused across runs.
     """
-    rows_per_band = num_hashes // bands
     base = minhash_signatures_df(
         df, text_col, id_col, num_hashes, shingle_n, seed
     )
@@ -238,7 +269,7 @@ def minhash_lsh_pairs(
         base.write.mode("overwrite").parquet(sig_path)
         base = df.sparkSession.read.parquet(sig_path)
     else:
-        base = base.persist()
+        base = _persist(base)
         base.count()
 
     exploded = _band_explode(base, num_hashes, bands)
@@ -263,7 +294,8 @@ def minhash_lsh_pairs(
 
 def minhash_incremental(new_df, sig_path, text_col="text",
                         id_col="doc_id", num_hashes=16, bands=4,
-                        shingle_n=3, threshold=0.5, seed=42):
+                        shingle_n=3, threshold=0.5, seed=42,
+                        exclude_batch_ids=False):
     """Incremental dedup: match a NEW batch of documents against an
     existing signature corpus (the ``sig_path`` parquet written by
     :func:`minhash_lsh_pairs` or :func:`minhash_append_signatures`)
@@ -291,9 +323,19 @@ def minhash_incremental(new_df, sig_path, text_col="text",
     spark = new_df.sparkSession
     new_sigs = minhash_signatures_df(
         new_df, text_col, id_col, num_hashes, shingle_n, seed
-    ).persist()
+    )
+    new_sigs = _persist(new_sigs)
     new_sigs.count()
     old_sigs = spark.read.parquet(sig_path)
+    if exclude_batch_ids:
+        # at-least-once replay safety: a replayed batch's own ids are
+        # already in the side table; without this a batch doc would
+        # "corpus-match" its replayed twin (or a replayed survivor
+        # would masquerade as an intra-batch id_b and get the KEEPER
+        # dropped — see streaming/ingest.neardup_filter_sink)
+        old_sigs = old_sigs.join(
+            new_sigs.select("__id"), "__id", "left_anti"
+        )
 
     new_x = _band_explode(new_sigs, num_hashes, bands)
     all_x = _band_explode(
@@ -427,7 +469,7 @@ def simhash_pairs(df, text_col="text", id_col="doc_id", max_hamming=3,
     with exact popcount of XOR."""
     # persist: the fingerprint feeds n_bands buckets and both join
     # sides; eager so the join stages don't race to fill the cache
-    base = simhash_df(df, text_col, id_col).persist()
+    base = _persist(simhash_df(df, text_col, id_col))
     base.count()
     exploded = _simhash_band_explode(base, band_bits)
     L, R = exploded.alias("L"), exploded.alias("R")
@@ -462,7 +504,7 @@ def simhash_incremental(new_df, fp_path, text_col="text",
     Append the batch with :func:`simhash_append_fingerprints` AFTER
     consuming the pairs (the read lists the directory lazily)."""
     spark = new_df.sparkSession
-    new_fp = simhash_df(new_df, text_col, id_col).persist()
+    new_fp = _persist(simhash_df(new_df, text_col, id_col))
     new_fp.count()
     old_fp = spark.read.parquet(fp_path)
     new_x = _simhash_band_explode(new_fp, band_bits)
@@ -912,7 +954,7 @@ def embedding_dedup_pairs(df, vec_col="embedding", id_col="vec_id",
         base.write.mode("overwrite").parquet(sig_path)
         base = df.sparkSession.read.parquet(sig_path)
     else:
-        base = base.persist()
+        base = _persist(base)
         base.count()  # eager: join stages must not race the cache fill
     exploded = base.select(
         "__id", "__v",
@@ -986,6 +1028,36 @@ def _doc_windows(df, text_col, id_col, win, stride):
     )
 
 
+def _merged_spans(offs_df, win):
+    """(doc_id, offs sorted) → (doc_id, spans merged, dup_tokens):
+    the shared interval-merge fold of the substring span variants."""
+    empty = F.array().cast("array<struct<s:int,e:int>>")
+    merged = F.aggregate(
+        F.col("offs"),
+        empty,
+        lambda acc, o: F.when(
+            (F.size(acc) > 0) & (o <= F.element_at(acc, -1)["e"]),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.struct(
+                    F.element_at(acc, -1)["s"].alias("s"),
+                    (o + F.lit(win)).alias("e"),
+                )),
+            ),
+        ).otherwise(
+            F.concat(acc, F.array(F.struct(
+                o.alias("s"), (o + F.lit(win)).alias("e"))))
+        ),
+    )
+    return offs_df.select(
+        "doc_id",
+        merged.alias("spans"),
+        F.aggregate(
+            merged, F.lit(0), lambda acc, sp: acc + sp["e"] - sp["s"]
+        ).alias("dup_tokens"),
+    )
+
+
 def substring_dup_stats(df, text_col="text", id_col="doc_id", win=20,
                         stride=5, min_count=2):
     """Per-document duplicated-window statistics — the distributed
@@ -1052,31 +1124,7 @@ def substring_dedup_spans(df, text_col="text", id_col="doc_id", win=20,
     offs = dup.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("off")).alias("offs")
     )
-    empty = F.array().cast("array<struct<s:int,e:int>>")
-    merged = F.aggregate(
-        F.col("offs"),
-        empty,
-        lambda acc, o: F.when(
-            (F.size(acc) > 0) & (o <= F.element_at(acc, -1)["e"]),
-            F.concat(
-                F.slice(acc, 1, F.size(acc) - 1),
-                F.array(F.struct(
-                    F.element_at(acc, -1)["s"].alias("s"),
-                    (o + F.lit(win)).alias("e"),
-                )),
-            ),
-        ).otherwise(
-            F.concat(acc, F.array(F.struct(
-                o.alias("s"), (o + F.lit(win)).alias("e"))))
-        ),
-    )
-    return offs.select(
-        "doc_id",
-        merged.alias("spans"),
-        F.aggregate(
-            merged, F.lit(0), lambda acc, sp: acc + sp["e"] - sp["s"]
-        ).alias("dup_tokens"),
-    )
+    return _merged_spans(offs, win)
 
 
 def substring_dedup_spans_keep_first(df, text_col="text", id_col="doc_id",
@@ -1103,31 +1151,7 @@ def substring_dedup_spans_keep_first(df, text_col="text", id_col="doc_id",
     offs = dup.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("off")).alias("offs")
     )
-    empty = F.array().cast("array<struct<s:int,e:int>>")
-    merged = F.aggregate(
-        F.col("offs"),
-        empty,
-        lambda acc, o: F.when(
-            (F.size(acc) > 0) & (o <= F.element_at(acc, -1)["e"]),
-            F.concat(
-                F.slice(acc, 1, F.size(acc) - 1),
-                F.array(F.struct(
-                    F.element_at(acc, -1)["s"].alias("s"),
-                    (o + F.lit(win)).alias("e"),
-                )),
-            ),
-        ).otherwise(
-            F.concat(acc, F.array(F.struct(
-                o.alias("s"), (o + F.lit(win)).alias("e"))))
-        ),
-    )
-    return offs.select(
-        "doc_id",
-        merged.alias("spans"),
-        F.aggregate(
-            merged, F.lit(0), lambda acc, sp: acc + sp["e"] - sp["s"]
-        ).alias("dup_tokens"),
-    )
+    return _merged_spans(offs, win)
 
 
 def substring_dedup_rows(df, text_col="text", id_col="doc_id", win=20,
@@ -1165,8 +1189,9 @@ def substring_dedup_rows(df, text_col="text", id_col="doc_id", win=20,
 
 def compact_side_table(spark, path, key_col="__id",
                        target_rows_per_file=1_000_000):
-    """Compact a parquet side table (MinHash signatures, SimHash
-    fingerprints, ANN buckets): drop duplicate keys — streaming replay
+    """Compact a flat parquet side table (MinHash signatures, SimHash
+    fingerprints — NOT hive-partitioned ANN indexes, which are
+    refused): drop duplicate keys — streaming replay
     appends duplicates by design (streaming/ingest.neardup_filter_sink)
     — and rewrite the accumulated small append-files into sensibly
     sized ones. Which duplicate survives is arbitrary (duplicate keys
@@ -1187,6 +1212,12 @@ def compact_side_table(spark, path, key_col="__id",
 
     tmp = path.rstrip("/") + "__compact_tmp"
     old = path.rstrip("/") + "__compact_old"
+    if os.path.exists(os.path.join(path, "_ann_meta.json")):
+        raise ValueError(
+            "refusing to compact an ANN index directory: the flat "
+            "rewrite would drop _ann_meta.json and the __bucket "
+            "partition layout — rebuild with similarity.build_ann_index"
+        )
     for stale in (tmp, old):
         if os.path.exists(stale):
             shutil.rmtree(stale)

@@ -64,9 +64,13 @@ def _pil_feature(payload: bytes) -> list:
     in [0, 1]. Deterministic for a given image."""
     import io
 
-    img = _try_pil().open(io.BytesIO(payload)).convert("L")
+    Image = _try_pil()
+    img = Image.open(io.BytesIO(payload)).convert("L")
     side = 4  # 4×4 = FEATURE_DIM
-    img = img.resize((side, side))
+    # BOX resampling = area mean — matches the minipng mean_pool
+    # backend, so the same image featurizes identically with or
+    # without Pillow installed (bicubic default diverged)
+    img = img.resize((side, side), resample=Image.Resampling.BOX)
     return [p / 255.0 for p in list(img.getdata())][:FEATURE_DIM]
 
 

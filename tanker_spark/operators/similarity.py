@@ -335,6 +335,12 @@ def _knn_join_gemm(q, c, k):
     from pyspark.sql import Window
 
     rows = q.collect()
+    qid_t = q.schema["qid"].dataType.simpleString()
+    cid_t = c.schema["cid"].dataType.simpleString()
+    schema_str = "qid %s, cid %s, cos_sim double" % (qid_t, cid_t)
+    if not rows:
+        # empty query side: brute/lsh return empty too
+        return spark_empty(c.sparkSession, schema_str)
     # ids keep their source dtype (string/long/... — whatever the id
     # column holds); only the vectors become a float matrix
     qids = np.array([r["qid"] for r in rows])
@@ -342,8 +348,6 @@ def _knn_join_gemm(q, c, k):
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     spark = c.sparkSession
     bc = spark.sparkContext.broadcast((qids, Qn))
-    qid_t = q.schema["qid"].dataType.simpleString()
-    cid_t = c.schema["cid"].dataType.simpleString()
 
     def score(batches):
         b_qids, b_Qn = bc.value
@@ -365,9 +369,7 @@ def _knn_join_gemm(q, c, k):
                              part.ravel()],
             })
 
-    cand = c.mapInPandas(
-        score, "qid %s, cid %s, cos_sim double" % (qid_t, cid_t)
-    )
+    cand = c.mapInPandas(score, schema_str)
     w = Window.partitionBy("qid").orderBy(
         F.col("cos_sim").desc(), F.col("cid").asc()
     )
@@ -376,6 +378,10 @@ def _knn_join_gemm(q, c, k):
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def spark_empty(spark, schema_str):
+    return spark.createDataFrame([], schema_str)
 
 
 def quant_cols(v):

@@ -137,10 +137,16 @@ def _sessionize(key, pdfs, state: GroupState):
         for us in ts_list:
             if last_us is not None and us - last_us > SESSION_GAP_S * 1e6:
                 rows.append((user_id, start_us, last_us, n))
-                start_us, n = us, 0
+                start_us, last_us, n = us, None, 0
             if start_us is None:
                 start_us = us
-            last_us = us
+            else:
+                # a LATE event (within the watermark) may predate the
+                # open session's bounds: extend backwards instead of
+                # regressing last_us (which inverted start/end and
+                # split sessions on the next on-time event)
+                start_us = min(start_us, us)
+            last_us = us if last_us is None else max(last_us, us)
             n += 1
         state.update((start_us, last_us, n))
         state.setTimeoutDuration(SESSION_GAP_S * 1000)

@@ -48,17 +48,19 @@ def neardup_filter_sink(stream_df, out_path, sig_path, checkpoint_dir,
 
     Delivery: the checkpoint makes batch replay at-least-once; output
     stays exactly-once because each batch overwrites its own
-    deterministic ``batch=N`` subdirectory. Signature appends on replay
-    duplicate rows in the side table, which is benign for matching
-    (a doc never matches its own id) and bounded by the replay count —
-    compact the side table offline if it matters.
+    deterministic ``batch=N`` subdirectory AND the matcher excludes the
+    batch's own ids from the corpus side (``exclude_batch_ids`` —
+    without it a replayed batch's corpus twin could masquerade as an
+    intra-batch pair and drop the keeper). Replayed signature appends
+    duplicate side-table rows, bounded by the replay count — compact
+    with ``dedup.compact_side_table`` offline.
 
     Scale: per batch cost is O(batch signatures + matching buckets);
     the historical corpus is only ever touched through its signature
     side table (~1000× smaller than the text).
     """
     from ..operators.dedup import (minhash_append_signatures,
-                                   minhash_incremental)
+                                   minhash_incremental, release_caches)
 
     def _filter_batch(batch_df, batch_id):
         if batch_df.isEmpty():
@@ -69,6 +71,7 @@ def neardup_filter_sink(stream_df, out_path, sig_path, checkpoint_dir,
             pairs = minhash_incremental(
                 batch_df, sig_path, text_col, id_col, num_hashes,
                 bands, shingle_n, threshold, seed,
+                exclude_batch_ids=True,
             )
             # vs-corpus pairs (id_b outside the batch): drop id_a, the
             # batch doc. Intra-batch pairs (id_a < id_b, both in batch):
@@ -86,14 +89,19 @@ def neardup_filter_sink(stream_df, out_path, sig_path, checkpoint_dir,
             keep = batch_df.join(dup_ids, id_col, "left_anti")
         else:
             keep = batch_df
-        keep.write.mode("overwrite").parquet(
-            "%s/batch=%d" % (out_path, batch_id)
-        )
+        bdir = "%s/batch=%d" % (out_path, batch_id)
+        keep.write.mode("overwrite").parquet(bdir)
+        # append signatures from the JUST-WRITTEN parquet: re-running
+        # `keep`'s lineage would execute the whole corpus band-join a
+        # second time per batch; the materialized output is the cheap
+        # source
+        written = batch_df.sparkSession.read.parquet(bdir)
         minhash_append_signatures(
-            keep, sig_path, text_col, id_col, num_hashes, shingle_n,
+            written, sig_path, text_col, id_col, num_hashes, shingle_n,
             seed,
         )
         batch_df.unpersist()
+        release_caches()  # drop this batch's eager signature cache
 
     return (
         stream_df.writeStream.foreachBatch(_filter_batch)

@@ -103,3 +103,16 @@ def test_as_of_join_random_matches_bruteforce(spark):
             valid = {v for (ruid, rts, v) in right
                      if ruid == uid and rts == bts}
             assert got[eid][0] in valid
+
+
+def test_as_of_join_ts_in_right_cols_no_duplicate(spark):
+    """Listing ts_col in right_cols must not emit a duplicate ts_r."""
+    left = spark.createDataFrame(
+        [(1, 10, _ts(5))], ["event_id", "user_id", "ts"])
+    right = spark.createDataFrame(
+        [(10, _ts(3), 100.0)], ["user_id", "ts", "value"])
+    out = as_of_join(left, right, by="user_id", ts_col="ts",
+                     right_cols=["ts", "value"])
+    assert out.columns.count("ts_r") == 1
+    (row,) = out.collect()
+    assert row.value_r == 100.0 and row.ts_r == _ts(3)

@@ -283,3 +283,77 @@ def test_hourly_anomalies_dense_grid_flags_dropout(spark):
     assert drop[0].hour == base + timedelta(hours=20)
     # constant-baseline dropout: sd == 0 path → z is NULL
     assert drop[0].z is None
+
+
+def test_neardup_filter_stream_replay_keeps_keeper(spark, tmp_path):
+    """At-least-once replay: re-running the SAME batch (fresh
+    checkpoint, sig_path already contains the survivors) must reproduce
+    the same batch output — the keeper of an intra-batch pair must not
+    be dropped by matching its own replayed signature in the corpus."""
+    import random
+
+    from tanker_spark.operators import dedup
+    from tanker_spark.streaming.ingest import neardup_filter_sink
+
+    rnd = random.Random(9)
+    words = "aa bb cc dd ee ff gg hh ii jj kk ll".split()
+
+    def doc(n=50):
+        return " ".join(rnd.choice(words) for _ in range(n))
+
+    sig_path = str(tmp_path / "sigs_r")
+    corpus_df = spark.createDataFrame(
+        [(i, doc()) for i in range(10)], ["doc_id", "text"])
+    dedup.minhash_append_signatures(corpus_df, sig_path)
+
+    d = doc()
+    batch = [(100, d), (101, d)]  # intra-batch dup: keep 100, drop 101
+    src = str(tmp_path / "replay_src")
+    spark.createDataFrame(batch, ["doc_id", "text"]).coalesce(1) \
+        .write.parquet(src)
+    out_path = str(tmp_path / "replay_out")
+
+    def run(ckpt):
+        stream = spark.readStream.schema(
+            "doc_id long, text string").parquet(src)
+        q = neardup_filter_sink(
+            stream, out_path, sig_path, str(tmp_path / ckpt),
+            threshold=0.5)
+        q.awaitTermination(120)
+
+    run("ck1")
+    first = {r.doc_id for r in spark.read.parquet(out_path).collect()}
+    assert first == {100}
+    # simulate replay: fresh checkpoint, same source, sigs already
+    # contain doc 100 — the batch=0 dir must be rewritten identically
+    run("ck2")
+    again = {r.doc_id for r in spark.read.parquet(out_path).collect()}
+    assert again == {100}
+
+
+def test_sessionize_late_event_within_watermark(spark, tmp_path):
+    """A late event (allowed by the watermark) must extend the open
+    session backwards, not regress its end below its start or split
+    the session at the next on-time event."""
+    from datetime import datetime
+
+    from tanker_spark.streaming import events as sev
+
+    base = datetime(2024, 1, 1, 10, 0)
+    src = str(tmp_path / "late_src")
+    # file 1: event at 10:00; file 2: LATE 09:50 + on-time 10:21
+    spark.createDataFrame(
+        [(1, base, 7, "click", 1.0, "{}")],
+        sev.EVENTS_SCHEMA).coalesce(1).write.parquet(src)
+    spark.createDataFrame(
+        [(2, base.replace(minute=0) - __import__(
+            "datetime").timedelta(minutes=10), 7, "click", 1.0, "{}"),
+         (3, base + __import__("datetime").timedelta(minutes=21),
+          7, "click", 1.0, "{}")],
+        sev.EVENTS_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    stream = sev.read_events_stream(spark, src, max_files_per_trigger=1)
+    out = sev.run_to_memory(
+        sev.sessionize(stream), name="t_late", output_mode="append")
+    # no emitted session may be inverted
+    for r in out.collect():
+        assert r.session_start <= r.session_end, r
