@@ -311,6 +311,206 @@ def q20_nested_scalar_in(spark, sf_dir):
         ).frame()
 
 
+def q11_important_balances(spark, sf_dir):
+    """TPC-H Q11 shape: HAVING with an uncorrelated scalar subquery —
+    nations whose supplier balance pool exceeds 4.5% of the global
+    pool. The aggregate side of the comparison is computed INSIDE the
+    same .agg() (one shuffle); the scalar rides a one-row broadcast
+    cross join (View read(having=...), view.py HAVING lowering)."""
+    with _cx(spark, sf_dir):
+        v = View("supplier", {
+            "n_name": "s_nationkey.n_name",
+            "bal": "(round (sum s_acctbal) 2)",
+        })
+        return v.read(
+            having="(> (sum s_acctbal) (from supplier "
+                   "(select (* 0.045 (sum s_acctbal)))))",
+            order=[("bal", "DESC"), "n_name"],
+        ).frame()
+
+
+def q18_large_volume(spark, sf_dir):
+    """TPC-H Q18: large-volume orders — customer/order rollup keeping
+    only orders whose total quantity tops 250. The O2M fan-out join
+    (orders→lineitems) feeds auto-GROUP-BY; the volume cut is a plain
+    HAVING over the fanned-out aggregate (no subquery needed: the
+    reference Q18's IN-subquery exists only because SQL can't filter
+    an aggregate it hasn't named yet)."""
+    with _cx(spark, sf_dir):
+        v = View("orders", {
+            "c_name": "o_custkey.c_name",
+            "ok": "o_orderkey",
+            "tp": "(round o_totalprice 2)",
+            "qty": "(round (sum lineitems.l_quantity) 2)",
+        })
+        return v.read(
+            having="(> (sum lineitems.l_quantity) 250.0)",
+            order=[("qty", "DESC"), "ok"],
+        ).frame()
+
+
+def q19_disjunctive_preds(spark, sf_dir):
+    """TPC-H Q19 shape: revenue under an OR of conjunctive brand /
+    size / quantity bands — the all-plain-predicate disjunction
+    grammar over a dotted join, pushed as one filter (no subqueries,
+    Catalyst folds it into the scan + join)."""
+    with _cx(spark, sf_dir):
+        v = View("lineitem", {
+            "revenue":
+                "(round (sum (* l_extendedprice (- 1 l_discount))) 2)",
+        })
+        return v.read(
+            "(or (and (= l_partkey.p_brand \"Brand#12\")"
+            "         (>= l_quantity 1.0) (<= l_quantity 11.0)"
+            "         (<= l_partkey.p_size 5))"
+            "    (and (= l_partkey.p_brand \"Brand#23\")"
+            "         (>= l_quantity 10.0) (<= l_quantity 20.0)"
+            "         (<= l_partkey.p_size 10))"
+            "    (and (= l_partkey.p_brand \"Brand#34\")"
+            "         (>= l_quantity 20.0) (<= l_quantity 30.0)"
+            "         (<= l_partkey.p_size 15)))",
+        ).frame()
+
+
+def q21_blocking_supplier(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers with a returned line on multi-supplier
+    orders where NO other supplier's line was returned — EXISTS and
+    NOT EXISTS self-subqueries on the fact table, both correlated on
+    order key AND inequality-correlated on supplier key, feeding an
+    aggregate. Exercises the semi/anti lowering with non-equi
+    correlation conjuncts."""
+    with _cx(spark, sf_dir):
+        v = View("lineitem", {
+            "s_name": "l_suppkey.s_name",
+            "numwait": "(count)",
+        })
+        return v.read(
+            [
+                '(= l_returnflag "R")',
+                "(exists (from lineitem (select 1) (where (and "
+                "(= l_orderkey _parent.l_orderkey) "
+                "(!= l_suppkey _parent.l_suppkey)))))",
+                "(not (exists (from lineitem (select 1) (where (and "
+                "(= l_orderkey _parent.l_orderkey) "
+                "(!= l_suppkey _parent.l_suppkey) "
+                '(= l_returnflag "R"))))))',
+            ],
+            order=[("numwait", "DESC"), "s_name"],
+            limit=20,
+        ).frame()
+
+
+def q2_best_balance_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: equality-correlated scalar with MAX — the
+    supplier(s) holding their nation's top account balance, Europe
+    only. Decorrelates to groupBy(nation)+max + equi-join (the same
+    plan DuckDB/Catalyst pick for Q2's min-cost subquery)."""
+    with _cx(spark, sf_dir):
+        v = View("supplier", {
+            "s_name": "s_name",
+            "n_name": "s_nationkey.n_name",
+            "bal": "(round s_acctbal 2)",
+        })
+        return v.read(
+            [
+                '(= s_nationkey.n_regionkey.r_name "EUROPE")',
+                "(= s_acctbal (from supplier (select (max s_acctbal)) "
+                "(where (= s_nationkey _parent.s_nationkey))))",
+            ],
+            order="s_name",
+        ).frame()
+
+
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: national market share per order year — ratio of
+    conditional to total revenue via the `if` passthrough inside both
+    sums, over a 5-hop join web (lineitem→supplier→nation and
+    lineitem→orders→customer→nation→region)."""
+    with _cx(spark, sf_dir):
+        v = View("lineitem", {
+            "o_year": '(extract "year" l_orderkey.o_orderdate)',
+            "share":
+                '(round (/ (sum (if (= l_suppkey.s_nationkey.n_name '
+                '"NATION_3") (* l_extendedprice (- 1 l_discount)) 0.0)) '
+                "(sum (* l_extendedprice (- 1 l_discount)))) 4)",
+        })
+        return v.read(
+            [
+                '(= l_orderkey.o_custkey.c_nationkey.n_regionkey.r_name '
+                '"AMERICA")',
+                '(>= l_orderkey.o_orderdate '
+                '(cast "1995-01-01" (timestamptz)))',
+                '(< l_orderkey.o_orderdate '
+                '(cast "1997-01-01" (timestamptz)))',
+            ],
+            order="o_year",
+        ).frame()
+
+
+def q9_profit_by_nation_year(spark, sf_dir):
+    """TPC-H Q9 shape: profit rollup by supplier nation and order year
+    for one part family (name contains 'red') — two independent dotted
+    paths out of the fact table grouped together."""
+    with _cx(spark, sf_dir):
+        v = View("lineitem", {
+            "n_name": "l_suppkey.s_nationkey.n_name",
+            "o_year": '(extract "year" l_orderkey.o_orderdate)',
+            "profit":
+                "(round (sum (* l_extendedprice (- 1 l_discount))) 2)",
+        })
+        return v.read(
+            '(like l_partkey.p_name "%red%")',
+            order=["n_name", ("o_year", "DESC")],
+        ).frame()
+
+
+def q13_order_count_distribution(spark, sf_dir):
+    """TPC-H Q13: distribution of per-customer order counts, customers
+    with zero orders included — the O2M LEFT join keeps them and
+    count(o2m column) skips their NULLs. SQL needs two nested GROUP
+    BYs; the View surface composes them as a read (count per customer)
+    whose frame feeds a second one-line aggregation — exactly the plan
+    Catalyst builds for the nested-subquery SQL (two shuffles)."""
+    with _cx(spark, sf_dir):
+        per_cust = View("customer", {
+            "ck": "c_custkey",
+            "c_count": "(count orders.o_orderkey)",
+        }).read().frame()
+        return (
+            per_cust.groupBy("c_count")
+            .agg(F.count("*").alias("custdist"))
+            .orderBy(F.desc("custdist"), F.desc("c_count"))
+        )
+
+
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15: the supplier(s) with maximum revenue over a window —
+    stage 1 aggregates revenue per supplier on the View surface; the
+    'equal to the max' cut is a rank window over the 100-row aggregate
+    (Q15's CREATE VIEW + scalar max, collapsed into one plan with no
+    second scan of lineitem)."""
+    from pyspark.sql import Window as W
+
+    with _cx(spark, sf_dir):
+        rev = View("lineitem", {
+            "s_name": "l_suppkey.s_name",
+            "total_revenue":
+                "(round (sum (* l_extendedprice (- 1 l_discount))) 2)",
+        }).read(
+            [
+                '(>= l_shipdate (cast "1996-01-01" (timestamptz)))',
+                '(< l_shipdate (cast "1996-04-01" (timestamptz)))',
+            ],
+        ).frame()
+        w = W.orderBy(F.desc("total_revenue"))
+        return (
+            rev.withColumn("__rk", F.rank().over(w))
+            .filter(F.col("__rk") == 1)
+            .drop("__rk")
+            .orderBy("s_name")
+        )
+
+
 def q10_returned_items(spark, sf_dir):
     """TPC-H Q10-style: 3-hop dotted aggregation (lineitem→orders→
     customer→nation) with a quarter date window on the middle hop and
@@ -1621,11 +1821,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "cast_trunc_extract": cast_trunc_extract,
-        "o2m_nation_count": o2m_nation_count,
-        "exists_correlated": exists_correlated,
-        "in_subquery": in_subquery,
-        "nested_exists_2level": nested_exists_2level,
-        "not_exists_2level": not_exists_2level,
         "or_two_not_exists": or_two_not_exists,
         "not_over_or_exists": not_over_or_exists,
         "or_composite_grammar": or_composite_grammar,
@@ -1634,15 +1829,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_wealthy_inactive": q22_wealthy_inactive,
         "scalar_rank_suppliers": scalar_rank_suppliers,
         "q20_nested_scalar_in": q20_nested_scalar_in,
+        # round-4.3 debut: HAVING + the rest of the TPC-H shapes
+        "q11_important_balances": q11_important_balances,
+        "q18_large_volume": q18_large_volume,
+        "q19_disjunctive_preds": q19_disjunctive_preds,
+        "q21_blocking_supplier": q21_blocking_supplier,
+        "q2_best_balance_supplier": q2_best_balance_supplier,
+        "q8_market_share": q8_market_share,
+        "q9_profit_by_nation_year": q9_profit_by_nation_year,
+        "q13_order_count_distribution": q13_order_count_distribution,
+        "q15_top_supplier": q15_top_supplier,
         "substring_dup_docs": substring_dup_docs,
         "token_budget_sample": token_budget_sample,
         "write_upsert_roundtrip": write_upsert_roundtrip,
-        "write_insert_update_legs": write_insert_update_legs,
-        "write_purge_filtered": write_purge_filtered,
-        "delete_roundtrip": delete_roundtrip,
         "write_fk_resolution": write_fk_resolution,
         "acl_write_roundtrip": acl_write_roundtrip,
-        "unnest_embedding": unnest_embedding,
         "q14_promo_revenue": q14_promo_revenue,
         "orders_rollup": orders_rollup,
         "orders_window_rank": orders_window_rank,
@@ -1677,6 +1878,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # green in CORRECTNESS_r03 (or r1-r3); their oracle SQL stays
         # runnable by hand / scripts/oracle_check.py
         "every_aggregate": every_aggregate,
+        "o2m_nation_count": o2m_nation_count,
+        "exists_correlated": exists_correlated,
+        "in_subquery": in_subquery,
+        "nested_exists_2level": nested_exists_2level,
+        "not_exists_2level": not_exists_2level,
+        "write_insert_update_legs": write_insert_update_legs,
+        "write_purge_filtered": write_purge_filtered,
+        "delete_roundtrip": delete_roundtrip,
+        "unnest_embedding": unnest_embedding,
         "filter_like_in": filter_like_in,
         "order_limit_offset": order_limit_offset,
         "null_safe_buckets": null_safe_buckets,
@@ -2685,6 +2895,121 @@ def oracle_sql() -> dict[str, str]:
                     SELECT 2.2 * avg(c2.c_acctbal) FROM customer c2
                     WHERE c2.c_nationkey = c.c_nationkey))
             ORDER BY s_suppkey
+        """,
+        "q11_important_balances": """
+            SELECT n_name, round(sum(s_acctbal), 2) AS bal
+            FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name
+            HAVING sum(s_acctbal) >
+                   (SELECT 0.045 * sum(s_acctbal) FROM supplier)
+            ORDER BY bal DESC, n_name
+        """,
+        "q18_large_volume": """
+            SELECT c_name, o_orderkey AS ok,
+                   round(o_totalprice, 2) AS tp,
+                   round(sum(l_quantity), 2) AS qty
+            FROM orders
+            LEFT JOIN customer ON o_custkey = c_custkey
+            LEFT JOIN lineitem ON l_orderkey = o_orderkey
+            GROUP BY c_name, o_orderkey, o_totalprice
+            HAVING sum(l_quantity) > 250.0
+            ORDER BY qty DESC, ok
+        """,
+        "q19_disjunctive_preds": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS revenue
+            FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND l_quantity >= 1.0
+                   AND l_quantity <= 11.0 AND p_size <= 5)
+               OR (p_brand = 'Brand#23' AND l_quantity >= 10.0
+                   AND l_quantity <= 20.0 AND p_size <= 10)
+               OR (p_brand = 'Brand#34' AND l_quantity >= 20.0
+                   AND l_quantity <= 30.0 AND p_size <= 15)
+        """,
+        "q21_blocking_supplier": """
+            SELECT s_name, count(*) AS numwait
+            FROM lineitem l1
+            LEFT JOIN supplier ON l1.l_suppkey = s_suppkey
+            WHERE l1.l_returnflag = 'R'
+              AND EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.l_returnflag = 'R')
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 20
+        """,
+        "q2_best_balance_supplier": """
+            SELECT s_name, n_name, round(s_acctbal, 2) AS bal
+            FROM supplier
+            LEFT JOIN nation ON s_nationkey = n_nationkey
+            LEFT JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+              AND s_acctbal = (SELECT max(s2.s_acctbal) FROM supplier s2
+                               WHERE s2.s_nationkey = supplier.s_nationkey)
+            ORDER BY s_name
+        """,
+        "q8_market_share": """
+            SELECT CAST(extract(year FROM o_orderdate) AS BIGINT)
+                       AS o_year,
+                   round(sum(CASE WHEN sn.n_name = 'NATION_3'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 4)
+                       AS share
+            FROM lineitem
+            LEFT JOIN supplier ON l_suppkey = s_suppkey
+            LEFT JOIN nation sn ON s_nationkey = sn.n_nationkey
+            LEFT JOIN orders ON l_orderkey = o_orderkey
+            LEFT JOIN customer ON o_custkey = c_custkey
+            LEFT JOIN nation cn ON c_nationkey = cn.n_nationkey
+            LEFT JOIN region ON cn.n_regionkey = r_regionkey
+            WHERE r_name = 'AMERICA'
+              AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY o_year
+            ORDER BY o_year
+        """,
+        "q9_profit_by_nation_year": """
+            SELECT n_name,
+                   CAST(extract(year FROM o_orderdate) AS BIGINT)
+                       AS o_year,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS profit
+            FROM lineitem
+            LEFT JOIN supplier ON l_suppkey = s_suppkey
+            LEFT JOIN nation ON s_nationkey = n_nationkey
+            LEFT JOIN orders ON l_orderkey = o_orderkey
+            LEFT JOIN part ON l_partkey = p_partkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY n_name, o_year
+            ORDER BY n_name, o_year DESC
+        """,
+        "q13_order_count_distribution": """
+            SELECT c_count, count(*) AS custdist
+            FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+                  FROM customer
+                  LEFT JOIN orders ON c_custkey = o_custkey
+                  GROUP BY c_custkey)
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "q15_top_supplier": """
+            WITH rev AS (
+                SELECT s_name,
+                       round(sum(l_extendedprice * (1 - l_discount)), 2)
+                           AS total_revenue
+                FROM lineitem
+                LEFT JOIN supplier ON l_suppkey = s_suppkey
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+                GROUP BY s_name)
+            SELECT s_name, total_revenue FROM rev
+            WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+            ORDER BY s_name
         """,
         "q4_order_priority": """
             SELECT o_orderpriority, count(*) AS n

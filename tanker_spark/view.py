@@ -24,6 +24,7 @@ from contextlib import contextmanager
 from pyspark.sql import functions as F
 
 from .expression import (
+    AndGroup,
     EnvContext,
     ExpressionCompiler,
     JoinPlanner,
@@ -456,6 +457,7 @@ class View(object):
         rollup=False,
         cube=False,
         qualify=None,
+        having=None,
     ):
         spec = {
             "filters": filters,
@@ -469,6 +471,7 @@ class View(object):
             "rollup": rollup,
             "cube": cube,
             "qualify": qualify,
+            "having": having,
         }
         return Cursor(self, spec, args=args)
 
@@ -561,6 +564,48 @@ class View(object):
                 .drop("__qual")
             )
 
+        # 4c. HAVING: predicate over aggregate expressions, evaluated
+        # AFTER grouping (SQL HAVING). Each aggregate-valued predicate
+        # is computed as a hidden boolean column INSIDE .agg() — it
+        # rides the same partial-aggregation shuffle, so HAVING costs
+        # zero extra passes — then filtered and dropped. Scalar
+        # subqueries (TPC-H Q11's `having sum(..) > (select ...)`)
+        # are hoisted: the aggregate side lands as a hidden agg column
+        # and the comparison reuses the uncorrelated broadcast
+        # cross-join lowering post-agg. Compiled before the frame
+        # build so dotted paths register their joins in time.
+        having = spec.get("having")
+        hav_conds, hav_scalars = [], []
+        if having is not None:
+            if not aggregated:
+                raise ValueError("having requires an aggregated read")
+            items = [having] if isinstance(having, str) else list(having)
+            for line in items:
+                res = _compile_filter_item(
+                    compiler, compiler.parse(line), env_ctx
+                )
+                for part in ([res] if not isinstance(res, AndGroup)
+                             else ([] if res.cond is None else [res.cond])
+                             + list(res.scalars)
+                             + list(res.semis) + list(res.ors)):
+                    if isinstance(part, ScalarSub):
+                        if (part.sub.compiler._ext_depth
+                                or part.sub.where_entries
+                                and any(e.depth
+                                        for e in part.sub.where_entries)):
+                            raise ValueError(
+                                "correlated scalar subqueries are not "
+                                "supported in having"
+                            )
+                        hav_scalars.append(part)
+                    elif isinstance(part, (SemiJoin, OrGroup)):
+                        raise ValueError(
+                            "EXISTS/IN subqueries are not supported in "
+                            "having — filter before aggregating instead"
+                        )
+                    else:
+                        hav_conds.append(as_col(part))
+
         active = ctx
         base_df = active.read(table.name, version=spec.get("version"))
         reader = lambda name: active.read(name)
@@ -624,6 +669,15 @@ class View(object):
                                       "DESC" else oc.asc())
             if not aggs:
                 raise ValueError("Aggregated read needs aggregate fields")
+            hav_names, hav_sc_pairs = [], []
+            for i, c in enumerate(hav_conds):
+                hn = "__hav%d" % i
+                aggs.append(c.alias(hn))
+                hav_names.append(hn)
+            for i, s in enumerate(hav_scalars):
+                hn = "__havs%d" % i
+                aggs.append(as_col(s.other).alias(hn))
+                hav_sc_pairs.append((hn, s))
             if spec.get("rollup") or spec.get("cube"):
                 # super-aggregate rows (GROUP BY ROLLUP/CUBE): requires
                 # an explicit groupby — auto-groupby has no sensible
@@ -638,6 +692,11 @@ class View(object):
                 df = grouped.agg(*aggs)
             else:
                 df = df.groupBy(*gb).agg(*aggs) if gb else df.agg(*aggs)
+            for hn in hav_names:
+                df = df.filter(F.col(hn))
+            for hn, s in hav_sc_pairs:
+                inner = ScalarSub(s.op, F.col(hn), s.sub, s.sub_on_left)
+                df = self._apply_scalarsub(df, inner, reader)
             if order_cols:
                 df = df.orderBy(*order_cols)
             # final projection, renaming group aliases to field names

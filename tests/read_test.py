@@ -150,6 +150,55 @@ def test_aggregation(session):
         assert c == 1
 
 
+def test_having(session):
+    import pytest
+
+    # plain aggregate predicate, auto-groupby
+    view = View("team", ["name", "(count)"])
+    res = view.read(having="(> (count) 1)", order="name").all()
+    assert res == [("Blue", 2)]
+
+    # list = AND of predicates; expression over aggregates
+    res = view.read(
+        having=["(>= (count) 1)", "(< (count) 2)"], order="name"
+    ).all()
+    assert res == [("Red", 1)]
+
+    # explicit groupby + having on a different aggregate than selected:
+    # only Belgium has two teams, whose max name is Red
+    view = View("team", ["(max name)"])
+    res = view.read(
+        groupby="country.name", having="(> (count) 1)"
+    ).all()
+    assert res == [("Red",)]
+
+    # uncorrelated scalar subquery in having (TPC-H Q11 shape):
+    # countries holding more than their fair share of teams
+    view = View("team", {"c": "country.name", "n": "(count)"})
+    res = view.read(
+        having="(> (count) (from team (select (* 0.5 (count)))))",
+        order="c",
+    ).all()
+    assert res == [("Belgium", 2)]
+
+    # having without aggregation is an error
+    with pytest.raises(ValueError):
+        View("team", ["name"]).read(having="(> (count) 1)").all()
+
+    # EXISTS in having is rejected with guidance
+    with pytest.raises(ValueError):
+        View("team", ["name", "(count)"]).read(
+            having="(exists (from member (select 1)))"
+        ).all()
+
+    # correlated scalar subqueries in having are rejected
+    with pytest.raises(ValueError):
+        View("team", ["name", "(count)"]).read(
+            having="(> (count) (from member (select (count)) "
+                   "(where (= team _parent.id))))"
+        ).all()
+
+
 def test_cast(session):
     for (i,) in View("country", ["(cast id (varchar))"]).read():
         assert isinstance(i, str)
