@@ -1293,6 +1293,19 @@ def contamination_check(spark, sf_dir):
     return text.containment_ratio(test_df, train_df).orderBy("doc_id")
 
 
+def semdedup_embeddings(spark, sf_dir):
+    """SemDeDup (arXiv:2303.09540) survivors over the embeddings table
+    — cluster-partitioned semantic dedup. Rows-only: centroid fitting
+    (hash-ordered sample / KMeans) is not SQL-expressible; the prune
+    semantics are pinned by tests/operators_test.py::test_semdedup."""
+    df = _read(spark, sf_dir, "embeddings")
+    return (
+        similarity.semdedup(df, threshold=0.98, target_cluster_rows=256)
+        .select("vec_id")
+        .orderBy("vec_id")
+    )
+
+
 def pack_docs(spark, sf_dir):
     """Context-window packing (first-fit-decreasing per partition, no
     SQL oracle — sequential bin assignment; invariants pinned in
@@ -1937,6 +1950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_indexed_probe": knn_indexed_probe,
         "multimodal_features": multimodal_features,
         "pack_docs": pack_docs,
+        "semdedup_embeddings": semdedup_embeddings,
     }
 
 

@@ -27,7 +27,15 @@ from itertools import combinations
 
 from pyspark.sql import functions as F
 
-from .dedup import _dot, _hyperplanes, _norm, auto_n_planes, hyperplane_bucket
+from .dedup import (
+    _dot,
+    _hyperplanes,
+    _norm,
+    _persist,
+    auto_n_planes,
+    cosine,
+    hyperplane_bucket,
+)
 
 ANN_META = "_ann_meta.json"
 
@@ -534,6 +542,100 @@ def knn_indexed(spark, path, probe_vec, k=10, multiprobe=1, n_probe=4):
         idx.select(F.col(meta["id_col"]), sim.alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col(meta["id_col"]).asc())
         .limit(k)
+    )
+
+
+def cell_and_sim(cent_vecs, vec_col="embedding"):
+    """(cell, sim) Columns: nearest-centroid id AND the cosine to it,
+    from one ``greatest`` argmax pass (the same map-only struct trick
+    as :func:`ivf_cell_col`, returning both fields)."""
+    structs = [
+        F.struct(
+            cosine_to(F.col(vec_col), v).alias("s"),
+            F.lit(float(-i)).alias("ni"),
+        )
+        for i, v in enumerate(cent_vecs)
+    ]
+    best = structs[0] if len(structs) == 1 else F.greatest(*structs)
+    return (-best["ni"]).cast("int"), best["s"]
+
+
+def semdedup(df, vec_col="embedding", id_col="vec_id", n_clusters=None,
+             threshold=0.95, keep="centroid_far", method="sample",
+             seed=42, target_cluster_rows=1024):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings and dropping all but one of
+    each within-cluster group of near-identical points.
+
+    Spark lowering: centroids are fit driver-side (MLlib KMeans or a
+    deterministic hash-ordered sample, ≤ ``n_clusters`` rows of
+    metadata); cell assignment is the map-only argmax; the pair space
+    is confined to one equi-self-join on the cell id — O(Σ cᵢ²) exactly
+    as in the paper, bounded because ``n_clusters`` scales with corpus
+    size (``None`` derives it from a footer count targeting
+    ``target_cluster_rows`` rows per cluster, the knob the paper tunes
+    as k≈√n·const). A point is dropped when a higher-priority
+    near-duplicate (cosine ≥ ``threshold``) shares its cluster:
+
+    - ``keep="centroid_far"`` (paper default): the point FARTHEST from
+      the centroid survives — keeps atypical examples, discards the
+      redundant mode;
+    - ``keep="min_id"``: lowest id survives (stable across re-runs
+      even if centroids move).
+
+    Dominance (not connected components) decides survival, so chains
+    a~b~c without a~c keep only the top-priority point — the same
+    greedy one-per-group outcome as the paper's per-cluster sweep,
+    with one distributed join instead of a python loop. Returns the
+    surviving rows of ``df`` unchanged.
+
+    Unlike :func:`tanker_spark.operators.dedup.embedding_dedup_pairs`
+    (banded LSH: recall targets NEAR-EXACT duplicates at tight
+    thresholds), SemDeDup's cluster partition is the published recipe
+    for SEMANTIC redundancy at looser thresholds, and never misses an
+    intra-cluster pair."""
+    if keep not in ("centroid_far", "min_id"):
+        raise ValueError("keep must be 'centroid_far' or 'min_id'")
+    if n_clusters is None:
+        n_rows = df.count()
+        n_clusters = max(4, min(4096, n_rows // int(target_cluster_rows)))
+    cents = ivf_centroid_vectors(
+        df, n_clusters, seed, vec_col, id_col, method=method
+    )
+    cell, csim = cell_and_sim(cents, vec_col)
+    base = _persist(
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__v"),
+            cell.alias("__cell"),
+            csim.alias("__csim"),
+        )
+    )
+    base.count()  # eager: both self-join sides read the cached frame
+    L, R = base.alias("L"), base.alias("R")
+    if keep == "centroid_far":
+        # lower centroid-cosine = higher priority; ties break on id
+        dominates = (
+            (F.col("L.__csim") < F.col("R.__csim"))
+            | ((F.col("L.__csim") == F.col("R.__csim"))
+               & (F.col("L.__id") < F.col("R.__id")))
+        )
+    else:
+        dominates = F.col("L.__id") < F.col("R.__id")
+    removed = (
+        L.join(
+            R,
+            (F.col("L.__cell") == F.col("R.__cell"))
+            & (F.col("L.__id") != F.col("R.__id"))
+            & dominates,
+        )
+        .filter(cosine(F.col("L.__v"), F.col("R.__v"))
+                >= F.lit(float(threshold)))
+        .select(F.col("R.__id").alias("__rid"))
+        .distinct()
+    )
+    return df.join(
+        removed, F.col(id_col) == F.col("__rid"), "left_anti"
     )
 
 

@@ -1360,3 +1360,49 @@ def test_media_neardup_pairs(spark):
     assert (0, 100) in found
     sims = {(r.id_a, r.id_b): r.cos_sim for r in pairs}
     assert sims[(0, 100)] > 0.999
+
+
+def test_semdedup(spark):
+    """SemDeDup: planted within-cluster near-duplicates are pruned to
+    one survivor; distinct points survive; keep policy honored."""
+    rnd = random.Random(7)
+    dim = 16
+    # two well-separated modes, so sampled centroids split them
+    rows = []
+    for i in range(30):
+        rows.append((i, [rnd.gauss(5, 0.5) for _ in range(dim)]))
+    for i in range(30, 60):
+        rows.append((i, [rnd.gauss(-5, 0.5) for _ in range(dim)]))
+    # a clique of three near-identical copies of vec 3
+    for j, nid in enumerate((200, 201, 202)):
+        rows.append(
+            (nid, [x + rnd.gauss(0, 1e-4) for x in rows[3][1]])
+        )
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    out = similarity.semdedup(
+        df, n_clusters=4, threshold=0.999, keep="min_id"
+    )
+    kept = {r.vec_id for r in out.collect()}
+    # exactly one of the clique {3, 200, 201, 202} survives — the
+    # min id under the min_id policy — and nothing else was dropped
+    assert kept & {3, 200, 201, 202} == {3}
+    assert len(kept) == 60
+
+    # centroid_far: survivors count identical, clique still collapses
+    out2 = similarity.semdedup(
+        df, n_clusters=4, threshold=0.999, keep="centroid_far"
+    )
+    kept2 = {r.vec_id for r in out2.collect()}
+    assert len(kept2 & {3, 200, 201, 202}) == 1
+    assert len(kept2) == 60
+
+    # auto cluster count derives from the corpus and stays valid
+    out3 = similarity.semdedup(
+        df, threshold=0.999, target_cluster_rows=16
+    )
+    assert out3.count() == 60
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        similarity.semdedup(df, keep="bogus")
