@@ -311,6 +311,22 @@ def q20_nested_scalar_in(spark, sf_dir):
         ).frame()
 
 
+def scalar_vs_scalar_nations(spark, sf_dir):
+    """Both operand positions are scalar subqueries — a correlated
+    COUNT against an uncorrelated average: nations hosting more
+    suppliers than the per-nation mean. The correlated side lowers to
+    the decorrelated groupBy+equi-join, the uncorrelated side to a
+    one-row broadcast (View._scalar_attach on each side)."""
+    with _cx(spark, sf_dir):
+        v = View("nation", ["n_name"])
+        return v.read(
+            "(> (from supplier (select (count)) "
+            "(where (= s_nationkey _parent.n_nationkey))) "
+            "(from supplier (select (/ (count) 25.0))))",
+            order="n_name",
+        ).frame()
+
+
 def q11_important_balances(spark, sf_dir):
     """TPC-H Q11 shape: HAVING with an uncorrelated scalar subquery —
     nations whose supplier balance pool exceeds 4.5% of the global
@@ -1852,6 +1868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_profit_by_nation_year": q9_profit_by_nation_year,
         "q13_order_count_distribution": q13_order_count_distribution,
         "q15_top_supplier": q15_top_supplier,
+        "scalar_vs_scalar_nations": scalar_vs_scalar_nations,
         "substring_dup_docs": substring_dup_docs,
         "token_budget_sample": token_budget_sample,
         "write_upsert_roundtrip": write_upsert_roundtrip,
@@ -1861,7 +1878,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_rollup": orders_rollup,
         "orders_window_rank": orders_window_rank,
         "orders_qualify_top": orders_qualify_top,
-        "strftime_monthly": strftime_monthly,
         "stats_aggregates": stats_aggregates,
         "sessionize_events": sessionize_events,
         "asof_last_purchase": asof_last_purchase,
@@ -1910,6 +1926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_confusion": lang_id_confusion,
         "curation_pipeline": curation_pipeline,
         "events_top_types": events_top_types,
+        "strftime_monthly": strftime_monthly,
         "events_hourly": events_hourly,
         "doc_len_quantiles": doc_len_quantiles,
         "q6_forecast_revenue": q6_forecast_revenue,
@@ -2909,6 +2926,14 @@ def oracle_sql() -> dict[str, str]:
                     SELECT 2.2 * avg(c2.c_acctbal) FROM customer c2
                     WHERE c2.c_nationkey = c.c_nationkey))
             ORDER BY s_suppkey
+        """,
+        "scalar_vs_scalar_nations": """
+            SELECT n_name
+            FROM nation
+            WHERE (SELECT count(*) FROM supplier
+                   WHERE s_nationkey = n_nationkey)
+                > (SELECT count(*) / 25.0 FROM supplier)
+            ORDER BY n_name
         """,
         "q11_important_balances": """
             SELECT n_name, round(sum(s_acctbal), 2) AS bal

@@ -842,16 +842,37 @@ class View(object):
         (agg y)) (where ...)))`` (reference: any parenthesized SELECT is
         a valid SQL operand, /root/reference/tanker/expression.py:213-219).
 
+        Both operands may be scalar subqueries, in any mix of
+        correlated and uncorrelated: each side is attached as a per-row
+        value column by :meth:`_scalar_attach` (the right/`other` side
+        first), then the comparison is one filter. The heavy lifting —
+        picking the cheapest of the three lowerings per subquery — is
+        documented on ``_scalar_attach``.
+        """
+        from .expression import Subquery as _Subquery
+
+        if isinstance(sc.other, _Subquery):
+            out, oval = self._scalar_attach(df, sc.other, reader)
+            inner = ScalarSub(sc.op, F.col(oval), sc.sub, sc.sub_on_left)
+            return self._apply_scalarsub(out, inner, reader).drop(oval)
+        out, val = self._scalar_attach(df, sc.sub, reader)
+        return out.filter(sc.cond(F.col(val))).drop(val)
+
+    def _scalar_attach(self, df, sub, reader):
+        """Attach a scalar subquery's per-row value to ``df`` as a
+        fresh uniquely-named column; returns ``(frame, column_name)``
+        with every helper column already dropped.
+
         Three shapes, cheapest plan that fits:
 
         - **uncorrelated** → the one-row aggregate frame is broadcast
           cross-joined (no driver collect: the scalar stays a lazy plan
           node, so the whole query remains one job);
-        - **equality-correlated aggregate** (every ``_parent.``-touching
-          conjunct is a simple ``(= local _parent.x)``) → classic
-          decorrelation: groupBy the correlation keys on the subquery
-          side, aggregate, LEFT equi-join back — one shuffle on the
-          keys, the TPC-H Q17 plan that survives 100× scale;
+        - **equality-correlated** (every ``_parent.``-touching conjunct
+          is a simple ``(= local _parent.x)``) → classic decorrelation:
+          groupBy the correlation keys on the subquery side, aggregate,
+          LEFT equi-join back — one shuffle on the keys, the TPC-H Q17
+          plan that survives 100× scale;
         - **anything else** (non-equi correlation) → row-id pair frame:
           tag left rows, left-outer join the subquery side on the full
           correlation condition, aggregate per row id, join back. One
@@ -859,42 +880,11 @@ class View(object):
           deep-correlated NOT EXISTS).
 
         A no-match group yields NULL (SQL scalar-subquery semantics);
-        ``count`` coalesces to 0. Non-aggregate selects are allowed only
-        uncorrelated, taking the first row (SQL errors on >1 row; here
-        the choice is documented as arbitrary).
-
-        Two-scalar comparisons ``(op sub1 sub2)`` are supported
-        uncorrelated: the right side's one-row frame is broadcast in
-        first and its value column becomes ``other``.
-        """
-        from .expression import Subquery as _Subquery
-
-        if isinstance(sc.other, _Subquery):
-            osub = sc.other
-            odf, olifted, odeferred = self._materialize_sub(osub, reader)
-            if (odeferred or olifted is not None
-                    or osub.compiler._ext_depth):
-                raise NotImplementedError(
-                    "a correlated scalar subquery cannot be compared "
-                    "against another scalar subquery"
-                )
-            oval = self._next_rid() + "_o"
-            if osub.where_cond is not None:
-                odf = odf.filter(osub.where_cond)
-            (osel,) = osub.select_cols
-            if osub.select_is_agg:
-                oone = odf.agg(osel.alias(oval))
-            else:
-                odf = odf.select(osel.alias(oval))
-                if osub.distinct:
-                    odf = odf.distinct()
-                oone = odf.limit(1)
-            inner = ScalarSub(sc.op, F.col(oval), sc.sub, sc.sub_on_left)
-            out = self._apply_scalarsub(
-                df.crossJoin(F.broadcast(oone)), inner, reader
-            )
-            return out.drop(oval)
-        sub = sc.sub
+        ``count`` coalesces to 0. Non-aggregate selects take ONE
+        arbitrary matching row on every path (SQL raises on >1 row;
+        the uncorrelated ``limit(1)``, the decorrelated ``first()``
+        and the pair-frame ``first(matched)`` make the same documented
+        choice)."""
         sub_df, lifted, deferred = self._materialize_sub(sub, reader)
         if deferred:
             raise NotImplementedError(
@@ -915,12 +905,7 @@ class View(object):
                 if sub.distinct:
                     sdf = sdf.distinct()
                 one = sdf.limit(1)
-            out = df.crossJoin(F.broadcast(one))
-            return out.filter(sc.cond(F.col(val))).drop(val)
-        if not sub.select_is_agg:
-            raise NotImplementedError(
-                "correlated scalar subqueries must select an aggregate"
-            )
+            return df.crossJoin(F.broadcast(one)), val
         entries = sub.where_entries
         equi_ok = (
             lifted is None
@@ -936,19 +921,20 @@ class View(object):
             for c in local:
                 sdf = sdf.filter(c)
             kas = ["%s_k%d" % (val, i) for i in range(len(pairs))]
+            agg_sel = sel if sub.select_is_agg else F.first(sel)
             gb = sdf.groupBy(
                 *[loc.alias(ka) for (loc, _), ka in zip(pairs, kas)]
-            ).agg(sel.alias(val))
+            ).agg(agg_sel.alias(val))
             on = None
             for (_, par), ka in zip(pairs, kas):
                 c = par == gb[ka]
                 on = c if on is None else (on & c)
             out = df.join(gb, on, "left")
-            vcol = gb[val]
             if sub.select_is_count:
-                vcol = F.coalesce(vcol, F.lit(0))
-            out = out.filter(sc.cond(vcol))
-            return out.drop(val, *kas)
+                out = out.withColumn(
+                    val, F.coalesce(gb[val], F.lit(0))
+                )
+            return out.drop(*kas), val
         # general correlation: row-id pair frame
         rid = self._next_rid()
         dfr = _pin(df.withColumn(rid, F.monotonically_increasing_id()))
@@ -958,15 +944,21 @@ class View(object):
         pframe = dfr.join(
             sdfm, jc if jc is not None else F.lit(True), "left_outer"
         )
-        agg_col = (
-            F.count(F.col(mark)) if sub.select_bare_count else sel
-        )
+        if sub.select_bare_count:
+            agg_col = F.count(F.col(mark))
+        elif sub.select_is_agg:
+            agg_col = sel
+        else:
+            # only MATCHED rows may supply the arbitrary value — the
+            # outer join's null-padded rows must read as "no match"
+            agg_col = F.first(
+                F.when(F.col(mark) == 1, sel), ignorenulls=True
+            )
         scal = pframe.groupBy(rid).agg(agg_col.alias(val))
         out = dfr.join(scal, rid, "left")
-        vcol = F.col(val)
         if sub.select_is_count and not sub.select_bare_count:
-            vcol = F.coalesce(vcol, F.lit(0))
-        return out.filter(sc.cond(vcol)).drop(rid, val)
+            out = out.withColumn(val, F.coalesce(F.col(val), F.lit(0)))
+        return out.drop(rid), val
 
     def _materialize_sub(self, sub, reader):
         """Build a subquery's frame, applying its own nested subqueries.

@@ -142,13 +142,53 @@ def test_scalar_correlating_past_enclosing_subquery_raises(session):
         ).all()
 
 
-def test_correlated_nonagg_raises(session):
+def test_correlated_nonagg_equi(session):
+    """Non-aggregate correlated scalar, equality correlation: the
+    decorrelated path takes ONE arbitrary row per group (documented —
+    SQL raises on >1 row). Every team here is a singleton, so each
+    member's same-team scalar is their own name and the choice is
+    deterministic."""
     _load()
-    with pytest.raises(NotImplementedError):
-        View("member", ["name"]).read(
-            "(= name (from member (select name) "
-            "(where (= team _parent.team))))"
-        ).all()
+    res = View("member", ["name"]).read(
+        "(= name (from member (select name) "
+        "(where (= team _parent.team))))"
+    ).all()
+    assert sorted(res) == [("Alice",), ("Bob",), ("Trudy",)]
+
+
+def test_correlated_nonagg_nonequi(session):
+    """Non-aggregate correlated scalar on the row-id pair-frame path
+    (non-equi correlation): members differing from SOME earlier-coded
+    member's name. Bob has no earlier member (NULL scalar → filtered);
+    Alice and Trudy differ from any arbitrary pick."""
+    _load()
+    res = View("member", ["name"]).read(
+        "(!= name (from member (select name) "
+        "(where (< registration_code _parent.registration_code))))"
+    ).all()
+    assert sorted(res) == [("Alice",), ("Trudy",)]
+
+    # equality against the arbitrary pick: Bob → NULL, Alice → "Bob",
+    # Trudy → one of {Bob, Alice}; none equals itself → empty
+    res = View("member", ["name"]).read(
+        "(= name (from member (select name) "
+        "(where (< registration_code _parent.registration_code))))"
+    ).all()
+    assert res == []
+
+
+def test_correlated_vs_uncorrelated_scalar(session):
+    """A correlated scalar compared against another scalar subquery
+    (both operand positions are subqueries): teams whose shortest
+    member name is shorter than the global average name length."""
+    _load()
+    res = View("team", ["name", "country.name"]).read(
+        "(< (from member (select (min (length name))) "
+        "(where (= team _parent.id))) "
+        "(from member (select (avg (length name)))))"
+    ).all()
+    # min lengths: Blue/BE=3 (Bob) < 4.33; Red/BE=5, Blue/FR=5 not
+    assert sorted(res) == [("Blue", "Belgium")]
 
 
 def test_write_filter_with_scalar(session):
@@ -195,13 +235,21 @@ def test_two_scalar_comparison(session):
     assert res == []
 
 
-def test_two_scalar_correlated_raises(session):
+def test_two_scalar_one_correlated(session):
+    """Uncorrelated scalar on the left, correlated COUNT on the right:
+    min name length (3) < per-team member count only never (counts are
+    all 1) — then flipped to >= which keeps everyone."""
     _load()
-    with pytest.raises(NotImplementedError):
-        View("member", ["name"]).read(
-            "(< (from member (select (min (length name)))) "
-            "(from member (select (count)) (where (= team _parent.team))))"
-        ).all()
+    res = View("member", ["name"]).read(
+        "(< (from member (select (min (length name)))) "
+        "(from member (select (count)) (where (= team _parent.team))))"
+    ).all()
+    assert res == []
+    res = View("member", ["name"]).read(
+        "(>= (from member (select (min (length name)))) "
+        "(from member (select (count)) (where (= team _parent.team))))"
+    ).all()
+    assert sorted(res) == [("Alice",), ("Bob",), ("Trudy",)]
 
 
 def test_corr_pair_probe_does_not_consume_params(session):
