@@ -327,6 +327,22 @@ def scalar_vs_scalar_nations(spark, sf_dir):
         ).frame()
 
 
+def scalar_field_counts(spark, sf_dir):
+    """Scalar subqueries in FIELD position: a correlated COUNT column
+    (decorrelated groupBy + equi-join) and a boolean comparison column
+    against an uncorrelated average (one-row broadcast) — both
+    attached as per-row values by View._field_scalar."""
+    with _cx(spark, sf_dir):
+        v = View("customer", {
+            "ck": "c_custkey",
+            "cnt": "(from orders (select (count)) "
+                   "(where (= o_custkey _parent.c_custkey)))",
+            "rich": "(> c_acctbal (from customer "
+                    "(select (avg c_acctbal))))",
+        })
+        return v.read(order="ck", limit=100).frame()
+
+
 def q11_important_balances(spark, sf_dir):
     """TPC-H Q11 shape: HAVING with an uncorrelated scalar subquery —
     nations whose supplier balance pool exceeds 4.5% of the global
@@ -1849,7 +1865,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
-        "cast_trunc_extract": cast_trunc_extract,
         "or_two_not_exists": or_two_not_exists,
         "not_over_or_exists": not_over_or_exists,
         "or_composite_grammar": or_composite_grammar,
@@ -1869,6 +1884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_order_count_distribution": q13_order_count_distribution,
         "q15_top_supplier": q15_top_supplier,
         "scalar_vs_scalar_nations": scalar_vs_scalar_nations,
+        "scalar_field_counts": scalar_field_counts,
         "substring_dup_docs": substring_dup_docs,
         "token_budget_sample": token_budget_sample,
         "write_upsert_roundtrip": write_upsert_roundtrip,
@@ -1927,6 +1943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": curation_pipeline,
         "events_top_types": events_top_types,
         "strftime_monthly": strftime_monthly,
+        "cast_trunc_extract": cast_trunc_extract,
         "events_hourly": events_hourly,
         "doc_len_quantiles": doc_len_quantiles,
         "q6_forecast_revenue": q6_forecast_revenue,
@@ -2926,6 +2943,16 @@ def oracle_sql() -> dict[str, str]:
                     SELECT 2.2 * avg(c2.c_acctbal) FROM customer c2
                     WHERE c2.c_nationkey = c.c_nationkey))
             ORDER BY s_suppkey
+        """,
+        "scalar_field_counts": """
+            SELECT c_custkey AS ck,
+                   (SELECT count(*) FROM orders
+                    WHERE o_custkey = c_custkey) AS cnt,
+                   c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+                       AS rich
+            FROM customer
+            ORDER BY ck
+            LIMIT 100
         """,
         "scalar_vs_scalar_nations": """
             SELECT n_name

@@ -233,6 +233,10 @@ class Node:
             # window expressions are ROW-level: the aggregate inside
             # (over (sum x) ...) must not trigger auto-GROUP-BY
             return False
+        if head == "from":
+            # a subquery is its own aggregation scope: (from t (select
+            # (count)) ...) in field position is a ROW-level scalar
+            return False
         if head in AGGREGATES:
             return True
         return any(

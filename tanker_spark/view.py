@@ -31,6 +31,7 @@ from .expression import (
     OrGroup,
     ScalarSub,
     SemiJoin,
+    Subquery,
     _compile_filter_item,
     as_col,
 )
@@ -479,13 +480,24 @@ class View(object):
         table = self.table
         compiler = ExpressionCompiler(table, env=self.base_env())
 
-        # 1. compile select fields (registers joins on the planner)
+        # 1. compile select fields (registers joins on the planner).
+        # A field may BE a scalar subquery — ``(from orders (select
+        # (count)) (where (= o_custkey _parent.c_custkey)))`` — or a
+        # comparison against one; those compile to markers, carried in
+        # ``field_scalar_pend`` and attached as per-row value columns
+        # on the final frame (View._scalar_attach, same three
+        # lowerings as filter-position scalars).
         field_cols, field_is_agg = [], []
+        field_scalar_pend = {}
         for f in self.fields:
             if f.desc.startswith("("):
                 node = compiler.parse(f.desc)
                 field_is_agg.append(node.is_aggregate())
-                field_cols.append(compiler.compile(node, env_ctx))
+                col = compiler.compile(node, env_ctx)
+                if isinstance(col, (Subquery, ScalarSub)):
+                    field_scalar_pend[len(field_cols)] = col
+                    col = F.lit(None)  # placeholder, replaced on attach
+                field_cols.append(col)
             elif f.desc.startswith("{"):
                 from .expression import Param
 
@@ -613,6 +625,12 @@ class View(object):
 
         # 6. aggregate / project
         hidden = []
+        if aggregated and field_scalar_pend:
+            raise ValueError(
+                "scalar-subquery fields are not supported in "
+                "aggregated reads — aggregate the attached value in a "
+                "second read instead"
+            )
         if aggregated:
             g_aliases = ["__g%d" % i for i in range(len(group_cols))]
             gb = [c.alias(a) for c, a in zip(group_cols, g_aliases)]
@@ -708,7 +726,18 @@ class View(object):
             select_cols = [
                 c.alias(f.name) for c, f in zip(field_cols, self.fields)
             ]
+
+            def attach_scalars(frame):
+                # scalar-subquery fields: attach per-row value columns
+                # on the frame actually selected from; the select
+                # projection prunes the helper columns
+                for i, marker in field_scalar_pend.items():
+                    frame, c = self._field_scalar(frame, marker, reader)
+                    select_cols[i] = c.alias(self.fields[i].name)
+                return frame
+
             if spec.get("distinct"):
+                df = attach_scalars(df)
                 df = df.select(*select_cols).distinct()
                 if order:
                     df = df.orderBy(*self._output_order(order))
@@ -736,6 +765,7 @@ class View(object):
                 df = apply_qual(
                     self._build_frame(compiler, base_df, reader, cond)
                 )
+                df = attach_scalars(df)
                 df = df.select(*select_cols)
                 if order_cols:
                     df = df.orderBy(*order_cols)
@@ -857,6 +887,26 @@ class View(object):
             return self._apply_scalarsub(out, inner, reader).drop(oval)
         out, val = self._scalar_attach(df, sc.sub, reader)
         return out.filter(sc.cond(F.col(val))).drop(val)
+
+    def _field_scalar(self, df, marker, reader):
+        """Lower a scalar subquery in FIELD position to ``(frame,
+        value_column)``. A bare ``(from ...)`` field yields the scalar
+        itself; a comparison field ``(> x (from ...))`` yields the
+        boolean. Helper columns stay on the frame — the caller's
+        projection prunes them."""
+        if isinstance(marker, Subquery):
+            out, val = self._scalar_attach(df, marker, reader)
+            return out, F.col(val)
+        # ScalarSub: comparison whose operand(s) are subqueries
+        if isinstance(marker.other, Subquery):
+            out, oval = self._scalar_attach(df, marker.other, reader)
+            inner = ScalarSub(
+                marker.op, F.col(oval), marker.sub, marker.sub_on_left
+            )
+            out, val = self._scalar_attach(out, inner.sub, reader)
+            return out, inner.cond(F.col(val))
+        out, val = self._scalar_attach(df, marker.sub, reader)
+        return out, marker.cond(F.col(val))
 
     def _scalar_attach(self, df, sub, reader):
         """Attach a scalar subquery's per-row value to ``df`` as a

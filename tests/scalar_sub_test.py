@@ -265,3 +265,36 @@ def test_corr_pair_probe_does_not_consume_params(session):
         args=[1, "Trudy"],
     ).all()
     assert sorted(res) == [("Alice",), ("Bob",)]
+
+
+def test_scalar_field(session):
+    """Scalar subqueries in FIELD position: per-row attached values."""
+    _load()
+    res = View("team", {
+        "tn": "name",
+        "members": "(from member (select (count)) "
+                   "(where (= team _parent.id)))",
+    }).read(order="tn").all()
+    assert sorted(res) == [("Blue", 1), ("Blue", 1), ("Red", 1)]
+
+    # comparison-against-scalar field → boolean column
+    res = View("member", {
+        "n": "name",
+        "long": "(>= (length name) "
+                "(from member (select (avg (length name)))))",
+    }).read(order="n").all()
+    assert res == [("Alice", True), ("Bob", False), ("Trudy", True)]
+
+    # distinct path keeps the attached column
+    res = View("member", {
+        "c": "team.country.name",
+        "total": "(from member (select (count)))",
+    }).read(distinct=True, order="c").all()
+    assert res == [("Belgium", 3), ("France", 3)]
+
+    # aggregated reads reject scalar fields with guidance
+    with pytest.raises(ValueError):
+        View("member", {
+            "n": "(count)",
+            "x": "(from member (select (count)))",
+        }).read().all()
