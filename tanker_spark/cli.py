@@ -59,6 +59,20 @@ def cli(argv=None):
         "--at", type=int, metavar="VERSION",
         help="Time-travel read: pin the table to snapshot VERSION",
     )
+    parser.add_argument(
+        "-G", "--groupby", action="append", default=[],
+        help="Explicit GROUP BY column / s-expression",
+    )
+    parser.add_argument(
+        "--having", action="append", default=[],
+        help="Post-aggregation predicate (s-expression; repeat = AND)",
+    )
+    parser.add_argument(
+        "--qualify", help="Window predicate filter (s-expression)",
+    )
+    parser.add_argument(
+        "--distinct", action="store_true", help="DISTINCT read",
+    )
 
     args = parser.parse_args(argv)
     if args.debug:
@@ -205,6 +219,10 @@ def cli_main(args):
             limit=args.limit,
             offset=args.offset,
             version=args.at,
+            groupby=args.groupby or None,
+            having=args.having or None,
+            qualify=args.qualify,
+            distinct=args.distinct,
         )
         rows = cursor.all()
         headers = None if args.hide_headers else [

@@ -120,3 +120,51 @@ def test_cli_sql(cfg_file, capsys, spark):
     )
     out = capsys.readouterr().out
     assert "n" in out and "2" in out
+
+
+def test_cli_groupby_having_distinct(cfg_file, capsys, spark):
+    run_cli(["init"], cfg_file)
+    csv_data = ("name,country.name\n"
+                "Blue,Belgium\nRed,Belgium\nBlue,France\n")
+    run_cli(["write", "team", "name", "country.name"], cfg_file,
+            stdin=csv_data)
+    capsys.readouterr()
+
+    # aggregated read + HAVING from the CLI
+    run_cli(
+        ["read", "team", "country.name", "(count)",
+         "--having", "(> (count) 1)"],
+        cfg_file,
+    )
+    out = capsys.readouterr().out
+    rows = list(csv.reader(io.StringIO(out)))
+    assert rows[1:] == [["Belgium", "2"]]
+
+    # explicit -G groupby
+    run_cli(
+        ["read", "team", "(count)", "-G", "country.name",
+         "-s", "country.name"],
+        cfg_file,
+    )
+    out = capsys.readouterr().out
+    rows = list(csv.reader(io.StringIO(out)))
+    assert rows[1:] == [["2"], ["1"]]
+
+    # --distinct
+    run_cli(["read", "team", "name", "--distinct", "-s", "name"],
+            cfg_file)
+    out = capsys.readouterr().out
+    rows = list(csv.reader(io.StringIO(out)))
+    assert rows[1:] == [["Blue"], ["Red"]]
+
+    # --qualify: each country's alphabetically-first team
+    run_cli(
+        ["read", "team", "name", "country.name",
+         "--qualify",
+         "(= 1 (over (row_number) (partition country) (order name)))",
+         "-s", "country.name"],
+        cfg_file,
+    )
+    out = capsys.readouterr().out
+    rows = list(csv.reader(io.StringIO(out)))
+    assert rows[1:] == [["Blue", "Belgium"], ["Blue", "France"]]
