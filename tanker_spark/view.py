@@ -857,6 +857,8 @@ class View(object):
         for m in deferred:
             if isinstance(m, OrGroup):
                 pairs = self._apply_orgroup(pairs, m, reader, deep_ok=True)
+            elif isinstance(m, ScalarSub):
+                pairs = self._apply_scalarsub(pairs, m, reader)
             else:
                 pairs = self._apply_semijoin(pairs, m, reader)
         keep = pairs.select(rid).distinct()
@@ -936,15 +938,10 @@ class View(object):
         and the pair-frame ``first(matched)`` make the same documented
         choice)."""
         sub_df, lifted, deferred = self._materialize_sub(sub, reader)
-        if deferred:
-            raise NotImplementedError(
-                "deep-correlated subqueries inside a scalar subquery "
-                "are not supported"
-            )
         (sel,) = sub.select_cols
         val = self._next_rid() + "_v"
         depth = sub.compiler._ext_depth
-        if depth == 0 and lifted is None:
+        if depth == 0 and lifted is None and not deferred:
             sdf = sub_df
             if sub.where_cond is not None:
                 sdf = sdf.filter(sub.where_cond)
@@ -959,6 +956,7 @@ class View(object):
         entries = sub.where_entries
         equi_ok = (
             lifted is None
+            and not deferred
             and entries
             and all(e.pair is not None for e in entries if e.depth)
             and any(e.depth for e in entries)
@@ -985,28 +983,37 @@ class View(object):
                     val, F.coalesce(gb[val], F.lit(0))
                 )
             return out.drop(*kas), val
-        # general correlation: row-id pair frame
+        # general correlation: row-id pair frame. Pairs are built with
+        # an INNER join (no-match left rows rejoin as NULL below), so
+        # deep-deferred markers from the scalar's own subqueries —
+        # anti joins, OR groups, nested scalars with ``_parent._parent``
+        # reach — can be applied directly on the pair frame, where
+        # every ancestor alias is in scope.
         rid = self._next_rid()
         dfr = _pin(df.withColumn(rid, F.monotonically_increasing_id()))
-        mark = rid + "_m"
-        sdfm = sub_df.withColumn(mark, F.lit(1))
         jc = _and_maybe(sub.where_cond, lifted)
         pframe = dfr.join(
-            sdfm, jc if jc is not None else F.lit(True), "left_outer"
+            sub_df, jc if jc is not None else F.lit(True), "inner"
         )
+        for m in deferred:
+            if isinstance(m, OrGroup):
+                pframe = self._apply_orgroup(
+                    pframe, m, reader, deep_ok=True
+                )
+            elif isinstance(m, ScalarSub):
+                pframe = self._apply_scalarsub(pframe, m, reader)
+            else:
+                pframe = self._apply_semijoin(pframe, m, reader)
         if sub.select_bare_count:
-            agg_col = F.count(F.col(mark))
+            agg_col = F.count(F.lit(1))
         elif sub.select_is_agg:
             agg_col = sel
         else:
-            # only MATCHED rows may supply the arbitrary value — the
-            # outer join's null-padded rows must read as "no match"
-            agg_col = F.first(
-                F.when(F.col(mark) == 1, sel), ignorenulls=True
-            )
+            # arbitrary matching row (inner pairs: all rows matched)
+            agg_col = F.first(sel)
         scal = pframe.groupBy(rid).agg(agg_col.alias(val))
         out = dfr.join(scal, rid, "left")
-        if sub.select_is_count and not sub.select_bare_count:
+        if sub.select_is_count:
             out = out.withColumn(val, F.coalesce(F.col(val), F.lit(0)))
         return out.drop(rid), val
 
@@ -1036,13 +1043,13 @@ class View(object):
             # a scalar comparison inside this subquery's WHERE (TPC-H
             # Q20 shape): its correlation targets THIS frame, where the
             # aliases are in scope — apply it here. Deeper correlation
-            # (the scalar's subquery reaching past this frame) has no
-            # pair-frame home yet.
+            # (the scalar's subquery reaching past this frame,
+            # ``_parent._parent``) is deferred to the ancestor pair
+            # frame, where every referenced alias resolves — the same
+            # deferral as deep ANTI subqueries.
             if scm.sub.compiler._ext_depth >= 2:
-                raise NotImplementedError(
-                    "scalar subquery correlating past its enclosing "
-                    "subquery is not supported"
-                )
+                deferred.append(scm)
+                continue
             df = self._apply_scalarsub(df, scm, reader)
         for m in sub.nested_semis:
             if m.reach() <= 1:
@@ -1071,7 +1078,11 @@ class View(object):
     @staticmethod
     def _defers_anti(m: SemiJoin):
         """True if materializing ``m``'s subquery will bubble up a
-        deep-correlated anti (mirrors ``_materialize_sub``'s deferral)."""
+        deep-correlated marker — anti OR deep scalar (mirrors
+        ``_materialize_sub``'s deferral)."""
+        for scm in m.sub.nested_scalars:
+            if scm.sub.compiler._ext_depth >= 2:
+                return True
         for n in m.sub.nested_semis:
             if n.reach() <= 1:
                 continue

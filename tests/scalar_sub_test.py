@@ -132,14 +132,36 @@ def test_nested_scalar_in_subquery_where(session):
     assert sorted(res) == [("Blue", "France"), ("Red", "Belgium")]
 
 
-def test_scalar_correlating_past_enclosing_subquery_raises(session):
+def test_scalar_correlating_past_enclosing_subquery(session):
+    """A scalar inside an EXISTS whose correlation reaches past the
+    enclosing subquery (``_parent._parent``): deferred to the ancestor
+    pair frame. Countries where SOME member (any country) outtalks the
+    average name length of the country's own members — Belgium's avg
+    is 4 (Bob 3, Alice 5) and members longer than 4 exist; France's
+    avg is 5 with nobody longer; Holland has no members (NULL avg)."""
     _load()
-    with pytest.raises(NotImplementedError):
-        View("country", ["name"]).read(
-            "(exists (from member (select 1) (where "
-            "(> (length name) (from member (select (avg (length name))) "
-            "(where (= team.country _parent._parent.id)))))))"
-        ).all()
+    res = View("country", ["name"]).read(
+        "(exists (from member (select 1) (where "
+        "(> (length name) (from member (select (avg (length name))) "
+        "(where (= team.country _parent._parent.id)))))))"
+    ).all()
+    assert res == [("Belgium",)]
+
+
+def test_deep_anti_inside_scalar(session):
+    """A deep-correlated NOT EXISTS inside a scalar's WHERE (the
+    scalar's pair frame hosts the deferred anti): per-country count of
+    teams having no member named differently from the country — every
+    team here has such a member, so the count is 0 everywhere."""
+    _load()
+    res = View("country", ["name"]).read(
+        "(= 0 (from team (select (count)) (where (and "
+        "(= country _parent.id) "
+        "(not (exists (from member (select 1) (where (and "
+        "(= team _parent.id) "
+        "(!= name _parent._parent.name))))))))))"
+    ).all()
+    assert sorted(res) == [("Belgium",), ("France",), ("Holland",)]
 
 
 def test_correlated_nonagg_equi(session):
