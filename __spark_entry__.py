@@ -276,6 +276,24 @@ def orders_rollup(spark, sf_dir):
         ).frame()
 
 
+def orders_grouping_sets(spark, sf_dir):
+    """GROUP BY GROUPING SETS — the general super-aggregate: per-status
+    totals, per-priority totals and a grand total, skipping the
+    (status, priority) detail level that ROLLUP/CUBE would force.
+    One Expand + one shuffle, same plan family as rollup."""
+    with _cx(spark, sf_dir):
+        v = View("orders", {
+            "st": "o_orderstatus",
+            "pr": "o_orderpriority",
+            "n": "(count)",
+            "total": "(round (sum o_totalprice) 2)",
+        })
+        return v.read(
+            groupby=["o_orderstatus", "o_orderpriority"],
+            grouping_sets=[["o_orderstatus"], ["o_orderpriority"], []],
+        ).frame()
+
+
 def q14_promo_revenue(spark, sf_dir):
     """TPC-H Q14-style: conditional aggregation via the `if` passthrough
     head — promo revenue share over one ship month, a ratio of two
@@ -1865,7 +1883,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
-        "or_two_not_exists": or_two_not_exists,
         "not_over_or_exists": not_over_or_exists,
         "or_composite_grammar": or_composite_grammar,
         # round-4.2 debut: scalar subqueries (all three lowering shapes)
@@ -1892,6 +1909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acl_write_roundtrip": acl_write_roundtrip,
         "q14_promo_revenue": q14_promo_revenue,
         "orders_rollup": orders_rollup,
+        "orders_grouping_sets": orders_grouping_sets,
         "orders_window_rank": orders_window_rank,
         "orders_qualify_top": orders_qualify_top,
         "stats_aggregates": stats_aggregates,
@@ -1944,6 +1962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_top_types": events_top_types,
         "strftime_monthly": strftime_monthly,
         "cast_trunc_extract": cast_trunc_extract,
+        "or_two_not_exists": or_two_not_exists,
         "events_hourly": events_hourly,
         "doc_len_quantiles": doc_len_quantiles,
         "q6_forecast_revenue": q6_forecast_revenue,
@@ -2915,6 +2934,13 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY o_custkey
                 ORDER BY o_totalprice DESC, o_orderkey) = 1
             ORDER BY ok
+        """,
+        "orders_grouping_sets": """
+            SELECT o_orderstatus AS st, o_orderpriority AS pr,
+                   count(*) AS n, round(sum(o_totalprice), 2) AS total
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus),
+                                    (o_orderpriority), ())
         """,
         "orders_rollup": """
             SELECT o_orderstatus AS st, o_orderpriority AS pr,

@@ -459,6 +459,7 @@ class View(object):
         cube=False,
         qualify=None,
         having=None,
+        grouping_sets=None,
     ):
         spec = {
             "filters": filters,
@@ -473,6 +474,7 @@ class View(object):
             "cube": cube,
             "qualify": qualify,
             "having": having,
+            "grouping_sets": grouping_sets,
         }
         return Cursor(self, spec, args=args)
 
@@ -696,18 +698,42 @@ class View(object):
                 hn = "__havs%d" % i
                 aggs.append(as_col(s.other).alias(hn))
                 hav_sc_pairs.append((hn, s))
-            if spec.get("rollup") or spec.get("cube"):
-                # super-aggregate rows (GROUP BY ROLLUP/CUBE): requires
-                # an explicit groupby — auto-groupby has no sensible
-                # hierarchy to roll up
+            gsets = spec.get("grouping_sets")
+            if spec.get("rollup") or spec.get("cube") or gsets:
+                # super-aggregate rows (GROUP BY ROLLUP/CUBE/GROUPING
+                # SETS): requires an explicit groupby — auto-groupby
+                # has no sensible hierarchy to roll up
                 if not spec.get("groupby"):
                     raise ValueError(
-                        "rollup/cube need an explicit groupby"
+                        "rollup/cube/grouping_sets need an explicit "
+                        "groupby"
                     )
-                grouped = (
-                    df.rollup(*gb) if spec.get("rollup") else df.cube(*gb)
-                )
-                df = grouped.agg(*aggs)
+                if gsets:
+                    # both the sets and the grouping columns must be
+                    # the RAW compiled expressions — an aliased twin
+                    # fails Spark's semantic-equality match and nulls
+                    # every output column. The grouping columns are
+                    # renamed to the ``__gN`` aliases positionally
+                    # afterwards (grouping cols lead the agg output).
+                    desc2col = dict(zip(group_descs, group_cols))
+                    sets = []
+                    for s in gsets:
+                        s = [s] if isinstance(s, str) else list(s)
+                        missing = [d for d in s if d not in desc2col]
+                        if missing:
+                            raise ValueError(
+                                "grouping_sets entries %s are not in "
+                                "groupby" % missing
+                            )
+                        sets.append([desc2col[d] for d in s])
+                    df = df.groupingSets(sets, *group_cols).agg(*aggs)
+                    df = df.toDF(*g_aliases, *df.columns[len(gb):])
+                else:
+                    grouped = (
+                        df.rollup(*gb) if spec.get("rollup")
+                        else df.cube(*gb)
+                    )
+                    df = grouped.agg(*aggs)
             else:
                 df = df.groupBy(*gb).agg(*aggs) if gb else df.agg(*aggs)
             for hn in hav_names:

@@ -67,7 +67,8 @@ def test_driver_row_budget_ordering():
                  "q2_best_balance_supplier", "q8_market_share",
                  "q9_profit_by_nation_year",
                  "q13_order_count_distribution", "q15_top_supplier",
-                 "scalar_vs_scalar_nations", "scalar_field_counts"):
+                 "scalar_vs_scalar_nations", "scalar_field_counts",
+                 "orders_grouping_sets"):
         assert names.index(name) < 50, name
     demoted = [n for n in names[50:] if n in oracles]
     assert set(demoted) == {
@@ -95,7 +96,7 @@ def test_driver_row_budget_ordering():
         "nested_exists_2level", "not_exists_2level",
         "write_insert_update_legs", "write_purge_filtered",
         "delete_roundtrip", "unnest_embedding", "strftime_monthly",
-        "cast_trunc_extract",
+        "cast_trunc_extract", "or_two_not_exists",
     }, demoted
 
 

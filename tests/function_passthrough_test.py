@@ -105,6 +105,45 @@ def test_rollup_and_cube(session):
         View("member", {"n": "(count)"}).read(rollup=True).all()
 
 
+def test_grouping_sets(session):
+    """GROUP BY GROUPING SETS: exactly the requested slices, no forced
+    detail level (unlike rollup/cube)."""
+    _load()
+    rows = View("member", {
+        "c": "team.country.name",
+        "t": "team.name",
+        "n": "(count)",
+    }).read(
+        groupby=["team.country.name", "team.name"],
+        grouping_sets=[["team.country.name"], ["team.name"], []],
+    ).all()
+    as_map = {(r[0], r[1]): r[2] for r in rows}
+    assert as_map[(None, None)] == 3          # grand total
+    assert as_map[("Belgium", None)] == 2     # per-country slice
+    assert as_map[(None, "Blue")] == 2        # per-team slice
+    assert ("Belgium", "Blue") not in as_map  # detail level NOT present
+    assert len(rows) == 5  # 2 countries + 2 teams + grand total
+
+    # a single-column set may be given as a bare string
+    rows = View("member", {
+        "c": "team.country.name", "n": "(count)",
+    }).read(
+        groupby=["team.country.name"],
+        grouping_sets=["team.country.name", []],
+    ).all()
+    assert {(r[0], r[1]) for r in rows} == {
+        ("Belgium", 2), ("France", 1), (None, 3)
+    }
+
+    # set entries outside the groupby are rejected
+    with pytest.raises(ValueError):
+        View("member", {
+            "c": "team.country.name", "n": "(count)",
+        }).read(
+            groupby=["team.country.name"], grouping_sets=[["name"]],
+        ).all()
+
+
 def test_window_functions(session):
     """(over fn (partition ...) (order ...)) — window functions from the
     View surface; aggregates inside a window do NOT trigger
