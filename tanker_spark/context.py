@@ -88,6 +88,7 @@ def _build_registry(defs):
             use_index=tdef.pop("use-index", tdef.pop("use_index", None)),
             surrogate_id=tdef.pop("surrogate_id", True),
             partition_by=tdef.pop("partition_by", None),
+            zorder_by=tdef.pop("zorder_by", None),
         )
     return registry
 
@@ -224,6 +225,8 @@ class TankerContext:
                 d["surrogate_id"] = False
             if table.partition_by:
                 d["partition_by"] = list(table.partition_by)
+            if table.zorder_by:
+                d["zorder_by"] = list(table.zorder_by)
             if table.use_index != "BTREE":
                 d["use-index"] = table.use_index
             defs.append(d)
@@ -253,6 +256,7 @@ class TankerContext:
         return storage.write_table(
             df, self.root, table_name, partition_by=table.partition_by,
             keep=self.cfg.get("keep_versions"),
+            zorder_by=table.zorder_by,
         )
 
     def sql(self, query):

@@ -115,9 +115,74 @@ def read_table(spark, root, name, schema=None, version=None):
     return reader.parquet(path)
 
 
-def write_table(df, root, name, partition_by=None, keep=None):
+def zorder_column(df, cols, bits=16):
+    """Z-value ``Column`` over ``cols`` — the Morton interleave of each
+    column normalized to ``bits`` bits.
+
+    Sorting the write by this value clusters rows so every parquet file
+    / row group covers a NARROW min/max range of EVERY zorder column at
+    once — the multi-column file-skipping trick Delta's ``OPTIMIZE
+    ZORDER BY`` uses: a filter on any one (or several) of the columns
+    prunes most row groups from the scan, where a plain lexicographic
+    sort only helps its leading column.
+
+    Normalization bounds come from ONE tiny min/max aggregate (a
+    metadata-scale driver action — the one extra source pass a
+    clustered write costs; Delta does the same sampling). Strings use
+    an order-preserving 4-byte big-endian prefix proxy; dates and
+    timestamps their epoch value; NULLs sort to 0. The result embeds
+    the bounds as literals, so the expression is deterministic across
+    the repartition and the sort that both evaluate it."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    proxies = []
+    for c in cols:
+        dt = df.schema[c].dataType
+        col = F.col(c)
+        if isinstance(dt, T.StringType):
+            p = None
+            for i in range(1, 5):
+                b = F.coalesce(F.ascii(F.substring(col, i, 1)), F.lit(0))
+                p = b if p is None else p * F.lit(256) + b
+            proxies.append(p.cast("double"))
+        elif isinstance(dt, T.DateType):
+            proxies.append(col.cast("timestamp").cast("double"))
+        else:
+            proxies.append(col.cast("double"))
+    aggs = []
+    for i, p in enumerate(proxies):
+        aggs.append(F.min(p).alias("mn%d" % i))
+        aggs.append(F.max(p).alias("mx%d" % i))
+    stats = df.agg(*aggs).first()
+    top = (1 << bits) - 1
+    norms = []
+    for i, p in enumerate(proxies):
+        mn, mx = stats["mn%d" % i], stats["mx%d" % i]
+        if mn is None or mx is None or mx == mn:
+            norms.append(F.lit(0).cast("long"))
+            continue
+        scaled = (
+            (F.coalesce(p, F.lit(mn)) - F.lit(mn))
+            / F.lit(mx - mn) * F.lit(float(top))
+        )
+        norms.append(F.least(F.greatest(
+            scaled.cast("long"), F.lit(0)), F.lit(top)))
+    k = len(norms)
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, n in enumerate(norms):
+            bit = F.shiftright(n, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * k + i))
+    return z
+
+
+def write_table(df, root, name, partition_by=None, keep=None,
+                zorder_by=None):
     """Write a new version directory and atomically flip the pointer.
-    ``keep`` overrides KEEP_VERSIONS (the time-travel horizon)."""
+    ``keep`` overrides KEEP_VERSIONS (the time-travel horizon).
+    ``zorder_by`` clusters the written files by the Morton interleave
+    of the named columns (see :func:`zorder_column`)."""
     tdir = table_dir(root, name)
     os.makedirs(tdir, exist_ok=True)
     versions = sorted(
@@ -135,6 +200,13 @@ def write_table(df, root, name, partition_by=None, keep=None):
         # partition serializes into one task — split such tables by a
         # finer partition_by instead.
         df = df.repartition(*partition_by)
+        if zorder_by:
+            # cluster INSIDE each hive partition's single file: row
+            # groups get narrow zorder-column ranges for skipping
+            df = df.sortWithinPartitions(zorder_column(df, zorder_by))
+    elif zorder_by:
+        z = zorder_column(df, zorder_by)
+        df = df.repartitionByRange(z).sortWithinPartitions(z)
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -167,7 +239,7 @@ def _link_tree(src, dst):
 
 
 def write_table_partial(df_changed, root, name, partition_by,
-                        changed_values, keep=None):
+                        changed_values, keep=None, zorder_by=None):
     """Partition-scoped merge commit: write only the partitions touched by
     a merge; hard-link every untouched partition directory from the
     previous version into the new one.
@@ -184,7 +256,12 @@ def write_table_partial(df_changed, root, name, partition_by,
     nxt = "v_%06d" % (int(versions[-1][2:]) + 1 if versions else 1)
     target = os.path.join(tdir, nxt)
 
-    (df_changed.repartition(*partition_by)
+    df_changed = df_changed.repartition(*partition_by)
+    if zorder_by:
+        df_changed = df_changed.sortWithinPartitions(
+            zorder_column(df_changed, zorder_by)
+        )
+    (df_changed
      .write.mode("overwrite").partitionBy(*partition_by)
      .parquet(target))
 

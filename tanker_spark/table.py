@@ -202,6 +202,7 @@ class Table:
         use_index=None,
         surrogate_id=True,
         partition_by=None,
+        zorder_by=None,
     ):
         self.name = name
         self.columns = list(columns)
@@ -209,6 +210,7 @@ class Table:
         self.values = values
         self.surrogate_id = surrogate_id
         self.partition_by = partition_by or []
+        self.zorder_by = zorder_by or []
         self.use_index = use_index.upper() if use_index else "BTREE"
         if self.use_index not in ("BRIN", "BTREE"):
             raise ValueError(

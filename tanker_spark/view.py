@@ -1778,6 +1778,7 @@ class View(object):
                 merged.filter(cond), ctx.root, table.name, pby,
                 sorted(changed, key=str),
                 keep=ctx.cfg.get("keep_versions"),
+                zorder_by=table.zorder_by,
             )
         else:
             ctx.write(table.name, merged)
@@ -2085,6 +2086,7 @@ class View(object):
                         kept.filter(cond), ctx.root, table.name, pby,
                         sorted(parts, key=str),
                         keep=ctx.cfg.get("keep_versions"),
+                        zorder_by=table.zorder_by,
                     )
             else:
                 deleted = victims.count()
