@@ -42,6 +42,9 @@ BENCH_QUERIES = [
     "q17_small_qty_revenue",
     "substring_dup_docs",
     "orders_qualify_top",
+    # round-4.3 additions
+    "q18_large_volume",
+    "q21_blocking_supplier",
 ]
 
 

@@ -115,6 +115,28 @@ def read_table(spark, root, name, schema=None, version=None):
     return reader.parquet(path)
 
 
+def _claim_version(tdir):
+    """Atomically claim the next version directory.
+
+    Two concurrent writers both list the same latest version; the
+    loser of the ``os.mkdir`` race (atomic on POSIX) retries with the
+    next number instead of silently writing INTO the winner's
+    directory (which Spark's overwrite mode would clobber). Commit
+    ordering is still last-pointer-flip-wins — the same optimistic
+    model as Delta without conflict retry; concurrent upserts to the
+    same table can lose the earlier writer's rows, exactly like two
+    un-coordinated MERGEs."""
+    versions = sorted(v for v in os.listdir(tdir) if v.startswith("v_"))
+    n = int(versions[-1][2:]) + 1 if versions else 1
+    while True:
+        nxt = "v_%06d" % n
+        try:
+            os.mkdir(os.path.join(tdir, nxt))
+            return nxt
+        except FileExistsError:
+            n += 1
+
+
 def zorder_column(df, cols, bits=16):
     """Z-value ``Column`` over ``cols`` — the Morton interleave of each
     column normalized to ``bits`` bits.
@@ -185,10 +207,7 @@ def write_table(df, root, name, partition_by=None, keep=None,
     of the named columns (see :func:`zorder_column`)."""
     tdir = table_dir(root, name)
     os.makedirs(tdir, exist_ok=True)
-    versions = sorted(
-        v for v in os.listdir(tdir) if v.startswith("v_")
-    )
-    nxt = "v_%06d" % (int(versions[-1][2:]) + 1 if versions else 1)
+    nxt = _claim_version(tdir)
     target = os.path.join(tdir, nxt)
     if partition_by:
         # co-locate each hive partition's rows in one task before the
@@ -216,8 +235,9 @@ def write_table(df, root, name, partition_by=None, keep=None,
     with open(tmp, "w") as fh:
         fh.write(nxt)
     os.replace(tmp, _pointer_path(root, name))
-    # GC old versions beyond the retention window
-    versions.append(nxt)
+    # GC old versions beyond the retention window (re-listed: another
+    # writer may have claimed versions since ours)
+    versions = sorted(v for v in os.listdir(tdir) if v.startswith("v_"))
     for old in versions[:-(keep or KEEP_VERSIONS)]:
         shutil.rmtree(os.path.join(tdir, old), ignore_errors=True)
     return target
@@ -252,8 +272,7 @@ def write_table_partial(df_changed, root, name, partition_by,
     prev = current_version_path(root, name)
     tdir = table_dir(root, name)
     os.makedirs(tdir, exist_ok=True)
-    versions = sorted(v for v in os.listdir(tdir) if v.startswith("v_"))
-    nxt = "v_%06d" % (int(versions[-1][2:]) + 1 if versions else 1)
+    nxt = _claim_version(tdir)
     target = os.path.join(tdir, nxt)
 
     df_changed = df_changed.repartition(*partition_by)
@@ -287,7 +306,7 @@ def write_table_partial(df_changed, root, name, partition_by,
     with open(tmp, "w") as fh:
         fh.write(nxt)
     os.replace(tmp, _pointer_path(root, name))
-    versions.append(nxt)
+    versions = sorted(v for v in os.listdir(tdir) if v.startswith("v_"))
     for old in versions[:-(keep or KEEP_VERSIONS)]:
         shutil.rmtree(os.path.join(tdir, old), ignore_errors=True)
     return target

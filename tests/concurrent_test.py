@@ -51,3 +51,33 @@ def test_threaded_writes(session):
     assert not errors
     names = {n for (n,) in View("country", ["name"]).read().all()}
     assert {"X0", "X1", "X2"} <= names
+
+
+def test_concurrent_version_claim(session, tmp_path):
+    """Two writers racing the version allocator get DISTINCT version
+    directories (os.mkdir atomic claim) — the loser retries with the
+    next number instead of clobbering the winner's files. Commit order
+    stays last-pointer-flip-wins (documented optimistic model)."""
+    import os
+
+    from tanker_spark import ctx
+    from tanker_spark import storage
+
+    tdir = storage.table_dir(ctx.root, "country")
+    before = set(os.listdir(tdir))
+    claims = []
+
+    def claimer():
+        claims.append(storage._claim_version(tdir))
+
+    threads = [threading.Thread(target=claimer) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    try:
+        assert len(set(claims)) == 8  # no duplicate claims
+    finally:
+        for c in claims:  # claimed dirs are empty — clean them up
+            os.rmdir(os.path.join(tdir, c))
+    assert set(os.listdir(tdir)) == before
