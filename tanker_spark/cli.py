@@ -20,7 +20,8 @@ def cli(argv=None):
     parser = argparse.ArgumentParser(description="tanker_spark CLI")
     parser.add_argument(
         "action",
-        help="info, read, write, delete, sql, init or version", nargs=1
+        help="info, read, write, delete, sql, optimize, init or "
+        "version", nargs=1
     )
     parser.add_argument("table", help="Table to query", nargs="*")
     parser.add_argument(
@@ -178,6 +179,15 @@ def cli_main(args):
         else:
             for name in sorted(ctx.registry):
                 out.write(name + "\n")
+        return
+
+    if action == "optimize":
+        # `tk optimize table [zorder_col ...]` — rewrite the current
+        # snapshot clustered (ctx.optimize; Delta OPTIMIZE analog)
+        if not args.table:
+            raise SystemExit("optimize action needs a table name")
+        ctx.optimize(args.table[0], zorder_by=args.table[1:] or None)
+        logger.info("optimized %s", args.table[0])
         return
 
     if action == "sql":

@@ -259,6 +259,24 @@ class TankerContext:
             zorder_by=table.zorder_by,
         )
 
+    def optimize(self, table_name, zorder_by=None):
+        """Rewrite the current snapshot clustered — the Delta
+        ``OPTIMIZE [ZORDER BY]`` analog. Lands as a NEW version (the
+        snapshot store never rewrites in place), so readers of the old
+        pointer are unaffected and time travel still reaches the
+        unclustered snapshot. ``zorder_by`` overrides the schema's
+        declared clustering; with neither this is a plain compaction
+        (one co-located file per hive partition / a fresh
+        size-targeted file set)."""
+        table = self.registry[table_name]
+        cols = zorder_by or table.zorder_by
+        df = self.read(table_name)
+        return storage.write_table(
+            df, self.root, table_name, partition_by=table.partition_by,
+            keep=self.cfg.get("keep_versions"),
+            zorder_by=cols or None,
+        )
+
     def sql(self, query):
         """Escape hatch to full Spark SQL: every registered table is
         exposed as a temp view (registered fresh per call, so views

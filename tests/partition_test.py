@@ -240,3 +240,26 @@ def test_zorder_write_clusters_files(spark, tmp_path):
             assert zavg < 0.55, (cname, zavg)
             assert pavg > 0.9, (cname, pavg)
             assert zavg < pavg / 1.8
+
+
+def test_optimize_rewrites_clustered(spark, tmp_path):
+    """ctx.optimize lands a NEW clustered version: rows intact, version
+    advanced, old snapshot still time-travelable."""
+    from tanker_spark import ctx
+
+    cfg = {"root": str(tmp_path / "odb"), "schema": ZSCHEMA,
+           "spark": spark}
+    rows = [(i, i % 100, (i * 31) % 100) for i in range(2000)]
+    with connect(cfg):
+        create_tables()
+        View("metric_plain", ["mid", "code", "value"]).write(rows)
+        v_before = max(ctx.versions("metric_plain"))
+        ctx.optimize("metric_plain", zorder_by=["code", "value"])
+        assert max(ctx.versions("metric_plain")) == v_before + 1
+        got = View("metric_plain", ["mid", "code", "value"]).read().all()
+        assert sorted(got) == sorted(rows)
+        # the pre-optimize snapshot is still reachable
+        old = View("metric_plain", ["mid"]).read(version=v_before).all()
+        assert len(old) == 2000
+        # no declared/passed clustering → plain compaction still works
+        ctx.optimize("metric_plain")
