@@ -534,13 +534,12 @@ def q13_order_count_distribution(spark, sf_dir):
 
 
 def q15_top_supplier(spark, sf_dir):
-    """TPC-H Q15: the supplier(s) with maximum revenue over a window —
-    stage 1 aggregates revenue per supplier on the View surface; the
-    'equal to the max' cut is a rank window over the 100-row aggregate
-    (Q15's CREATE VIEW + scalar max, collapsed into one plan with no
-    second scan of lineitem)."""
-    from pyspark.sql import Window as W
-
+    """TPC-H Q15: the supplier(s) with maximum revenue — stage 1
+    aggregates revenue per supplier on the View surface; the 'equal to
+    the max' cut joins against the broadcast one-row MAX of the same
+    frame (Q15's CREATE VIEW + scalar max). A rank() window would need
+    a global sort into ONE partition — the broadcast-max join keeps
+    the aggregate distributed at any supplier count."""
     with _cx(spark, sf_dir):
         rev = View("lineitem", {
             "s_name": "l_suppkey.s_name",
@@ -552,11 +551,11 @@ def q15_top_supplier(spark, sf_dir):
                 '(< l_shipdate (cast "1996-04-01" (timestamptz)))',
             ],
         ).frame()
-        w = W.orderBy(F.desc("total_revenue"))
+        mx = rev.agg(F.max("total_revenue").alias("__mx"))
         return (
-            rev.withColumn("__rk", F.rank().over(w))
-            .filter(F.col("__rk") == 1)
-            .drop("__rk")
+            rev.join(F.broadcast(mx),
+                     rev["total_revenue"] == mx["__mx"])
+            .drop("__mx")
             .orderBy("s_name")
         )
 
