@@ -76,3 +76,110 @@ def test_upsert_model(spark, tmp_path_factory, ops):
                     model[sku] = (sku, qty, note)
         res = sorted(view.read().all())
         assert res == sorted(model.values())
+
+
+# ---------------------------------------------------------------------------
+# read-path property: random predicate trees vs a python model with SQL
+# three-valued logic — pins the filter compiler's NULL semantics beyond
+# the hand-written cases
+# ---------------------------------------------------------------------------
+
+ROWS = [
+    ("a", 1, "x"), ("b", 2, "y"), ("c", 3, None), ("d", 4, "x"),
+    ("e", 5, None), ("f", 6, "y"), ("g", 7, "z"), ("h", 8, "x"),
+]
+
+
+def _atom_exprs():
+    return st.one_of(
+        st.tuples(st.just("cmp"), st.sampled_from(["=", "!=", ">", "<",
+                                                   ">=", "<="]),
+                  st.integers(0, 9)),
+        st.tuples(st.just("note_eq"), st.sampled_from(["x", "y", "z"])),
+        st.just(("note_null",)),
+        st.just(("note_notnull",)),
+        st.tuples(st.just("in"), st.lists(st.integers(0, 9),
+                                          min_size=1, max_size=3)),
+    )
+
+
+pred_st = st.recursive(
+    _atom_exprs(),
+    lambda kids: st.one_of(
+        st.tuples(st.just("and"), kids, kids),
+        st.tuples(st.just("or"), kids, kids),
+        st.tuples(st.just("not"), kids),
+    ),
+    max_leaves=4,
+)
+
+
+def _to_sexpr(p):
+    kind = p[0]
+    if kind == "cmp":
+        return "(%s qty %d)" % (p[1], p[2])
+    if kind == "note_eq":
+        return '(= note "%s")' % p[1]
+    if kind == "note_null":
+        return "(is note null)"
+    if kind == "note_notnull":
+        return "(isnot note null)"
+    if kind == "in":
+        return "(in qty %s)" % " ".join(str(v) for v in p[1])
+    if kind == "not":
+        return "(not %s)" % _to_sexpr(p[1])
+    return "(%s %s %s)" % (kind, _to_sexpr(p[1]), _to_sexpr(p[2]))
+
+
+def _eval(p, qty, note):
+    """Kleene three-valued evaluation (None = SQL NULL/UNKNOWN)."""
+    kind = p[0]
+    if kind == "cmp":
+        op, k = p[1], p[2]
+        import operator as _op
+        f = {"=": _op.eq, "!=": _op.ne, ">": _op.gt, "<": _op.lt,
+             ">=": _op.ge, "<=": _op.le}[op]
+        return f(qty, k)
+    if kind == "note_eq":
+        return None if note is None else note == p[1]
+    if kind == "note_null":
+        return note is None
+    if kind == "note_notnull":
+        return note is not None
+    if kind == "in":
+        return qty in p[1]
+    if kind == "not":
+        v = _eval(p[1], qty, note)
+        return None if v is None else not v
+    a, b = _eval(p[1], qty, note), _eval(p[2], qty, note)
+    if kind == "and":
+        if a is False or b is False:
+            return False
+        if a is None or b is None:
+            return None
+        return True
+    if a is True or b is True:
+        return True
+    if a is None or b is None:
+        return None
+    return False
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=20, deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(pred=pred_st)
+def test_filter_three_valued_logic(spark, tmp_path_factory, pred):
+    root = str(tmp_path_factory.mktemp("prop_read"))
+    with connect({"root": root, "schema": SCHEMA, "spark": spark}):
+        create_tables()
+        view = View("item", ["sku", "qty", "note"])
+        view.write(list(ROWS))
+        got = sorted(r[0] for r in view.read(_to_sexpr(pred)).all())
+        want = sorted(
+            sku for sku, qty, note in ROWS
+            if _eval(pred, qty, note) is True
+        )
+        assert got == want, _to_sexpr(pred)
