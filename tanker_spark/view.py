@@ -1729,6 +1729,8 @@ class View(object):
         self._commit(inc, merged, victims_parts, prune_parts=prune_parts)
         rowcounts["filtered"] = self.ins_filter_cnt + self.upd_filter_cnt
         ctx.reset_cache(table.name)
+        if purge and rowcounts.get("deleted"):
+            self._cascade_delete(table, self._purge_victims)
         return rowcounts
 
     def _commit(self, inc, merged, victims_parts=None, prune_parts=None):
@@ -1970,8 +1972,20 @@ class View(object):
             victims = victims.filter(cond)
         sel = [F.col("%s.%s" % (table.name, k)).alias(k) for k in key]
         pby = table.partition_by
+        picked = set(key)
         if len(pby) == 1 and pby[0] not in key:
             sel.append(F.col("%s.%s" % (table.name, pby[0])).alias(pby[0]))
+            picked.add(pby[0])
+        # columns other tables' FKs reference (usually ``id``) ride
+        # along so purge victims can seed the ON-DELETE-CASCADE walk
+        refd = {
+            col.foreign_col
+            for child in ctx.registry.values() if child.surrogate_id
+            for col in child.own_columns
+            if col.ctype == "M2O" and col.foreign_table == table.name
+        }
+        for rc in sorted(refd - picked):
+            sel.append(F.col("%s.%s" % (table.name, rc)).alias(rc))
         victims = victims.select(*sel).cache()
         victim_parts = None
         if len(pby) == 1:
@@ -1985,7 +1999,44 @@ class View(object):
         kept = merged.join(
             victims.select(*key), on=key, how="left_anti"
         )
+        self._purge_victims = victims
         return deleted, kept, victim_parts
+
+    def _cascade_delete(self, parent_table, parent_victims):
+        """ON DELETE CASCADE across the registry's relation graph.
+
+        The reference declares every m2o FK ``ON DELETE CASCADE``
+        (/root/reference/tanker/table.py:70-74), so the backend removes
+        referencing rows transitively when a parent row dies. Here the
+        relation graph is walked with a worklist: one semi-join per
+        referencing (child, fk) edge whose parent lost rows; each
+        rewritten child re-enters the list so grandchildren (and
+        self-references) follow until a fixpoint. Driver work is one
+        cheap existence probe per live edge — bounded by the relation
+        graph and the cascade depth, never by row count; the deletes
+        themselves are distributed anti-joins."""
+        pending = [(parent_table, parent_victims)]
+        while pending:
+            ptable, victims = pending.pop()
+            for child in list(ctx.registry.values()):
+                if not child.surrogate_id:
+                    continue
+                for col in child.own_columns:
+                    if (col.ctype != "M2O"
+                            or col.foreign_table != ptable.name):
+                        continue
+                    pref = victims.select(
+                        F.col(_bt(col.foreign_col)).alias("__pref")
+                    ).distinct()
+                    existing_c = ctx.read(child.name)
+                    on = existing_c[col.name] == F.col("__pref")
+                    cvict = existing_c.join(pref, on, "left_semi")
+                    if not cvict.limit(1).count():
+                        continue
+                    kept = existing_c.join(pref, on, "left_anti")
+                    ctx.write(child.name, kept)
+                    ctx.reset_cache(child.name)
+                    pending.append((child, cvict))
 
     # ------------------------------------------------------------------
     # DELETE
@@ -2011,6 +2062,8 @@ class View(object):
             empty = ctx.spark.createDataFrame([], existing.schema)
             ctx.write(table.name, empty)
             ctx.reset_cache(table.name)
+            if before:
+                self._cascade_delete(table, existing)
             return before
         if data is not None and filters:
             raise ValueError(
@@ -2097,6 +2150,10 @@ class View(object):
         except Exception as e:  # plan-embedded guards (fk in key cols)
             _reraise_guards(e)
         ctx.reset_cache(table.name)
+        if deleted:
+            # victims binds the pre-delete snapshot path (resolved at
+            # frame build), so it stays readable after the pointer flip
+            self._cascade_delete(table, victims)
         return deleted
 
 

@@ -65,3 +65,27 @@ def test_truncate(session):
     n = view.delete()
     assert n == 3
     assert view.read().all() == []
+
+
+def test_delete_cascades(session):
+    """ON DELETE CASCADE parity (reference table.py:70-74: every m2o FK
+    cascades): deleting a country removes its teams, and transitively
+    the members of those teams."""
+    from tests.conftest import members
+
+    View(
+        "member",
+        ["name", "team.country.name", "team.name", "registration_code"],
+    ).write(members)
+
+    View("country").delete('(= name "Belgium")')
+
+    countries = {n for (n,) in View("country", ["name"]).read().all()}
+    assert "Belgium" not in countries
+    teams = View("team", ["name", "country.name"]).read().all()
+    assert all(c != "Belgium" for _, c in teams)      # Belgian teams gone
+    assert ("Blue", "France") in teams                # others intact
+    names = {n for (n,) in View("member", ["name"]).read().all()}
+    # Bob (Blue/Belgium) and Alice (Red/Belgium) cascade away with
+    # their teams; Trudy (Blue/France) survives
+    assert names == {"Trudy"}
