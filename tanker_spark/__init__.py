@@ -9,7 +9,7 @@ over SQLite/Postgres.
 from .context import TankerContext, connect, create_tables, get_spark, register
 from .expression import ExpressionCompiler as Expression
 from .table import Column, Table
-from .utils import ctx, logger, yaml_load, __version__
+from .utils import ctx, logger, paginate, yaml_load, __version__
 from .view import Cursor, View, ViewField, fetch, save
 
 __all__ = [
@@ -27,6 +27,7 @@ __all__ = [
     "fetch",
     "get_spark",
     "logger",
+    "paginate",
     "register",
     "save",
     "yaml_load",

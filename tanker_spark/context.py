@@ -305,8 +305,7 @@ class TankerContext:
 
 
 @contextmanager
-def connect(cfg=None):
-    """``with connect({'root': ..., 'schema': ...}):`` — push a context."""
+def _connect_cm(cfg):
     new_ctx = TankerContext(cfg)
     CTX_STACK.push(new_ctx)
     try:
@@ -316,6 +315,25 @@ def connect(cfg=None):
         raise
     else:
         CTX_STACK.pop()
+
+
+def connect(cfg=None, action=None):
+    """``with connect({'root': ..., 'schema': ...}):`` — push a context.
+
+    Manual mode (reference utils_test.py:63-66): ``connect(cfg,
+    'enter')`` pushes and returns the context without a with-block;
+    ``connect(cfg, 'leave')`` pops it — for REPL / long-lived-process
+    use where a lexical scope doesn't fit."""
+    if action is None:
+        return _connect_cm(cfg)
+    if action == "enter":
+        new_ctx = TankerContext(cfg)
+        CTX_STACK.push(new_ctx)
+        return new_ctx
+    if action == "leave":
+        CTX_STACK.pop()
+        return None
+    raise ValueError('connect action must be "enter" or "leave"')
 
 
 def register(schema):

@@ -101,6 +101,21 @@ def to_datetime(value, tz_aware: bool):
     raise ValueError('Unexpected value "%s" for timestamp' % (value,))
 
 
+def paginate(iterators, size=1000):
+    """Zip parallel column iterators into fixed-size pages of row
+    tuples (reference utils.py:85-92, page size there defaults to its
+    LRU constant — a driver-side convenience for feeding chunked
+    writes; the distributed ingest paths never use it)."""
+    from itertools import islice
+
+    rows = zip(*iterators)
+    while True:
+        page = list(islice(rows, size))
+        if not page:
+            break
+        yield page
+
+
 def to_date(value):
     if value is None:
         return None

@@ -1,0 +1,70 @@
+"""Utility-surface parity (reference tests/utils_test.py): paginate,
+manual connect enter/leave, runtime table registration + creation."""
+
+from tanker_spark import View, connect, create_tables, ctx, paginate
+
+from .conftest import SCHEMA
+
+
+def test_paginate(session):
+    values = [iter([1] * 10), iter([2] * 10), iter([3] * 10)]
+    cnt = 0
+    for page in paginate(values, 2):
+        cnt += 1
+        assert len(page) == 2
+        for line in page:
+            assert line == (1, 2, 3)
+        assert cnt <= 5
+    assert cnt == 5
+
+    # trailing partial page
+    pages = list(paginate([iter(range(5))], 2))
+    assert [len(p) for p in pages] == [2, 2, 1]
+
+
+def test_manual_conn(session, spark, tmp_path):
+    """connect(cfg, 'enter') / connect(cfg, 'leave') — explicit context
+    lifecycle without a with-block (reference utils_test.py:53-69)."""
+    cfg = {"root": str(tmp_path / "manual"), "schema": SCHEMA,
+           "spark": spark}
+    country_view = View("country", ["name"])
+
+    connect(cfg, "enter")
+    create_tables()
+    assert country_view.read({"name": "Prussia"}).one() is None
+    country_view.write([["Prussia"]])
+    connect(cfg, "leave")
+
+    # result survives into a fresh context on the same root
+    with connect(cfg):
+        assert country_view.read(
+            {"name": "Prussia"}).one()[0] == "Prussia"
+
+    import pytest
+    with pytest.raises(ValueError):
+        connect(cfg, "bogus")
+
+
+def test_runtime_register_create(session):
+    """ctx.register + create_tables after connect (reference
+    utils_test.py:71-90): a new table with an FK-by-key seed row."""
+    from tanker_spark import register
+
+    table_def = [{
+        "table": "sponsor",
+        "columns": {
+            "name": "varchar",
+            "country": "m2o country.id",
+            "type": "varchar",
+        },
+        "key": ["name", "country"],
+        "values": [{
+            "name": "ACME-2000",
+            "country.name": "Belgium",
+            "type": "gold",
+        }],
+    }]
+    register(table_def)
+    create_tables()
+    rows = View("sponsor", ["name", "country.name", "type"]).read().all()
+    assert rows == [("ACME-2000", "Belgium", "gold")]
