@@ -74,6 +74,10 @@ def cli(argv=None):
     parser.add_argument(
         "--distinct", action="store_true", help="DISTINCT read",
     )
+    parser.add_argument(
+        "--explain", action="store_true",
+        help="Print the physical plan instead of rows",
+    )
 
     args = parser.parse_args(argv)
     if args.debug:
@@ -234,6 +238,11 @@ def cli_main(args):
             qualify=args.qualify,
             distinct=args.distinct,
         )
+        if args.explain:
+            plan = cursor.frame()._jdf.queryExecution() \
+                .executedPlan().toString()
+            out.write(plan)
+            return
         rows = cursor.all()
         headers = None if args.hide_headers else [
             f.name for f in view.fields

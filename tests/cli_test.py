@@ -168,3 +168,15 @@ def test_cli_groupby_having_distinct(cfg_file, capsys, spark):
     out = capsys.readouterr().out
     rows = list(csv.reader(io.StringIO(out)))
     assert rows[1:] == [["Blue", "Belgium"], ["Blue", "France"]]
+
+
+def test_cli_explain(cfg_file, capsys, spark):
+    run_cli(["init"], cfg_file)
+    run_cli(["write", "team", "name", "country.name"], cfg_file,
+            stdin="name,country.name\nBlue,Belgium\n")
+    capsys.readouterr()
+    run_cli(["read", "team", "name", "country.name", "--explain"],
+            cfg_file)
+    out = capsys.readouterr().out
+    assert "Scan parquet" in out       # a real physical plan
+    assert "BroadcastHashJoin" in out  # the country dim join
