@@ -169,14 +169,25 @@ def main():
         print("# %-26s %8.3fs  %s" % (key, timings[key], passes),
               file=sys.stderr)
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    # Per-pass detail goes to a repo file, NOT stdout: the driver tails
+    # only the last ~2000 bytes of output, and round 4's fattened line
+    # (28x3 pass arrays) overflowed that window, truncating the head of
+    # the JSON ("parsed": null). The final stdout line stays compact —
+    # medians only — and is printed LAST so the tail always contains it.
+    try:
+        Path(__file__).resolve().parent.joinpath("BENCH_passes.json").write_text(
+            json.dumps({"passes": all_passes, "sf": sf}, indent=1) + "\n")
+    except OSError:
+        pass  # read-only checkout: the stdout line is still complete
+    line = json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "passes": all_passes,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    })
+    assert len(line) < 1900, "bench JSON line must fit the driver tail"
+    print(line)
 
 
 if __name__ == "__main__":

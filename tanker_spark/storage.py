@@ -177,6 +177,13 @@ def zorder_column(df, cols, bits=16):
         aggs.append(F.min(p).alias("mn%d" % i))
         aggs.append(F.max(p).alias("mx%d" % i))
     stats = df.agg(*aggs).first()
+    # the full interleave must fit 63 bits: at the default bits=16 a
+    # 4-column z-value would land its top bit on the long's sign bit
+    # (those rows sort FIRST, breaking Morton monotonicity) and >=5
+    # columns would shift >=64, which the JVM wraps mod 64 — silently
+    # colliding bits across columns. Fewer bits per column is a
+    # resolution loss, not a correctness loss.
+    bits = min(bits, 63 // max(1, len(cols)))
     top = (1 << bits) - 1
     norms = []
     for i, p in enumerate(proxies):
@@ -235,12 +242,23 @@ def write_table(df, root, name, partition_by=None, keep=None,
     with open(tmp, "w") as fh:
         fh.write(nxt)
     os.replace(tmp, _pointer_path(root, name))
-    # GC old versions beyond the retention window (re-listed: another
-    # writer may have claimed versions since ours)
-    versions = sorted(v for v in os.listdir(tdir) if v.startswith("v_"))
+    _gc_versions(tdir, nxt, keep)
+    return target
+
+
+def _gc_versions(tdir, committed, keep):
+    """GC version dirs beyond the retention window — but NEVER a version
+    newer than the one this writer just committed: a concurrent writer
+    may have claimed (and still be filling) a higher version number, and
+    with keep=2 two fast commits would otherwise push the slow writer's
+    in-progress directory out of the keep window and delete it under its
+    running Spark job."""
+    versions = sorted(
+        v for v in os.listdir(tdir)
+        if v.startswith("v_") and v <= committed
+    )
     for old in versions[:-(keep or KEEP_VERSIONS)]:
         shutil.rmtree(os.path.join(tdir, old), ignore_errors=True)
-    return target
 
 
 def _link_tree(src, dst):
@@ -306,9 +324,7 @@ def write_table_partial(df_changed, root, name, partition_by,
     with open(tmp, "w") as fh:
         fh.write(nxt)
     os.replace(tmp, _pointer_path(root, name))
-    versions = sorted(v for v in os.listdir(tdir) if v.startswith("v_"))
-    for old in versions[:-(keep or KEEP_VERSIONS)]:
-        shutil.rmtree(os.path.join(tdir, old), ignore_errors=True)
+    _gc_versions(tdir, nxt, keep)
     return target
 
 

@@ -2008,35 +2008,103 @@ class View(object):
         The reference declares every m2o FK ``ON DELETE CASCADE``
         (/root/reference/tanker/table.py:70-74), so the backend removes
         referencing rows transitively when a parent row dies. Here the
-        relation graph is walked with a worklist: one semi-join per
-        referencing (child, fk) edge whose parent lost rows; each
-        rewritten child re-enters the list so grandchildren (and
-        self-references) follow until a fixpoint. Driver work is one
-        cheap existence probe per live edge — bounded by the relation
-        graph and the cascade depth, never by row count; the deletes
-        themselves are distributed anti-joins."""
-        pending = [(parent_table, parent_victims)]
-        while pending:
-            ptable, victims = pending.pop()
-            for child in list(ctx.registry.values()):
-                if not child.surrogate_id:
+        relation graph is walked with a worklist; each rewritten child
+        re-enters the list so grandchildren (and self-references) follow
+        until a fixpoint. Driver work is one cheap existence probe per
+        live child — bounded by the relation graph and the cascade
+        depth, never by row count; the deletes themselves are
+        distributed hash semi/anti joins.
+
+        Two snapshot-safety rules make this correct under
+        ``KEEP_VERSIONS=2`` retention:
+
+        - **victim frames are spilled, never kept lazy**: a victims plan
+          is bound to a concrete snapshot dir, and the cascade keeps
+          writing new versions of the same tables — two writes GC the
+          backing snapshot out from under an unevaluated plan
+          (FileNotFoundException mid-cascade, cascade half-applied).
+          Before any further write can flip versions, the columns
+          downstream steps will read (the FK-referenced ones, distinct —
+          metadata-scale, not table-scale) are written to a tmp parquet
+          under the storage root. Durable, unlike ``cache()`` whose
+          eviction would recompute against the deleted snapshot.
+        - **one write per child per step**: all FK edges from a child to
+          the same parent (e.g. ``match.home``/``match.away`` -> team)
+          are combined — per-edge hash semi-joins unioned on the
+          surrogate id (an OR join condition would force a nested-loop
+          join) — so the child is read and rewritten at most once."""
+        import os
+        import shutil
+        import uuid
+
+        # edges grouped by parent; per parent, the set of its columns any
+        # FK references (all a downstream cascade step reads of victims)
+        edges, referenced = {}, {}
+        for child in ctx.registry.values():
+            if not child.surrogate_id:
+                continue
+            for col in child.own_columns:
+                if col.ctype != "M2O":
                     continue
-                for col in child.own_columns:
-                    if (col.ctype != "M2O"
-                            or col.foreign_table != ptable.name):
-                        continue
-                    pref = victims.select(
-                        F.col(_bt(col.foreign_col)).alias("__pref")
-                    ).distinct()
+                edges.setdefault(col.foreign_table, []).append(
+                    (child, col))
+                referenced.setdefault(col.foreign_table, set()).add(
+                    col.foreign_col)
+
+        tmp_root = os.path.join(ctx.root, "_cascade", uuid.uuid4().hex)
+        n_spills = 0
+
+        def pin(tname, victims):
+            nonlocal n_spills
+            cols = sorted(referenced.get(tname, ()))
+            if not cols or tname not in edges:
+                return None  # leaf table: nothing cascades from it
+            path = os.path.join(tmp_root, "%s_%d" % (tname, n_spills))
+            n_spills += 1
+            (victims.select(*[_bt(c) for c in cols]).distinct()
+             .write.parquet(path))
+            return ctx.spark.read.parquet(path)
+
+        try:
+            pending = []
+            pinned = pin(parent_table.name, parent_victims)
+            if pinned is not None:
+                pending.append((parent_table, pinned))
+            while pending:
+                ptable, victims = pending.pop()
+                by_child = {}
+                for child, col in edges.get(ptable.name, ()):
+                    by_child.setdefault(child.name, (child, []))[1] \
+                        .append(col)
+                for child, cols in by_child.values():
                     existing_c = ctx.read(child.name)
-                    on = existing_c[col.name] == F.col("__pref")
-                    cvict = existing_c.join(pref, on, "left_semi")
-                    if not cvict.limit(1).count():
+                    vict_ids = None
+                    for col in cols:
+                        pref = victims.select(
+                            F.col(_bt(col.foreign_col)).alias("__pref")
+                        ).distinct()
+                        leg = existing_c.join(
+                            pref,
+                            existing_c[col.name] == F.col("__pref"),
+                            "left_semi",
+                        ).select(F.col("id").alias("__vid"))
+                        vict_ids = (leg if vict_ids is None
+                                    else vict_ids.unionByName(leg))
+                    if len(cols) > 1:
+                        vict_ids = vict_ids.distinct()
+                    if not vict_ids.limit(1).count():
                         continue
-                    kept = existing_c.join(pref, on, "left_anti")
+                    on = existing_c["id"] == F.col("__vid")
+                    cvict = existing_c.join(vict_ids, on, "left_semi")
+                    # spill BEFORE the write below flips versions
+                    pinned = pin(child.name, cvict)
+                    kept = existing_c.join(vict_ids, on, "left_anti")
                     ctx.write(child.name, kept)
                     ctx.reset_cache(child.name)
-                    pending.append((child, cvict))
+                    if pinned is not None:
+                        pending.append((child, pinned))
+        finally:
+            shutil.rmtree(tmp_root, ignore_errors=True)
 
     # ------------------------------------------------------------------
     # DELETE

@@ -89,3 +89,58 @@ def test_delete_cascades(session):
     # Bob (Blue/Belgium) and Alice (Red/Belgium) cascade away with
     # their teams; Trudy (Blue/France) survives
     assert names == {"Trudy"}
+
+
+MATCH_SCHEMA = """
+- table: team2
+  columns:
+    name: varchar
+  key: [name]
+- table: match
+  columns:
+    label: varchar
+    home: m2o team2.id
+    away: m2o team2.id
+  key: [label]
+- table: event
+  columns:
+    kind: varchar
+    match: m2o match.id
+  key: [kind, match]
+"""
+
+
+def test_delete_cascade_multi_fk_diamond(spark, tmp_path):
+    """Regression (round-5 ADVICE): a child with TWO m2o FKs to the same
+    parent (match.home / match.away -> team2) plus a grandchild
+    (event -> match). The old per-edge cascade wrote `match` twice, so
+    with KEEP_VERSIONS=2 the snapshot backing the still-lazy victim
+    frame was GC'd before evaluation — FileNotFoundException mid-cascade
+    and dangling `event` rows. Now each child is read/written once per
+    step and victim keys are spilled snapshot-independently."""
+    from tanker_spark import connect, create_tables
+
+    cfg = {"root": str(tmp_path / "db2"), "schema": MATCH_SCHEMA,
+           "spark": spark}
+    with connect(cfg):
+        create_tables()
+        View("team2", ["name"]).write([["ants"], ["bees"], ["cats"]])
+        View("match", ["label", "home.name", "away.name"]).write([
+            ["m1", "ants", "bees"],   # ants at home
+            ["m2", "cats", "ants"],   # ants away
+            ["m3", "bees", "cats"],   # no ants
+        ])
+        View("event", ["kind", "match.label"]).write([
+            ["goal", "m1"], ["foul", "m2"], ["goal", "m3"],
+        ])
+
+        View("team2").delete('(= name "ants")')
+
+        assert {n for (n,) in View("team2", ["name"]).read().all()} == {
+            "bees", "cats"}
+        # both FK edges cascade: m1 (home) AND m2 (away) die
+        assert [r for (r,) in View("match", ["label"]).read().all()] == [
+            "m3"]
+        # grandchild follows — no dangling event rows
+        assert View("event", ["kind", "match.label"]).read().all() == [
+            ("goal", "m3")]

@@ -307,3 +307,49 @@ def test_zorder_within_partitions(spark, tmp_path):
             )["code"].to_pylist()
             jumps = [abs(a - b) for a, b in zip(codes, codes[1:])]
             assert sum(jumps) / len(jumps) < 60, sum(jumps) / len(jumps)
+
+
+def test_zorder_bits_fit_long(spark):
+    """Regression (round-5 ADVICE): with 4 columns at the default
+    bits=16 the interleave's top bit landed on the long's sign bit
+    (max-valued rows sorted FIRST), and >=5 columns shifted >=64 —
+    wrapped mod 64 on the JVM, silently colliding bits across columns.
+    Per-column bits are now clamped so the interleave fits 63 bits."""
+    import itertools
+
+    for ncols in (4, 5):
+        cols = ["c%d" % i for i in range(ncols)]
+        # every min/max corner of the ncols-dim cube
+        rows = [tuple(corner) for corner in
+                itertools.product((0, 1000), repeat=ncols)]
+        df = spark.createDataFrame(rows, cols)
+        z = storage.zorder_column(df, cols)
+        got = df.select(*cols, z.alias("z")).collect()
+        by_row = {tuple(r[c] for c in cols): r["z"] for r in got}
+        # no sign-bit flip: every z-value non-negative
+        assert all(v >= 0 for v in by_row.values())
+        # Morton monotonicity at the corners: all-max strictly dominates
+        # every other corner, all-min is the global minimum
+        zmax = by_row[(1000,) * ncols]
+        zmin = by_row[(0,) * ncols]
+        assert zmax == max(by_row.values())
+        assert zmin == min(by_row.values())
+        # no cross-column collision: every corner gets a distinct z
+        assert len(set(by_row.values())) == len(rows)
+
+
+def test_gc_spares_concurrent_claimed_version(tmp_path):
+    """Regression (round-5 ADVICE): post-commit GC used to apply the
+    keep-window over ALL version dirs — a slow concurrent writer's
+    claimed-but-uncommitted v_000004 fell outside keep=2 once two newer
+    commits landed, and the fast writer deleted it mid-write. GC now
+    only considers versions <= the one this writer just committed."""
+    tdir = tmp_path / "t"
+    tdir.mkdir()
+    for v in ("v_000001", "v_000002", "v_000003", "v_000004"):
+        (tdir / v).mkdir()
+        (tdir / v / "part-0.parquet").write_text("x")
+    # this writer commits v_000003; v_000004 is a slow writer's claim
+    storage._gc_versions(str(tdir), "v_000003", None)
+    left = sorted(p.name for p in tdir.iterdir())
+    assert left == ["v_000002", "v_000003", "v_000004"]
