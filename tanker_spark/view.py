@@ -527,9 +527,13 @@ class View(object):
         auto_group = aggregated and not groupby
         group_descs = []
         if auto_group:
+            # scalar-subquery fields are attached AFTER aggregation
+            # (they are per-group values, not grouping keys)
             group_descs = [
-                f.desc for f, agg in zip(self.fields, field_is_agg)
-                if not agg
+                f.desc
+                for i, (f, agg) in enumerate(
+                    zip(self.fields, field_is_agg))
+                if not agg and i not in field_scalar_pend
             ]
         elif groupby:
             group_descs = list(groupby)
@@ -589,7 +593,7 @@ class View(object):
         # cross-join lowering post-agg. Compiled before the frame
         # build so dotted paths register their joins in time.
         having = spec.get("having")
-        hav_conds, hav_scalars = [], []
+        hav_conds, hav_scalars, hav_semis = [], [], []
         if having is not None:
             if not aggregated:
                 raise ValueError("having requires an aggregated read")
@@ -603,20 +607,14 @@ class View(object):
                              + list(res.scalars)
                              + list(res.semis) + list(res.ors)):
                     if isinstance(part, ScalarSub):
-                        if (part.sub.compiler._ext_depth
-                                or part.sub.where_entries
-                                and any(e.depth
-                                        for e in part.sub.where_entries)):
-                            raise ValueError(
-                                "correlated scalar subqueries are not "
-                                "supported in having"
-                            )
                         hav_scalars.append(part)
                     elif isinstance(part, (SemiJoin, OrGroup)):
-                        raise ValueError(
-                            "EXISTS/IN subqueries are not supported in "
-                            "having — filter before aggregating instead"
-                        )
+                        # EXISTS / IN / OR-of-subqueries in HAVING:
+                        # lowered on the POST-aggregate frame (SQL
+                        # semantics — the subquery may correlate on the
+                        # group keys, which are re-exposed under their
+                        # source names by ``outer_frame`` below)
+                        hav_semis.append(part)
                     else:
                         hav_conds.append(as_col(part))
 
@@ -627,12 +625,6 @@ class View(object):
 
         # 6. aggregate / project
         hidden = []
-        if aggregated and field_scalar_pend:
-            raise ValueError(
-                "scalar-subquery fields are not supported in "
-                "aggregated reads — aggregate the attached value in a "
-                "second read instead"
-            )
         if aggregated:
             g_aliases = ["__g%d" % i for i in range(len(group_cols))]
             gb = [c.alias(a) for c, a in zip(group_cols, g_aliases)]
@@ -644,8 +636,11 @@ class View(object):
                 if expanded:
                     gmap[expanded] = a
             aggs, out_names = [], []
-            for f, c, is_agg in zip(self.fields, field_cols, field_is_agg):
-                if is_agg:
+            for i, (f, c, is_agg) in enumerate(
+                    zip(self.fields, field_cols, field_is_agg)):
+                if i in field_scalar_pend:
+                    out_names.append(None)  # attached post-agg below
+                elif is_agg:
                     aggs.append(c.alias(f.name))
                     out_names.append(f.name)
                 else:
@@ -667,6 +662,11 @@ class View(object):
                         oc = F.col(gmap[d])
                     elif d in self.field_dict:
                         fidx = [f.name for f in self.fields].index(d)
+                        if fidx in field_scalar_pend:
+                            # scalar field: orderable only after the
+                            # post-agg attach — resolved below
+                            order_cols.append(("__scalar", fidx, how))
+                            continue
                         if field_is_agg[fidx]:
                             oc = F.col(_bt(d))
                         else:
@@ -695,6 +695,11 @@ class View(object):
                 aggs.append(c.alias(hn))
                 hav_names.append(hn)
             for i, s in enumerate(hav_scalars):
+                if isinstance(s.other, Subquery):
+                    # both operands are subqueries: nothing references
+                    # the group — lowered wholesale post-agg
+                    hav_sc_pairs.append((None, s))
+                    continue
                 hn = "__havs%d" % i
                 aggs.append(as_col(s.other).alias(hn))
                 hav_sc_pairs.append((hn, s))
@@ -738,15 +743,56 @@ class View(object):
                 df = df.groupBy(*gb).agg(*aggs) if gb else df.agg(*aggs)
             for hn in hav_names:
                 df = df.filter(F.col(hn))
+            # Correlated HAVING subqueries and scalar fields reference
+            # the outer query via ``F.col("<base_alias>.<col>")``; the
+            # post-agg frame lost both the alias and the source column
+            # names. Re-expose each plain-column group key under its
+            # source name and re-alias the frame — correlation then
+            # resolves against group keys exactly (SQL: HAVING may only
+            # reference group keys and aggregates). The helper columns
+            # are pruned by the final projection.
+            needs_outer = hav_semis or field_scalar_pend or any(
+                s.sub.compiler._ext_depth
+                or (s.sub.where_entries
+                    and any(e.depth for e in s.sub.where_entries))
+                for _, s in hav_sc_pairs
+            )
+            if needs_outer:
+                for d, a in zip(group_descs, g_aliases):
+                    name = compiler.expand_env(d) or d
+                    if "." not in name and name in table:
+                        df = df.withColumn(name, F.col(a))
+                df = df.alias(compiler.planner.base_alias)
             for hn, s in hav_sc_pairs:
-                inner = ScalarSub(s.op, F.col(hn), s.sub, s.sub_on_left)
+                inner = (s if hn is None else
+                         ScalarSub(s.op, F.col(hn), s.sub, s.sub_on_left))
                 df = self._apply_scalarsub(df, inner, reader)
+            for part in hav_semis:
+                if isinstance(part, OrGroup):
+                    df = self._apply_orgroup(df, part, reader)
+                else:
+                    df = self._apply_semijoin(df, part, reader)
+            scalar_cols = {}
+            for i, marker in field_scalar_pend.items():
+                df, c = self._field_scalar(df, marker, reader)
+                scalar_cols[i] = c
             if order_cols:
-                df = df.orderBy(*order_cols)
+                resolved = []
+                for oc in order_cols:
+                    if isinstance(oc, tuple) and oc[0] == "__scalar":
+                        _, fidx, how = oc
+                        c = scalar_cols[fidx]
+                        oc = (c.desc() if how and how.upper() == "DESC"
+                              else c.asc())
+                    resolved.append(oc)
+                df = df.orderBy(*resolved)
             # final projection, renaming group aliases to field names
             final = []
-            for f, n in zip(self.fields, out_names):
-                final.append(F.col(_bt(n)).alias(f.name))
+            for i, (f, n) in enumerate(zip(self.fields, out_names)):
+                if i in scalar_cols:
+                    final.append(scalar_cols[i].alias(f.name))
+                else:
+                    final.append(F.col(_bt(n)).alias(f.name))
             df = df.select(*final)
         else:
             select_cols = [

@@ -185,18 +185,33 @@ def test_having(session):
     with pytest.raises(ValueError):
         View("team", ["name"]).read(having="(> (count) 1)").all()
 
-    # EXISTS in having is rejected with guidance
-    with pytest.raises(ValueError):
-        View("team", ["name", "(count)"]).read(
-            having="(exists (from member (select 1)))"
-        ).all()
+    # EXISTS in having, correlated on the group key: keep only the
+    # Belgium group (the fk id column `country` is the grouping key)
+    res = View("team", {"c": "country", "n": "(count)"}).read(
+        groupby="country",
+        having='(exists (from country (where (= id _parent.country) '
+               '(= name "Belgium"))))',
+    ).all()
+    assert [n for _, n in res] == [2]
 
-    # correlated scalar subqueries in having are rejected
-    with pytest.raises(ValueError):
-        View("team", ["name", "(count)"]).read(
-            having="(> (count) (from member (select (count)) "
-                   "(where (= team _parent.id))))"
-        ).all()
+    # NOT EXISTS flips it: the non-Belgium group survives
+    res = View("team", {"c": "country", "n": "(count)"}).read(
+        groupby="country",
+        having='(not (exists (from country (where (= id _parent.country)'
+               ' (= name "Belgium")))))',
+    ).all()
+    assert [n for _, n in res] == [1]
+
+    # correlated scalar subquery in having: each group compared against
+    # a per-group scalar (here: total teams of the same country — an
+    # identity, AND-ed with a real cut to prove both evaluate)
+    res = View("team", {"c": "country", "n": "(count)"}).read(
+        groupby="country",
+        having=["(= (count) (from team (select (count)) "
+                "(where (= country _parent.country))))",
+                "(> (count) 1)"],
+    ).all()
+    assert [n for _, n in res] == [2]
 
 
 def test_cast(session):

@@ -314,9 +314,19 @@ def test_scalar_field(session):
     }).read(distinct=True, order="c").all()
     assert res == [("Belgium", 3), ("France", 3)]
 
-    # aggregated reads reject scalar fields with guidance
-    with pytest.raises(ValueError):
-        View("member", {
-            "n": "(count)",
-            "x": "(from member (select (count)))",
-        }).read().all()
+    # aggregated reads attach scalar fields AFTER aggregation
+    # (uncorrelated: one broadcast; the scalar is not a grouping key)
+    res = View("member", {
+        "n": "(count)",
+        "x": "(from member (select (count)))",
+    }).read().all()
+    assert res == [(3, 3)]
+
+    # correlated on a group key: per-group lookup (the denormalizing
+    # dimension fetch — TPC-H style group-then-describe)
+    res = View("team", {
+        "cname": "(from country (select name) "
+                 "(where (= id _parent.country)))",
+        "n": "(count)",
+    }).read(groupby="country", order="cname").all()
+    assert res == [("Belgium", 2), ("France", 1)]
