@@ -99,6 +99,29 @@ def chunk_docs(df, text_col="text", id_col="doc_id", size=64, stride=48):
 AUTO_SALT_TARGET = 1_000_000
 
 
+def _salt_plan(max_group, k, target_rows):
+    """Subgroup counts for the cascaded skew pre-passes of
+    :func:`cap_per_group`, finest first.
+
+    Level 0 splits the biggest group into ceil(max_group/target)
+    subgroups so each task sorts ≤ ~target rows; its survivors are
+    k·N₀ rows per group, which the next level re-salts at
+    N₁ = ceil(k·N₀/target), and so on until the remaining k·Nᵢ rows
+    fit one task (≤ max(target, 2k) — k rows must eventually meet in
+    ONE task, so target below 2k can't be honored further). Geometric
+    shrink by k/target ⇒ O(log n) levels; per-task input is bounded by
+    ~target at EVERY level, independent of group size."""
+    target = max(int(target_rows), 1)
+    plan = [-(-int(max_group) // target)]
+    floor = max(target, 2 * int(k))
+    while int(k) * plan[-1] > floor:
+        nxt = -(-(int(k) * plan[-1]) // target)
+        if nxt >= plan[-1]:
+            break  # k >= target: cannot shrink further
+        plan.append(nxt)
+    return plan
+
+
 def cap_per_group(df, group_col, k, order_by, salt="auto",
                   target_rows=AUTO_SALT_TARGET):
     """Keep at most ``k`` rows per group (per-domain / per-source caps —
@@ -113,13 +136,18 @@ def cap_per_group(df, group_col, k, order_by, salt="auto",
     never lands on one task. ``salt`` controls it:
 
     - ``"auto"`` (default): one group-count aggregation (map-side
-      combined, result is one row) sizes the guard — N =
-      ceil(max_group / target_rows) when any group exceeds
-      ``target_rows``, no pre-pass otherwise. The extra job is a
-      column-pruned scan; pass ``salt=None`` to skip it and stay fully
-      lazy.
+      combined, result is one row) sizes the guard — a CASCADE of
+      pre-passes (:func:`_salt_plan`) starting at N =
+      ceil(max_group / target_rows), each level re-salting the k×N
+      survivors of the previous one, so NO task ever sorts more than
+      ~``target_rows`` rows regardless of group size (the round-4
+      ceiling of 1024 subgroups left ~max_group/1024 rows in one task
+      for a >10⁹-row group). Levels shrink geometrically by
+      k/target_rows, so a 10¹²-row group at defaults costs 3 extra
+      window passes, all in the same (group, sub) shuffle family. No
+      pre-pass when every group fits ``target_rows``.
     - ``None`` / ``0``: no pre-pass (single shuffle, lazy).
-    - ``N``: force N subgroups.
+    - ``N``: force exactly one pre-pass with N subgroups.
 
     The subgroup hash covers every HASHABLE column of the row (map
     columns can't feed ``xxhash64`` and are skipped), so a skewed
@@ -133,14 +161,17 @@ def cap_per_group(df, group_col, k, order_by, salt="auto",
         F.col(c).asc()
         for c, d in order_by
     ]
+    plan = None
     if salt == "auto":
         mx = (
             df.groupBy(group_col).count()
             .agg(F.max("count").alias("mx")).first()["mx"]
         )
-        salt = 0 if mx is None or mx <= target_rows else min(
-            1024, -(-mx // target_rows)
-        )
+        if mx is None or mx <= target_rows:
+            salt = 0
+        else:
+            plan = _salt_plan(mx, k, target_rows)
+            salt = plan[0]
     if salt and int(salt) > 1:
         from pyspark.sql import types as T
 
@@ -155,15 +186,22 @@ def cap_per_group(df, group_col, k, order_by, salt="auto",
 
         cols = [f.name for f in df.schema.fields
                 if _hashable(f.dataType)] or [group_col]
-        sub = F.pmod(
-            F.xxhash64(*[F.col(c) for c in cols]), F.lit(int(salt))
-        )
-        w1 = Window.partitionBy(F.col(group_col), sub).orderBy(*order_cols)
-        df = (
-            df.withColumn("__rk1", F.row_number().over(w1))
-            .filter(F.col("__rk1") <= k)
-            .drop("__rk1")
-        )
+        # correctness of every level: a row in the group's global top-k
+        # is in the top-k of ANY subgroup containing it, so it survives
+        # each pre-pass — the classic top-k aggregation tree
+        for lvl, n in enumerate(plan if plan is not None
+                                else [int(salt)]):
+            sub = F.pmod(
+                F.xxhash64(*[F.col(c) for c in cols], F.lit(lvl)),
+                F.lit(int(n)),
+            )
+            w1 = Window.partitionBy(
+                F.col(group_col), sub).orderBy(*order_cols)
+            df = (
+                df.withColumn("__rk1", F.row_number().over(w1))
+                .filter(F.col("__rk1") <= k)
+                .drop("__rk1")
+            )
     w = Window.partitionBy(group_col).orderBy(*order_cols)
     return (
         df.withColumn("__rk", F.row_number().over(w))

@@ -560,6 +560,68 @@ def cell_and_sim(cent_vecs, vec_col="embedding"):
     return (-best["ni"]).cast("int"), best["s"]
 
 
+#: centroid count above which :func:`semdedup` switches cell assignment
+#: from the flat ``greatest()`` Column argmax (whole-stage codegen, but
+#: the plan embeds k·dim literals — Catalyst chokes past a few
+#: thousand) to the Arrow-batched GEMM path (plan size O(1), centroids
+#: ride one broadcast numpy matrix).
+GEMM_ASSIGN_MIN_K = 256
+
+
+def _semdedup_k(n_rows, target_cluster_rows):
+    """k = n/target, the paper's regime (k grows WITH the corpus so
+    cluster sizes — and the O(Σcᵢ²) intra-cluster pair space — stay
+    bounded at ~``target_cluster_rows`` rows). No ceiling: a cap would
+    make cluster size grow linearly with corpus beyond it and the
+    self-join quadratic (the round-4 scale bug)."""
+    return max(4, int(n_rows) // int(target_cluster_rows))
+
+
+def cell_assign_gemm(df, cent_vecs, vec_col="embedding",
+                     id_col="vec_id"):
+    """Nearest-centroid assignment for LARGE k: one ``V @ C.T`` numpy
+    GEMM per Arrow batch against the broadcast normalized centroid
+    matrix. Returns ``(__id, __v, __cell, __csim)`` — same tie rule as
+    :func:`cell_and_sim` (highest cosine, ties to the lowest cell id:
+    ``np.argmax`` takes the first maximum).
+
+    Memory bound: the centroid matrix is k·dim·8 bytes on the driver
+    and once per executor (k=10⁶ at dim=128 ≈ 1 GB — the practical
+    ceiling; past that, assign against a coarse k then refine per
+    coarse cell)."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.array(cent_vecs, dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(Cn)
+    id_t = df.schema[id_col].dataType.simpleString()
+    vec_t = df.schema[vec_col].dataType.simpleString()
+    schema_str = ("__id %s, __v %s, __cell int, __csim double"
+                  % (id_t, vec_t))
+    src = df.select(F.col(id_col).alias("__id"),
+                    F.col(vec_col).alias("__v"))
+
+    def assign(batches):
+        b_Cn = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf["__v"]), dtype=np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            S = Vn @ b_Cn.T  # (batch, k)
+            cell = np.argmax(S, axis=1)
+            yield pd.DataFrame({
+                "__id": pdf["__id"],
+                "__v": pdf["__v"],
+                "__cell": cell.astype("int32"),
+                "__csim": S[np.arange(len(cell)), cell],
+            })
+
+    return src.mapInPandas(assign, schema_str)
+
+
 def semdedup(df, vec_col="embedding", id_col="vec_id", n_clusters=None,
              threshold=0.95, keep="centroid_far", method="sample",
              seed=42, target_cluster_rows=1024):
@@ -568,13 +630,18 @@ def semdedup(df, vec_col="embedding", id_col="vec_id", n_clusters=None,
     each within-cluster group of near-identical points.
 
     Spark lowering: centroids are fit driver-side (MLlib KMeans or a
-    deterministic hash-ordered sample, ≤ ``n_clusters`` rows of
-    metadata); cell assignment is the map-only argmax; the pair space
+    deterministic hash-ordered sample); cell assignment is map-only —
+    a flat ``greatest()`` Column argmax for small k, an Arrow-batched
+    numpy GEMM (:func:`cell_assign_gemm`) past ``GEMM_ASSIGN_MIN_K``
+    centroids, so the plan never embeds k·dim literals. The pair space
     is confined to one equi-self-join on the cell id — O(Σ cᵢ²) exactly
-    as in the paper, bounded because ``n_clusters`` scales with corpus
-    size (``None`` derives it from a footer count targeting
-    ``target_cluster_rows`` rows per cluster, the knob the paper tunes
-    as k≈√n·const). A point is dropped when a higher-priority
+    as in the paper, and bounded because ``n_clusters`` scales WITH the
+    corpus: ``None`` derives k = n / ``target_cluster_rows`` with NO
+    ceiling (:func:`_semdedup_k`; a cap would turn the self-join
+    quadratic past it). The driver/executor memory bound is the
+    CENTROID MATRIX, k·dim·8 bytes (k=10⁶, dim=128 ≈ 1 GB — beyond
+    that, coarse-then-fine assignment is the escape hatch), not the
+    cluster count. A point is dropped when a higher-priority
     near-duplicate (cosine ≥ ``threshold``) shares its cluster:
 
     - ``keep="centroid_far"`` (paper default): the point FARTHEST from
@@ -598,19 +665,21 @@ def semdedup(df, vec_col="embedding", id_col="vec_id", n_clusters=None,
         raise ValueError("keep must be 'centroid_far' or 'min_id'")
     if n_clusters is None:
         n_rows = df.count()
-        n_clusters = max(4, min(4096, n_rows // int(target_cluster_rows)))
+        n_clusters = _semdedup_k(n_rows, target_cluster_rows)
     cents = ivf_centroid_vectors(
         df, n_clusters, seed, vec_col, id_col, method=method
     )
-    cell, csim = cell_and_sim(cents, vec_col)
-    base = _persist(
-        df.select(
+    if len(cents) > GEMM_ASSIGN_MIN_K:
+        assigned = cell_assign_gemm(df, cents, vec_col, id_col)
+    else:
+        cell, csim = cell_and_sim(cents, vec_col)
+        assigned = df.select(
             F.col(id_col).alias("__id"),
             F.col(vec_col).alias("__v"),
             cell.alias("__cell"),
             csim.alias("__csim"),
         )
-    )
+    base = _persist(assigned)
     base.count()  # eager: both self-join sides read the cached frame
     L, R = base.alias("L"), base.alias("R")
     if keep == "centroid_far":
