@@ -353,3 +353,42 @@ def test_gc_spares_concurrent_claimed_version(tmp_path):
     storage._gc_versions(str(tdir), "v_000003", None)
     left = sorted(p.name for p in tdir.iterdir())
     assert left == ["v_000002", "v_000003", "v_000004"]
+
+
+def test_sequential_upserts_flat_cost(spark, tmp_path):
+    """Per-upsert cost must not grow with version-chain length
+    (BENCH_NOTES.md: round-4's apparent monotonic pass growth was
+    noise; KEEP_VERSIONS GC bounds the chain at 2 dirs so the
+    hard-link loop is O(partitions), not O(history)). Guard: the last
+    three of ten sequential upserts may not cost more than 2x the
+    first three (generous — a real O(history) bug is >3x by pass 10)."""
+    import time
+
+    schema = """
+    - table: seq
+      columns:
+        name: varchar
+        day: varchar
+        value: float
+      key: [name, day]
+      partition_by: [day]
+    """
+    cfg = {"root": str(tmp_path / "sdb"), "schema": schema,
+           "spark": spark}
+    rows = [("n%d" % i, "d%d" % (i % 20), float(i))
+            for i in range(5000)]
+    touch = [r for r in rows if r[1] in ("d0", "d1")]
+    with connect(cfg):
+        create_tables()
+        v = View("seq", ["name", "day", "value"])
+        v.write(rows)
+        times = []
+        for _ in range(10):
+            t0 = time.perf_counter()
+            v.write(touch)
+            times.append(time.perf_counter() - t0)
+        head = sorted(times[:3])[1]
+        tail = sorted(times[-3:])[1]
+        assert tail <= head * 2.0, times
+        # retention actually bounds the chain on disk
+        assert len(ctx.versions("seq")) <= 2
