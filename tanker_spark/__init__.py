@@ -6,10 +6,11 @@ Public API mirrors the reference (``/root/reference/tanker/__init__.py``):
 over SQLite/Postgres.
 """
 
-from .context import TankerContext, connect, create_tables, get_spark, register
+from .context import (TankerContext, TankerThread, connect, create_tables,
+                      get_spark, register)
 from .expression import ExpressionCompiler as Expression
 from .table import Column, Table
-from .utils import ctx, logger, paginate, yaml_load, __version__
+from .utils import ctx, interleave, logger, paginate, yaml_load, __version__
 from .view import Cursor, View, ViewField, fetch, save
 
 __all__ = [
@@ -18,6 +19,7 @@ __all__ = [
     "Expression",
     "Table",
     "TankerContext",
+    "TankerThread",
     "View",
     "ViewField",
     "__version__",
@@ -26,6 +28,7 @@ __all__ = [
     "ctx",
     "fetch",
     "get_spark",
+    "interleave",
     "logger",
     "paginate",
     "register",

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import io
 import os
+import threading
 from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
@@ -302,6 +303,38 @@ class TankerContext:
         from .view import release_all_pins
 
         release_all_pins()
+
+    def clone(self):
+        """Copy of self for another thread (reference
+        context.py:329-339, where the clone shares the connection but
+        gets its own cursor). Here the SparkSession, registry and
+        aliases are shared references — all thread-safe / read-only —
+        and the clone gets its OWN DataFrame cache, the one piece of
+        per-context mutable state."""
+        import copy
+
+        new_ctx = copy.copy(self)
+        new_ctx._df_cache = {}
+        return new_ctx
+
+
+class TankerThread(threading.Thread):
+    """Thread that inherits the creating thread's active context
+    (reference context.py:140-151): the context stack is thread-local,
+    so a plain ``Thread`` sees no context — ``TankerThread`` captures a
+    :meth:`TankerContext.clone` of the innermost active context at
+    construction time and installs it as the new thread's stack."""
+
+    def __init__(self, *args, **kwargs):
+        try:
+            self.stack = [CTX_STACK.active_context().clone()]
+        except RuntimeError:
+            self.stack = []
+        super().__init__(*args, **kwargs)
+
+    def run(self):
+        CTX_STACK.reset(self.stack)
+        super().run()
 
 
 @contextmanager

@@ -383,6 +383,113 @@ def hourly_anomalies(df, ts_col="ts", type_col="event_type",
     )
 
 
+ANOMALY_OUTPUT = T.StructType([
+    T.StructField("event_type", T.StringType()),
+    T.StructField("hour", T.TimestampType()),
+    T.StructField("n", T.LongType()),
+    T.StructField("z", T.DoubleType()),
+])
+
+ANOMALY_STATE = T.StructType([
+    T.StructField("frontier", T.LongType()),
+    T.StructField("hours", T.ArrayType(T.LongType())),
+    T.StructField("counts", T.ArrayType(T.LongType())),
+])
+
+
+def _hourly_anomaly_scorer(lookback, z_thresh, ts_col):
+    """Stateful per-type scorer for :func:`hourly_anomalies_stream` —
+    replicates the batch flag rule exactly (sample stddev over the
+    observed hours in the trailing ``lookback`` clock hours; sd>0 →
+    |z| cut, sd=0 with a changed count → NULL-z flag, <2 baseline
+    points → skip)."""
+    import math
+
+    import pandas as pd
+
+    def score(key, pdfs, state: GroupState):
+        (etype,) = key
+        if state.exists:
+            frontier, hours, counts = state.get
+            hc = dict(zip(hours, counts))
+        else:
+            frontier, hc = None, {}
+        for pdf in pdfs:
+            hs = (pd.to_datetime(pdf[ts_col]).astype("int64")
+                  // (3600 * 10 ** 9))
+            for h, c in hs.value_counts().items():
+                h = int(h)
+                if frontier is not None and h < frontier:
+                    continue  # late past closure: dropped (the same
+                    # effectively-once choice a watermark makes)
+                hc[h] = hc.get(h, 0) + int(c)
+        rows = []
+        if hc:
+            mx = max(hc)
+            lo = frontier if frontier is not None else min(hc)
+            for h in sorted(x for x in hc if lo <= x < mx):
+                base = [c for p, c in hc.items()
+                        if h - lookback <= p <= h - 1]
+                n = hc[h]
+                if len(base) >= 2:
+                    mu = sum(base) / len(base)
+                    sd = math.sqrt(
+                        sum((x - mu) ** 2 for x in base)
+                        / (len(base) - 1)
+                    )
+                    if sd > 0:
+                        z = (n - mu) / sd
+                        if abs(z) >= z_thresh:
+                            rows.append((etype, h, n, round(z, 4)))
+                    elif n != mu:
+                        rows.append((etype, h, n, None))
+            keep = sorted(p for p in hc if p >= mx - lookback)
+            state.update((mx, keep, [hc[p] for p in keep]))
+        out = pd.DataFrame(
+            rows, columns=["event_type", "hour", "n", "z"])
+        if len(out):
+            out["hour"] = pd.to_datetime(out["hour"] * 3600, unit="s")
+        else:
+            out["hour"] = pd.to_datetime(out["hour"])
+        yield out
+
+    return score
+
+
+def hourly_anomalies_stream(stream_df, lookback=24, z_thresh=2.0,
+                            watermark="2 hours", ts_col="event_ts",
+                            type_col="event_type"):
+    """Streaming twin of :func:`hourly_anomalies`: the same z-score
+    gate, emitted continuously as hours CLOSE.
+
+    Lowering: watermarked ``applyInPandasWithState`` keyed by event
+    type. State per type is the (hour → count) map of the trailing
+    ``lookback`` clock hours plus the still-open frontier hour —
+    bounded at ``lookback + 1`` entries per type, the streaming
+    equivalent of the batch RANGE window. An hour closes for a type
+    when a LATER event of that type arrives; on close it is scored
+    against the observed hours in its trailing window and emitted iff
+    anomalous — so on an in-order replay the emitted set equals the
+    batch operator's output minus each type's final (never-closed)
+    hour (pinned by streaming_test). Late events inside the open hour
+    still count; late events for a closed hour are dropped, the same
+    effectively-once choice ``dropDuplicatesWithinWatermark`` makes.
+
+    Scale: state is O(types × lookback) longs — independent of event
+    volume; the only shuffle is the groupBy on type."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(type_col)
+        .applyInPandasWithState(
+            _hourly_anomaly_scorer(lookback, z_thresh, ts_col),
+            outputStructType=ANOMALY_OUTPUT,
+            stateStructType=ANOMALY_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def event_transitions(df, ts_col="ts", user_col="user_id",
                       type_col="event_type", id_col="event_id"):
     """Per-user event-type transition counts (the Markov matrix of the

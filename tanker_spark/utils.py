@@ -101,6 +101,26 @@ def to_datetime(value, tz_aware: bool):
     raise ValueError('Unexpected value "%s" for timestamp' % (value,))
 
 
+def interleave(value, items):
+    """Like ``str.join`` but for iterables, flattening list/tuple items
+    (reference utils.py:60-83): yields the elements of ``items`` with
+    ``value`` between consecutive items; an item that is itself a
+    list/tuple is chained element-wise."""
+    if not items:
+        return
+    looping = False
+    for head in items:
+        if looping:
+            yield value
+        else:
+            looping = True
+        if isinstance(head, (list, tuple)):
+            for i in head:
+                yield i
+        else:
+            yield head
+
+
 def paginate(iterators, size=1000):
     """Zip parallel column iterators into fixed-size pages of row
     tuples (reference utils.py:85-92, page size there defaults to its

@@ -81,3 +81,66 @@ def test_concurrent_version_claim(session, tmp_path):
         for c in claims:  # claimed dirs are empty — clean them up
             os.rmdir(os.path.join(tdir, c))
     assert set(os.listdir(tdir)) == before
+
+
+def test_tanker_thread_inherits_context(session):
+    """TankerThread parity (reference context.py:140-151 +
+    concurrent_test.py): worker threads see the creating thread's
+    context WITHOUT explicit stack plumbing — the constructor captures
+    a clone of the innermost active context."""
+    from queue import Queue
+
+    from tanker_spark import TankerThread
+
+    out_q = Queue()
+
+    def read(i):
+        res = View("team", ["name", "country.name"]).read().all()
+        out_q.put((i, sorted(res)))
+
+    threads = [TankerThread(target=read, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    expected = sorted(
+        [("Blue", "Belgium"), ("Red", "Belgium"), ("Blue", "France")]
+    )
+    got = {}
+    while not out_q.empty():
+        i, res = out_q.get()
+        got[i] = res
+    assert len(got) == 3
+    assert all(res == expected for res in got.values())
+
+
+def test_tanker_thread_without_context():
+    """Constructed with no active context: the thread starts with an
+    empty stack (reference behavior) and engine calls raise the
+    no-context error instead of leaking another thread's state."""
+    from queue import Queue
+
+    from tanker_spark import TankerThread
+
+    q = Queue()
+
+    def probe():
+        try:
+            View("team").read().all()
+            q.put("no error")
+        except RuntimeError as e:
+            q.put(str(e))
+
+    t = TankerThread(target=probe)
+    t.start()
+    t.join()
+    assert "No active tanker_spark context" in q.get()
+
+
+def test_clone_shares_registry_not_cache(session):
+    """ctx.clone(): same registry/spark (shared, read-only), fresh
+    DataFrame cache (per-context mutable state)."""
+    clone = session.clone()
+    assert clone.registry is session.registry
+    assert clone.spark is session.spark
+    assert clone._df_cache is not session._df_cache

@@ -357,3 +357,58 @@ def test_sessionize_late_event_within_watermark(spark, tmp_path):
     # no emitted session may be inverted
     for r in out.collect():
         assert r.session_start <= r.session_end, r
+
+
+def test_hourly_anomalies_stream_matches_batch(spark, tmp_path):
+    """Round-5 VERDICT item: the streaming z-score gate must equal the
+    batch operator on a replayed event set — same flagged hours, same
+    counts, same (rounded) z — modulo each type's final hour, which a
+    stream can never close. Replayed as 3 sequential files, one
+    micro-batch each, so the baseline state provably carries across
+    micro-batches."""
+    from datetime import datetime, timedelta
+
+    rows, eid = [], 0
+    base = datetime(2024, 1, 1)
+    for h in range(48):
+        n = 10 if h != 40 else 200       # planted 20x spike at hour 40
+        for i in range(n):
+            rows.append((eid, base + timedelta(hours=h, minutes=i % 60),
+                         1, "click", 1.0, "{}"))
+            eid += 1
+        # second, mildly noisy type: 5 + (h % 3) events per hour, with
+        # its own spike at hour 30
+        m = 5 + (h % 3) if h != 30 else 120
+        for i in range(m):
+            rows.append((eid, base + timedelta(hours=h, minutes=i % 60),
+                         2, "view", 1.0, "{}"))
+            eid += 1
+
+    src = str(tmp_path / "anom_src")
+    cuts = [(0, 20), (20, 40), (40, 48)]
+    for lo, hi in cuts:
+        chunk = [r for r in rows
+                 if lo <= (r[1] - base).total_seconds() // 3600 < hi]
+        spark.createDataFrame(chunk, sev.EVENTS_SCHEMA) \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    stream = sev.read_events_stream(spark, src, max_files_per_trigger=1)
+    out = sev.run_to_memory(
+        sev.hourly_anomalies_stream(stream, lookback=24, z_thresh=2.0),
+        name="t_anom_stream", output_mode="append")
+    got = {(r.event_type, r.hour, r.n, r.z) for r in out.collect()}
+
+    batch_df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value",
+               "props"])
+    batch = sev.hourly_anomalies(batch_df, lookback=24, z_thresh=2.0)
+    last_hour = {"click": base + timedelta(hours=47),
+                 "view": base + timedelta(hours=47)}
+    want = {(r.event_type, r.hour, r.n, r.z)
+            for r in batch.collect()
+            if r.hour != last_hour[r.event_type]}
+
+    assert got == want
+    # sanity: both spikes were actually flagged
+    assert any(h == base + timedelta(hours=40) for _, h, _, _ in got)
+    assert any(h == base + timedelta(hours=30) for _, h, _, _ in got)

@@ -68,3 +68,17 @@ def test_runtime_register_create(session):
     create_tables()
     rows = View("sponsor", ["name", "country.name", "type"]).read().all()
     assert rows == [("ACME-2000", "Belgium", "gold")]
+
+
+def test_interleave():
+    """interleave parity (reference utils.py:60-83): str.join for
+    lists, flattening list/tuple items."""
+    from tanker_spark import interleave
+
+    assert list(interleave(",", ["a", "b", "c"])) == \
+        ["a", ",", "b", ",", "c"]
+    # list items chain element-wise, separator only BETWEEN items
+    assert list(interleave(" AND ", [["a", "b"], "c"])) == \
+        ["a", "b", " AND ", "c"]
+    assert list(interleave(0, [])) == []
+    assert list(interleave(0, [[1, 2], (3,), 4])) == [1, 2, 0, 3, 0, 4]
