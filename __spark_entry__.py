@@ -1416,6 +1416,25 @@ def semdedup_embeddings(spark, sf_dir):
     )
 
 
+def dsir_select_docs(spark, sf_dir):
+    """DSIR importance resampling (arXiv:2302.03169): hashed-bigram
+    importance weights of every document against an in-domain target
+    (the 'src0' source slice), then a deterministic Gumbel top-100
+    draw. Rows-only: xxhash64-bucketed features have no DuckDB twin;
+    domain separation + determinism are pinned by
+    tests/operators_test.py::test_dsir_weights_separate_domains."""
+    from tanker_spark.operators import curation
+
+    docs = _read(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == "src0")
+    w = curation.dsir_weights(docs, target, ngram=2, n_buckets=8192)
+    return (
+        curation.dsir_resample(docs, w, 100, temperature=0.5)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
 def pack_docs(spark, sf_dir):
     """Context-window packing (first-fit-decreasing per partition, no
     SQL oracle — sequential bin assignment; invariants pinned in
@@ -2127,6 +2146,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": multimodal_features,
         "pack_docs": pack_docs,
         "semdedup_embeddings": semdedup_embeddings,
+        "dsir_select_docs": dsir_select_docs,
     }
 
 

@@ -554,3 +554,139 @@ def cluster_balance_sample(df, k=8, per_cluster=100, vec_col="embedding",
         tagged, "cluster", per_cluster,
         [("__ord", "asc"), (id_col, "asc")],
     ).drop("__ord")
+
+
+#: hashed-n-gram modulus for DSIR uniform draws (Gumbel keys)
+_DSIR_U_MOD = 1 << 40
+
+
+def _hashed_gram_buckets(text_col, ngram, n_buckets):
+    """array<long> of hashed word 1..n-gram buckets for one document —
+    pure Column math (lowercase, whitespace split, windowed concat,
+    xxhash64 mod buckets): no UDF, no shuffle."""
+    arr = F.filter(
+        F.split(F.lower(text_col), r"\s+"), lambda x: x != F.lit("")
+    )
+
+    def window_concat(k):
+        # unary closure (a default arg would make PySpark treat the
+        # lambda as the binary (element, index) form of transform)
+        return lambda i: F.concat_ws(
+            " ", *[F.element_at(arr, i + j + 1) for j in range(k)]
+        )
+
+    grams = [arr]
+    for k in range(2, int(ngram) + 1):
+        gk = F.when(
+            F.size(arr) >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.size(arr) - k),
+                window_concat(k),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        grams.append(gk)
+    allg = grams[0] if len(grams) == 1 else F.concat(*grams)
+    return F.transform(
+        allg, lambda g: F.pmod(F.xxhash64(g), F.lit(int(n_buckets)))
+    )
+
+
+def _bucket_logprobs(df, text_col, ngram, n_buckets, smoothing, name):
+    """(bucket → log prob) table + the smoothed log prob of an unseen
+    bucket. One explode → one ≤n_buckets-row aggregate (map-side
+    combined); the total is a one-row driver action."""
+    import math
+
+    ex = df.select(
+        F.explode(
+            _hashed_gram_buckets(F.col(text_col), ngram, n_buckets)
+        ).alias("__b")
+    )
+    counts = ex.groupBy("__b").agg(F.count(F.lit(1)).alias("__c"))
+    total = counts.agg(F.sum("__c").alias("t")).first()["t"] or 0
+    denom = float(total) + float(smoothing) * float(n_buckets)
+    lp = counts.select(
+        "__b",
+        F.log((F.col("__c") + F.lit(float(smoothing)))
+              / F.lit(denom)).alias(name),
+    )
+    unseen = math.log(float(smoothing) / denom)
+    return lp, unseen
+
+
+def dsir_weights(df, target_df, text_col="text", id_col="doc_id",
+                 ngram=2, n_buckets=10_000, smoothing=1.0):
+    """DSIR importance weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", arXiv:2302.03169):
+    per-document ``logw = log p_target(x) − log p_raw(x)`` under
+    bag-of-hashed-ngrams unigram models — the published recipe for
+    steering a raw crawl toward a target domain before training.
+
+    Features are word 1..``ngram``-grams hashed into ``n_buckets``
+    buckets (pure Column math, no UDF). Each corpus contributes one
+    explode → one ≤``n_buckets``-row count aggregate (shuffle bounded
+    by the bucket space after map-side combine, NOT by corpus size);
+    the two log-prob tables join into one ≤``n_buckets``-row frame
+    that broadcasts into the per-doc sum. Unseen buckets get the
+    add-``smoothing`` floor on both sides, so every gram contributes a
+    finite log-ratio. Returns ``(id_col, logw)``.
+
+    100 TB shape: two scans of the raw corpus (features+sum), one of
+    the (much smaller) target; nothing driver-side exceeds one row per
+    bucket."""
+    lp_t, unseen_t = _bucket_logprobs(
+        target_df, text_col, ngram, n_buckets, smoothing, "__lpt")
+    lp_r, unseen_r = _bucket_logprobs(
+        df, text_col, ngram, n_buckets, smoothing, "__lpr")
+    ratio = (
+        lp_t.join(lp_r, "__b", "full")
+        .select(
+            "__b",
+            (F.coalesce(F.col("__lpt"), F.lit(unseen_t))
+             - F.coalesce(F.col("__lpr"), F.lit(unseen_r))
+             ).alias("__lr"),
+        )
+    )
+    doc_grams = df.select(
+        F.col(id_col),
+        F.explode(
+            _hashed_gram_buckets(F.col(text_col), ngram, n_buckets)
+        ).alias("__b"),
+    )
+    return (
+        doc_grams.join(F.broadcast(ratio), "__b", "left")
+        .groupBy(id_col)
+        .agg(F.sum(
+            # a bucket in NEITHER corpus: both probs are the smoothed
+            # floor — the ratio is unseen_t - unseen_r
+            F.coalesce(F.col("__lr"),
+                       F.lit(unseen_t - unseen_r))
+        ).alias("logw"))
+    )
+
+
+def dsir_resample(df, weights, k, id_col="doc_id", seed=42,
+                  temperature=1.0):
+    """Importance resampling over :func:`dsir_weights` output: draw
+    ``k`` documents without replacement with probability ∝
+    exp(logw / temperature), via the Gumbel top-k trick — key =
+    logw/T + Gumbel noise, global top-k. The noise derives from
+    ``xxhash64(id, seed)`` so the draw is deterministic and
+    cluster-size-independent; the top-k lowers to
+    TakeOrderedAndProject (per-partition heads, no global sort).
+    ``temperature → 0`` degenerates to plain top-k by weight."""
+    import math as _math
+
+    u = (F.pmod(F.xxhash64(F.col(id_col).cast("string"),
+                           F.lit(int(seed))),
+                F.lit(_DSIR_U_MOD))
+         + F.lit(0.5)) / F.lit(float(_DSIR_U_MOD))
+    gumbel = -F.log(-F.log(u))
+    key = (F.col("logw") / F.lit(float(temperature))) + gumbel
+    return (
+        df.join(weights, id_col)
+        .withColumn("__gk", key)
+        .orderBy(F.col("__gk").desc())
+        .limit(int(k))
+        .drop("__gk")
+    )

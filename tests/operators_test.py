@@ -1529,3 +1529,59 @@ def test_semdedup_gemm_path(spark, monkeypatch):
     assert flat_kept == gemm_kept
     assert gemm_kept & {7, 900, 901} == {7}
     assert len(gemm_kept) == 400
+
+
+def test_dsir_weights_separate_domains(spark):
+    """DSIR: raw docs resembling the target domain must get higher
+    importance weights than off-domain docs, and resampling must
+    prefer them. Deterministic (hashed features, hashed Gumbel)."""
+    from tanker_spark.operators import curation
+
+    target = spark.createDataFrame(
+        [(i, "spark sql engine optimizes distributed query plans")
+         for i in range(20)],
+        ["doc_id", "text"])
+    raw_rows = []
+    for i in range(30):     # on-domain half
+        raw_rows.append(
+            (i, "spark engine runs distributed sql query stages"))
+    for i in range(30, 60):  # off-domain half
+        raw_rows.append(
+            (i, "banana bread recipe butter sugar flour oven bake"))
+    raw = spark.createDataFrame(raw_rows, ["doc_id", "text"])
+
+    w = curation.dsir_weights(raw, target, ngram=2, n_buckets=4096)
+    by_id = {r.doc_id: r.logw for r in w.collect()}
+    assert set(by_id) == set(range(60))
+    on = [by_id[i] for i in range(30)]
+    off = [by_id[i] for i in range(30, 60)]
+    assert min(on) > max(off)
+
+    # resampling at low temperature keeps (almost) only on-domain docs
+    picked = curation.dsir_resample(
+        raw, w, 20, temperature=0.05)
+    ids = {r.doc_id for r in picked.collect()}
+    assert len(ids) == 20
+    assert len([i for i in ids if i < 30]) >= 18
+    # deterministic across invocations
+    ids2 = {r.doc_id for r in curation.dsir_resample(
+        raw, w, 20, temperature=0.05).collect()}
+    assert ids == ids2
+
+
+def test_dsir_ngram_features_edgecases(spark):
+    """Short docs (fewer words than the n-gram order) and empty text
+    must not error, and weights stay finite."""
+    from tanker_spark.operators import curation
+
+    target = spark.createDataFrame(
+        [(1, "alpha beta")], ["doc_id", "text"])
+    raw = spark.createDataFrame(
+        [(1, "alpha"), (2, ""), (3, "alpha beta gamma")],
+        ["doc_id", "text"])
+    w = {r.doc_id: r.logw for r in curation.dsir_weights(
+        raw, target, ngram=3, n_buckets=64).collect()}
+    # the empty doc contributes no grams: it has no weight row
+    assert set(w) == {1, 3}
+    import math
+    assert all(math.isfinite(v) for v in w.values())
