@@ -394,3 +394,34 @@ def test_scalar_subquery_plan_shapes(session):
     plan = f._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "Broadcast" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_having_subquery_plan_shapes(session):
+    """Round-5 HAVING lowerings stay hash-join-shaped: EXISTS in HAVING
+    becomes a LeftSemi hash join on the re-exposed group key;
+    correlated scalars decorrelate to an equi-join — no
+    CartesianProduct / nested loops anywhere in either plan."""
+    View(
+        "member",
+        ["name", "team.country.name", "team.name", "registration_code"],
+    ).write(members)
+
+    f = View("team", {"c": "country", "n": "(count)"}).read(
+        groupby="country",
+        having='(exists (from country (where (= id _parent.country) '
+               '(= name "Belgium"))))',
+    ).frame()
+    plan = f._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    f = View("team", {"c": "country", "n": "(count)"}).read(
+        groupby="country",
+        having="(> (count) (from member (select (count)) "
+               "(where (= team _parent.country))))",
+    ).frame()
+    plan = f._jdf.queryExecution().executedPlan().toString()
+    assert "HashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
