@@ -45,6 +45,11 @@ BENCH_QUERIES = [
     # round-4.3 additions
     "q18_large_volume",
     "q21_blocking_supplier",
+    # round-5 additions
+    "having_exists_nations",
+    "having_scalar_corr_nations",
+    "scalar_field_agg_nations",
+    "dsir_select_docs",
 ]
 
 
