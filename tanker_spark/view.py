@@ -751,10 +751,14 @@ class View(object):
             # resolves against group keys exactly (SQL: HAVING may only
             # reference group keys and aggregates). The helper columns
             # are pruned by the final projection.
+            def _corr(sub):
+                return (sub.compiler._ext_depth
+                        or (sub.where_entries
+                            and any(e.depth for e in sub.where_entries)))
+
             needs_outer = hav_semis or field_scalar_pend or any(
-                s.sub.compiler._ext_depth
-                or (s.sub.where_entries
-                    and any(e.depth for e in s.sub.where_entries))
+                _corr(s.sub)
+                or (isinstance(s.other, Subquery) and _corr(s.other))
                 for _, s in hav_sc_pairs
             )
             if needs_outer:
