@@ -562,32 +562,33 @@ _DSIR_U_MOD = 1 << 40
 
 def _hashed_gram_buckets(text_col, ngram, n_buckets):
     """array<long> of hashed word 1..n-gram buckets for one document —
-    pure Column math (lowercase, whitespace split, windowed concat,
-    xxhash64 mod buckets): no UDF, no shuffle."""
+    pure Column math (lowercase, whitespace split, xxhash64 chain mod
+    buckets): no UDF, no shuffle.
+
+    n-grams are hashed WITHOUT building gram strings: level k's hash
+    array is ``zip_with`` of level k-1's hashes (shifted) with the
+    k-th word — ``h_k[i] = xxhash64(h_{k-1}[i], arr[i+k-1])``. The
+    aligned ``slice``s mean the token array is evaluated O(ngram)
+    times per ROW; the naive windowed ``element_at(arr, i+j)`` concat
+    re-evaluated the split per ELEMENT and was ~30× slower."""
     arr = F.filter(
         F.split(F.lower(text_col), r"\s+"), lambda x: x != F.lit("")
     )
-
-    def window_concat(k):
-        # unary closure (a default arg would make PySpark treat the
-        # lambda as the binary (element, index) form of transform)
-        return lambda i: F.concat_ws(
-            " ", *[F.element_at(arr, i + j + 1) for j in range(k)]
-        )
-
-    grams = [arr]
+    n = F.size(arr)
+    levels = [F.transform(arr, lambda w: F.xxhash64(w))]
     for k in range(2, int(ngram) + 1):
-        gk = F.when(
-            F.size(arr) >= k,
-            F.transform(
-                F.sequence(F.lit(0), F.size(arr) - k),
-                window_concat(k),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        grams.append(gk)
-    allg = grams[0] if len(grams) == 1 else F.concat(*grams)
+        prev, kk = levels[-1], k
+        ln = F.greatest(n - (kk - 1), F.lit(0))
+        levels.append(
+            F.zip_with(
+                F.slice(prev, 1, ln),
+                F.slice(arr, kk, ln),
+                lambda h, w: F.xxhash64(h, w),
+            )
+        )
+    allh = levels[0] if len(levels) == 1 else F.concat(*levels)
     return F.transform(
-        allg, lambda g: F.pmod(F.xxhash64(g), F.lit(int(n_buckets)))
+        allh, lambda h: F.pmod(h, F.lit(int(n_buckets)))
     )
 
 
@@ -602,7 +603,12 @@ def _bucket_logprobs(df, text_col, ngram, n_buckets, smoothing, name):
             _hashed_gram_buckets(F.col(text_col), ngram, n_buckets)
         ).alias("__b")
     )
-    counts = ex.groupBy("__b").agg(F.count(F.lit(1)).alias("__c"))
+    # cache the ≤n_buckets-row aggregate: the totals action below fills
+    # it, and the downstream ratio join reuses it — the corpus is
+    # exploded ONCE here, not once per action
+    counts = (
+        ex.groupBy("__b").agg(F.count(F.lit(1)).alias("__c")).cache()
+    )
     total = counts.agg(F.sum("__c").alias("t")).first()["t"] or 0
     denom = float(total) + float(smoothing) * float(n_buckets)
     lp = counts.select(
