@@ -75,6 +75,14 @@ def cli(argv=None):
         "--distinct", action="store_true", help="DISTINCT read",
     )
     parser.add_argument(
+        "--rollup", action="store_true",
+        help="GROUP BY ROLLUP over the -G columns",
+    )
+    parser.add_argument(
+        "--cube", action="store_true",
+        help="GROUP BY CUBE over the -G columns",
+    )
+    parser.add_argument(
         "--explain", action="store_true",
         help="Print the physical plan instead of rows",
     )
@@ -237,6 +245,8 @@ def cli_main(args):
             having=args.having or None,
             qualify=args.qualify,
             distinct=args.distinct,
+            rollup=args.rollup,
+            cube=args.cube,
         )
         if args.explain:
             plan = cursor.frame()._jdf.queryExecution() \

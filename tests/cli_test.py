@@ -169,6 +169,16 @@ def test_cli_groupby_having_distinct(cfg_file, capsys, spark):
     rows = list(csv.reader(io.StringIO(out)))
     assert rows[1:] == [["Blue", "Belgium"], ["Blue", "France"]]
 
+    # --rollup: per-country counts plus the grand-total super-row
+    run_cli(
+        ["read", "team", "country.name", "(count)",
+         "-G", "country.name", "--rollup", "-s", "country.name"],
+        cfg_file,
+    )
+    out = capsys.readouterr().out
+    rows = list(csv.reader(io.StringIO(out)))
+    assert rows[1:] == [["", "3"], ["Belgium", "2"], ["France", "1"]]
+
 
 def test_cli_explain(cfg_file, capsys, spark):
     run_cli(["init"], cfg_file)
