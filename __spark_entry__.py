@@ -422,6 +422,23 @@ def scalar_field_agg_nations(spark, sf_dir):
         return v.read(groupby="c_nationkey", order="nname").frame()
 
 
+def qualify_exists_suppliers(spark, sf_dir):
+    """Round-5 debut: subqueries inside QUALIFY — each nation's richest
+    supplier (window row_number), kept only when the nation actually
+    has customers (correlated EXISTS). Window conjuncts evaluate first
+    on the unfiltered frame (SQL QUALIFY semantics); the EXISTS reuses
+    the WHERE left-semi lowering pre-aggregation."""
+    with _cx(spark, sf_dir):
+        v = View("supplier", ["s_suppkey", "s_nationkey"])
+        return v.read(
+            qualify="(and (= 1 (over (row_number) "
+                    "(partition s_nationkey) (order (desc s_acctbal) "
+                    "(desc s_suppkey)))) (exists (from customer "
+                    "(where (= c_nationkey _parent.s_nationkey)))))",
+            order="s_suppkey",
+        ).frame()
+
+
 def q11_important_balances(spark, sf_dir):
     """TPC-H Q11 shape: HAVING with an uncorrelated scalar subquery —
     nations whose supplier balance pool exceeds 4.5% of the global
@@ -1964,6 +1981,7 @@ DEBUTS = [
     "having_exists_nations",
     "having_scalar_corr_nations",
     "scalar_field_agg_nations",
+    "qualify_exists_suppliers",
 ]
 
 
@@ -2022,6 +2040,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "having_exists_nations": having_exists_nations,
         "having_scalar_corr_nations": having_scalar_corr_nations,
         "scalar_field_agg_nations": scalar_field_agg_nations,
+        "qualify_exists_suppliers": qualify_exists_suppliers,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -3130,6 +3149,15 @@ def oracle_sql() -> dict[str, str]:
                    WHERE s_nationkey = n_nationkey)
                 > (SELECT count(*) / 25.0 FROM supplier)
             ORDER BY n_name
+        """,
+        "qualify_exists_suppliers": """
+            SELECT s_suppkey, s_nationkey
+            FROM supplier
+            QUALIFY row_number() OVER (PARTITION BY s_nationkey
+                        ORDER BY s_acctbal DESC, s_suppkey DESC) = 1
+                AND EXISTS (SELECT 1 FROM customer
+                            WHERE c_nationkey = s_nationkey)
+            ORDER BY s_suppkey
         """,
         "having_exists_nations": """
             SELECT c_nationkey AS nk,

@@ -562,25 +562,40 @@ class View(object):
         # BEFORE the frame build so a dotted path in the window spec
         # registers its join on the planner in time.
         qual = spec.get("qualify")
-        qual_col = None
+        qual_parts = []
         if qual is not None:
-            qual_col = _compile_filter_item(
+            res = _compile_filter_item(
                 compiler, compiler.parse(qual), env_ctx
             )
-            if not hasattr(qual_col, "cast"):
-                raise ValueError(
-                    "qualify must be a plain window predicate "
-                    "(no subqueries)"
+            if isinstance(res, AndGroup):
+                qual_parts = (
+                    ([] if res.cond is None else [res.cond])
+                    + list(res.scalars) + list(res.semis)
+                    + list(res.ors)
                 )
+            else:
+                qual_parts = [res]
 
         def apply_qual(frame):
-            if qual_col is None:
-                return frame
-            return (
-                frame.withColumn("__qual", qual_col)
-                .filter(F.col("__qual"))
-                .drop("__qual")
-            )
+            # plain conjuncts may contain window expressions (SQL
+            # forbids windows in WHERE/filter — computed as a hidden
+            # column, then filtered); subquery conjuncts reuse the
+            # WHERE lowerings — QUALIFY runs pre-aggregation, so every
+            # base column is still in scope for correlation
+            for part in qual_parts:
+                if isinstance(part, ScalarSub):
+                    frame = self._apply_scalarsub(frame, part, reader)
+                elif isinstance(part, OrGroup):
+                    frame = self._apply_orgroup(frame, part, reader)
+                elif isinstance(part, SemiJoin):
+                    frame = self._apply_semijoin(frame, part, reader)
+                else:
+                    frame = (
+                        frame.withColumn("__qual", as_col(part))
+                        .filter(F.col("__qual"))
+                        .drop("__qual")
+                    )
+            return frame
 
         # 4c. HAVING: predicate over aggregate expressions, evaluated
         # AFTER grouping (SQL HAVING). Each aggregate-valued predicate

@@ -207,6 +207,33 @@ def test_window_plan_single_exchange(session):
     assert plan.count("hashpartitioning") == 1
 
 
+def test_qualify_with_subqueries(session):
+    """Round-5: QUALIFY conjuncts may mix window predicates with
+    subqueries (EXISTS / scalar comparisons) — the window parts filter
+    via the hidden-column trick (evaluated FIRST, on the unfiltered
+    frame, SQL semantics), subquery parts reuse the WHERE lowerings."""
+    _load()
+    # window top-1-per-team AND the team has a Belgian country
+    rows = View("member", ["name"]).read(
+        qualify="(and (= 1 (over (row_number) (partition team) "
+                "(order name))) (exists (from country "
+                '(where (= name "Belgium") (in id (from team '
+                "(select country) (where (= id _parent._parent.team)"
+                ")))))))",
+        order="name",
+    ).all()
+    assert [r[0] for r in rows] == ["Alice", "Bob"]
+
+    # window predicate AND an uncorrelated scalar comparison
+    rows = View("member", ["name"]).read(
+        qualify="(and (= 1 (over (row_number) (partition team) "
+                "(order name))) (>= (length name) (from member "
+                "(select (min (length name))))))",
+        order="name",
+    ).all()
+    assert [r[0] for r in rows] == ["Alice", "Bob", "Trudy"]
+
+
 def test_qualify_dotted_path_registers_join(session):
     """A qualify window partitioned on a not-otherwise-referenced dotted
     path must register (and get) its join before the frame builds."""
