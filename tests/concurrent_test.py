@@ -144,3 +144,42 @@ def test_clone_shares_registry_not_cache(session):
     assert clone.registry is session.registry
     assert clone.spark is session.spark
     assert clone._df_cache is not session._df_cache
+
+
+def test_dry_threads_connect_independently(spark, tmp_path):
+    """Reference concurrent_dry_test.py: threads created OUTSIDE any
+    active context (dry) each open their own ``connect(cfg)`` — the
+    thread-local stack keeps the contexts independent; all read the
+    same stored data."""
+    from queue import Queue
+
+    from tanker_spark import connect, create_tables
+
+    from .conftest import SCHEMA, TEAMS
+
+    cfg = {"root": str(tmp_path / "drydb"), "schema": SCHEMA,
+           "spark": spark}
+    with connect(cfg):
+        create_tables()
+        View("team", ["name", "country.name"]).write(TEAMS)
+
+    out_q = Queue()
+
+    def read_in_own_context(i):
+        with connect(cfg):
+            res = View("team", ["name", "country.name"]).read().all()
+            out_q.put((i, sorted(res)))
+
+    threads = [threading.Thread(target=read_in_own_context, args=(i,))
+               for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    expected = sorted([tuple(t) for t in TEAMS][:0] or [
+        ("Blue", "Belgium"), ("Red", "Belgium"), ("Blue", "France")])
+    got = {}
+    while not out_q.empty():
+        i, res = out_q.get()
+        got[i] = res
+    assert len(got) == 2 and all(r == expected for r in got.values())
