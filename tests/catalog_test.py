@@ -91,3 +91,18 @@ def test_ctx_sql_escape_hatch(spark, tmp_path):
             "SELECT player FROM score ORDER BY points DESC LIMIT 1"
         ).collect()
         assert top[0].player == "d"
+
+
+def test_create_tables_idempotent(session):
+    """Reference init_test.py: a second create_tables() is harmless —
+    existing tables keep their data and seeds don't re-apply twice."""
+    from tanker_spark import create_tables
+
+    before = sorted(View("team", ["name", "country.name"]).read().all())
+    create_tables()
+    create_tables()
+    assert sorted(View("team", ["name", "country.name"]).read().all()) \
+        == before
+    # seeded values not duplicated
+    countries = [n for (n,) in View("country", ["name"]).read().all()]
+    assert len(countries) == len(set(countries))
