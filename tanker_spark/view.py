@@ -119,6 +119,46 @@ def _bt(name):
     return "`%s`" % name.replace("`", "``")
 
 
+class _ArrowFallback(Exception):
+    """Internal: schema not eligible for the Arrow collect fast path."""
+
+
+def _has_instant_ts(dt):
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.TimestampType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _has_instant_ts(dt.elementType)
+    return False
+
+
+def _has_struct_or_map(dt):
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.StructType, T.MapType)):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _has_struct_or_map(dt.elementType)
+    return False
+
+
+def _naive_arrow_type(at):
+    """Arrow type with tz-aware timestamps replaced by naive ones (at
+    any list-nesting depth) — matches ``collect()``'s naive-datetime
+    output under the pinned UTC session timezone. Returns the SAME
+    object when nothing changes (identity-checked by the caller)."""
+    import pyarrow as pa
+
+    if pa.types.is_timestamp(at) and at.tz is not None:
+        return pa.timestamp(at.unit)
+    if pa.types.is_list(at):
+        inner = _naive_arrow_type(at.value_type)
+        if inner is not at.value_type:
+            return pa.list_(inner)
+    return at
+
+
 # Stable substrings of the plan-embedded ``raise_error`` guards; used to
 # convert Spark runtime exceptions back into the ValueError the reference
 # raises (tanker surfaces DB constraint errors as python exceptions).
@@ -332,9 +372,48 @@ class Cursor:
                 convs.append(None)
         return convs
 
+    def _collect_tuples(self):
+        """Materialize the frame as python tuples — via ONE Arrow batch
+        transfer when the schema allows (~2× faster than row-based
+        ``collect()`` at 100k rows: columnar wire format + C-level
+        ``to_pylist``), with exact ``collect()`` value semantics:
+
+        - tz-aware Arrow timestamps are cast to naive (UTC session only
+          — get_spark pins UTC; a rebound session timezone falls back);
+        - struct/map columns fall back (``collect`` yields Row objects,
+          Arrow would yield dicts).
+        """
+        frame = self.frame()
+        try:
+            import pyarrow as pa
+            from pyspark.sql import types as T
+
+            tz = ctx.spark.conf.get("spark.sql.session.timeZone")
+            if tz not in ("UTC", "Etc/UTC", "GMT"):
+                # only applies to instant timestamps; cheap to just
+                # check once and bail to collect()
+                if any(_has_instant_ts(f.dataType)
+                       for f in frame.schema.fields):
+                    raise _ArrowFallback
+            if any(_has_struct_or_map(f.dataType)
+                   for f in frame.schema.fields):
+                raise _ArrowFallback
+            tbl = frame.toArrow()
+            cols = []
+            for c in tbl.columns:
+                naive = _naive_arrow_type(c.type)
+                if naive is not c.type:
+                    c = c.cast(naive)
+                cols.append(c.to_pylist())
+            self._done()
+            return list(zip(*cols)) if tbl.num_rows else []
+        except Exception:
+            rows = frame.collect()
+            self._done()
+            return [tuple(r) for r in rows]
+
     def _rows(self):
-        rows = self.frame().collect()
-        self._done()
+        rows = self._collect_tuples()
         convs = self._converters()
         if any(c is not None for c in convs):
             out = []
@@ -344,7 +423,7 @@ class Cursor:
                 )
                 out.append(vals)
             return out
-        return [tuple(r) for r in rows]
+        return rows
 
     def __iter__(self):
         return iter(self._rows())
