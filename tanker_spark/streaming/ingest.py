@@ -109,3 +109,47 @@ def neardup_filter_sink(stream_df, out_path, sig_path, checkpoint_dir,
         .trigger(availableNow=available_now)
         .start()
     )
+
+
+def decontaminate_sink(stream_df, out_path, bloom_path, checkpoint_dir,
+                       text_col="text", id_col="doc_id",
+                       max_containment=0.5, available_now=True):
+    """Streaming decontamination gate: each micro-batch is screened
+    against the persisted train-corpus Bloom filter
+    (:func:`operators.text.build_contamination_filter`) and only docs
+    whose shingle containment stays ≤ ``max_containment`` land in
+    ``out_path`` — the ingest-time twin of the batch
+    :func:`operators.text.containment_ratio_indexed` screen.
+
+    Delivery: at-least-once replay from the checkpoint, exactly-once
+    output via the deterministic ``batch=N`` subdirectory overwrite
+    (same contract as :func:`neardup_filter_sink`). Unlike the MinHash
+    gate the filter artifact is READ-ONLY — replays are trivially
+    idempotent and batches never interact.
+
+    Scale: the one-row bitmap broadcasts once per batch; the screen is
+    whole-stage-codegen shingle hashing + bit tests — no shuffle
+    beyond the per-doc containment aggregate, and the training corpus
+    is never read."""
+    from ..operators.text import containment_ratio_indexed
+
+    def _filter_batch(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        ratios = containment_ratio_indexed(
+            batch_df, bloom_path, text_col, id_col
+        )
+        clean = ratios.filter(
+            F.col("containment") <= float(max_containment)
+        ).select(id_col)
+        keep = batch_df.join(clean, id_col, "left_semi")
+        keep.write.mode("overwrite").parquet(
+            "%s/batch=%d" % (out_path, batch_id)
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_filter_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=available_now)
+        .start()
+    )

@@ -412,3 +412,46 @@ def test_hourly_anomalies_stream_matches_batch(spark, tmp_path):
     # sanity: both spikes were actually flagged
     assert any(h == base + timedelta(hours=40) for _, h, _, _ in got)
     assert any(h == base + timedelta(hours=30) for _, h, _, _ in got)
+
+
+def test_decontaminate_stream(spark, tmp_path):
+    """Streaming Bloom decontamination gate: micro-batch docs whose
+    shingle containment vs the persisted train filter exceeds the cut
+    are dropped; clean docs land in batch=N output. Replay-idempotent
+    (read-only artifact, deterministic batch dirs)."""
+    from tanker_spark.operators import text as ttext
+    from tanker_spark.streaming.ingest import decontaminate_sink
+
+    train = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog number %d"
+          % i) for i in range(30)],
+        ["doc_id", "text"])
+    bloom_path = str(tmp_path / "bloom")
+    ttext.build_contamination_filter(train, bloom_path, n=3)
+
+    batch = [
+        (200, "completely unrelated text about spark shuffles and "
+              "parquet row groups and broadcast joins"),
+        (201, "the quick brown fox jumps over the lazy dog number 7"),
+        (202, "another clean document with its own fresh vocabulary "
+              "entirely disjoint from training shingles"),
+    ]
+    src = str(tmp_path / "cont_src")
+    spark.createDataFrame(batch, ["doc_id", "text"]).coalesce(1) \
+        .write.parquet(src)
+    out = str(tmp_path / "cont_out")
+    q = decontaminate_sink(
+        spark.readStream.schema("doc_id long, text string").parquet(src),
+        out, bloom_path, str(tmp_path / "cont_ckpt"),
+        max_containment=0.5,
+    )
+    q.awaitTermination(120)
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept == {200, 202}          # the contaminated doc is gone
+    # batch twin agrees on the ratios driving the cut
+    ratios = {r.doc_id: r.containment for r in ttext.
+              containment_ratio_indexed(
+                  spark.createDataFrame(batch, ["doc_id", "text"]),
+                  bloom_path).collect()}
+    assert ratios[201] > 0.5
+    assert ratios[200] <= 0.5 and ratios[202] <= 0.5
