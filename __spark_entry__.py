@@ -1209,6 +1209,26 @@ def events_hourly(spark, sf_dir):
         return v.read(order=["hour", "event_type"]).frame()
 
 
+def events_gapfill(spark, sf_dir):
+    """Round-5 debut: hypertable-style bucketed rollup with gap filling
+    (TimescaleDB time_bucket_gapfill shape) — hourly event counts +
+    value sums per type, every silent hour between a type's first and
+    last activity zero-filled. The bucket grid is generated distributed
+    (sequence+explode over a |types|-row min/max frame), never on the
+    driver."""
+    from tanker_spark.streaming.events import time_bucket_gapfill
+
+    ev = _read(spark, sf_dir, "events")
+    out = time_bucket_gapfill(
+        ev, ts_col="ts", group_col="event_type",
+        bucket_seconds=3600, value_agg=("value", "sum"),
+    )
+    return out.select(
+        "event_type", "bucket", "n",
+        F.round(F.col("v"), 2).alias("v"),
+    ).orderBy("event_type", "bucket")
+
+
 def sessionize_events(spark, sf_dir):
     """30-min-gap sessionization per user (session_window; the streaming
     twin is tanker_spark.streaming.events.sessionize)."""
@@ -1982,6 +2002,7 @@ DEBUTS = [
     "having_scalar_corr_nations",
     "scalar_field_agg_nations",
     "qualify_exists_suppliers",
+    "events_gapfill",
 ]
 
 
@@ -2041,6 +2062,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "having_scalar_corr_nations": having_scalar_corr_nations,
         "scalar_field_agg_nations": scalar_field_agg_nations,
         "qualify_exists_suppliers": qualify_exists_suppliers,
+        "events_gapfill": events_gapfill,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -3149,6 +3171,28 @@ def oracle_sql() -> dict[str, str]:
                    WHERE s_nationkey = n_nationkey)
                 > (SELECT count(*) / 25.0 FROM supplier)
             ORDER BY n_name
+        """,
+        "events_gapfill": """
+            WITH per AS (
+                SELECT event_type,
+                       CAST(floor(epoch(ts) / 3600) AS BIGINT) AS b,
+                       count(*) AS n, sum(value) AS v
+                FROM events GROUP BY 1, 2
+            ), bounds AS (
+                SELECT event_type, min(b) AS lo, max(b) AS hi
+                FROM per GROUP BY 1
+            ), grid AS (
+                SELECT event_type,
+                       unnest(generate_series(lo, hi)) AS b
+                FROM bounds
+            )
+            SELECT g.event_type,
+                   CAST(to_timestamp(g.b * 3600) AS TIMESTAMP) AS bucket,
+                   coalesce(p.n, 0) AS n,
+                   round(coalesce(p.v, 0), 2) AS v
+            FROM grid g LEFT JOIN per p
+              ON g.event_type = p.event_type AND g.b = p.b
+            ORDER BY g.event_type, bucket
         """,
         "qualify_exists_suppliers": """
             SELECT s_suppkey, s_nationkey

@@ -539,3 +539,54 @@ def cohort_retention(df, ts_col="ts", user_col="user_id", max_offset=7):
         .groupBy("cohort_day", "day_offset")
         .agg(F.count_distinct("user").alias("n_users"))
     )
+
+
+def time_bucket_gapfill(df, ts_col="ts", group_col="event_type",
+                        bucket_seconds=3600, fill=0,
+                        value_agg=None):
+    """Hypertable-style bucketed rollup with gap filling (the
+    TimescaleDB ``time_bucket_gapfill`` shape): count (or aggregate)
+    per (group, bucket), then fill every empty bucket between each
+    group's first and last activity with ``fill`` — so downstream
+    rolling windows see a DENSE regular series instead of silently
+    skipping quiet periods.
+
+    Lowering: one (group, bucket) aggregate (map-side combined, shuffle
+    bounded by group×bucket cardinality, not event count), then a
+    |groups|-row min/max aggregate exploded through ``sequence`` into
+    the bucket grid — the grid is generated distributed, never on the
+    driver — left-joined back. Same dense-grid trick as
+    :func:`hourly_anomalies` ``dense=True``, exposed standalone.
+
+    ``value_agg``: optional (colname, "sum"|"avg") aggregated alongside
+    the count (gap rows get ``fill`` for it too)."""
+    b = (F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+         / bucket_seconds).cast("long")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if value_agg is not None:
+        vcol, how = value_agg
+        fn = {"sum": F.sum, "avg": F.avg}[how]
+        aggs.append(fn(F.col(vcol)).alias("v"))
+    per = df.groupBy(
+        F.col(group_col).alias("grp"), b.alias("__b")
+    ).agg(*aggs)
+    grid = (
+        per.groupBy("grp")
+        .agg(F.min("__b").alias("__lo"), F.max("__b").alias("__hi"))
+        .select(
+            "grp",
+            F.explode(
+                F.sequence(F.col("__lo"), F.col("__hi"))
+            ).alias("__b"),
+        )
+    )
+    out_cols = [
+        F.col("grp").alias(group_col),
+        F.timestamp_seconds(F.col("__b") * bucket_seconds)
+        .cast("timestamp_ntz").alias("bucket"),
+        F.coalesce(F.col("n"), F.lit(fill)).alias("n"),
+    ]
+    if value_agg is not None:
+        out_cols.append(
+            F.coalesce(F.col("v"), F.lit(fill)).alias("v"))
+    return grid.join(per, ["grp", "__b"], "left").select(*out_cols)

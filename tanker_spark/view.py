@@ -460,6 +460,15 @@ class Cursor:
         self._done()
         return out
 
+    def arrow(self):
+        """Materialize as a ``pyarrow.Table`` — the zero-copy handoff
+        into Arrow-native tooling (duckdb, polars, dataset writers); no
+        reference counterpart (tanker predates Arrow ubiquity), but the
+        natural sink for a columnar engine."""
+        out = self.frame().toArrow()
+        self._done()
+        return out
+
 
 class View(object):
     def __init__(self, table, fields=None):

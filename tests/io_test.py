@@ -98,3 +98,16 @@ def test_large_fk_resolution(session):
     assert len(teams) == n
     for team_name, country_name in teams:
         assert team_name[1:] == country_name[1:]
+
+
+def test_arrow_sink(session):
+    """Cursor.arrow(): one columnar transfer into a pyarrow.Table."""
+    import pyarrow as pa
+
+    tbl = View("country", ["name"]).read(order="name").arrow()
+    assert isinstance(tbl, pa.Table)
+    assert tbl.column("name").to_pylist() == [
+        "Belgium", "France", "Holland"]
+    # round-trips into duckdb (the Arrow-native consumer case)
+    import duckdb
+    assert duckdb.sql("select count(*) from tbl").fetchone()[0] == 3
