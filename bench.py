@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "having_scalar_corr_nations",
     "scalar_field_agg_nations",
     "dsir_select_docs",
+    "qualify_exists_suppliers",
+    "events_gapfill",
 ]
 
 

@@ -455,3 +455,29 @@ def test_decontaminate_stream(spark, tmp_path):
                   bloom_path).collect()}
     assert ratios[201] > 0.5
     assert ratios[200] <= 0.5 and ratios[202] <= 0.5
+
+
+def test_time_bucket_gapfill(spark):
+    """Gap filling: silent buckets between a group's first and last
+    activity appear with n=0 (and the value agg filled); bounds are
+    per-group, not global."""
+    from datetime import datetime
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 5), 1, "a", 10.0, "{}"),
+        (2, datetime(2024, 1, 1, 3, 5), 1, "a", 20.0, "{}"),  # gap 1,2
+        (3, datetime(2024, 1, 1, 1, 0), 1, "b", 5.0, "{}"),   # single
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value",
+               "props"])
+    out = sev.time_bucket_gapfill(
+        df, ts_col="ts", group_col="event_type",
+        bucket_seconds=3600, value_agg=("value", "sum"))
+    got = {(r.event_type, r.bucket.hour): (r.n, r.v)
+           for r in out.collect()}
+    assert got == {
+        ("a", 0): (1, 10.0), ("a", 1): (0, 0.0),
+        ("a", 2): (0, 0.0), ("a", 3): (1, 20.0),
+        ("b", 1): (1, 5.0),
+    }
