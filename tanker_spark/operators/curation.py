@@ -605,9 +605,13 @@ def _bucket_logprobs(df, text_col, ngram, n_buckets, smoothing, name):
     )
     # cache the ≤n_buckets-row aggregate: the totals action below fills
     # it, and the downstream ratio join reuses it — the corpus is
-    # exploded ONCE here, not once per action
-    counts = (
-        ex.groupBy("__b").agg(F.count(F.lit(1)).alias("__c")).cache()
+    # exploded ONCE here, not once per action. Registered with the
+    # shared cache registry so long-lived drivers can
+    # ``dedup.release_caches()`` between corpora.
+    from .dedup import _persist
+
+    counts = _persist(
+        ex.groupBy("__b").agg(F.count(F.lit(1)).alias("__c"))
     )
     total = counts.agg(F.sum("__c").alias("t")).first()["t"] or 0
     denom = float(total) + float(smoothing) * float(n_buckets)
