@@ -7,7 +7,7 @@ over SQLite/Postgres.
 """
 
 from .context import (TankerContext, TankerThread, connect, create_tables,
-                      get_spark, register)
+                      execute, get_spark, register)
 from .expression import ExpressionCompiler as Expression
 from .table import Column, Table
 from .utils import ctx, interleave, logger, paginate, yaml_load, __version__
@@ -26,6 +26,7 @@ __all__ = [
     "connect",
     "create_tables",
     "ctx",
+    "execute",
     "fetch",
     "get_spark",
     "interleave",

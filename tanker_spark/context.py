@@ -369,6 +369,30 @@ def connect(cfg=None, action=None):
     raise ValueError('connect action must be "enter" or "leave"')
 
 
+def execute(query, args=None):
+    """Raw-SQL escape hatch at name-level parity with the reference
+    (``tanker.execute``, reference context.py:118-130, which runs SQL
+    on the DB connection and returns a cursor). Here the query runs
+    through :meth:`TankerContext.sql` (every registered table exposed
+    as a temp view over its CURRENT snapshot) and the result comes
+    back as an iterator of row tuples — the same shape reference
+    callers consume. ``args`` fills ``%s`` placeholders positionally
+    (values are SQL-escaped literals, reference-style paramstyle)."""
+    if args:
+        def _lit(v):
+            if v is None:
+                return "NULL"
+            if isinstance(v, bool):
+                return "TRUE" if v else "FALSE"
+            if isinstance(v, (int, float)):
+                return repr(v)
+            return "'%s'" % str(v).replace("'", "''")
+
+        query = query % tuple(_lit(a) for a in args)
+    df = CTX_STACK.active_context().sql(query)
+    return iter([tuple(r) for r in df.collect()])
+
+
 def register(schema):
     """Add table definitions to the active context's registry."""
     defs = _parse_schema(schema)

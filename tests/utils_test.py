@@ -82,3 +82,16 @@ def test_interleave():
         ["a", "b", " AND ", "c"]
     assert list(interleave(0, [])) == []
     assert list(interleave(0, [[1, 2], (3,), 4])) == [1, 2, 0, 3, 0, 4]
+
+
+def test_execute(session):
+    """Raw-SQL parity (reference context.py execute): registered tables
+    visible as views, result is an iterator of row tuples, %s params
+    fill positionally."""
+    from tanker_spark import execute
+
+    rows = list(execute(
+        "SELECT name FROM country WHERE name != %s ORDER BY name",
+        ["France"],
+    ))
+    assert rows == [("Belgium",), ("Holland",)]
