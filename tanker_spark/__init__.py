@@ -6,8 +6,8 @@ Public API mirrors the reference (``/root/reference/tanker/__init__.py``):
 over SQLite/Postgres.
 """
 
-from .context import (TankerContext, TankerThread, connect, create_tables,
-                      execute, get_spark, register)
+from .context import (Pool, TankerContext, TankerThread, connect,
+                      create_tables, execute, get_spark, register)
 from .expression import ExpressionCompiler as Expression
 from .table import Column, Table
 from .utils import ctx, interleave, logger, paginate, yaml_load, __version__
@@ -17,6 +17,7 @@ __all__ = [
     "Column",
     "Cursor",
     "Expression",
+    "Pool",
     "Table",
     "TankerContext",
     "TankerThread",

@@ -369,6 +369,26 @@ def connect(cfg=None, action=None):
     raise ValueError('connect action must be "enter" or "leave"')
 
 
+class Pool:
+    """Name-level parity with the reference's connection pool
+    (reference context.py:155-260: per-cfg psycopg2/sqlite pools with a
+    class-level ``disconnect``/``clear`` used in test teardown). The
+    Spark engine has ONE shared session instead of per-cfg connection
+    pools, so ``disconnect`` stops the active SparkSession (the analog
+    of closing every pooled connection — only call it when the process
+    is done with Spark) and ``clear`` is a no-op."""
+
+    @classmethod
+    def disconnect(cls):
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            active.stop()
+
+    @classmethod
+    def clear(cls):
+        pass
+
+
 def execute(query, args=None):
     """Raw-SQL escape hatch at name-level parity with the reference
     (``tanker.execute``, reference context.py:118-130, which runs SQL

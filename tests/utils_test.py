@@ -95,3 +95,29 @@ def test_execute(session):
         ["France"],
     ))
     assert rows == [("Belgium",), ("Holland",)]
+
+
+def test_pool_shim(monkeypatch):
+    """Pool parity: disconnect() stops the active SparkSession (the
+    closing-every-pooled-connection analog); clear() is a no-op. The
+    real session is NOT stopped here — a stub stands in."""
+    from pyspark.sql import SparkSession
+
+    from tanker_spark import Pool
+
+    stopped = []
+
+    class _Stub:
+        def stop(self):
+            stopped.append(True)
+
+    monkeypatch.setattr(
+        SparkSession, "getActiveSession", classmethod(
+            lambda cls: _Stub()))
+    Pool.disconnect()
+    assert stopped == [True]
+    Pool.clear()
+    monkeypatch.setattr(
+        SparkSession, "getActiveSession", classmethod(
+            lambda cls: None))
+    Pool.disconnect()  # no active session: harmless
