@@ -2031,7 +2031,9 @@ def _ordered_names(round_no: int) -> list[str]:
     (round 2 lost rows to this; the round-4 VERDICT counted 52 green
     oracle queries the driver never saw). Ordering: this round's DEBUTS
     first, then the oracle-checkable veterans ROTATED by
-    ``(round - 5) * window`` so every veteran lands inside the driver's
+    ``(round - 4) * window`` (anchored at round 4, whose driver run
+    recorded the canonical prefix — round 5 therefore starts at the
+    never-recorded block) so every veteran lands inside the driver's
     window at least once every ~3 rounds, rows-only entries always last
     (a capped run still covers every oracle-checkable entry)."""
     fns = _all_queries()
@@ -2637,11 +2639,16 @@ def oracle_sql() -> dict[str, str]:
             ), hit AS (
               SELECT tex.doc_id, count(*) AS h
               FROM tex JOIN trg USING (g) GROUP BY tex.doc_id
+            ), ids AS (
+              -- anchor on ALL test docs: a zero-shingle doc gets 0.0
+              SELECT DISTINCT doc_id FROM documents WHERE source = 'src0'
             )
-            SELECT tot.doc_id AS doc_id,
-                   round(coalesce(hit.h, 0) / tot.n, 4) AS containment
-            FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
-            ORDER BY tot.doc_id
+            SELECT ids.doc_id AS doc_id,
+                   coalesce(round(coalesce(hit.h, 0) / tot.n, 4), 0.0)
+                       AS containment
+            FROM ids LEFT JOIN tot ON ids.doc_id = tot.doc_id
+                     LEFT JOIN hit ON ids.doc_id = hit.doc_id
+            ORDER BY ids.doc_id
         """,
         "boilerplate_ratio": """
             WITH toks AS (

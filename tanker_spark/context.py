@@ -406,7 +406,12 @@ def execute(query, args=None):
                 return "TRUE" if v else "FALSE"
             if isinstance(v, (int, float)):
                 return repr(v)
-            return "'%s'" % str(v).replace("'", "''")
+            # Spark SQL string literals treat backslash as an escape
+            # (escapedStringLiterals=false, the default) — escape it
+            # FIRST, then the quote, or a trailing backslash turns the
+            # doubled quote into literal-quote + open string.
+            s = str(v).replace("\\", "\\\\").replace("'", "\\'")
+            return "'%s'" % s
 
         query = query % tuple(_lit(a) for a in args)
     df = CTX_STACK.active_context().sql(query)

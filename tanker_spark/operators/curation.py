@@ -692,7 +692,13 @@ def dsir_resample(df, weights, k, id_col="doc_id", seed=42,
                 F.lit(_DSIR_U_MOD))
          + F.lit(0.5)) / F.lit(float(_DSIR_U_MOD))
     gumbel = -F.log(-F.log(u))
-    key = (F.col("logw") / F.lit(float(temperature))) + gumbel
+    if float(temperature) > 0.0:
+        key = (F.col("logw") / F.lit(float(temperature))) + gumbel
+    else:
+        # T=0: plain top-k by weight (Spark's x/0 is NULL, which would
+        # make the sort key all-NULL and the pick arbitrary); the
+        # gumbel term only breaks exact-weight ties deterministically
+        key = F.col("logw") + gumbel * F.lit(1e-12)
     return (
         df.join(weights, id_col)
         .withColumn("__gk", key)

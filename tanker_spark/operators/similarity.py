@@ -131,6 +131,9 @@ def ivf_centroid_vectors(df, n_cells=16, seed=42, vec_col="embedding",
     adequate cell balance for well-spread corpora. ``kmeans``: MLlib
     KMeans (distributed Lloyd iterations) — the production choice at
     scale, where balanced cells bound per-probe scan size."""
+    # NULL embeddings can't seed a centroid (and crash KMeans / the
+    # float() unpack); assignment paths give such rows a null cell
+    df = df.filter(F.col(vec_col).isNotNull())
     if method == "kmeans":
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
@@ -605,18 +608,33 @@ def cell_assign_gemm(df, cent_vecs, vec_col="embedding",
 
     def assign(batches):
         b_Cn = bc.value
+        dim = b_Cn.shape[1]
         for pdf in batches:
             if not len(pdf):
                 continue
-            V = np.array(list(pdf["__v"]), dtype=np.float64)
-            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-            S = Vn @ b_Cn.T  # (batch, k)
-            cell = np.argmax(S, axis=1)
+            # NULL / wrong-dim embeddings get a null cell (the flat
+            # greatest() path's behavior) instead of blowing up the
+            # ragged np.array build
+            ok = pdf["__v"].map(
+                lambda v: v is not None and len(v) == dim
+            ).to_numpy()
+            cells = np.full(len(pdf), None, dtype=object)
+            sims = np.full(len(pdf), None, dtype=object)
+            if ok.any():
+                V = np.array(list(pdf["__v"][ok]), dtype=np.float64)
+                Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+                S = Vn @ b_Cn.T  # (batch, k)
+                cell = np.argmax(S, axis=1)
+                cells[ok] = [int(c) for c in cell]
+                sims[ok] = S[np.arange(len(cell)), cell]
             yield pd.DataFrame({
                 "__id": pdf["__id"],
                 "__v": pdf["__v"],
-                "__cell": cell.astype("int32"),
-                "__csim": S[np.arange(len(cell)), cell],
+                "__cell": pd.array(cells, dtype="Int32"),
+                "__csim": pd.array(
+                    [None if s is None else float(s) for s in sims],
+                    dtype="Float64",
+                ),
             })
 
     return src.mapInPandas(assign, schema_str)

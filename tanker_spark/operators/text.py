@@ -557,15 +557,7 @@ def containment_ratio(test_df, train_df, text_col="text",
     else:
         raise ValueError("unknown containment method %r" % method)
     totals = tex.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
-    return (
-        totals.join(hits, "__id", "left")
-        .select(
-            F.col("__id").alias(id_col),
-            F.round(
-                F.coalesce(F.col("__hits"), F.lit(0)) / F.col("__n"), 4
-            ).alias("containment"),
-        )
-    )
+    return _containment_out(test_df, totals, hits, id_col)
 
 
 def build_contamination_filter(train_df, path, text_col="text", n=3,
@@ -616,12 +608,27 @@ def containment_ratio_indexed(test_df, path, text_col="text",
         .groupBy("__id").agg(F.count(F.lit(1)).alias("__hits"))
     )
     totals = tex.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    return _containment_out(test_df, totals, hits, id_col)
+
+
+def _containment_out(test_df, totals, hits, id_col):
+    """Final containment frame, anchored on the FULL test doc-id set: a
+    zero-shingle doc (empty/short text) has no exploded rows but cannot
+    be contaminated — it must come back with containment 0.0, not
+    silently vanish (``decontaminate_sink`` left-semi-joins on this
+    output, so a missing row would be at-ingest data loss)."""
+    ids = test_df.select(F.col(id_col).alias("__id")).distinct()
     return (
-        totals.join(hits, "__id", "left")
+        ids.join(totals, "__id", "left")
+        .join(hits, "__id", "left")
         .select(
             F.col("__id").alias(id_col),
-            F.round(
-                F.coalesce(F.col("__hits"), F.lit(0)) / F.col("__n"), 4
+            F.coalesce(
+                F.round(
+                    F.coalesce(F.col("__hits"), F.lit(0))
+                    / F.col("__n"), 4
+                ),
+                F.lit(0.0),
             ).alias("containment"),
         )
     )

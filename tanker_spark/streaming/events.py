@@ -560,8 +560,13 @@ def time_bucket_gapfill(df, ts_col="ts", group_col="event_type",
 
     ``value_agg``: optional (colname, "sum"|"avg") aggregated alongside
     the count (gap rows get ``fill`` for it too)."""
-    b = (F.unix_timestamp(F.col(ts_col).cast("timestamp"))
-         / bucket_seconds).cast("long")
+    # floor, not cast-to-long: cast truncates toward zero, putting a
+    # pre-1970 event one bucket too late (TimescaleDB time_bucket and
+    # the DuckDB oracle both floor)
+    b = F.floor(
+        F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+        / bucket_seconds
+    ).cast("long")
     aggs = [F.count(F.lit(1)).alias("n")]
     if value_agg is not None:
         vcol, how = value_agg

@@ -133,6 +133,16 @@ def _has_instant_ts(dt):
     return False
 
 
+def _os_tz_is_utc():
+    """True when the OS timezone is UTC-equivalent. ``collect()``
+    renders instant timestamps through ``datetime.fromtimestamp`` (the
+    OS zone, NOT the session timezone) — the Arrow fast path only
+    matches that on a UTC machine, so any other zone must fall back."""
+    import time
+
+    return time.timezone == 0 and time.daylight == 0
+
+
 def _has_struct_or_map(dt):
     from pyspark.sql import types as T
 
@@ -378,8 +388,10 @@ class Cursor:
         ``collect()`` at 100k rows: columnar wire format + C-level
         ``to_pylist``), with exact ``collect()`` value semantics:
 
-        - tz-aware Arrow timestamps are cast to naive (UTC session only
-          — get_spark pins UTC; a rebound session timezone falls back);
+        - tz-aware Arrow timestamps are cast to naive (UTC session AND
+          UTC OS zone only — get_spark pins the session to UTC, but
+          ``collect()`` renders through the OS zone, so a non-UTC
+          machine or a rebound session timezone falls back);
         - struct/map columns fall back (``collect`` yields Row objects,
           Arrow would yield dicts).
         """
@@ -389,9 +401,10 @@ class Cursor:
             from pyspark.sql import types as T
 
             tz = ctx.spark.conf.get("spark.sql.session.timeZone")
-            if tz not in ("UTC", "Etc/UTC", "GMT"):
+            if tz not in ("UTC", "Etc/UTC", "GMT") or not _os_tz_is_utc():
                 # only applies to instant timestamps; cheap to just
-                # check once and bail to collect()
+                # check once and bail to collect() (collect renders
+                # them in the OS zone — see _os_tz_is_utc)
                 if any(_has_instant_ts(f.dataType)
                        for f in frame.schema.fields):
                     raise _ArrowFallback
@@ -864,10 +877,21 @@ class View(object):
                 or (isinstance(s.other, Subquery) and _corr(s.other))
                 for _, s in hav_sc_pairs
             )
+            hav_stash = {}
             if needs_outer:
                 for d, a in zip(group_descs, g_aliases):
                     name = compiler.expand_env(d) or d
                     if "." not in name and name in table:
+                        if name in df.columns:
+                            # an aggregate output aliased to the same
+                            # name as a group-key source column: stash
+                            # it so the correlation helper (which per
+                            # SQL resolves to the GROUP KEY) does not
+                            # clobber it; the final projection maps it
+                            # back
+                            tmp = "__hv_keep_%d" % len(hav_stash)
+                            df = df.withColumnRenamed(name, tmp)
+                            hav_stash[name] = tmp
                         df = df.withColumn(name, F.col(a))
                 df = df.alias(compiler.planner.base_alias)
             for hn, s in hav_sc_pairs:
@@ -899,7 +923,9 @@ class View(object):
                 if i in scalar_cols:
                     final.append(scalar_cols[i].alias(f.name))
                 else:
-                    final.append(F.col(_bt(n)).alias(f.name))
+                    final.append(
+                        F.col(_bt(hav_stash.get(n, n))).alias(f.name)
+                    )
             df = df.select(*final)
         else:
             select_cols = [

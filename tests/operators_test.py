@@ -885,6 +885,73 @@ def test_contamination_filter_persisted(spark, docs, tmp_path):
     assert got[train_id] == 1.0
 
 
+def test_containment_zero_shingle_doc(spark, docs, tmp_path):
+    """A test doc with empty or too-short text yields ZERO shingles —
+    it cannot be contaminated, so it must come back with containment
+    0.0 (not vanish: decontaminate_sink left-semi-joins on this output,
+    and a missing row would silently drop the doc at ingest)."""
+    train = docs.filter("doc_id < 20")
+    test = docs.filter("doc_id >= 20").unionAll(
+        spark.createDataFrame(
+            [(900, ""), (901, "two words"), (902, None)],
+            ["doc_id", "text"],
+        )
+    )
+    for method in ("exact", "bloom"):
+        got = {r.doc_id: r.containment
+               for r in text.containment_ratio(
+                   test, train, method=method).collect()}
+        assert got[900] == 0.0 and got[901] == 0.0 and got[902] == 0.0
+    path = str(tmp_path / "contam_zero")
+    text.build_contamination_filter(train, path)
+    got = {r.doc_id: r.containment
+           for r in text.containment_ratio_indexed(test, path).collect()}
+    assert got[900] == 0.0 and got[901] == 0.0 and got[902] == 0.0
+
+
+def test_semdedup_gemm_null_embedding(spark, monkeypatch):
+    """The GEMM assignment branch must tolerate NULL embeddings the way
+    the flat Column-argmax branch does (null cell, row survives) —
+    previously np.array over a batch containing None raised inside
+    mapInPandas, a size-dependent crash only large corpora hit."""
+    from pyspark.sql import types as T
+
+    rnd = random.Random(5)
+    dim = 8
+    rows = [(i, [rnd.gauss(0, 3) for _ in range(dim)])
+            for i in range(300)]
+    rows.append((900, None))
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    monkeypatch.setattr(similarity, "GEMM_ASSIGN_MIN_K", 10**9)
+    flat_kept = {r.vec_id for r in similarity.semdedup(
+        df, n_clusters=200, threshold=0.999, keep="min_id").collect()}
+    monkeypatch.setattr(similarity, "GEMM_ASSIGN_MIN_K", 0)
+    gemm_kept = {r.vec_id for r in similarity.semdedup(
+        df, n_clusters=200, threshold=0.999, keep="min_id").collect()}
+    assert flat_kept == gemm_kept
+    assert 900 in gemm_kept
+
+
+def test_dsir_resample_temperature_zero(spark):
+    """T=0 degenerates to plain top-k by weight (the docstring's
+    contract) — previously logw/0 was NULL in Spark SQL, the sort key
+    went all-NULL and limit(k) picked arbitrary rows."""
+    from tanker_spark.operators import curation
+
+    raw = spark.createDataFrame(
+        [(i, "doc %d" % i) for i in range(20)], ["doc_id", "text"])
+    w = spark.createDataFrame(
+        [(i, float(i) * 0.37 - 3.0) for i in range(20)],
+        ["doc_id", "logw"])
+    picked = {r.doc_id for r in curation.dsir_resample(
+        raw, w, 5, temperature=0.0).collect()}
+    assert picked == {15, 16, 17, 18, 19}
+
+
 def test_chunk_docs_invariants_randomized(spark):
     """Randomized invariant sweep (one Spark job): for any doc and any
     (size, stride), concatenating the first `stride` tokens of every

@@ -214,6 +214,21 @@ def test_having(session):
     assert [n for _, n in res] == [2]
 
 
+def test_having_agg_alias_shadows_group_key(session):
+    """An aggregate output aliased to the SAME name as the group-key
+    source column must survive correlated-HAVING lowering: the
+    correlation helper re-exposes the group key under its source name,
+    which previously clobbered the aggregate column silently (the
+    result returned the country id instead of the count)."""
+    res = View("team", {"country": "(count)"}).read(
+        groupby="country",
+        having='(exists (from country (where (= id _parent.country) '
+               '(= name "Belgium"))))',
+    ).all()
+    # the Belgium group has 2 teams — the field must be the COUNT
+    assert res == [(2,)]
+
+
 def test_cast(session):
     for (i,) in View("country", ["(cast id (varchar))"]).read():
         assert isinstance(i, str)

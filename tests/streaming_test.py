@@ -481,3 +481,23 @@ def test_time_bucket_gapfill(spark):
         ("a", 2): (0, 0.0), ("a", 3): (1, 20.0),
         ("b", 1): (1, 5.0),
     }
+
+
+def test_time_bucket_gapfill_pre_epoch(spark):
+    """Bucketing must FLOOR, not truncate toward zero: an event at
+    1969-12-31 23:30 (epoch -1800) belongs to the 23:00 bucket (floor
+    -1800/3600 = -1), which cast-to-long truncation mis-filed into the
+    00:00 bucket."""
+    from datetime import datetime
+
+    rows = [
+        (1, datetime(1969, 12, 31, 23, 30), 1, "a", 1.0, "{}"),
+        (2, datetime(1970, 1, 1, 0, 30), 1, "a", 2.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value",
+               "props"])
+    out = sev.time_bucket_gapfill(
+        df, ts_col="ts", group_col="event_type", bucket_seconds=3600)
+    got = {(r.bucket.day, r.bucket.hour): r.n for r in out.collect()}
+    assert got == {(31, 23): 1, (1, 0): 1}

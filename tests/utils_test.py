@@ -96,6 +96,19 @@ def test_execute(session):
     ))
     assert rows == [("Belgium",), ("Holland",)]
 
+    # backslashes must not break the literal (Spark treats backslash
+    # as an escape in string literals): a trailing-backslash or
+    # quote+backslash value compares as itself, never as injected SQL
+    rows = list(execute(
+        "SELECT count(*) FROM country WHERE name = %s",
+        ["x\\' OR 1=1 --"],
+    ))
+    assert rows == [(0,)]
+    rows = list(execute(
+        "SELECT %s AS v", ["C:\\dir\\"],
+    ))
+    assert rows == [("C:\\dir\\",)]
+
 
 def test_pool_shim(monkeypatch):
     """Pool parity: disconnect() stops the active SparkSession (the
