@@ -595,3 +595,119 @@ def time_bucket_gapfill(df, ts_col="ts", group_col="event_type",
         out_cols.append(
             F.coalesce(F.col("v"), F.lit(fill)).alias("v"))
     return grid.join(per, ["grp", "__b"], "left").select(*out_cols)
+
+
+GAPFILL_STATE = T.StructType([
+    T.StructField("frontier", T.LongType()),
+    T.StructField("n", T.LongType()),
+    T.StructField("v", T.DoubleType()),
+])
+
+
+def _gapfill_emitter(bucket_seconds, fill, ts_col, group_col, val_col,
+                     how):
+    """Stateful per-group emitter for
+    :func:`time_bucket_gapfill_stream` — replicates the batch
+    fill/aggregate rule exactly for every CLOSED bucket."""
+    import pandas as pd
+
+    def emit(key, pdfs, state: GroupState):
+        (grp,) = key
+        if state.exists:
+            frontier, fn, fv = state.get
+        else:
+            frontier, fn, fv = None, 0, 0.0
+        acc = {}
+        for pdf in pdfs:
+            secs = (pd.to_datetime(pdf[ts_col]).astype("int64")
+                    // 10 ** 9)
+            sub = pd.DataFrame({"b": secs // bucket_seconds})
+            sub["v"] = (pdf[val_col].astype(float).to_numpy()
+                        if val_col else 0.0)
+            for b, row in sub.groupby("b").agg(
+                    n=("b", "size"), v=("v", "sum")).iterrows():
+                b = int(b)
+                if frontier is not None and b < frontier:
+                    continue  # late past closure: dropped, the same
+                    # effectively-once choice the anomaly twin makes
+                e = acc.setdefault(b, [0, 0.0])
+                e[0] += int(row["n"])
+                e[1] += float(row["v"])
+        rows = []
+        if acc:
+            mx = max(acc)
+            if frontier is None:
+                frontier = min(acc)
+            e = acc.setdefault(frontier, [0, 0.0])
+            e[0] += fn
+            e[1] += fv
+            for b in range(frontier, mx):
+                n, v = acc.get(b, (0, 0.0))
+                if n:
+                    out_v = v if how == "sum" else v / n
+                    rows.append((grp, b, n, out_v))
+                else:
+                    rows.append((grp, b, fill, float(fill)))
+            state.update((mx, acc[mx][0], acc[mx][1]))
+        cols = [group_col, "bucket", "n", "v"]
+        out = pd.DataFrame(rows, columns=cols)
+        if len(out):
+            out["bucket"] = pd.to_datetime(
+                out["bucket"] * bucket_seconds, unit="s")
+        else:
+            out["bucket"] = pd.to_datetime(out["bucket"])
+        if val_col is None:
+            out = out.drop(columns=["v"])
+        yield out
+
+    return emit
+
+
+def time_bucket_gapfill_stream(stream_df, ts_col="event_ts",
+                               group_col="event_type",
+                               bucket_seconds=3600, fill=0,
+                               value_agg=None, watermark="2 hours"):
+    """Streaming twin of :func:`time_bucket_gapfill`: the dense
+    gap-filled series, emitted continuously as buckets CLOSE.
+
+    Lowering: watermarked ``applyInPandasWithState`` keyed by the
+    group. State per group is just (frontier bucket, its running
+    count/value) — THREE scalars, independent of event volume and of
+    gap length. A bucket closes for a group when a LATER event of that
+    group arrives; on close the emitter writes the frontier's
+    aggregate plus a ``fill`` row for every silent bucket in between —
+    so on an in-order replay the emitted set equals the batch
+    operator's output minus each group's final (never-closed) bucket
+    (pinned by streaming_test). Late events inside the open bucket
+    still count; late events for a closed bucket are dropped, the same
+    effectively-once choice the anomaly twin makes.
+
+    Scale: state is O(groups) scalars; the only shuffle is the groupBy
+    on the group key. A group silent for a long span emits the same
+    zero rows the batch grid would — gap length costs output rows,
+    never state."""
+    val_col, how = (None, None)
+    if value_agg is not None:
+        val_col, how = value_agg
+        if how not in ("sum", "avg"):
+            raise ValueError("value_agg must be (col, 'sum'|'avg')")
+    grp_t = stream_df.schema[group_col].dataType
+    out_fields = [
+        T.StructField(group_col, grp_t),
+        T.StructField("bucket", T.TimestampNTZType()),
+        T.StructField("n", T.LongType()),
+    ]
+    if value_agg is not None:
+        out_fields.append(T.StructField("v", T.DoubleType()))
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(group_col)
+        .applyInPandasWithState(
+            _gapfill_emitter(bucket_seconds, fill, ts_col, group_col,
+                             val_col, how),
+            outputStructType=T.StructType(out_fields),
+            stateStructType=GAPFILL_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

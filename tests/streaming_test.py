@@ -483,6 +483,62 @@ def test_time_bucket_gapfill(spark):
     }
 
 
+def test_time_bucket_gapfill_stream_matches_batch(spark, tmp_path):
+    """The streaming gapfill twin must equal the batch operator on a
+    replayed event set — same buckets, same counts, same summed
+    values, INCLUDING the zero-filled gap rows — modulo each group's
+    final bucket, which a stream can never close. Replayed as 3
+    sequential files, one micro-batch each, so the frontier state
+    provably carries across micro-batches (gaps spanning a batch
+    boundary are the interesting case)."""
+    from datetime import datetime, timedelta
+
+    rows, eid = [], 0
+    base = datetime(2024, 1, 1)
+    # type "click": active hours with two silent spans (7-9, 30-35);
+    # type "view": sparse — every 5th hour only (dense gaps)
+    for h in range(48):
+        if not (7 <= h <= 9 or 30 <= h <= 35):
+            for i in range(3):
+                rows.append((eid, base + timedelta(hours=h, minutes=i),
+                             1, "click", float(h), "{}"))
+                eid += 1
+        if h % 5 == 0:
+            rows.append((eid, base + timedelta(hours=h, minutes=30),
+                         2, "view", 2.0, "{}"))
+            eid += 1
+
+    src = str(tmp_path / "gapfill_src")
+    for lo, hi in [(0, 20), (20, 40), (40, 48)]:
+        chunk = [r for r in rows
+                 if lo <= (r[1] - base).total_seconds() // 3600 < hi]
+        spark.createDataFrame(chunk, sev.EVENTS_SCHEMA) \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    stream = sev.read_events_stream(spark, src, max_files_per_trigger=1)
+    out = sev.run_to_memory(
+        sev.time_bucket_gapfill_stream(
+            stream, value_agg=("value", "sum")),
+        name="t_gapfill_stream", output_mode="append")
+    got = {(r.event_type, r.bucket, r.n, r.v) for r in out.collect()}
+
+    batch_df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value",
+               "props"])
+    batch = sev.time_bucket_gapfill(
+        batch_df, ts_col="ts", group_col="event_type",
+        bucket_seconds=3600, value_agg=("value", "sum"))
+    last = {"click": base + timedelta(hours=47),
+            "view": base + timedelta(hours=45)}
+    want = {(r.event_type, r.bucket, r.n, r.v)
+            for r in batch.collect() if r.bucket != last[r.event_type]}
+
+    assert got == want
+    # sanity: the silent spans actually produced zero-filled rows
+    assert ("click", base + timedelta(hours=8), 0, 0.0) in got
+    assert ("view", base + timedelta(hours=42), 0, 0.0) in got
+
+
 def test_time_bucket_gapfill_pre_epoch(spark):
     """Bucketing must FLOOR, not truncate toward zero: an event at
     1969-12-31 23:30 (epoch -1800) belongs to the 23:00 bucket (floor
