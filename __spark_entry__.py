@@ -1229,6 +1229,42 @@ def events_gapfill(spark, sf_dir):
     ).orderBy("event_type", "bucket")
 
 
+def events_value_bands(spark, sf_dir):
+    """Round-5 debut: binned range join (operators/rangejoin.py) —
+    events matched to per-type value bands derived from the data (five
+    equal-width bands over [min, max]). A naive `v BETWEEN lo AND hi`
+    join plans as BroadcastNestedLoopJoin; range_join lowers it to a
+    plain shuffle join on (event_type, bin) with the exact predicate as
+    the join residual, which survives an interval side too big to
+    broadcast. The DuckDB oracle writes the same join as a raw
+    inequality join (its IEJoin handles that natively)."""
+    from tanker_spark.operators.rangejoin import range_join
+
+    ev = _read(spark, sf_dir, "events").select("event_type", "value")
+    stats = ev.groupBy("event_type").agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx")
+    )
+    bands = stats.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(0), F.lit(4))).alias("band_id"),
+        "mn", "mx",
+    ).select(
+        "event_type", "band_id",
+        F.expr("mn + band_id*(mx-mn)/5").alias("lo"),
+        # top band's hi is pushed past mx so the max value lands in it
+        # with the same half-open [lo, hi) rule as every other band
+        F.expr("CASE WHEN band_id = 4 THEN mx + (mx-mn)/5"
+               "     ELSE mn + (band_id+1)*(mx-mn)/5 END").alias("hi"),
+    )
+    j = range_join(ev, bands, "value", "lo", "hi", on="event_type")
+    return (
+        j.groupBy("event_type", "band_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.avg("value"), 4).alias("avg_value"))
+        .orderBy("event_type", "band_id")
+    )
+
+
 def sessionize_events(spark, sf_dir):
     """30-min-gap sessionization per user (session_window; the streaming
     twin is tanker_spark.streaming.events.sessionize)."""
@@ -2003,6 +2039,7 @@ DEBUTS = [
     "scalar_field_agg_nations",
     "qualify_exists_suppliers",
     "events_gapfill",
+    "events_value_bands",
 ]
 
 
@@ -2065,6 +2102,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_field_agg_nations": scalar_field_agg_nations,
         "qualify_exists_suppliers": qualify_exists_suppliers,
         "events_gapfill": events_gapfill,
+        "events_value_bands": events_value_bands,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -3200,6 +3238,25 @@ def oracle_sql() -> dict[str, str]:
             FROM grid g LEFT JOIN per p
               ON g.event_type = p.event_type AND g.b = p.b
             ORDER BY g.event_type, bucket
+        """,
+        "events_value_bands": """
+            WITH stats AS (
+                SELECT event_type, min(value) AS mn, max(value) AS mx
+                FROM events GROUP BY event_type
+            ), bands AS (
+                SELECT event_type, i AS band_id,
+                       mn + i*(mx-mn)/5 AS lo,
+                       CASE WHEN i = 4 THEN mx + (mx-mn)/5
+                            ELSE mn + (i+1)*(mx-mn)/5 END AS hi
+                FROM stats, (SELECT unnest([0, 1, 2, 3, 4]) AS i) t
+            )
+            SELECT e.event_type, b.band_id, count(*) AS n_events,
+                   round(avg(e.value), 4) AS avg_value
+            FROM events e JOIN bands b
+              ON e.event_type = b.event_type
+             AND e.value >= b.lo AND e.value < b.hi
+            GROUP BY e.event_type, b.band_id
+            ORDER BY e.event_type, b.band_id
         """,
         "qualify_exists_suppliers": """
             SELECT s_suppkey, s_nationkey

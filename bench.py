@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "dsir_select_docs",
     "qualify_exists_suppliers",
     "events_gapfill",
+    "events_value_bands",
 ]
 
 

@@ -7,4 +7,5 @@ whole-stage-codegen) — no row-at-a-time Python. Pandas UDFs only where the
 semantics genuinely need numpy (none so far; multimodal decode is stubbed).
 """
 
-from . import curation, dedup, multimodal, similarity, text  # noqa: F401
+from . import (curation, dedup, multimodal, rangejoin,  # noqa: F401
+               similarity, text)
