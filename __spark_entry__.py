@@ -1325,6 +1325,18 @@ def substring_dup_docs(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def bm25_search_docs(spark, sf_dir):
+    """Round-5 debut: BM25 full-text top-k (operators/search.py) — the
+    query-term filter rides the exploded scan, so the shuffles are
+    bounded by |matching docs| x |query terms|, never corpus tokens; the
+    scoring expression string is shared verbatim with the DuckDB oracle
+    so both engines run the same IEEE sequence."""
+    from tanker_spark.operators.search import bm25_topk
+
+    df = _read(spark, sf_dir, "documents")
+    return bm25_topk(df, "spark merge window", k=10)
+
+
 def text_stats(spark, sf_dir):
     """Token counting, mean word length and English stopword ratio per
     document (composite: keeps every oracle-checkable op within the
@@ -2040,6 +2052,7 @@ DEBUTS = [
     "qualify_exists_suppliers",
     "events_gapfill",
     "events_value_bands",
+    "bm25_search_docs",
 ]
 
 
@@ -2103,6 +2116,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qualify_exists_suppliers": qualify_exists_suppliers,
         "events_gapfill": events_gapfill,
         "events_value_bands": events_value_bands,
+        "bm25_search_docs": bm25_search_docs,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -3238,6 +3252,36 @@ def oracle_sql() -> dict[str, str]:
             FROM grid g LEFT JOIN per p
               ON g.event_type = p.event_type AND g.b = p.b
             ORDER BY g.event_type, bucket
+        """,
+        "bm25_search_docs": """
+            WITH base AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\\s+')
+                           AS toks
+                FROM documents
+            ), docs AS (
+                SELECT doc_id, len(toks) AS dl FROM base
+            ), stats AS (
+                SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM docs
+            ), m AS (
+                SELECT b.doc_id, t.term, count(*) AS tf
+                FROM base b, unnest(b.toks) AS t(term)
+                WHERE t.term IN ('merge', 'spark', 'window')
+                GROUP BY b.doc_id, t.term
+            ), dfreq AS (
+                SELECT term, count(*) AS df_t FROM m GROUP BY term
+            )
+            SELECT m.doc_id,
+                   round(sum(
+                       ln((n_docs - df_t + 0.5)/(df_t + 0.5) + 1)
+                       * tf*(1.2+1)/(tf + 1.2*(1 - 0.75 + 0.75*dl/avgdl))
+                   ), 4) AS bm25
+            FROM m
+            JOIN dfreq USING (term)
+            JOIN docs USING (doc_id), stats
+            GROUP BY m.doc_id
+            ORDER BY bm25 DESC, m.doc_id ASC
+            LIMIT 10
         """,
         "events_value_bands": """
             WITH stats AS (

@@ -1,0 +1,156 @@
+"""BM25 full-text relevance search over a document corpus — the lookup
+side of a training-data pipeline (find near-matches of a benchmark
+prompt, audit what the corpus says about a topic, build retrieval
+eval sets). The reference has no search surface (tanker is an ORM-ish
+query layer; SURVEY §2 "not present" list), so this is a Spark-first
+extension alongside dedup/similarity/text.
+
+Two paths, one scoring function (Lucene/Okapi BM25,
+``idf = ln((N - df + 0.5)/(df + 0.5) + 1)``):
+
+- :func:`bm25_topk` — ad-hoc: one scan. The query-term filter sits
+  immediately on the exploded tokens, so only rows for the handful of
+  query terms survive the map side; the shuffles that remain are keyed
+  by (doc, term) and term — both bounded by |matching docs| × |query|,
+  never by corpus token count. Corpus N/avgdl ride a broadcast one-row
+  frame; top-k is a TakeOrderedAndProject.
+- :func:`build_text_index` + :func:`bm25_topk_indexed` — repeated
+  queries: postings (term, doc, tf, dl) persisted ONCE, parquet
+  hive-partitioned by a term-hash prefix. A probe prunes to the
+  partitions holding its query terms (PartitionFilters) and never
+  re-tokenizes the corpus — the 100 TB path, where tokenization
+  dominates and must not be paid per query.
+
+Scores are rounded (4 dp default) and ordered (score DESC, id ASC)
+so the selected top-k is reproducible across engines and partition
+orderings; the DuckDB oracle mirrors the scoring expression textually.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+META_SUBDIR = "_bm25_meta"
+POSTINGS_SUBDIR = "postings"
+_PFX = "pfx"
+
+
+def _query_terms(query):
+    """Unique, lowered query terms (BM25 sums once per distinct term)."""
+    terms = query.lower().split() if isinstance(query, str) else [
+        t.lower() for t in query
+    ]
+    return sorted(set(terms))
+
+
+def _bm25_expr(k1, b):
+    """The per-(doc, term) contribution, written as ONE expression string
+    shared (textually) with the DuckDB oracle so both engines evaluate
+    the same IEEE operation sequence."""
+    return (
+        f"ln((n_docs - df_t + 0.5)/(df_t + 0.5) + 1)"
+        f" * tf*({k1}+1)/(tf + {k1}*(1 - {b} + {b}*dl/avgdl))"
+    )
+
+
+def _postings(df, text_col, id_col):
+    """(id, dl, term, tf): tokenize once, keep per-doc length for the
+    length normalization. Map-only until the (id, term) aggregate."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.lower(F.col(text_col))).alias("__toks"),
+    ).select("doc_id", F.size("__toks").alias("dl"),
+             F.explode("__toks").alias("term"))
+    return base
+
+
+def bm25_topk(df, query, k=10, text_col="text", id_col="doc_id",
+              k1=1.2, b=0.75, round_to=4):
+    """Top-``k`` documents by BM25 relevance to ``query`` (a string or a
+    list of terms). Returns (doc_id, bm25)."""
+    terms = _query_terms(query)
+    toks = _postings(df, text_col, id_col)
+    # corpus stats: one tiny aggregate, broadcast onto every scored row
+    stats = df.select(
+        tokens(F.lower(F.col(text_col))).alias("__toks")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size("__toks")).alias("avgdl"),
+    )
+    m = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    dfreq = m.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    scored = (
+        m.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("__s", F.expr(_bm25_expr(k1, b)))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("__s"), round_to).alias("bm25"))
+    )
+    return scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()) \
+                 .limit(k)
+
+
+def term_prefix(col):
+    """Partition key for the persisted postings: 2 hex chars of the term
+    hash → 256 partitions, so a probe's PartitionFilters prune ~99% of
+    the index regardless of vocabulary size (partitioning BY term would
+    mint one directory per vocab entry — a metadata explosion)."""
+    return F.substring(F.sha2(col, 256), 1, 2)
+
+
+def build_text_index(df, path, text_col="text", id_col="doc_id"):
+    """Persist the BM25 index: postings partitioned by term-hash prefix
+    + a one-row meta table (n_docs, avgdl). Tokenization — the dominant
+    cost — is paid once here, never per query."""
+    toks = _postings(df, text_col, id_col)
+    postings = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+        .withColumn(_PFX, term_prefix(F.col("term")))
+    )
+    postings.write.mode("overwrite").partitionBy(_PFX).parquet(
+        f"{path}/{POSTINGS_SUBDIR}"
+    )
+    df.select(
+        tokens(F.lower(F.col(text_col))).alias("__toks")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size("__toks")).alias("avgdl"),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{META_SUBDIR}")
+    return path
+
+
+def bm25_topk_indexed(spark, path, query, k=10, k1=1.2, b=0.75,
+                      round_to=4):
+    """Probe a persisted index: partition-pruned postings read (only the
+    query terms' hash prefixes are scanned), document-frequency counts
+    from the matching postings, same scoring expression as the ad-hoc
+    path — a rebuilt probe is row-identical to :func:`bm25_topk` on the
+    same corpus (pinned by test)."""
+    terms = _query_terms(query)
+    pfx = sorted({
+        hashlib.sha256(t.encode()).hexdigest()[:2] for t in terms
+    })
+    m = (
+        spark.read.parquet(f"{path}/{POSTINGS_SUBDIR}")
+        .filter(F.col(_PFX).isin(pfx) & F.col("term").isin(terms))
+    )
+    stats = spark.read.parquet(f"{path}/{META_SUBDIR}")
+    dfreq = m.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    scored = (
+        m.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("__s", F.expr(_bm25_expr(k1, b)))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("__s"), round_to).alias("bm25"))
+    )
+    return scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()) \
+                 .limit(k)
