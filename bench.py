@@ -187,14 +187,21 @@ def main():
             json.dumps({"passes": all_passes, "sf": sf}, indent=1) + "\n")
     except OSError:
         pass  # read-only checkout: the stdout line is still complete
-    line = json.dumps({
+    payload = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    })
-    assert len(line) < 1900, "bench JSON line must fit the driver tail"
+    }
+    line = json.dumps(payload)
+    if len(line) >= 1900:
+        # the driver tails only ~2000 bytes; past that budget drop the
+        # per-query medians from stdout (they are already persisted in
+        # BENCH_passes.json) rather than crash after every query ran
+        payload.pop("queries")
+        payload["queries_in"] = "BENCH_passes.json"
+        line = json.dumps(payload)
     print(line)
 
 

@@ -397,7 +397,13 @@ def execute(query, args=None):
     as a temp view over its CURRENT snapshot) and the result comes
     back as an iterator of row tuples — the same shape reference
     callers consume. ``args`` fills ``%s`` placeholders positionally
-    (values are SQL-escaped literals, reference-style paramstyle)."""
+    (values are SQL-escaped literals, reference-style paramstyle).
+
+    Only the exact ``%s`` token is a placeholder — a bare ``%`` in the
+    SQL (``LIKE '%x%'``) passes through untouched, no ``%%`` doubling
+    needed (python ``%``-interpolation would raise on it). A literal
+    ``%s`` inside a string constant cannot be expressed when ``args``
+    is given; pass it as a parameter instead."""
     if args:
         def _lit(v):
             if v is None:
@@ -413,7 +419,15 @@ def execute(query, args=None):
             s = str(v).replace("\\", "\\\\").replace("'", "\\'")
             return "'%s'" % s
 
-        query = query % tuple(_lit(a) for a in args)
+        parts = query.split("%s")
+        if len(parts) - 1 != len(args):
+            raise ValueError(
+                "execute: query has %d %%s placeholders but %d args"
+                % (len(parts) - 1, len(args))
+            )
+        query = parts[0] + "".join(
+            _lit(a) + p for a, p in zip(args, parts[1:])
+        )
     df = CTX_STACK.active_context().sql(query)
     return iter([tuple(r) for r in df.collect()])
 

@@ -71,21 +71,34 @@ def _default_bin_width(right, lo_line, hi_line):
 
 def range_join(left, right, left_col, lo_col, hi_col, on=None,
                bin_width=None, hi_inclusive=False, how="inner",
-               max_bins_per_interval=100_000):
+               max_bins_per_interval=100_000, suffix=None):
     """Join ``left`` rows to every ``right`` interval containing
     ``left[left_col]``: ``lo <= value < hi`` (``<= hi`` when
     ``hi_inclusive``). ``on`` adds equi-key conjuncts — a string / list
     of column names present on both sides. ``how`` ∈ {'inner', 'left'}
     (leftouter keeps unmatched left rows with NULL interval payload).
 
-    Output: all left columns + the right side's non-key columns. Right
-    intervals with ``lo > hi`` (empty) never match. Works on numeric,
-    timestamp and date lines; both sides must live on the same line.
+    Output: all left columns + the right side's non-key columns. A
+    right payload column whose name collides with a left column is an
+    error unless ``suffix`` is given, in which case the right twin is
+    renamed ``<col><suffix>`` (silently emitting two identically named
+    columns would make every downstream name-based select ambiguous).
+    Right intervals with ``lo > hi`` (empty) never match. Works on
+    numeric, timestamp and date lines; both sides must live on the same
+    line.
     """
     on = [on] if isinstance(on, str) else list(on or [])
     how = {"inner": "inner", "left": "leftouter"}.get(how.lower())
     if how is None:
         raise ValueError("range_join: how must be inner|left")
+    clash = sorted(
+        set(c for c in right.columns if c not in on) & set(left.columns)
+    )
+    if clash and suffix is None:
+        raise ValueError(
+            "range_join: right payload columns %s collide with left "
+            "columns — rename them or pass suffix='_r'" % clash
+        )
 
     v_line = _to_line(F.col(left_col), left.schema[left_col].dataType)
     lo_line = _to_line(F.col(lo_col), right.schema[lo_col].dataType)
@@ -138,8 +151,12 @@ def range_join(left, right, left_col, lo_col, hi_col, on=None,
     cond = cond & ((l_v <= r_hi) if hi_inclusive else (l_v < r_hi))
 
     pay_cols = [c for c in right.columns if c not in on]
+
+    def out_name(c):
+        return c + suffix if suffix and c in left.columns else c
+
     return (
         l_binned.join(r_binned, cond, how)
         .select(*[lc(c).alias(c) for c in left.columns],
-                *[rc(c).alias(c) for c in pay_cols])
+                *[rc(c).alias(out_name(c)) for c in pay_cols])
     )

@@ -53,7 +53,8 @@ def list_versions(root, name):
     if not os.path.isdir(tdir):
         return []
     return sorted(
-        int(v[2:]) for v in os.listdir(tdir) if v.startswith("v_")
+        int(v[2:]) for v in os.listdir(tdir)
+        if v.startswith("v_") and not v.endswith(".claim")
     )
 
 
@@ -115,6 +116,17 @@ def read_table(spark, root, name, schema=None, version=None):
     return reader.parquet(path)
 
 
+#: claimed-but-uncommitted versions older than this many seconds lose
+#: their GC protection (a crashed writer's stale claim must not pin
+#: garbage forever). A healthy writer that takes longer than this to
+#: commit ONE version should raise it.
+CLAIM_TTL = 24 * 3600
+
+
+def _claim_marker(tdir, version):
+    return os.path.join(tdir, version + ".claim")
+
+
 def _claim_version(tdir):
     """Atomically claim the next version directory.
 
@@ -125,13 +137,24 @@ def _claim_version(tdir):
     ordering is still last-pointer-flip-wins — the same optimistic
     model as Delta without conflict retry; concurrent upserts to the
     same table can lose the earlier writer's rows, exactly like two
-    un-coordinated MERGEs."""
-    versions = sorted(v for v in os.listdir(tdir) if v.startswith("v_"))
+    un-coordinated MERGEs.
+
+    A sibling ``<version>.claim`` marker (NOT inside the dir — Spark's
+    overwrite mode wipes the dir contents at write start) shields the
+    claimed version from :func:`_gc_versions` until the claimer commits
+    and removes it: without it, a slow writer holding a LOW version
+    number is GC'd as soon as two later writers commit under keep=2,
+    and its eventual pointer flip would target a deleted directory.
+    Stale markers (crashed writers) expire after ``CLAIM_TTL``."""
+    versions = sorted(v for v in os.listdir(tdir) if v.startswith("v_")
+                      and not v.endswith(".claim"))
     n = int(versions[-1][2:]) + 1 if versions else 1
     while True:
         nxt = "v_%06d" % n
         try:
             os.mkdir(os.path.join(tdir, nxt))
+            with open(_claim_marker(tdir, nxt), "w") as fh:
+                fh.write(str(os.getpid()))
             return nxt
         except FileExistsError:
             n += 1
@@ -237,28 +260,62 @@ def write_table(df, root, name, partition_by=None, keep=None,
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(target)
-    # atomic pointer flip
-    tmp = _pointer_path(root, name) + ".tmp"
-    with open(tmp, "w") as fh:
-        fh.write(nxt)
-    os.replace(tmp, _pointer_path(root, name))
+    _commit_pointer(root, name, tdir, nxt)
     _gc_versions(tdir, nxt, keep)
     return target
 
 
 def _gc_versions(tdir, committed, keep):
     """GC version dirs beyond the retention window — but NEVER a version
-    newer than the one this writer just committed: a concurrent writer
-    may have claimed (and still be filling) a higher version number, and
-    with keep=2 two fast commits would otherwise push the slow writer's
-    in-progress directory out of the keep window and delete it under its
-    running Spark job."""
+    newer than the one this writer just committed (a concurrent writer
+    may have claimed — and still be filling — a higher number), and NEVER
+    a version holding a live ``.claim`` marker: a SLOW writer on a LOWER
+    number would otherwise fall out of the keep window as soon as two
+    later writers commit under keep=2, and its eventual pointer flip
+    would target a deleted directory. Markers older than ``CLAIM_TTL``
+    are treated as crashed writers and collected anyway."""
+    import time
+
     versions = sorted(
         v for v in os.listdir(tdir)
-        if v.startswith("v_") and v <= committed
+        if v.startswith("v_") and not v.endswith(".claim")
+        and v <= committed
     )
+    now = time.time()
     for old in versions[:-(keep or KEEP_VERSIONS)]:
+        marker = _claim_marker(tdir, old)
+        try:
+            if now - os.path.getmtime(marker) < CLAIM_TTL:
+                continue  # claimed by a live concurrent writer
+        except OSError:
+            pass  # no marker: committed long ago, normal GC
         shutil.rmtree(os.path.join(tdir, old), ignore_errors=True)
+        try:
+            os.remove(marker)
+        except OSError:
+            pass
+
+
+def _commit_pointer(root, name, tdir, version):
+    """Atomically flip the table pointer to ``version`` and release its
+    claim marker. Verifies the version directory still exists first —
+    if a (mis-tuned CLAIM_TTL / manual) GC deleted it, readers must see
+    the old snapshot and the writer a loud error, not a dangling
+    pointer."""
+    if not os.path.isdir(os.path.join(tdir, version)):
+        raise RuntimeError(
+            "commit of %s %s lost its version directory before the "
+            "pointer flip (GC'd under this writer? raise CLAIM_TTL)"
+            % (name, version)
+        )
+    tmp = _pointer_path(root, name) + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(version)
+    os.replace(tmp, _pointer_path(root, name))
+    try:
+        os.remove(_claim_marker(tdir, version))
+    except OSError:
+        pass
 
 
 def _link_tree(src, dst):
@@ -320,10 +377,7 @@ def write_table_partial(df_changed, root, name, partition_by,
                 os.path.join(prev, entry), os.path.join(target, entry)
             )
 
-    tmp = _pointer_path(root, name) + ".tmp"
-    with open(tmp, "w") as fh:
-        fh.write(nxt)
-    os.replace(tmp, _pointer_path(root, name))
+    _commit_pointer(root, name, tdir, nxt)
     _gc_versions(tdir, nxt, keep)
     return target
 

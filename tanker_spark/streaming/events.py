@@ -394,57 +394,102 @@ ANOMALY_STATE = T.StructType([
     T.StructField("frontier", T.LongType()),
     T.StructField("hours", T.ArrayType(T.LongType())),
     T.StructField("counts", T.ArrayType(T.LongType())),
+    T.StructField("flushed", T.BooleanType()),
 ])
 
 
-def _hourly_anomaly_scorer(lookback, z_thresh, ts_col):
+def _hourly_anomaly_scorer(lookback, z_thresh, ts_col,
+                           idle_timeout_seconds):
     """Stateful per-type scorer for :func:`hourly_anomalies_stream` —
     replicates the batch flag rule exactly (sample stddev over the
     observed hours in the trailing ``lookback`` clock hours; sd>0 →
     |z| cut, sd=0 with a changed count → NULL-z flag, <2 baseline
-    points → skip)."""
+    points → skip).
+
+    Event-time timeouts close the FRONTIER hour once the watermark
+    passes its end (a type that stops producing used to leave its last
+    hour unscored forever — round-5 ADVICE), marking it ``flushed`` so
+    the trailing baseline survives a later resume; a second timeout
+    ``idle_timeout_seconds`` after the flush expires the key's state
+    entirely."""
     import math
 
     import pandas as pd
 
     def score(key, pdfs, state: GroupState):
         (etype,) = key
-        if state.exists:
-            frontier, hours, counts = state.get
-            hc = dict(zip(hours, counts))
-        else:
-            frontier, hc = None, {}
-        for pdf in pdfs:
-            hs = (pd.to_datetime(pdf[ts_col]).astype("int64")
-                  // (3600 * 10 ** 9))
-            for h, c in hs.value_counts().items():
-                h = int(h)
-                if frontier is not None and h < frontier:
-                    continue  # late past closure: dropped (the same
-                    # effectively-once choice a watermark makes)
-                hc[h] = hc.get(h, 0) + int(c)
         rows = []
-        if hc:
-            mx = max(hc)
-            lo = frontier if frontier is not None else min(hc)
-            for h in sorted(x for x in hc if lo <= x < mx):
-                base = [c for p, c in hc.items()
-                        if h - lookback <= p <= h - 1]
-                n = hc[h]
-                if len(base) >= 2:
-                    mu = sum(base) / len(base)
-                    sd = math.sqrt(
-                        sum((x - mu) ** 2 for x in base)
-                        / (len(base) - 1)
-                    )
-                    if sd > 0:
-                        z = (n - mu) / sd
-                        if abs(z) >= z_thresh:
-                            rows.append((etype, h, n, round(z, 4)))
-                    elif n != mu:
-                        rows.append((etype, h, n, None))
-            keep = sorted(p for p in hc if p >= mx - lookback)
-            state.update((mx, keep, [hc[p] for p in keep]))
+
+        def score_hour(h, hc):
+            base = [c for p, c in hc.items()
+                    if h - lookback <= p <= h - 1]
+            n = hc[h]
+            if len(base) >= 2:
+                mu = sum(base) / len(base)
+                sd = math.sqrt(
+                    sum((x - mu) ** 2 for x in base)
+                    / (len(base) - 1)
+                )
+                if sd > 0:
+                    z = (n - mu) / sd
+                    if abs(z) >= z_thresh:
+                        rows.append((etype, h, n, round(z, 4)))
+                elif n != mu:
+                    rows.append((etype, h, n, None))
+
+        wm = state.getCurrentWatermarkMs()
+        if state.hasTimedOut:
+            frontier, hours, counts, flushed = state.get
+            if flushed:
+                state.remove()  # idle TTL expired: key went quiet
+            else:
+                score_hour(frontier, dict(zip(hours, counts)))
+                state.update((frontier, hours, counts, True))
+                state.setTimeoutTimestamp(
+                    wm + idle_timeout_seconds * 1000)
+        else:
+            if state.exists:
+                frontier, hours, counts, flushed = state.get
+                hc = dict(zip(hours, counts))
+            else:
+                frontier, hc, flushed = None, {}, False
+            for pdf in pdfs:
+                hs = (pd.to_datetime(pdf[ts_col]).astype("int64")
+                      // (3600 * 10 ** 9))
+                for h, c in hs.value_counts().items():
+                    h = int(h)
+                    if frontier is not None and (
+                            h < frontier
+                            or (flushed and h == frontier)):
+                        continue  # late past closure: dropped (the same
+                        # effectively-once choice a watermark makes)
+                    hc[h] = hc.get(h, 0) + int(c)
+            if hc and max(hc) != frontier:
+                mx = max(hc)
+                if frontier is None:
+                    lo = min(hc)
+                elif flushed:
+                    lo = frontier + 1  # frontier already scored
+                else:
+                    lo = frontier
+                for h in sorted(x for x in hc if lo <= x < mx):
+                    score_hour(h, hc)
+                frontier, flushed = mx, False
+                hc = {p: hc[p] for p in hc if p >= mx - lookback}
+            if frontier is not None:
+                keep = sorted(hc)
+                counts = [hc[p] for p in keep]
+                close_ms = (frontier + 1) * 3600 * 1000
+                if not flushed and close_ms <= wm:
+                    # the open hour is already unreachable by any
+                    # non-late event (setTimeoutTimestamp rejects a
+                    # timestamp <= watermark): flush it now
+                    score_hour(frontier, hc)
+                    flushed = True
+                state.update((frontier, keep, counts, flushed))
+                state.setTimeoutTimestamp(
+                    wm + idle_timeout_seconds * 1000 if flushed
+                    else close_ms)
         out = pd.DataFrame(
             rows, columns=["event_type", "hour", "n", "z"])
         if len(out):
@@ -458,7 +503,8 @@ def _hourly_anomaly_scorer(lookback, z_thresh, ts_col):
 
 def hourly_anomalies_stream(stream_df, lookback=24, z_thresh=2.0,
                             watermark="2 hours", ts_col="event_ts",
-                            type_col="event_type"):
+                            type_col="event_type",
+                            idle_timeout_seconds=24 * 3600):
     """Streaming twin of :func:`hourly_anomalies`: the same z-score
     gate, emitted continuously as hours CLOSE.
 
@@ -467,25 +513,31 @@ def hourly_anomalies_stream(stream_df, lookback=24, z_thresh=2.0,
     ``lookback`` clock hours plus the still-open frontier hour —
     bounded at ``lookback + 1`` entries per type, the streaming
     equivalent of the batch RANGE window. An hour closes for a type
-    when a LATER event of that type arrives; on close it is scored
-    against the observed hours in its trailing window and emitted iff
-    anomalous — so on an in-order replay the emitted set equals the
-    batch operator's output minus each type's final (never-closed)
-    hour (pinned by streaming_test). Late events inside the open hour
-    still count; late events for a closed hour are dropped, the same
-    effectively-once choice ``dropDuplicatesWithinWatermark`` makes.
+    when a LATER event of that type arrives OR when the event-time
+    watermark passes its end (EventTimeTimeout — so a type that stops
+    producing still gets its last hour scored; round-5 ADVICE). On
+    close it is scored against the observed hours in its trailing
+    window and emitted iff anomalous — so on an in-order replay the
+    emitted set equals the batch operator's output minus any frontier
+    hour the watermark never passed (pinned by streaming_test). Late
+    events inside the open hour still count; late events for a closed
+    hour are dropped, the same effectively-once choice
+    ``dropDuplicatesWithinWatermark`` makes. State for a type idle
+    ``idle_timeout_seconds`` of event time past its flush is expired.
 
     Scale: state is O(types × lookback) longs — independent of event
-    volume; the only shuffle is the groupBy on type."""
+    volume and expired for dead keys; the only shuffle is the groupBy
+    on type."""
     return (
         stream_df.withWatermark(ts_col, watermark)
         .groupBy(type_col)
         .applyInPandasWithState(
-            _hourly_anomaly_scorer(lookback, z_thresh, ts_col),
+            _hourly_anomaly_scorer(lookback, z_thresh, ts_col,
+                                   idle_timeout_seconds),
             outputStructType=ANOMALY_OUTPUT,
             stateStructType=ANOMALY_STATE,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 
@@ -601,54 +653,99 @@ GAPFILL_STATE = T.StructType([
     T.StructField("frontier", T.LongType()),
     T.StructField("n", T.LongType()),
     T.StructField("v", T.DoubleType()),
+    T.StructField("flushed", T.BooleanType()),
 ])
 
 
 def _gapfill_emitter(bucket_seconds, fill, ts_col, group_col, val_col,
-                     how):
+                     how, idle_timeout_seconds):
     """Stateful per-group emitter for
     :func:`time_bucket_gapfill_stream` — replicates the batch
-    fill/aggregate rule exactly for every CLOSED bucket."""
+    fill/aggregate rule exactly for every CLOSED bucket.
+
+    Event-time timeouts close the FRONTIER bucket once the watermark
+    passes its end (a group that stops producing used to leave its last
+    bucket unemitted forever — round-5 ADVICE). The flush keeps the
+    frontier in state (``flushed`` marker) so a group that RESUMES
+    still zero-fills the silent span, batch-identically; a second
+    timeout ``idle_timeout_seconds`` after the flush expires the key's
+    state entirely (a resume after THAT restarts the grid at the new
+    first bucket, exactly like a fresh group)."""
     import pandas as pd
+
+    bs_ms = bucket_seconds * 1000
 
     def emit(key, pdfs, state: GroupState):
         (grp,) = key
-        if state.exists:
-            frontier, fn, fv = state.get
-        else:
-            frontier, fn, fv = None, 0, 0.0
-        acc = {}
-        for pdf in pdfs:
-            secs = (pd.to_datetime(pdf[ts_col]).astype("int64")
-                    // 10 ** 9)
-            sub = pd.DataFrame({"b": secs // bucket_seconds})
-            sub["v"] = (pdf[val_col].astype(float).to_numpy()
-                        if val_col else 0.0)
-            for b, row in sub.groupby("b").agg(
-                    n=("b", "size"), v=("v", "sum")).iterrows():
-                b = int(b)
-                if frontier is not None and b < frontier:
-                    continue  # late past closure: dropped, the same
-                    # effectively-once choice the anomaly twin makes
-                e = acc.setdefault(b, [0, 0.0])
-                e[0] += int(row["n"])
-                e[1] += float(row["v"])
         rows = []
-        if acc:
-            mx = max(acc)
-            if frontier is None:
-                frontier = min(acc)
-            e = acc.setdefault(frontier, [0, 0.0])
-            e[0] += fn
-            e[1] += fv
-            for b in range(frontier, mx):
-                n, v = acc.get(b, (0, 0.0))
-                if n:
-                    out_v = v if how == "sum" else v / n
-                    rows.append((grp, b, n, out_v))
+
+        def data_row(b, n, v):
+            rows.append((grp, b, n, v if how == "sum" else v / n))
+
+        wm = state.getCurrentWatermarkMs()
+        if state.hasTimedOut:
+            frontier, fn, fv, flushed = state.get
+            if flushed:
+                state.remove()  # idle TTL expired: group went quiet
+            else:
+                data_row(frontier, fn, fv)
+                state.update((frontier, fn, fv, True))
+                state.setTimeoutTimestamp(
+                    wm + idle_timeout_seconds * 1000)
+        else:
+            if state.exists:
+                frontier, fn, fv, flushed = state.get
+            else:
+                frontier, fn, fv, flushed = None, 0, 0.0, False
+            acc = {}
+            for pdf in pdfs:
+                secs = (pd.to_datetime(pdf[ts_col]).astype("int64")
+                        // 10 ** 9)
+                sub = pd.DataFrame({"b": secs // bucket_seconds})
+                sub["v"] = (pdf[val_col].astype(float).to_numpy()
+                            if val_col else 0.0)
+                for b, row in sub.groupby("b").agg(
+                        n=("b", "size"), v=("v", "sum")).iterrows():
+                    b = int(b)
+                    if frontier is not None and (
+                            b < frontier
+                            or (flushed and b == frontier)):
+                        continue  # late past closure: dropped, the same
+                        # effectively-once choice the anomaly twin makes
+                    e = acc.setdefault(b, [0, 0.0])
+                    e[0] += int(row["n"])
+                    e[1] += float(row["v"])
+            if acc:
+                mx = max(acc)
+                if frontier is None:
+                    frontier = min(acc)
+                if flushed:
+                    start = frontier + 1  # frontier already emitted
                 else:
-                    rows.append((grp, b, fill, float(fill)))
-            state.update((mx, acc[mx][0], acc[mx][1]))
+                    e = acc.setdefault(frontier, [0, 0.0])
+                    e[0] += fn
+                    e[1] += fv
+                    start = frontier
+                for b in range(start, mx):
+                    n, v = acc.get(b, (0, 0.0))
+                    if n:
+                        data_row(b, n, v)
+                    else:
+                        rows.append((grp, b, fill, float(fill)))
+                frontier, fn, fv, flushed = (
+                    mx, acc[mx][0], acc[mx][1], False)
+            if frontier is not None:
+                close_ms = (frontier + 1) * bs_ms
+                if not flushed and close_ms <= wm:
+                    # the open bucket is already unreachable by any
+                    # non-late event (setTimeoutTimestamp rejects a
+                    # timestamp <= watermark): flush it now
+                    data_row(frontier, fn, fv)
+                    flushed = True
+                state.update((frontier, fn, fv, flushed))
+                state.setTimeoutTimestamp(
+                    wm + idle_timeout_seconds * 1000 if flushed
+                    else close_ms)
         cols = [group_col, "bucket", "n", "v"]
         out = pd.DataFrame(rows, columns=cols)
         if len(out):
@@ -666,26 +763,34 @@ def _gapfill_emitter(bucket_seconds, fill, ts_col, group_col, val_col,
 def time_bucket_gapfill_stream(stream_df, ts_col="event_ts",
                                group_col="event_type",
                                bucket_seconds=3600, fill=0,
-                               value_agg=None, watermark="2 hours"):
+                               value_agg=None, watermark="2 hours",
+                               idle_timeout_seconds=24 * 3600):
     """Streaming twin of :func:`time_bucket_gapfill`: the dense
     gap-filled series, emitted continuously as buckets CLOSE.
 
     Lowering: watermarked ``applyInPandasWithState`` keyed by the
-    group. State per group is just (frontier bucket, its running
-    count/value) — THREE scalars, independent of event volume and of
-    gap length. A bucket closes for a group when a LATER event of that
-    group arrives; on close the emitter writes the frontier's
-    aggregate plus a ``fill`` row for every silent bucket in between —
-    so on an in-order replay the emitted set equals the batch
-    operator's output minus each group's final (never-closed) bucket
-    (pinned by streaming_test). Late events inside the open bucket
-    still count; late events for a closed bucket are dropped, the same
-    effectively-once choice the anomaly twin makes.
+    group. State per group is (frontier bucket, its running
+    count/value, flushed flag) — FOUR scalars, independent of event
+    volume and of gap length. A bucket closes for a group when a LATER
+    event of that group arrives OR when the event-time watermark
+    passes its end (EventTimeTimeout — a group that stops producing
+    used to leave its last bucket unemitted forever; round-5 ADVICE).
+    On close the emitter writes the frontier's aggregate plus a
+    ``fill`` row for every silent bucket in between — so on an
+    in-order replay the emitted set equals the batch operator's output
+    minus any frontier bucket the watermark never passed (pinned by
+    streaming_test). A timed-out flush KEEPS the frontier in state, so
+    a group that resumes still zero-fills the silent span
+    batch-identically; state expires entirely after
+    ``idle_timeout_seconds`` of further event-time silence. Late
+    events inside the open bucket still count; late events for a
+    closed bucket are dropped, the same effectively-once choice the
+    anomaly twin makes.
 
-    Scale: state is O(groups) scalars; the only shuffle is the groupBy
-    on the group key. A group silent for a long span emits the same
-    zero rows the batch grid would — gap length costs output rows,
-    never state."""
+    Scale: state is O(groups) scalars and expired for dead keys; the
+    only shuffle is the groupBy on the group key. A group silent for a
+    long span emits the same zero rows the batch grid would — gap
+    length costs output rows, never state."""
     val_col, how = (None, None)
     if value_agg is not None:
         val_col, how = value_agg
@@ -704,10 +809,10 @@ def time_bucket_gapfill_stream(stream_df, ts_col="event_ts",
         .groupBy(group_col)
         .applyInPandasWithState(
             _gapfill_emitter(bucket_seconds, fill, ts_col, group_col,
-                             val_col, how),
+                             val_col, how, idle_timeout_seconds),
             outputStructType=T.StructType(out_fields),
             stateStructType=GAPFILL_STATE,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )

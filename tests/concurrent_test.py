@@ -4,6 +4,8 @@ thread-local, so worker threads get the context pushed explicitly)."""
 
 import threading
 
+import pytest
+
 from tanker_spark import View
 from tanker_spark.utils import CTX_STACK
 
@@ -77,10 +79,59 @@ def test_concurrent_version_claim(session, tmp_path):
         t.join()
     try:
         assert len(set(claims)) == 8  # no duplicate claims
+        # every claim left a GC-shield marker beside its directory
+        for c in claims:
+            assert os.path.exists(storage._claim_marker(tdir, c))
     finally:
         for c in claims:  # claimed dirs are empty — clean them up
             os.rmdir(os.path.join(tdir, c))
+            os.remove(storage._claim_marker(tdir, c))
     assert set(os.listdir(tdir)) == before
+
+
+def test_slow_low_version_writer_survives_gc(session, tmp_path):
+    """Round-5 ADVICE: a slow writer holding a LOWER claimed version
+    must not be GC'd when two later writers commit under keep=2 — its
+    .claim marker shields the directory until its own commit; a STALE
+    marker (crashed writer, older than CLAIM_TTL) loses the shield."""
+    import os
+
+    from tanker_spark import ctx
+    from tanker_spark import storage
+
+    tdir = storage.table_dir(ctx.root, "country")
+    slow = storage._claim_version(tdir)  # slow writer: claimed, writing
+    n_rows = ctx.read("country").count()
+    # two fast writers commit after it: under keep=2 the slow claim
+    # would previously fall out of the window and be deleted
+    # (each write re-reads the CURRENT pointer: older versions get
+    # GC'd under a stale lazy plan, by design)
+    storage.write_table(ctx.read("country"), ctx.root, "country")
+    storage.write_table(ctx.read("country"), ctx.root, "country")
+    assert os.path.isdir(os.path.join(tdir, slow)), \
+        "claimed-but-uncommitted version was GC'd under the writer"
+    # the slow writer finishes its (long) write, then commits:
+    # pointer flip sees its dir, marker gone (last-flip-wins)
+    ctx.read("country").write.mode("overwrite").parquet(
+        os.path.join(tdir, slow))
+    storage._commit_pointer(ctx.root, "country", tdir, slow)
+    assert not os.path.exists(storage._claim_marker(tdir, slow))
+    # crashed-writer path: stale marker (mtime past CLAIM_TTL) is GC'd
+    stale = storage._claim_version(tdir)
+    marker = storage._claim_marker(tdir, stale)
+    old = os.path.getmtime(marker) - storage.CLAIM_TTL - 60
+    os.utime(marker, (old, old))
+    storage.write_table(ctx.read("country"), ctx.root, "country")
+    storage.write_table(ctx.read("country"), ctx.root, "country")
+    assert not os.path.isdir(os.path.join(tdir, stale))
+    assert not os.path.exists(marker)
+    # a commit whose version dir vanished fails LOUDLY, pointer intact
+    ghost = storage._claim_version(tdir)
+    os.rmdir(os.path.join(tdir, ghost))
+    with pytest.raises(RuntimeError, match="lost its version"):
+        storage._commit_pointer(ctx.root, "country", tdir, ghost)
+    os.remove(storage._claim_marker(tdir, ghost))
+    assert ctx.read("country").count() == n_rows
 
 
 def test_tanker_thread_inherits_context(session):

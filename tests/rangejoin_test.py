@@ -155,3 +155,18 @@ def test_bad_how_rejected(points, intervals):
     with pytest.raises(ValueError, match="inner|left"):
         range_join(points, intervals, "v", "lo", "hi",
                    bin_width=1.0, how="full")
+
+
+def test_payload_collision_raises_or_suffixes(spark, points, intervals):
+    """Round-5 ADVICE: a right payload column shadowing a left column
+    must not silently produce two identically-named output columns —
+    raise by default, rename with ``suffix``."""
+    shadowing = intervals.withColumnRenamed("name", "id")  # clashes
+    with pytest.raises(ValueError, match="collide"):
+        range_join(points, shadowing, "v", "lo", "hi")
+    out = range_join(points, shadowing, "v", "lo", "hi", suffix="_r")
+    assert out.columns == ["id", "v", "id_r", "lo", "hi"]
+    # renamed column is selectable and carries the right side's values
+    got = {(r.id, r.id_r) for r in out.collect()}
+    assert ("0", ) not in got  # smoke: ids are ints, id_r strings
+    assert all(isinstance(x, str) for _, x in got)

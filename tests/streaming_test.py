@@ -557,3 +557,150 @@ def test_time_bucket_gapfill_pre_epoch(spark):
         df, ts_col="ts", group_col="event_type", bucket_seconds=3600)
     got = {(r.bucket.day, r.bucket.hour): r.n for r in out.collect()}
     assert got == {(31, 23): 1, (1, 0): 1}
+
+
+def test_gapfill_stream_timeout_flush_and_resume(spark, tmp_path):
+    """Round-5 ADVICE: the frontier bucket must be EMITTED once the
+    watermark passes its end (EventTimeTimeout), instead of hanging
+    open forever for a group that went quiet. And a group that RESUMES
+    after a flush must still zero-fill the silent span, so the stream
+    stays batch-identical across a flush.
+
+    Group "a": hours 0-5, silence, resume at hour 25. Group "b": every
+    hour 0-30 (drives the watermark). Batches [0,10) [10,20) [20,31):
+    in batch 2 "a" has no data and the watermark (≈17:58) is past its
+    frontier end (06:00) → timeout fires, hour-5 row emitted; in batch
+    3 the resume zero-fills 6..24."""
+    from datetime import datetime, timedelta
+
+    rows, eid = [], 0
+    base = datetime(2024, 1, 1)
+    for h in range(31):
+        if h <= 5 or h == 25:
+            rows.append((eid, base + timedelta(hours=h, minutes=1),
+                         1, "a", 1.0, "{}"))
+            eid += 1
+        rows.append((eid, base + timedelta(hours=h, minutes=58),
+                     2, "b", 2.0, "{}"))
+        eid += 1
+
+    src = str(tmp_path / "gapfill_flush_src")
+    for lo, hi in [(0, 10), (10, 20), (20, 31)]:
+        chunk = [r for r in rows
+                 if lo <= (r[1] - base).total_seconds() // 3600 < hi]
+        spark.createDataFrame(chunk, sev.EVENTS_SCHEMA) \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    stream = sev.read_events_stream(spark, src, max_files_per_trigger=1)
+    out = sev.run_to_memory(
+        sev.time_bucket_gapfill_stream(
+            stream, value_agg=("value", "sum")),
+        name="t_gapfill_flush", output_mode="append")
+    got = {(r.event_type, r.bucket, r.n, r.v) for r in out.collect()}
+
+    batch_df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value",
+               "props"])
+    batch = sev.time_bucket_gapfill(
+        batch_df, ts_col="ts", group_col="event_type",
+        bucket_seconds=3600, value_agg=("value", "sum"))
+    # ONLY b's final frontier (hour 30 — the watermark never passed its
+    # end) stays open; a's final frontier (25) flushes in the trailing
+    # timeout trigger because the watermark (28:58) is past 26:00
+    want = {(r.event_type, r.bucket, r.n, r.v)
+            for r in batch.collect()
+            if (r.event_type, r.bucket)
+            != ("b", base + timedelta(hours=30))}
+    assert got == want
+    # the mid-stream flushed frontier (would hang open under NoTimeout)
+    assert ("a", base + timedelta(hours=5), 1, 1.0) in got
+    # the resume zero-filled the whole silent span across the flush
+    for h in range(6, 25):
+        assert ("a", base + timedelta(hours=h), 0, 0.0) in got
+
+
+def test_gapfill_stream_idle_expiry(spark, tmp_path):
+    """A key idle past ``idle_timeout_seconds`` of event time loses its
+    state entirely: a resume after expiry restarts the grid at the new
+    first bucket — NO zero backfill across the expired gap (state for
+    dead keys must not be retained forever — round-5 ADVICE)."""
+    from datetime import datetime, timedelta
+
+    rows, eid = [], 0
+    base = datetime(2024, 1, 1)
+    for h in range(31):
+        if h <= 2 or h == 25:
+            rows.append((eid, base + timedelta(hours=h, minutes=1),
+                         1, "a", 1.0, "{}"))
+            eid += 1
+        rows.append((eid, base + timedelta(hours=h, minutes=58),
+                     2, "b", 2.0, "{}"))
+        eid += 1
+
+    src = str(tmp_path / "gapfill_expiry_src")
+    for lo, hi in [(0, 10), (10, 15), (15, 20), (20, 31)]:
+        chunk = [r for r in rows
+                 if lo <= (r[1] - base).total_seconds() // 3600 < hi]
+        spark.createDataFrame(chunk, sev.EVENTS_SCHEMA) \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    stream = sev.read_events_stream(spark, src, max_files_per_trigger=1)
+    out = sev.run_to_memory(
+        sev.time_bucket_gapfill_stream(
+            stream, value_agg=("value", "sum"),
+            idle_timeout_seconds=4 * 3600),
+        name="t_gapfill_expiry", output_mode="append")
+    got = {(r.event_type, r.bucket, r.n, r.v) for r in out.collect()}
+
+    # frontier (hour 2) flushed by timeout...
+    assert ("a", base + timedelta(hours=2), 1, 1.0) in got
+    # ...then state expired ~4h later, so the resume at hour 25 did NOT
+    # backfill the silent span (no zero rows for "a" at all); the
+    # resumed bucket itself starts a FRESH grid (and flushes in the
+    # trailing timeout trigger once the watermark passes 26:00)
+    assert not any(t == "a" and n == 0 for t, _b, n, _v in got)
+    assert ("a", base + timedelta(hours=25), 1, 1.0) in got
+
+
+def test_anomaly_stream_timeout_flush(spark, tmp_path):
+    """The anomaly twin's frontier hour must be SCORED once the
+    watermark passes its end: a type whose spike is its LAST hour used
+    to never emit it under NoTimeout."""
+    from datetime import datetime, timedelta
+
+    rows, eid = [], 0
+    base = datetime(2024, 1, 1)
+    for h in range(31):
+        # quiet type: steady 10/hour for hours 0..19, SPIKE at its
+        # final hour 20, then silence
+        if h < 20:
+            for i in range(10):
+                rows.append((eid, base + timedelta(hours=h, minutes=i),
+                             1, "quiet", 1.0, "{}"))
+                eid += 1
+        elif h == 20:
+            for i in range(60):
+                rows.append((eid, base + timedelta(hours=h, minutes=i),
+                             1, "quiet", 1.0, "{}"))
+                eid += 1
+        # driver type keeps the watermark moving through hour 30
+        for i in range(5):
+            rows.append((eid, base + timedelta(hours=h, minutes=i),
+                         2, "driver", 1.0, "{}"))
+            eid += 1
+
+    src = str(tmp_path / "anom_flush_src")
+    for lo, hi in [(0, 12), (12, 24), (24, 31)]:
+        chunk = [r for r in rows
+                 if lo <= (r[1] - base).total_seconds() // 3600 < hi]
+        spark.createDataFrame(chunk, sev.EVENTS_SCHEMA) \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    stream = sev.read_events_stream(spark, src, max_files_per_trigger=1)
+    out = sev.run_to_memory(
+        sev.hourly_anomalies_stream(stream, lookback=24, z_thresh=2.0),
+        name="t_anom_flush", output_mode="append")
+    got = {(r.event_type, r.hour, r.n, r.z) for r in out.collect()}
+    # the final-hour spike WAS scored and flagged via the timeout
+    assert any(t == "quiet" and hr == base + timedelta(hours=20)
+               and n == 60 for t, hr, n, _z in got), got

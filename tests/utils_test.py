@@ -134,3 +134,22 @@ def test_pool_shim(monkeypatch):
         SparkSession, "getActiveSession", classmethod(
             lambda cls: None))
     Pool.disconnect()  # no active session: harmless
+
+
+def test_execute_percent_literals(session):
+    """Round-5 ADVICE: a bare % in the SQL (LIKE '%x%') must pass
+    through untouched when args are given — only the exact %s token is
+    a placeholder (python %-interpolation raised ValueError here)."""
+    from tanker_spark import execute
+
+    rows = list(execute(
+        "SELECT name FROM country WHERE name LIKE '%an%' "
+        "AND name != %s ORDER BY name",
+        ["France"],
+    ))
+    assert rows == [("Holland",)]
+    # placeholder/arg count mismatch fails loudly, not silently
+    import pytest
+
+    with pytest.raises(ValueError, match="placeholders"):
+        list(execute("SELECT %s, %s", ["only-one"]))
