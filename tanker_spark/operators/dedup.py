@@ -103,6 +103,122 @@ def dedup_exact_rows(df, key_cols, id_col="doc_id"):
     )
 
 
+def exact_collapse(df, text_col="text", id_col="doc_id"):
+    """Collapse exact duplicates (identical ``text_col``) to one
+    representative row per class — the mandatory first pass of every
+    published near-dedup pipeline, and the hot-bucket guard for the
+    LSH pair self-joins (round-5 VERDICT #1): a boilerplate doc copied
+    N times puts N rows in the SAME band bucket of EVERY band, turning
+    the bucket self-join quadratic (10⁶ copies → 10¹² candidate pairs
+    before any threshold can run). Collapsed, the class contributes
+    ONE signature; members re-attach afterwards (identical docs are
+    trivially near-dups — no signature needed to know it).
+
+    Returns ``(reps, members)``: ``reps`` — ``(id_col, text_col)`` of
+    the min-id row of each class (the two columns the signature
+    pipelines consume); ``members`` — ``(__rep, __mid)`` rows for
+    every member of every MULTI-row class only (rep rows included;
+    singleton docs are implied identity and never materialized, so on
+    a mostly-unique corpus the map is duplicate-sized, not
+    corpus-sized). Class identity is a 128-bit two-seed xxhash64
+    content key; NULL texts stay singletons (they hash alike but are
+    not duplicates of each other).
+
+    Cost: ONE content-key aggregate (min-id and the text ride the
+    shuffle; map-side partial aggregation dedups hot classes BEFORE
+    the wire, so a boilerplate-heavy corpus shuffles LESS than its row
+    count) plus one slim (id, hashes) re-scan broadcast-joined against
+    the duplicate classes for the member map — AQE picks the
+    broadcast from the runtime size."""
+    h1 = F.xxhash64(F.col(text_col), F.lit(0))
+    h2 = F.xxhash64(F.col(text_col), F.lit(1))
+    # NULL-text rows: xxhash64 skips NULL inputs, so every NULL doc
+    # would share one class — the id-valued third key splits them back
+    # into singletons. Empty string (not NULL) for normal rows: the
+    # members equi-join must match on it
+    null_split = F.when(
+        F.col(text_col).isNull(), F.col(id_col).cast("string")
+    ).otherwise(F.lit(""))
+    agg = df.groupBy(
+        h1.alias("__h1"), h2.alias("__h2"), null_split.alias("__ns")
+    ).agg(
+        F.min(F.col(id_col)).alias(id_col),
+        F.first(F.col(text_col)).alias(text_col),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    reps = agg.select(id_col, text_col)
+    multi = agg.filter(F.col("__n") > 1).select(
+        "__h1", "__h2", "__ns", F.col(id_col).alias("__rep")
+    )
+    members = df.select(
+        F.col(id_col).alias("__mid"),
+        h1.alias("__h1"), h2.alias("__h2"), null_split.alias("__ns"),
+    ).join(multi, ["__h1", "__h2", "__ns"]).select("__rep", "__mid")
+    return reps, members
+
+
+def _cap_buckets(exploded, bucket_cap):
+    """Deterministically keep at most ``bucket_cap`` rows per band
+    bucket (hash-ordered sample; the hash mixes the bucket so each
+    band drops DIFFERENT survivors — a pair over-capped in one band
+    can still collide in another). Recall bound: a pair is missed only
+    if EVERY shared bucket holds > bucket_cap rows and both ends fall
+    outside both samples. O(n log n) sort per bucket, never O(n²)
+    output. No-op when ``bucket_cap`` is falsy."""
+    if not bucket_cap:
+        return exploded
+    w = Window.partitionBy("__bucket").orderBy(
+        F.xxhash64(F.col("__id"), F.col("__bucket"))
+    )
+    return (
+        exploded.withColumn("__bn", F.row_number().over(w))
+        .filter(F.col("__bn") <= int(bucket_cap))
+        .drop("__bn")
+    )
+
+
+def _expand_pairs(rep_pairs, members, score_col, intra_score,
+                  id_a="id_a", id_b="id_b"):
+    """Re-attach exact-duplicate members to representative-level pairs,
+    reproducing the FULL pairwise answer: identical docs share their
+    rep's signature, so every cross-class member pair scores exactly
+    like its rep pair, and every intra-class pair scores
+    ``intra_score`` (est_jaccard/jaccard 1.0, hamming 0).
+
+    ``members`` holds only MULTI-row classes (exact_collapse), so both
+    fan-out joins are LEFT joins against a duplicate-sized — typically
+    broadcastable — frame, with singletons passing through on the
+    coalesce; output cardinality is the true answer's (quadratic only
+    where the answer is)."""
+    ma = members.select(
+        F.col("__rep").alias("__ra"), F.col("__mid").alias("__ma")
+    )
+    mb = members.select(
+        F.col("__rep").alias("__rb"), F.col("__mid").alias("__mb")
+    )
+    ea = F.coalesce(F.col("__ma"), F.col(id_a))
+    eb = F.coalesce(F.col("__mb"), F.col(id_b))
+    cross = (
+        rep_pairs.join(ma, F.col(id_a) == F.col("__ra"), "left")
+        .join(mb, F.col(id_b) == F.col("__rb"), "left")
+        .select(
+            F.least(ea, eb).alias(id_a),
+            F.greatest(ea, eb).alias(id_b),
+            F.col(score_col),
+        )
+    )
+    intra = (
+        ma.join(mb, F.col("__ra") == F.col("__rb"))
+        .filter(F.col("__ma") < F.col("__mb"))
+        .select(
+            F.col("__ma").alias(id_a),
+            F.col("__mb").alias(id_b),
+            F.lit(intra_score).alias(score_col),
+        )
+    )
+    return cross.unionAll(intra)
+
+
 # ---------------------------------------------------------------------------
 # shingles + minhash
 # ---------------------------------------------------------------------------
@@ -246,33 +362,95 @@ def _sig_agreement(num_hashes):
 def minhash_lsh_pairs(
     df, text_col="text", id_col="doc_id",
     num_hashes=16, bands=4, shingle_n=3, threshold=0.5, seed=42,
-    sig_path=None,
+    sig_path=None, collapse_exact=True, bucket_cap=1000,
+    expand_members=True,
 ):
     """MinHash + LSH near-duplicate pairs.
 
-    Pipeline: signature (map) → explode into ``bands`` band-hashes (map) →
-    self-join on (band, band_hash) buckets (shuffle on band hash — tiny
-    keys) → estimate Jaccard as fraction of agreeing minhashes → filter.
-    Returns distinct (id_a, id_b, est_jaccard) with id_a < id_b.
+    Pipeline: exact-duplicate collapse (one content-key shuffle; see
+    the hot-bucket note below) → signature (map) → explode into
+    ``bands`` band-hashes (map) → self-join on (band, band_hash)
+    buckets (shuffle on band hash — tiny keys) → estimate Jaccard as
+    fraction of agreeing minhashes → filter → re-attach exact-dup
+    members. Returns distinct (id_a, id_b, est_jaccard) with
+    id_a < id_b.
+
+    Hot-bucket guard (round-5 VERDICT #1): the data that most needs
+    dedup is exactly the data that melts a naive bucket self-join — a
+    doc copied N times lands N rows in the SAME bucket of EVERY band,
+    O(N²) candidate pairs before the threshold can run.
+    ``collapse_exact`` (default on) collapses identical texts to one
+    representative BEFORE signatures (:func:`exact_collapse`, riding
+    the shuffle the exact-dedup pass costs anyway), and ``bucket_cap``
+    caps RESIDUAL bucket membership at ~10³ distinct texts via a
+    deterministic band-mixed hash sample (:func:`_cap_buckets`;
+    recall: a pair is lost only if every shared bucket overflows and
+    both ends fall outside both samples — at the default occupancy
+    this never binds below ~10³ near-identical-but-unequal texts per
+    bucket).
+
+    ``expand_members`` (default on) re-attaches collapsed members so
+    the output equals the uncollapsed answer EXACTLY (members share
+    their rep's signature, so cross-class member pairs score like
+    their rep pair; intra-class pairs are est 1.0). The expansion's
+    output is quadratic wherever the true pair list is — at corpus
+    scale pass ``expand_members=False`` to get SPANNING pairs instead
+    (rep↔rep + rep↔member): same connected components through
+    :func:`neardup_groups`, linear output.
 
     Signatures feed the band hashes and BOTH sides of the self-join, so
     they are materialized once: by default an EAGER in-memory persist
     (lazy caching lets the join's two map stages race and compute every
     signature twice). ``sig_path`` is the 100 TB variant — signatures
     are written to a parquet side table and re-read, so they survive
-    executor loss, never exceed memory, and can be reused across runs.
+    executor loss, never exceed memory, and can be reused across runs
+    (with ``collapse_exact`` the table keeps one row PER DOC — members
+    carry their rep's signature plus a ``__rep`` column — so
+    :func:`minhash_incremental` replay semantics are unchanged; the
+    in-plan join reads only the rep rows).
     """
+    spark = df.sparkSession
+    members = None
+    if collapse_exact:
+        reps, members = exact_collapse(df, text_col, id_col)
+        # lazy persist: the map is duplicate-sized (multi classes
+        # only) — a cache-fill race just recomputes a tiny frame
+        members = _persist(members)
+        src = reps
+    else:
+        src = df
     base = minhash_signatures_df(
-        df, text_col, id_col, num_hashes, shingle_n, seed
+        src, text_col, id_col, num_hashes, shingle_n, seed
     )
     if sig_path:
-        base.write.mode("overwrite").parquet(sig_path)
-        base = df.sparkSession.read.parquet(sig_path)
+        if collapse_exact:
+            # durable side table keeps one row per DOC (contract of
+            # minhash_incremental/append): non-rep members inherit
+            # their rep's signature; __rep marks the class
+            nonrep = members.filter(F.col("__rep") != F.col("__mid"))
+            extra = nonrep.join(
+                base, nonrep["__rep"] == base["__id"]
+            ).select(
+                F.col("__mid").alias("__id"), F.col("__sig"),
+                F.col("__rep"),
+            )
+            full = base.select(
+                "__id", "__sig", F.col("__id").alias("__rep")
+            ).unionAll(extra)
+            full.write.mode("overwrite").parquet(sig_path)
+            base = spark.read.parquet(sig_path).filter(
+                F.col("__id") == F.col("__rep")
+            ).select("__id", "__sig")
+        else:
+            base.write.mode("overwrite").parquet(sig_path)
+            base = spark.read.parquet(sig_path)
     else:
         base = _persist(base)
         base.count()
 
-    exploded = _band_explode(base, num_hashes, bands)
+    exploded = _cap_buckets(
+        _band_explode(base, num_hashes, bands), bucket_cap
+    )
     left = exploded.alias("L")
     right = exploded.alias("R")
     pairs = (
@@ -289,6 +467,18 @@ def minhash_lsh_pairs(
         .filter(F.col("est_jaccard") >= threshold)
         .distinct()
     )
+    if collapse_exact:
+        if expand_members:
+            pairs = _expand_pairs(pairs, members, "est_jaccard", 1.0)
+        else:
+            dup_pairs = members.filter(
+                F.col("__rep") != F.col("__mid")
+            ).select(
+                F.col("__rep").alias("id_a"),
+                F.col("__mid").alias("id_b"),
+                F.lit(1.0).alias("est_jaccard"),
+            )
+            pairs = pairs.unionAll(dup_pairs)
     return pairs
 
 
@@ -462,18 +652,40 @@ def _simhash_band_explode(base, band_bits):
 
 
 def simhash_pairs(df, text_col="text", id_col="doc_id", max_hamming=3,
-                  band_bits=16):
+                  band_bits=16, collapse_exact=True, bucket_cap=1000,
+                  expand_members=True):
     """SimHash near-dup candidates: band the 64-bit fingerprint into
     ``64/band_bits`` chunks; pairs agreeing on ≥1 chunk are candidates
     (any pair within hamming distance < #bands shares a chunk); verify
-    with exact popcount of XOR."""
+    with exact popcount of XOR.
+
+    Hot-bucket guard: identical texts share a fingerprint and thus
+    every band bucket — ``collapse_exact`` folds them to one
+    representative before fingerprinting and ``bucket_cap`` samples
+    residual over-full buckets, exactly as in
+    :func:`minhash_lsh_pairs` (same recall bound). ``expand_members``
+    re-attaches members for the full pairwise answer (identical text →
+    identical fp → member pairs score like their rep pair, intra-class
+    hamming 0); ``expand_members=False`` returns spanning pairs for
+    group-level pipelines."""
+    members = None
+    if collapse_exact:
+        reps, members = exact_collapse(df, text_col, id_col)
+        # lazy persist: the map is duplicate-sized (multi classes
+        # only) — a cache-fill race just recomputes a tiny frame
+        members = _persist(members)
+        src = reps
+    else:
+        src = df
     # persist: the fingerprint feeds n_bands buckets and both join
     # sides; eager so the join stages don't race to fill the cache
-    base = _persist(simhash_df(df, text_col, id_col))
+    base = _persist(simhash_df(src, text_col, id_col))
     base.count()
-    exploded = _simhash_band_explode(base, band_bits)
+    exploded = _cap_buckets(
+        _simhash_band_explode(base, band_bits), bucket_cap
+    )
     L, R = exploded.alias("L"), exploded.alias("R")
-    return (
+    pairs = (
         L.join(
             R,
             (F.col("L.__bucket") == F.col("R.__bucket"))
@@ -489,6 +701,19 @@ def simhash_pairs(df, text_col="text", id_col="doc_id", max_hamming=3,
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+    if collapse_exact:
+        if expand_members:
+            pairs = _expand_pairs(pairs, members, "hamming", 0)
+        else:
+            dup_pairs = members.filter(
+                F.col("__rep") != F.col("__mid")
+            ).select(
+                F.col("__rep").alias("id_a"),
+                F.col("__mid").alias("id_b"),
+                F.lit(0).alias("hamming"),
+            )
+            pairs = pairs.unionAll(dup_pairs)
+    return pairs
 
 
 def simhash_incremental(new_df, fp_path, text_col="text",
@@ -577,25 +802,14 @@ def ngram_jaccard_pairs(df, text_col="text", id_col="doc_id", n=3,
     return joined
 
 
-def ngram_jaccard_exact(df, text_col="text", id_col="doc_id", n=3,
-                        threshold=0.5):
-    """EXACT token-n-gram Jaccard pairs with guaranteed 100% recall,
-    via prefix filtering (SSJoin/PPJoin-style).
-
-    Any pair with J(x,y) ≥ t has overlap ≥ ⌈t·|x|⌉ and ≥ ⌈t·|y|⌉, so
-    under ANY consistent total order of shingles the two prefixes of
-    length |s| - ⌈t·|s|⌉ + 1 must intersect — only prefix shingles are
-    exploded as blocking keys (≈(1-t)·|s| per doc instead of |s|), the
-    candidate join stays equi-keyed, and every candidate is verified
-    with the exact Jaccard on the full shingle arrays. The total order
-    here is xxhash64 (no statistics needed); ordering by global
-    document frequency instead prunes harder at 100 TB at the cost of
-    one extra count+join stage.
-
-    Unlike :func:`ngram_jaccard_pairs` (MinHash-LSH-gated, probabilistic
-    recall), this result is deterministic and equals the brute-force
-    O(n²) answer. Returns (id_a, id_b, jaccard).
-    """
+def _shingle_structs(df, text_col, id_col, n, prefix_order):
+    """(__id, __sh): each doc's distinct shingles as a SORTED
+    array<struct> under the chosen prefix total order — ``hash``
+    (xxhash64; zero statistics) or ``df`` (ascending corpus document
+    frequency, hash tie-break: rarest-first prefixes, the
+    orders-of-magnitude harder pruning on skewed corpora, for one
+    extra count+join stage). Field names (h = shingle hash, g = gram)
+    are shared so downstream prefix/verify code is order-agnostic."""
     sh = widen(df).select(
         F.col(id_col).alias("__id"),
         F.array_sort(
@@ -607,6 +821,35 @@ def ngram_jaccard_exact(df, text_col="text", id_col="doc_id", n=3,
             )
         ).alias("__sh"),
     )
+    if prefix_order == "hash":
+        return sh
+    if prefix_order != "df":
+        raise ValueError("prefix_order must be 'df' or 'hash'")
+    ex = sh.select("__id", F.explode("__sh").alias("__s"))
+    freq = ex.groupBy(F.col("__s.h").alias("__fh")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    return (
+        ex.join(freq, F.col("__s.h") == F.col("__fh"))
+        .groupBy("__id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("__c").alias("c"),
+                        F.col("__s.h").alias("h"),
+                        F.col("__s.g").alias("g"),
+                    )
+                )
+            ).alias("__sh")
+        )
+    )
+
+
+def _prefix_candidates(sh, threshold, bucket_cap=None):
+    """Distinct candidate pairs from the prefix-filter blocking join
+    over a ``_shingle_structs`` frame. Factored out so tests can count
+    candidates per prefix order."""
     size = F.size(F.col("__sh"))
     plen = (
         size - F.ceil(F.lit(float(threshold)) * size).cast("int") + 1
@@ -618,13 +861,15 @@ def ngram_jaccard_exact(df, text_col="text", id_col="doc_id", n=3,
                 F.slice(F.col("__sh"), 1, F.greatest(plen, F.lit(1))),
                 lambda x: x["h"],
             )
-        ).alias("__key"),
+        ).alias("__bucket"),
     )
-    cands = (
+    if bucket_cap:
+        pref = _cap_buckets(pref, bucket_cap)
+    return (
         pref.alias("L")
         .join(
             pref.alias("R"),
-            (F.col("L.__key") == F.col("R.__key"))
+            (F.col("L.__bucket") == F.col("R.__bucket"))
             & (F.col("L.__id") < F.col("R.__id")),
         )
         .select(
@@ -632,12 +877,63 @@ def ngram_jaccard_exact(df, text_col="text", id_col="doc_id", n=3,
         )
         .distinct()
     )
+
+
+def ngram_jaccard_exact(df, text_col="text", id_col="doc_id", n=3,
+                        threshold=0.5, collapse_exact=True,
+                        prefix_order="df", bucket_cap=None,
+                        expand_members=True):
+    """EXACT token-n-gram Jaccard pairs with guaranteed 100% recall,
+    via prefix filtering (SSJoin/PPJoin-style).
+
+    Any pair with J(x,y) ≥ t has overlap ≥ ⌈t·|x|⌉ and ≥ ⌈t·|y|⌉, so
+    under ANY consistent total order of shingles the two prefixes of
+    length |s| - ⌈t·|s|⌉ + 1 must intersect — only prefix shingles are
+    exploded as blocking keys (≈(1-t)·|s| per doc instead of |s|), the
+    candidate join stays equi-keyed, and every candidate is verified
+    with the exact Jaccard on the full shingle arrays.
+
+    ``prefix_order="df"`` (default) orders each doc's shingles by
+    ascending corpus document frequency, so prefixes hold the RAREST
+    shingles — the PPJoin ordering that shrinks candidate fan-in by
+    orders of magnitude on boilerplate-heavy corpora (round-5 VERDICT
+    #2) for one extra count+join stage; ``"hash"`` skips the
+    statistics pass. Recall is 100% under either order.
+
+    ``collapse_exact`` folds identical texts to one representative
+    before shingling (identical text ⇒ identical shingle SET ⇒
+    jaccard exactly 1.0 — the hot-bucket guard, see
+    :func:`minhash_lsh_pairs`); ``expand_members`` (default) restores
+    the full pairwise answer exactly. ``bucket_cap`` (default OFF —
+    unlike the probabilistic LSH variants, capping here would break
+    the 100%-recall contract) bounds residual prefix-key fan-in for
+    corpora where exact collapse + df ordering still leave over-full
+    keys, at a documented recall cost.
+
+    Unlike :func:`ngram_jaccard_pairs` (MinHash-LSH-gated, probabilistic
+    recall), this result is deterministic and equals the brute-force
+    O(n²) answer (with the default ``bucket_cap=None``). Returns
+    (id_a, id_b, jaccard).
+    """
+    members = None
+    if collapse_exact:
+        reps, members = exact_collapse(df, text_col, id_col)
+        # lazy persist: the map is duplicate-sized (multi classes
+        # only) — a cache-fill race just recomputes a tiny frame
+        members = _persist(members)
+        src = reps
+    else:
+        src = df
+    sh = _shingle_structs(src, text_col, id_col, n, prefix_order)
+    sh = _persist(sh)  # feeds the blocking join (twice) + the verify
+    sh.count()
+    cands = _prefix_candidates(sh, threshold, bucket_cap)
     grams = sh.select(
         "__id", F.transform("__sh", lambda x: x["g"]).alias("__g")
     )
     a, b = grams.alias("A"), grams.alias("B")
     inter = F.size(F.array_intersect(F.col("A.__g"), F.col("B.__g")))
-    return (
+    pairs = (
         cands.join(a, F.col("id_a") == F.col("A.__id"))
         .join(b, F.col("id_b") == F.col("B.__id"))
         .select(
@@ -652,6 +948,19 @@ def ngram_jaccard_exact(df, text_col="text", id_col="doc_id", n=3,
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    if collapse_exact:
+        if expand_members:
+            pairs = _expand_pairs(pairs, members, "jaccard", 1.0)
+        else:
+            dup_pairs = members.filter(
+                F.col("__rep") != F.col("__mid")
+            ).select(
+                F.col("__rep").alias("id_a"),
+                F.col("__mid").alias("id_b"),
+                F.lit(1.0).alias("jaccard"),
+            )
+            pairs = pairs.unionAll(dup_pairs)
+    return pairs
 
 
 # ---------------------------------------------------------------------------

@@ -1652,3 +1652,127 @@ def test_dsir_ngram_features_edgecases(spark):
     assert set(w) == {1, 3}
     import math
     assert all(math.isfinite(v) for v in w.values())
+
+
+# ---------------------------------------------------------------------------
+# hot-bucket hardening (round-5 VERDICT #1/#2)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def hot_docs(spark):
+    """10⁵ copies of one boilerplate doc + a near-dup tail: without the
+    exact-dup collapse the band self-join materializes ~10¹⁰ candidate
+    pairs per band (minutes→hours); collapsed it is one signature."""
+    rnd = random.Random(11)
+    boiler = _doc(rnd)
+    rows = [(i, boiler) for i in range(100_000)]
+    uniq0, uniq1 = _doc(rnd), _doc(rnd)
+    rows.append((200_000, uniq0))
+    rows.append((200_001, uniq0 + " tail token"))   # near-dup pair
+    rows.append((200_002, uniq1))                   # singleton
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_minhash_hot_bucket_guard(spark, hot_docs):
+    """Spanning mode on the boilerplate corpus: output is O(N) member
+    pairs + the rep-level near-dups, NOT the O(N²) cross product —
+    and connected components still put every copy in ONE group."""
+    pairs = dedup.minhash_lsh_pairs(
+        hot_docs, threshold=0.5, num_hashes=16, bands=4,
+        expand_members=False,
+    )
+    n = pairs.count()
+    # 99_999 (rep,member) + the (200_000, 200_001) near-dup (+ any
+    # rep-level collisions, none expected among 3 distinct texts)
+    assert 100_000 <= n <= 100_010, n
+    groups = dedup.neardup_groups(pairs)
+    sizes = {r.group_id: 0 for r in groups.collect()}
+    for r in groups.collect():
+        sizes[r.group_id] += 1
+    assert sizes.get(0) == 100_000          # every copy, one cluster
+    dedup.release_caches()
+
+
+def test_expand_members_equals_uncollapsed(spark, docs):
+    """collapse_exact + expand_members must reproduce the uncollapsed
+    pair list EXACTLY (members share their rep's signature) for all
+    three pair operators."""
+    for fn, kw, score in (
+        (dedup.minhash_lsh_pairs,
+         dict(threshold=0.5, num_hashes=16, bands=8), "est_jaccard"),
+        (dedup.simhash_pairs, dict(max_hamming=8), "hamming"),
+        (dedup.ngram_jaccard_exact, dict(threshold=0.3), "jaccard"),
+    ):
+        got = {(r.id_a, r.id_b): round(r[score], 6)
+               for r in fn(docs, **kw).collect()}
+        want = {(r.id_a, r.id_b): round(r[score], 6)
+                for r in fn(docs, collapse_exact=False, **kw).collect()}
+        assert got == want, fn.__name__
+    dedup.release_caches()
+
+
+def test_bucket_cap_recall_bound(spark):
+    """_cap_buckets keeps a deterministic ``cap``-sized hash sample per
+    bucket (band-mixed, so each band drops DIFFERENT docs), and a
+    binding cap shrinks — never explodes — the pair output."""
+    # mechanics: 40 rows in ONE bucket + 3 in another → 10 + 3 survive
+    ex = spark.createDataFrame(
+        [(i, 1) for i in range(40)] + [(100 + i, 2) for i in range(3)],
+        "__id long, __bucket long")
+    capped = dedup._cap_buckets(ex, 10)
+    assert capped.count() == 13
+    per = {r["__bucket"]: 0 for r in capped.collect()}
+    for r in capped.collect():
+        per[r["__bucket"]] += 1
+    assert per == {1: 10, 2: 3}
+    # deterministic: same sample on re-run
+    assert {r["__id"] for r in capped.collect()}         == {r["__id"] for r in dedup._cap_buckets(ex, 10).collect()}
+
+    # integration: 40 DISTINCT near-identical texts (one token edited
+    # each) — a tight cap binds on the shared band buckets and the
+    # pair count drops but stays non-zero (recall bound: only pairs
+    # outside EVERY band's sample are lost)
+    base = _doc(random.Random(13), n=80).split()
+    rows = []
+    for i in range(40):
+        toks = list(base)
+        toks[i] = "EDIT%d" % i
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    full = dedup.minhash_lsh_pairs(
+        df, threshold=0.5, num_hashes=16, bands=4, bucket_cap=None
+    ).count()
+    capped_n = dedup.minhash_lsh_pairs(
+        df, threshold=0.5, num_hashes=16, bands=4, bucket_cap=2
+    ).count()
+    assert 0 < capped_n < full
+    dedup.release_caches()
+
+
+def test_df_prefix_order_prunes_harder(spark):
+    """PPJoin df-ordering: on a boilerplate-heavy corpus (every doc
+    shares a 30-token template, each has 6 unique rare tokens) the
+    rarest-first prefixes hold only df=1 shingles, generating FEWER
+    candidate pairs than hash ordering (whose prefixes are mostly
+    all-shared template shingles), with identical final output
+    (recall is 100% under any consistent order)."""
+    rnd = random.Random(17)
+    template = _doc(rnd, n=30)
+    rows = []
+    for i in range(60):
+        rare = " r%dA r%dB r%dC r%dD r%dE r%dF" % ((i,) * 6)
+        rows.append((i, template + rare))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def cands(order):
+        sh = dedup._shingle_structs(df, "text", "doc_id", 3, order)
+        return dedup._prefix_candidates(sh, 0.9).count()
+
+    n_hash, n_df = cands("hash"), cands("df")
+    assert n_df < n_hash, (n_df, n_hash)
+    got_df = {(r.id_a, r.id_b) for r in dedup.ngram_jaccard_exact(
+        df, threshold=0.6, prefix_order="df").collect()}
+    got_hash = {(r.id_a, r.id_b) for r in dedup.ngram_jaccard_exact(
+        df, threshold=0.6, prefix_order="hash").collect()}
+    assert got_df == got_hash and got_df  # non-trivial equal outputs
+    dedup.release_caches()
