@@ -640,9 +640,118 @@ def cell_assign_gemm(df, cent_vecs, vec_col="embedding",
     return src.mapInPandas(assign, schema_str)
 
 
+#: centroid count above which :func:`semdedup` switches from the
+#: broadcast-GEMM assignment (whole matrix on every executor — k·dim·8
+#: bytes, ~1 GB at k=10⁶/dim=128) to the coarse-then-fine path, whose
+#: per-executor footprint is one coarse matrix (√k·dim·8) plus one
+#: coarse CELL's fine block per task.
+TWO_LEVEL_ASSIGN_MIN_K = 65536
+
+
+def cell_assign_two_level(df, cent_vecs, vec_col="embedding",
+                          id_col="vec_id", n_coarse=None,
+                          row_group_salts=16):
+    """Nearest-centroid assignment for VERY large k via a two-level
+    (coarse-then-fine) hierarchy — the escape hatch
+    :func:`cell_assign_gemm`'s docstring names for k past ~10⁶, where
+    broadcasting the full centroid matrix to every executor stops
+    being sane.
+
+    Level 1: ``n_coarse`` (default ⌈√k⌉) coarse centroids — an
+    evenly-spaced deterministic subset of the fine centroids — are
+    broadcast and rows coarse-assign through the existing GEMM path
+    (√k·dim·8 bytes per executor). Level 2: the fine centroids live in
+    a DATAFRAME keyed by their own nearest coarse cell; a salted
+    cogroup (``row_group_salts`` splits per cell bound task input)
+    scores each row group against ONLY its coarse cell's fine block —
+    one numpy GEMM per task, per-task memory = cell rows + that cell's
+    fine block, never the full matrix.
+
+    Approximation (standard IVF hierarchy): a row lands on the nearest
+    fine centroid WITHIN its coarse cell, which can differ from the
+    global argmax near cell boundaries — acceptable for SemDeDup,
+    where centroids only partition the pair search. ``n_coarse=1``
+    degenerates to the exact flat assignment (pinned by
+    operators_test). Same output shape and tie rule (lowest fine id on
+    equal cosine) as :func:`cell_assign_gemm`.
+
+    Scale ledger: executor broadcast √k·dim·8; shuffle =
+    corpus (id, vec) on the coarse key + fine matrix ×
+    ``row_group_salts`` — at k=10⁶, dim=128, 16 salts that is ~16 GB
+    of centroid traffic total, noise next to the corpus it
+    partitions."""
+    import numpy as np
+    import pandas as pd
+
+    k = len(cent_vecs)
+    if n_coarse is None:
+        n_coarse = max(1, int(math.ceil(math.sqrt(k))))
+    C = np.array(cent_vecs, dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    idx = np.linspace(0, k - 1, n_coarse).round().astype(int)
+    coarse_vecs = [cent_vecs[i] for i in idx]
+    fine_coarse = np.argmax(Cn @ Cn[idx].T, axis=1)
+
+    spark = df.sparkSession
+    fine_df = spark.createDataFrame(
+        [(int(i), int(fine_coarse[i]),
+          [float(x) for x in cent_vecs[i]], s)
+         for i in range(k) for s in range(row_group_salts)],
+        "__fid int, __ccell int, __fv array<double>, __salt int",
+    )
+    coarse = cell_assign_gemm(df, coarse_vecs, vec_col, id_col).select(
+        "__id", "__v", F.col("__cell").alias("__ccell"),
+        F.pmod(F.xxhash64("__id"), F.lit(row_group_salts))
+        .cast("int").alias("__salt"),
+    )
+    id_t = df.schema[id_col].dataType.simpleString()
+    vec_t = df.schema[vec_col].dataType.simpleString()
+    schema_str = ("__id %s, __v %s, __cell int, __csim double"
+                  % (id_t, vec_t))
+
+    def assign(key, rows_pdf, cents_pdf):
+        out = pd.DataFrame({
+            "__id": rows_pdf["__id"],
+            "__v": rows_pdf["__v"],
+            "__cell": pd.array([None] * len(rows_pdf), dtype="Int32"),
+            "__csim": pd.array([None] * len(rows_pdf),
+                               dtype="Float64"),
+        })
+        if not len(rows_pdf) or not len(cents_pdf):
+            return out
+        cents_pdf = cents_pdf.sort_values("__fid")  # tie → lowest id
+        Cf = np.array(list(cents_pdf["__fv"]), dtype=np.float64)
+        Cfn = Cf / np.linalg.norm(Cf, axis=1, keepdims=True)
+        dim = Cfn.shape[1]
+        ok = rows_pdf["__v"].map(
+            lambda v: v is not None and len(v) == dim
+        ).to_numpy()
+        if ok.any():
+            V = np.array(list(rows_pdf["__v"][ok]), dtype=np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            S = Vn @ Cfn.T
+            j = np.argmax(S, axis=1)
+            fids = cents_pdf["__fid"].to_numpy()[j]
+            sims = S[np.arange(len(j)), j]
+            cells = out["__cell"].to_numpy(dtype=object)
+            csims = out["__csim"].to_numpy(dtype=object)
+            cells[ok] = [int(f) for f in fids]
+            csims[ok] = [float(s) for s in sims]
+            out["__cell"] = pd.array(cells, dtype="Int32")
+            out["__csim"] = pd.array(csims, dtype="Float64")
+        return out
+
+    return (
+        coarse.groupBy("__ccell", "__salt")
+        .cogroup(fine_df.groupBy("__ccell", "__salt"))
+        .applyInPandas(assign, schema_str)
+    )
+
+
 def semdedup(df, vec_col="embedding", id_col="vec_id", n_clusters=None,
              threshold=0.95, keep="centroid_far", method="sample",
-             seed=42, target_cluster_rows=1024):
+             seed=42, target_cluster_rows=1024,
+             two_level_min_k=TWO_LEVEL_ASSIGN_MIN_K):
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by clustering embeddings and dropping all but one of
     each within-cluster group of near-identical points.
@@ -656,10 +765,14 @@ def semdedup(df, vec_col="embedding", id_col="vec_id", n_clusters=None,
     as in the paper, and bounded because ``n_clusters`` scales WITH the
     corpus: ``None`` derives k = n / ``target_cluster_rows`` with NO
     ceiling (:func:`_semdedup_k`; a cap would turn the self-join
-    quadratic past it). The driver/executor memory bound is the
-    CENTROID MATRIX, k·dim·8 bytes (k=10⁶, dim=128 ≈ 1 GB — beyond
-    that, coarse-then-fine assignment is the escape hatch), not the
-    cluster count. A point is dropped when a higher-priority
+    quadratic past it). Past ``two_level_min_k`` centroids assignment
+    goes COARSE-THEN-FINE (:func:`cell_assign_two_level`): per-executor
+    memory drops from the full k·dim·8 centroid matrix (~1 GB at
+    k=10⁶/dim=128) to one √k coarse matrix plus one coarse cell's fine
+    block per task, so k scales with the corpus indefinitely; the
+    driver still materializes the centroid list once (k·dim floats —
+    the remaining practical bound, ~10 GB at k=10⁷).
+    A point is dropped when a higher-priority
     near-duplicate (cosine ≥ ``threshold``) shares its cluster:
 
     - ``keep="centroid_far"`` (paper default): the point FARTHEST from
@@ -687,7 +800,9 @@ def semdedup(df, vec_col="embedding", id_col="vec_id", n_clusters=None,
     cents = ivf_centroid_vectors(
         df, n_clusters, seed, vec_col, id_col, method=method
     )
-    if len(cents) > GEMM_ASSIGN_MIN_K:
+    if two_level_min_k and len(cents) > two_level_min_k:
+        assigned = cell_assign_two_level(df, cents, vec_col, id_col)
+    elif len(cents) > GEMM_ASSIGN_MIN_K:
         assigned = cell_assign_gemm(df, cents, vec_col, id_col)
     else:
         cell, csim = cell_and_sim(cents, vec_col)

@@ -1776,3 +1776,84 @@ def test_df_prefix_order_prunes_harder(spark):
         df, threshold=0.6, prefix_order="hash").collect()}
     assert got_df == got_hash and got_df  # non-trivial equal outputs
     dedup.release_caches()
+
+
+def test_two_level_n_coarse_1_equals_gemm(spark):
+    """cell_assign_two_level with ONE coarse cell degenerates to the
+    exact flat assignment: every fine centroid lives in the single
+    coarse cell, so the within-cell argmax IS the global argmax —
+    byte-identical to cell_assign_gemm (same tie rule)."""
+    from pyspark.sql import types as T
+
+    rnd = random.Random(23)
+    dim = 8
+    rows = [(i, [rnd.gauss(0, 3) for _ in range(dim)])
+            for i in range(200)]
+    rows.append((900, None))                  # null embedding
+    rows.append((901, [1.0, 2.0]))            # wrong dim
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    cents = similarity.ivf_centroid_vectors(df, n_cells=40, seed=1)
+    gemm = {r["__id"]: (r["__cell"], None if r["__csim"] is None
+                        else round(r["__csim"], 9))
+            for r in similarity.cell_assign_gemm(df, cents).collect()}
+    two = {r["__id"]: (r["__cell"], None if r["__csim"] is None
+                       else round(r["__csim"], 9))
+           for r in similarity.cell_assign_two_level(
+               df, cents, n_coarse=1).collect()}
+    assert two == gemm
+    assert two[900] == (None, None) and two[901] == (None, None)
+
+
+def test_two_level_respects_coarse_partition(spark):
+    """General n_coarse: each row's fine cell must belong to the row's
+    coarse cell, and on WELL-SEPARATED blobs the two-level assignment
+    equals the flat one (the approximation only bites near cell
+    boundaries)."""
+    rnd = random.Random(29)
+    dim = 16
+    # 9 well-separated blob centers, 20 points each
+    centers = [[rnd.gauss(0, 1) * 10 for _ in range(dim)]
+               for _ in range(9)]
+    rows = []
+    for b, c in enumerate(centers):
+        for j in range(20):
+            rows.append((b * 100 + j,
+                         [x + rnd.gauss(0, 0.01) for x in c]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = similarity.ivf_centroid_vectors(df, n_cells=9, seed=3)
+    flat = {r["__id"]: r["__cell"]
+            for r in similarity.cell_assign_gemm(df, cents).collect()}
+    two = {r["__id"]: r["__cell"]
+           for r in similarity.cell_assign_two_level(
+               df, cents, n_coarse=3, row_group_salts=4).collect()}
+    assert two == flat
+
+
+def test_semdedup_two_level_path(spark):
+    """semdedup forced through the coarse-then-fine path (k past the
+    threshold) returns the same survivors as the flat path on a
+    well-separated corpus — the k≈10⁶-and-beyond regime in miniature
+    (round-5 VERDICT #3)."""
+    rnd = random.Random(31)
+    dim = 8
+    rows = []
+    for i in range(400):
+        base = [rnd.gauss(0, 3) for _ in range(dim)]
+        rows.append((i, base))
+        if i % 10 == 0:  # plant a semantic near-dup
+            rows.append((1000 + i,
+                         [x + rnd.gauss(0, 1e-4) for x in base]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    flat = {r.vec_id for r in similarity.semdedup(
+        df, n_clusters=64, threshold=0.999, keep="min_id",
+        two_level_min_k=None).collect()}
+    two = {r.vec_id for r in similarity.semdedup(
+        df, n_clusters=64, threshold=0.999, keep="min_id",
+        two_level_min_k=8).collect()}
+    assert two == flat
+    # the planted dups were dropped, originals kept
+    assert 0 in two and 1000 not in two
