@@ -291,6 +291,132 @@ def funnel_batch(df, first_type, then_type, within="30 minutes",
     )
 
 
+_INTERVAL_UNITS = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+}
+
+
+def _interval_seconds(text):
+    """'30 minutes' → 1800 (the simple '<n> <unit>' grammar the
+    streaming wrappers accept)."""
+    n, unit = text.strip().split()
+    return int(n) * _INTERVAL_UNITS[unit.lower()]
+
+
+FUNNEL_STATE = T.StructType([
+    T.StructField("firsts", T.ArrayType(T.LongType())),
+    T.StructField("thens", T.ArrayType(T.LongType())),
+])
+
+
+def _funnel_resolver(within_ms, ts_col, type_col, first_type,
+                     then_type, key_col, idle_pad_ms):
+    """Stateful per-key resolver for :func:`funnel_stream`."""
+    import pandas as pd
+
+    def resolve(key, pdfs, state: GroupState):
+        (k,) = key
+        wm = state.getCurrentWatermarkMs()
+        if state.exists:
+            firsts, thens = [list(x) for x in state.get]
+        else:
+            firsts, thens = [], []
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                ms = (pd.to_datetime(pdf[ts_col]).astype("int64")
+                      // 10 ** 6)
+                types = pdf[type_col]
+                for t, ty in zip(ms, types):
+                    t = int(t)
+                    if ty == first_type:
+                        # late firsts (window already closed) dropped:
+                        # the same effectively-once choice the other
+                        # twins make
+                        if t >= wm:
+                            firsts.append(t)
+                    elif ty == then_type:
+                        # a then at t converts firsts in [t-within, t];
+                        # pending firsts all satisfy f + within > wm,
+                        # so only thens ≥ wm - within can still matter
+                        if t >= wm - within_ms:
+                            thens.append(t)
+        rows = []
+        still = []
+        for f in sorted(firsts):
+            if any(f <= t <= f + within_ms for t in thens):
+                rows.append((k, f, True))
+            elif wm > f + within_ms:
+                rows.append((k, f, False))   # window closed unconverted
+            else:
+                still.append(f)
+        thens = [t for t in thens if t >= wm - within_ms]
+        if still:
+            state.update((still, thens))
+            state.setTimeoutTimestamp(
+                max(min(f + within_ms for f in still) + 1, wm + 1)
+            )
+        elif thens:
+            # no pending firsts; keep recent thens for late firsts
+            # until the watermark ages them out
+            state.update(([], thens))
+            state.setTimeoutTimestamp(wm + within_ms + idle_pad_ms)
+        elif state.exists:
+            state.remove()
+        out = pd.DataFrame(
+            rows, columns=[key_col, "first_ts", "converted"])
+        out["first_ts"] = pd.to_datetime(out["first_ts"], unit="ms")
+        yield out
+
+    return resolve
+
+
+def funnel_stream(stream_df, first_type, then_type,
+                  within="30 minutes", key="user_id",
+                  ts_col="event_ts", type_col="event_type",
+                  watermark="2 hours"):
+    """Streaming twin of :func:`funnel_batch`: per ``key``, every
+    ``first_type`` event resolves to ONE appended row
+    ``(key, first_ts, converted)`` — ``converted=true`` as soon as a
+    ``then_type`` event lands inside ``[first_ts, first_ts+within]``,
+    ``converted=false`` once the event-time watermark passes the
+    window's end (EventTimeTimeout). Aggregating the rows
+    (count / count_if) reproduces ``funnel_batch``'s
+    n_first/n_converted minus only the still-open tail — pinned by
+    streaming_test with conversions spanning micro-batch boundaries.
+
+    Lowering: the stream is filtered to the two event types BEFORE the
+    shuffle, then ``applyInPandasWithState`` keyed by ``key``. State
+    per key = pending first-timestamps (each lives ≤ ``within`` past
+    the watermark) + then-timestamps ≥ watermark − ``within`` (older
+    ones can no longer convert any admissible first) — bounded by the
+    key's event rate × (watermark + within), independent of stream
+    length. Late firsts for closed windows are dropped, the same
+    effectively-once choice the other twins make."""
+    within_ms = _interval_seconds(within) * 1000
+    key_t = stream_df.schema[key].dataType
+    out_schema = T.StructType([
+        T.StructField(key, key_t),
+        T.StructField("first_ts", T.TimestampNTZType()),
+        T.StructField("converted", T.BooleanType()),
+    ])
+    return (
+        stream_df.filter(
+            F.col(type_col).isin([first_type, then_type])
+        )
+        .withWatermark(ts_col, watermark)
+        .groupBy(key)
+        .applyInPandasWithState(
+            _funnel_resolver(within_ms, ts_col, type_col, first_type,
+                             then_type, key, 60_000),
+            outputStructType=out_schema,
+            stateStructType=FUNNEL_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def dedup_stream(stream_df, key_cols=("event_id",), ts_col="event_ts",
                  watermark="2 hours"):
     """Streaming exact dedup: drop rows whose key was already seen

@@ -704,3 +704,91 @@ def test_anomaly_stream_timeout_flush(spark, tmp_path):
     # the final-hour spike WAS scored and flagged via the timeout
     assert any(t == "quiet" and hr == base + timedelta(hours=20)
                and n == 60 for t, hr, n, _z in got), got
+
+
+def test_funnel_stream_matches_batch(spark, tmp_path):
+    """Streaming funnel twin (round-5 VERDICT #4): every first-event
+    resolves to exactly one appended (user, first_ts, converted) row —
+    converted on sight of a then-event inside the window (INCLUDING
+    across micro-batch boundaries), unconverted via EventTimeTimeout
+    once the watermark passes the window end. The resolved rows must
+    equal a brute-force replay of funnel_batch's rule; only the
+    still-open tail (window end beyond the final watermark) is
+    absent."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    rows, eid = [], 0
+
+    def ev(user, minutes, etype):
+        nonlocal eid
+        rows.append((eid, base + timedelta(minutes=minutes), user,
+                     etype, 1.0, "{}"))
+        eid += 1
+
+    # u1: converted within one batch
+    ev(1, 10, "view"); ev(1, 20, "click")
+    # u2: first late in batch 1, then early in batch 2 (cross-boundary)
+    ev(2, 9 * 60 + 50, "view"); ev(2, 10 * 60 + 5, "click")
+    # u3: never converts -> flushed unconverted by timeout
+    ev(3, 2 * 60, "view")
+    # u4: two firsts, one then converts both windows
+    ev(4, 60, "view"); ev(4, 70, "view"); ev(4, 85, "click")
+    # u5: then BEFORE the first (no conversion backwards)
+    ev(5, 3 * 60, "click"); ev(5, 3 * 60 + 40, "view")
+    # u6: unresolved tail - first whose window end is past final wm
+    ev(6, 29 * 60 + 30, "view")
+    # driver: clicks only, keeps the watermark moving through h30
+    for h in range(31):
+        ev(99, h * 60 + 1, "click")
+
+    src = str(tmp_path / "funnel_src")
+    for lo, hi in [(0, 10 * 60), (10 * 60, 20 * 60), (20 * 60, 31 * 60)]:
+        chunk = [r for r in rows
+                 if lo <= (r[1] - base).total_seconds() // 60 < hi]
+        spark.createDataFrame(chunk, sev.EVENTS_SCHEMA) \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    stream = sev.read_events_stream(spark, src, max_files_per_trigger=1)
+    out = sev.run_to_memory(
+        sev.funnel_stream(stream, "view", "click", within="30 minutes"),
+        name="t_funnel_stream", output_mode="append")
+    got = {(r.user_id, r.first_ts, r.converted) for r in out.collect()}
+
+    # brute-force expectation from the raw events
+    within = timedelta(minutes=30)
+    final_wm = max(r[1] for r in rows) - timedelta(hours=2)
+    want = set()
+    for r in rows:
+        if r[3] != "view":
+            continue
+        conv = any(x[3] == "click" and x[2] == r[2]
+                   and r[1] <= x[1] <= r[1] + within for x in rows)
+        if conv:
+            want.add((r[2], r[1], True))
+        elif r[1] + within < final_wm:
+            want.add((r[2], r[1], False))
+    assert got == want
+    # the named scenarios landed as designed
+    by_user = {}
+    for u, _ts, c in got:
+        by_user.setdefault(u, []).append(c)
+    assert by_user[1] == [True]
+    assert by_user[2] == [True]          # cross-boundary conversion
+    assert by_user[3] == [False]         # timeout-flushed unconverted
+    assert sorted(by_user[4]) == [True, True]
+    assert by_user[5] == [False]         # backwards then doesn't count
+    assert 6 not in by_user              # still-open tail withheld
+
+    # aggregate equality with the batch twin on the resolved users
+    batch = {r.user_id: (r.n_first, r.n_converted)
+             for r in sev.funnel_batch(
+                 spark.createDataFrame(
+                     rows, ["event_id", "ts", "user_id", "event_type",
+                            "value", "props"]),
+                 "view", "click", within="30 minutes", ts_col="ts",
+             ).collect()}
+    for u in (1, 2, 3, 4, 5):
+        n_first = len(by_user[u]) if u in by_user else 0
+        n_conv = sum(by_user.get(u, []))
+        assert batch[u] == (n_first, n_conv), u
