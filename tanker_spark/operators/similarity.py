@@ -519,10 +519,25 @@ def ann_index_append(new_df, path):
     stored.write.mode("append").partitionBy("__bucket").parquet(path)
 
 
-def knn_indexed(spark, path, probe_vec, k=10, multiprobe=1, n_probe=4):
+def knn_indexed(spark, path, probe_vec, k=10, multiprobe=1, n_probe=4,
+                rerank_df=None, rerank_k=4096):
     """Probe a persisted ANN index: the probe's bucket set is computed in
     plain python from the stored metadata (NO Spark job), and the scan is
-    partition-pruned to those buckets (plan shows PartitionFilters)."""
+    partition-pruned to those buckets (plan shows PartitionFilters).
+
+    ``rerank_df`` enables the IVF-PQ-style two-pass probe for QUANTIZED
+    indexes at corpus scale: pass 1 scores the pruned buckets on the
+    int8-dequantized codes (4× less I/O than floats; ranking error
+    bounded by the lattice step) and keeps the top ``rerank_k``
+    (~4k ≫ k) candidate ids; pass 2 fetches those candidates'
+    FULL-PRECISION vectors from ``rerank_df`` (the primary corpus
+    table — column-pruned to (id, vector), the candidate id set
+    broadcast by AQE) and re-scores exactly, so the final top-k order
+    is float-exact while the index itself never stores floats. A true
+    neighbor is missed only if quantization error pushes it below
+    ~4k-th place in its probed buckets — recall@k ≥ 0.95 pinned by
+    operators_test. No-op for unquantized indexes (pass 1 is already
+    exact)."""
     with open(os.path.join(path, ANN_META)) as fh:
         meta = json.load(fh)
     if meta["method"] == "lsh":
@@ -534,16 +549,27 @@ def knn_indexed(spark, path, probe_vec, k=10, multiprobe=1, n_probe=4):
     else:
         buckets = _probe_cells(meta["centroids"], probe_vec, n_probe)
     idx = spark.read.parquet(path).filter(F.col("__bucket").isin(buckets))
+    id_col, vec_name = meta["id_col"], meta["vec_col"]
     if meta.get("quantized"):
         vec = dequantize_col(
             F.col("qcode"), F.col("qmin"), F.col("qscale")
         )
     else:
-        vec = F.col(meta["vec_col"])
+        vec = F.col(vec_name)
     sim = cosine_to(vec, probe_vec)
+    approx = (
+        idx.select(F.col(id_col), sim.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+    )
+    if rerank_df is None or not meta.get("quantized"):
+        return approx.limit(k)
+    cand = approx.limit(int(rerank_k)).select(id_col)
+    exact_sim = cosine_to(F.col(vec_name), probe_vec)
     return (
-        idx.select(F.col(meta["id_col"]), sim.alias("cos_sim"))
-        .orderBy(F.col("cos_sim").desc(), F.col(meta["id_col"]).asc())
+        rerank_df.select(F.col(id_col), F.col(vec_name))
+        .join(cand, id_col, "left_semi")
+        .select(F.col(id_col), exact_sim.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
         .limit(k)
     )
 
