@@ -1776,6 +1776,44 @@ def neardup_groups_star_docs(spark, sf_dir):
     return dedup.neardup_groups(pairs, method="star").orderBy("id")
 
 
+def neardup_groups_spanning_docs(spark, sf_dir):
+    """Round-6 debut: the 100 TB dedup shape — SPANNING pairs
+    (``expand_members=False``: exact-dup members attach to their
+    representative only, linear output instead of quadratic) resolved
+    into connected components. Must equal the full-pairwise clusters
+    byte-for-byte (same recursive SQL oracle as neardup_groups_docs):
+    the spanning set and the full set span the same graph."""
+    df = _read(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_exact(
+        df, "text", "doc_id", n=3, threshold=0.5, expand_members=False
+    )
+    return dedup.neardup_groups(pairs).orderBy("id")
+
+
+def knn_rerank_exact(spark, sf_dir):
+    """Round-6 debut: quantized-index two-pass probe — int8 first pass
+    over ALL IVF cells + full-precision re-rank — must reproduce the
+    brute-force top-10 exactly (same cosine fold, same tie-break), so
+    the DuckDB brute-force oracle checks the whole
+    build→quantize→probe→re-rank machinery end to end. (Partial-probe
+    recall is pinned separately in operators_test at ≥0.95.)"""
+    import tempfile
+
+    df = _read(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="tk_annrr_")
+    similarity.build_ann_index(
+        df, path, method="ivf", n_cells=8, quantize=True
+    )
+    probe = [1.0] * 64
+    out = similarity.knn_indexed(
+        spark, path, probe, k=10, n_probe=8, rerank_df=df,
+        rerank_k=4096,
+    )
+    return out.select(
+        "vec_id", F.round(F.col("cos_sim"), 6).alias("cos_sim")
+    )
+
+
 def train_test_split_docs(spark, sf_dir):
     """Leakage-safe 80/10/10 split: near-dup clusters (exact n-gram
     Jaccard ≥ 0.5 → connected components) are assigned to a split AS A
@@ -2046,13 +2084,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #: 50-row correctness window so every new operator gets a driver-recorded
 #: CORRECTNESS row in its debut round.
 DEBUTS = [
-    "having_exists_nations",
-    "having_scalar_corr_nations",
-    "scalar_field_agg_nations",
-    "qualify_exists_suppliers",
-    "events_gapfill",
-    "events_value_bands",
-    "bm25_search_docs",
+    # round-6 debuts: spanning-pair dedup resolution (the hot-bucket
+    # guard's scale output mode) and the quantized-index re-rank probe
+    "neardup_groups_spanning_docs",
+    "knn_rerank_exact",
 ]
 
 
@@ -2092,13 +2127,26 @@ def _ordered_names(round_no: int) -> list[str]:
                 if n in oracles and n not in DEBUTS]
     rows_only = [n for n in fns
                  if n not in oracles and n not in DEBUTS]
-    slots = max(1, 50 - len(DEBUTS))
-    # phase anchored at round 4: rounds 1-4 effectively ran the
-    # canonical prefix, so round 5 starts at the first block the driver
-    # has NEVER recorded (the 52 demoted-in-r4 entries), round 6 wraps
-    # back over the classics, and so on
-    off = ((round_no - 4) * slots) % len(veterans) if veterans else 0
-    return DEBUTS + veterans[off:] + veterans[:off] + rows_only
+    # round-6 refinement: veterans the driver has NEVER recorded a
+    # CORRECTNESS row for (derived from the on-disk CORRECTNESS_r*.json
+    # of past rounds — static for the whole current round) jump the
+    # queue, so changing DEBUTS can no longer rotate a never-seen entry
+    # out of the window; the rest keep rotating so every green row gets
+    # periodically re-confirmed
+    import json
+
+    recorded = set()
+    base = Path(__file__).resolve().parent
+    for f in sorted(base.glob("CORRECTNESS_r*.json")):
+        try:
+            recorded.update(json.loads(f.read_text()))
+        except (OSError, ValueError):
+            pass
+    fresh = [n for n in veterans if n not in recorded]
+    seen = [n for n in veterans if n in recorded]
+    slots = max(1, 50 - len(DEBUTS) - len(fresh))
+    off = ((round_no - 4) * slots) % len(seen) if seen else 0
+    return DEBUTS + fresh + seen[off:] + seen[:off] + rows_only
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2157,6 +2205,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": embedding_neardup,
         "ngram_jaccard_docs": ngram_jaccard_docs,
         "neardup_groups_docs": neardup_groups_docs,
+        "neardup_groups_spanning_docs": neardup_groups_spanning_docs,
+        "knn_rerank_exact": knn_rerank_exact,
         "string_fns_nation": string_fns_nation,
         "text_quality": text_quality,
         "cap_per_source": cap_per_source,
@@ -2590,6 +2640,16 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
             ORDER BY cos_sim DESC, vec_id LIMIT 10
         """,
+        "knn_rerank_exact": """
+            SELECT vec_id,
+                   round(
+                     list_dot_product(embedding,
+                                      [1.0::FLOAT for x in range(64)])
+                     / (sqrt(list_dot_product(embedding, embedding)) *
+                        sqrt(64.0)), 6) AS cos_sim
+            FROM embeddings
+            ORDER BY cos_sim DESC, vec_id LIMIT 10
+        """,
         "knn_join_batch": """
             WITH e AS (
               SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -2775,6 +2835,40 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "neardup_groups_docs": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct([concat_ws(' ', t[i], t[i+1], t[i+2])
+                                    for i in range(1, len(t) - 1)]) AS s
+              FROM toks
+            ), ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+            ), pairs AS (
+              SELECT cand.id_a, cand.id_b
+              FROM cand JOIN sh x ON cand.id_a = x.doc_id
+                        JOIN sh y ON cand.id_b = y.doc_id
+              WHERE len(list_intersect(x.s, y.s))::DOUBLE /
+                    (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)))
+                    >= 0.5
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ), reach AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r
+              JOIN edges e ON r.dst = e.src
+              WHERE e.dst != r.src
+            )
+            SELECT src AS id, least(src, min(dst)) AS group_id
+            FROM reach GROUP BY src ORDER BY id
+        """,
+        "neardup_groups_spanning_docs": """
             WITH RECURSIVE toks AS (
               SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
               FROM documents

@@ -53,6 +53,12 @@ BENCH_QUERIES = [
     "qualify_exists_suppliers",
     "events_gapfill",
     "events_value_bands",
+    # round-6 additions: the hardened (exact-collapse + df-ordered
+    # prefix) dedup default, spanning-pair group resolution, and the
+    # quantized-index re-rank probe
+    "ngram_jaccard_docs",
+    "neardup_groups_spanning_docs",
+    "knn_rerank_exact",
 ]
 
 

@@ -47,7 +47,11 @@ def test_driver_row_budget_ordering():
     - three consecutive rounds cover EVERY oracle-checkable veteran
       (the round-4 VERDICT counted 52 green oracle queries the driver
       had never re-recorded);
-    - the rotation is stable for a fixed round number.
+    - the rotation is stable for a fixed round number;
+    - round 6: veterans with NO recorded CORRECTNESS row in any past
+      round (read from the on-disk CORRECTNESS_r*.json) jump the
+      queue, so a DEBUTS change can never rotate a never-seen entry
+      out of the window.
     """
     oracles = set(entry_mod.oracle_sql())
     names = list(QUERIES)
@@ -60,7 +64,7 @@ def test_driver_row_budget_ordering():
     covered = set()
     veterans = {n for n in entry_mod._all_queries()
                 if n in oracles and n not in entry_mod.DEBUTS}
-    for rnd in (5, 6, 7):
+    for rnd in (6, 7, 8):
         window = entry_mod._ordered_names(rnd)[:50]
         assert len(window) == 50
         assert all(n in oracles for n in window)
@@ -72,7 +76,7 @@ def test_driver_row_budget_ordering():
     # rows-only entries never displace an oracle-checkable one
     n_rows_only = len([n for n in entry_mod._all_queries()
                        if n not in oracles])
-    tail = entry_mod._ordered_names(5)[-n_rows_only:]
+    tail = entry_mod._ordered_names(6)[-n_rows_only:]
     assert all(n not in oracles for n in tail)
 
 
