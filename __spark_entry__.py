@@ -1337,6 +1337,23 @@ def bm25_search_docs(spark, sf_dir):
     return bm25_topk(df, "spark merge window", k=10)
 
 
+def hybrid_search_docs(spark, sf_dir):
+    """Round-6 debut: hybrid retrieval — BM25 over `documents` + exact
+    cosine over the same-id-space `embeddings`, fused by reciprocal
+    rank (RRF, Cormack et al. SIGIR'09). Ranks are assigned on ROUNDED
+    scores in both engines so fusion is calibration-free AND
+    engine-exact; all fusion joins/windows run on the two ≤50-row
+    candidate lists — at 100 TB the cost stays in the retrieval legs
+    (term-pruned BM25 / partition-pruned ANN), which rrf_fuse is
+    agnostic to."""
+    from tanker_spark.operators.search import hybrid_topk
+
+    docs = _read(spark, sf_dir, "documents")
+    emb = _read(spark, sf_dir, "embeddings")
+    return hybrid_topk(docs, emb, "spark merge window", [1.0] * 64,
+                       k=10, n_each=50)
+
+
 def text_stats(spark, sf_dir):
     """Token counting, mean word length and English stopword ratio per
     document (composite: keeps every oracle-checkable op within the
@@ -2088,6 +2105,7 @@ DEBUTS = [
     # guard's scale output mode) and the quantized-index re-rank probe
     "neardup_groups_spanning_docs",
     "knn_rerank_exact",
+    "hybrid_search_docs",
 ]
 
 
@@ -2165,6 +2183,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gapfill": events_gapfill,
         "events_value_bands": events_value_bands,
         "bm25_search_docs": bm25_search_docs,
+        "hybrid_search_docs": hybrid_search_docs,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -3375,6 +3394,60 @@ def oracle_sql() -> dict[str, str]:
             JOIN docs USING (doc_id), stats
             GROUP BY m.doc_id
             ORDER BY bm25 DESC, m.doc_id ASC
+            LIMIT 10
+        """,
+        "hybrid_search_docs": """
+            WITH base AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\\s+')
+                           AS toks
+                FROM documents
+            ), docs AS (
+                SELECT doc_id, len(toks) AS dl FROM base
+            ), stats AS (
+                SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM docs
+            ), m AS (
+                SELECT b.doc_id, t.term, count(*) AS tf
+                FROM base b, unnest(b.toks) AS t(term)
+                WHERE t.term IN ('merge', 'spark', 'window')
+                GROUP BY b.doc_id, t.term
+            ), dfreq AS (
+                SELECT term, count(*) AS df_t FROM m GROUP BY term
+            ), lex_top AS (
+                SELECT m.doc_id,
+                       round(sum(
+                           ln((n_docs - df_t + 0.5)/(df_t + 0.5) + 1)
+                           * tf*(1.2+1)/(tf + 1.2*(1 - 0.75 + 0.75*dl/avgdl))
+                       ), 4) AS bm25
+                FROM m
+                JOIN dfreq USING (term)
+                JOIN docs USING (doc_id), stats
+                GROUP BY m.doc_id
+                ORDER BY bm25 DESC, m.doc_id ASC
+                LIMIT 50
+            ), den_top AS (
+                SELECT vec_id,
+                       round(
+                         list_dot_product(embedding,
+                                          [1.0::FLOAT for x in range(64)])
+                         / (sqrt(list_dot_product(embedding, embedding)) *
+                            sqrt(64.0)), 6) AS cos_sim
+                FROM embeddings
+                ORDER BY cos_sim DESC, vec_id LIMIT 50
+            ), lex AS (
+                SELECT doc_id, row_number() OVER
+                       (ORDER BY bm25 DESC, doc_id ASC) AS rnk
+                FROM lex_top
+            ), den AS (
+                SELECT vec_id AS doc_id, row_number() OVER
+                       (ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+                FROM den_top
+            )
+            SELECT coalesce(lex.doc_id, den.doc_id) AS doc_id,
+                   round(coalesce(1.0/(60 + lex.rnk), 0.0)
+                         + coalesce(1.0/(60 + den.rnk), 0.0), 6) AS rrf
+            FROM lex FULL OUTER JOIN den ON lex.doc_id = den.doc_id
+            ORDER BY rrf DESC, doc_id ASC
             LIMIT 10
         """,
         "events_value_bands": """

@@ -154,3 +154,74 @@ def bm25_topk_indexed(spark, path, query, k=10, k1=1.2, b=0.75,
     )
     return scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()) \
                  .limit(k)
+
+
+def _rank(df, score_col, id_col, round_to):
+    """Deterministic dense candidate ranking: rank on the ROUNDED score
+    (ties broken by id) so an engine re-implementing the same math —
+    the DuckDB oracle, a rebuilt index — assigns identical ranks even
+    when raw doubles differ past the rounding precision. The input is a
+    post-top-k candidate list (≤ n_each rows), so the unpartitioned
+    window is driver-trivial by construction — fusion never sees
+    corpus-sized data."""
+    from pyspark.sql import Window
+
+    s = F.round(F.col(score_col), round_to)
+    w = Window.orderBy(s.desc(), F.col(id_col).asc())
+    return df.select(
+        F.col(id_col).alias("__id"), F.row_number().over(w).alias("__rnk")
+    )
+
+
+def rrf_fuse(ranked, k=10, rrf_k=60, round_to=6):
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09):
+    ``score(d) = Σ_lists 1/(rrf_k + rank_list(d))``, a list absent a
+    document contributing 0. Input: [(df, score_col, id_col,
+    score_round)] candidate lists, each already top-n (tiny). Returns
+    (doc_id, rrf) — the standard way to combine lexical and dense
+    retrieval without score calibration, since only RANKS cross lists.
+
+    All joins/windows here run on ≤ Σ n_each rows; at 100 TB the cost
+    lives entirely in the upstream retrieval ops (term-pruned BM25,
+    partition-pruned ANN), which this function is agnostic to."""
+    fused = None
+    for i, (df, score_col, id_col, score_round) in enumerate(ranked):
+        r = _rank(df, score_col, id_col, score_round).withColumnRenamed(
+            "__rnk", f"__rnk{i}"
+        )
+        fused = r if fused is None else fused.join(r, "__id", "full_outer")
+    score = None
+    for i in range(len(ranked)):
+        term = F.coalesce(
+            1.0 / (F.lit(rrf_k) + F.col(f"__rnk{i}")), F.lit(0.0)
+        )
+        score = term if score is None else score + term
+    return (
+        fused.select(
+            F.col("__id").alias("doc_id"),
+            F.round(score, round_to).alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def hybrid_topk(docs_df, emb_df, query, probe_vec, k=10, n_each=50,
+                rrf_k=60, text_col="text", doc_id_col="doc_id",
+                vec_col="embedding", vec_id_col="vec_id"):
+    """Hybrid retrieval: BM25 over the text corpus + exact cosine over
+    the (same-id-space) embedding table, fused by reciprocal rank —
+    what a retrieval-eval or hard-negative-mining pipeline runs per
+    query. Each leg is its own already-audited scale path; swap in
+    :func:`bm25_topk_indexed` / a persisted ANN probe for repeated
+    queries at scale and reuse :func:`rrf_fuse` unchanged."""
+    from .similarity import cosine_to, knn_brute
+
+    lex = bm25_topk(docs_df, query, k=n_each, text_col=text_col,
+                    id_col=doc_id_col)
+    den = knn_brute(emb_df, probe_vec, k=n_each, vec_col=vec_col,
+                    id_col=vec_id_col)
+    return rrf_fuse(
+        [(lex, "bm25", "doc_id", 4), (den, "cos_sim", vec_id_col, 6)],
+        k=k, rrf_k=rrf_k,
+    )

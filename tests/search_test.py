@@ -1,0 +1,109 @@
+"""BM25 search + hybrid RRF fusion (operators/search.py).
+
+The ad-hoc and persisted-index probes must be row-identical (same
+scoring expression, same rounding); RRF fusion must be rank-only
+(calibration-free), give absent lists zero contribution, and stay
+deterministic under reordered input.
+"""
+
+from pyspark.sql import functions as F
+
+from tanker_spark.operators.search import (
+    bm25_topk,
+    bm25_topk_indexed,
+    build_text_index,
+    hybrid_topk,
+    rrf_fuse,
+)
+
+DOCS = [
+    (0, "spark merge window join"),
+    (1, "merge spark spark window"),
+    (2, "window functions in sql"),
+    (3, "completely unrelated words here"),
+    (4, "merge conflicts are painful"),
+    (5, "the spark window merge merge"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_bm25_indexed_matches_adhoc(spark, tmp_path):
+    """The persisted-postings probe re-derives the EXACT ad-hoc rows:
+    same scoring string, same df/stats, same rounding — the index is a
+    cost cache, never a different answer."""
+    df = _docs(spark)
+    adhoc = bm25_topk(df, "spark merge", k=6).collect()
+    path = str(tmp_path / "bm25idx")
+    build_text_index(df, path)
+    probe = bm25_topk_indexed(spark, path, "spark merge", k=6).collect()
+    assert [r.asDict() for r in adhoc] == [r.asDict() for r in probe]
+    assert adhoc[0]["doc_id"] in (1, 5)  # heaviest term mass wins
+
+
+def test_bm25_query_term_dedup_and_case(spark):
+    """'Spark SPARK spark' scores once per distinct lowered term."""
+    df = _docs(spark)
+    a = bm25_topk(df, "Spark SPARK spark", k=6).collect()
+    b = bm25_topk(df, "spark", k=6).collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+
+
+def test_rrf_both_lists_beat_one(spark):
+    """A doc ranked mid in BOTH lists outscores a doc topping one list
+    only: 1/(60+2)+1/(60+2) > 1/(60+1) — the point of fusion."""
+    lex = spark.createDataFrame(
+        [(10, 5.0), (20, 4.0), (30, 3.0)], ["doc_id", "s"])
+    den = spark.createDataFrame(
+        [(40, 0.99), (20, 0.98), (50, 0.97)], ["vec_id", "c"])
+    out = rrf_fuse([(lex, "s", "doc_id", 4), (den, "c", "vec_id", 6)],
+                   k=5)
+    rows = {r["doc_id"]: r["rrf"] for r in out.collect()}
+    assert rows[20] > rows[10] > rows[30]
+    assert rows[20] > rows[40]
+    # single-list docs: exactly 1/(60+rank), the other list adds 0
+    assert abs(rows[10] - 1.0 / 61) < 1e-6
+    assert abs(rows[20] - (1.0 / 62 + 1.0 / 62)) < 1e-6
+
+
+def test_rrf_rank_only_ignores_score_scale(spark):
+    """Multiplying one list's scores by 1000 changes nothing — fusion
+    consumes ranks, not calibrated scores."""
+    lex = spark.createDataFrame(
+        [(1, 5.0), (2, 4.0), (3, 3.0)], ["doc_id", "s"])
+    scaled = lex.withColumn("s", F.col("s") * 1000.0)
+    den = spark.createDataFrame([(2, 0.9), (3, 0.8)], ["vec_id", "c"])
+    a = rrf_fuse([(lex, "s", "doc_id", 4), (den, "c", "vec_id", 6)],
+                 k=3).collect()
+    b = rrf_fuse([(scaled, "s", "doc_id", 4), (den, "c", "vec_id", 6)],
+                 k=3).collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+
+
+def test_rrf_tie_breaks_by_id(spark):
+    """Equal rounded scores rank by id ascending — deterministic across
+    partition orderings and engines."""
+    lex = spark.createDataFrame(
+        [(7, 1.0), (3, 1.0), (5, 1.0)], ["doc_id", "s"])
+    out = rrf_fuse([(lex, "s", "doc_id", 4)], k=3).collect()
+    assert [r["doc_id"] for r in out] == [3, 5, 7]
+    assert [r["rrf"] for r in out] == sorted(
+        [r["rrf"] for r in out], reverse=True)
+
+
+def test_hybrid_topk_end_to_end(spark):
+    """Docs matching the query AND near the probe fuse to the top."""
+    docs = _docs(spark)
+    emb = spark.createDataFrame(
+        [(i, [1.0 if i in (0, 1) else -1.0] * 4) for i in range(6)],
+        ["vec_id", "embedding"],
+    )
+    out = hybrid_topk(docs, emb, "spark merge", [1.0] * 4, k=6,
+                      n_each=6).collect()
+    ids = [r["doc_id"] for r in out]
+    # 0 and 1 appear in both lists; 1 out-ranks 0 lexically
+    assert set(ids[:2]) == {0, 1}
+    scores = {r["doc_id"]: r["rrf"] for r in out}
+    assert scores[1] > scores[3]
