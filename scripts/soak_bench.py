@@ -102,7 +102,12 @@ def main():
     ap.add_argument("--only", default=None,
                     help="comma-separated subset of bench names")
     args = ap.parse_args()
-    spark = get_spark(app_name="tanker_spark_soak")
+    # 10M docs on local[32] = 32 concurrent tasks sharing ONE driver
+    # JVM; the per-round default (8g) OOMs during the signature
+    # shuffle. 48g ~ 1.5g/task — the local-mode stand-in for ordinary
+    # per-executor memory on a real cluster.
+    spark = get_spark(app_name="tanker_spark_soak",
+                      extra_conf={"spark.driver.memory": "48g"})
 
     if not args.skip_gen:
         t0 = time.perf_counter()
@@ -137,8 +142,13 @@ def main():
             docs, w, 10_000, temperature=0.5).count()
 
     def curation_v2_soak():
+        # surprisal band re-centered for this corpus: the pseudo-word
+        # vocabulary sits at 12-15 bits (vs ~6 for the driver
+        # testdata); 15.0 ~ the corpus mean keeps roughly half the
+        # rows so the dedup + mix stages do real work
         import __spark_entry__ as entry_mod
-        return entry_mod.curation_pipeline_v2(spark, args.dir).count()
+        return entry_mod.curation_pipeline_v2(
+            spark, args.dir, surp_max=15.0).count()
 
     benches = {
         "exact_dedup": exact_dedup_soak,

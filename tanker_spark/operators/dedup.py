@@ -802,15 +802,12 @@ def ngram_jaccard_pairs(df, text_col="text", id_col="doc_id", n=3,
     return joined
 
 
-def _shingle_structs(df, text_col, id_col, n, prefix_order):
-    """(__id, __sh): each doc's distinct shingles as a SORTED
-    array<struct> under the chosen prefix total order — ``hash``
-    (xxhash64; zero statistics) or ``df`` (ascending corpus document
-    frequency, hash tie-break: rarest-first prefixes, the
-    orders-of-magnitude harder pruning on skewed corpora, for one
-    extra count+join stage). Field names (h = shingle hash, g = gram)
-    are shared so downstream prefix/verify code is order-agnostic."""
-    sh = widen(df).select(
+def _shingle_hash_structs(df, text_col, id_col, n):
+    """(__id, __sh): each doc's distinct shingles as an array<struct>
+    sorted under the xxhash64 total order. Field names (h = shingle
+    hash, g = gram) are shared so downstream prefix/verify code is
+    order-agnostic."""
+    return widen(df).select(
         F.col(id_col).alias("__id"),
         F.array_sort(
             F.transform(
@@ -821,14 +818,27 @@ def _shingle_structs(df, text_col, id_col, n, prefix_order):
             )
         ).alias("__sh"),
     )
-    if prefix_order == "hash":
-        return sh
-    if prefix_order != "df":
-        raise ValueError("prefix_order must be 'df' or 'hash'")
-    ex = sh.select("__id", F.explode("__sh").alias("__s"))
-    freq = ex.groupBy(F.col("__s.h").alias("__fh")).agg(
+
+
+def _shingle_freq(*shs):
+    """Document frequency of every shingle hash across one or more
+    ``_shingle_hash_structs`` frames — a SHARED frequency table keeps
+    the df total order consistent across the sides of an R-S join
+    (prefix filtering only needs SOME consistent order, but it must be
+    the same one on both sides)."""
+    ex = None
+    for sh in shs:
+        e = sh.select(F.explode("__sh").alias("__s"))
+        ex = e if ex is None else ex.unionAll(e)
+    return ex.groupBy(F.col("__s.h").alias("__fh")).agg(
         F.count(F.lit(1)).alias("__c")
     )
+
+
+def _df_order(sh, freq):
+    """Reorder each doc's shingle array by (ascending document
+    frequency, hash): rarest-first prefixes — the PPJoin ordering."""
+    ex = sh.select("__id", F.explode("__sh").alias("__s"))
     return (
         ex.join(freq, F.col("__s.h") == F.col("__fh"))
         .groupBy("__id")
@@ -846,10 +856,25 @@ def _shingle_structs(df, text_col, id_col, n, prefix_order):
     )
 
 
-def _prefix_candidates(sh, threshold, bucket_cap=None):
-    """Distinct candidate pairs from the prefix-filter blocking join
-    over a ``_shingle_structs`` frame. Factored out so tests can count
-    candidates per prefix order."""
+def _shingle_structs(df, text_col, id_col, n, prefix_order):
+    """(__id, __sh): each doc's distinct shingles as a SORTED
+    array<struct> under the chosen prefix total order — ``hash``
+    (xxhash64; zero statistics) or ``df`` (ascending corpus document
+    frequency, hash tie-break: rarest-first prefixes, the
+    orders-of-magnitude harder pruning on skewed corpora, for one
+    extra count+join stage)."""
+    sh = _shingle_hash_structs(df, text_col, id_col, n)
+    if prefix_order == "hash":
+        return sh
+    if prefix_order != "df":
+        raise ValueError("prefix_order must be 'df' or 'hash'")
+    return _df_order(sh, _shingle_freq(sh))
+
+
+def _prefix_keys(sh, threshold, bucket_cap=None):
+    """(__id, __bucket) prefix blocking keys of a ``_shingle_structs``
+    frame: any pair with J ≥ t must share a key from each side's first
+    |s| - ⌈t·|s|⌉ + 1 shingles under the (shared) total order."""
     size = F.size(F.col("__sh"))
     plen = (
         size - F.ceil(F.lit(float(threshold)) * size).cast("int") + 1
@@ -865,6 +890,14 @@ def _prefix_candidates(sh, threshold, bucket_cap=None):
     )
     if bucket_cap:
         pref = _cap_buckets(pref, bucket_cap)
+    return pref
+
+
+def _prefix_candidates(sh, threshold, bucket_cap=None):
+    """Distinct candidate pairs from the prefix-filter blocking join
+    over a ``_shingle_structs`` frame. Factored out so tests can count
+    candidates per prefix order."""
+    pref = _prefix_keys(sh, threshold, bucket_cap)
     return (
         pref.alias("L")
         .join(
@@ -961,6 +994,134 @@ def ngram_jaccard_exact(df, text_col="text", id_col="doc_id", n=3,
             )
             pairs = pairs.unionAll(dup_pairs)
     return pairs
+
+
+def ngram_jaccard_join(left_df, right_df, text_col="text",
+                       id_col="doc_id", n=3, threshold=0.5,
+                       collapse_exact=True, prefix_order="df",
+                       bucket_cap=None):
+    """EXACT cross-corpus (R-S) token-n-gram Jaccard similarity join:
+    every (left, right) pair with J ≥ ``threshold``, 100% recall —
+    :func:`ngram_jaccard_exact`'s two-relation sibling, and the engine
+    under :func:`near_decontaminate`.
+
+    The prefix-filter blocking requires only that both sides order
+    shingles under the SAME total order: ``hash`` is shared by
+    construction; ``df`` (default, rarest-first) computes ONE document
+    frequency table over the union of both sides' shingles and orders
+    both sides with it. Each side explodes only its own prefix
+    (≈(1-t)·|s| keys/doc); the candidate join stays equi-keyed on the
+    shingle hash. In the decontamination shape — a small benchmark
+    side against a 100 TB train side — the benchmark prefix frame is
+    KBs-to-MBs, so AQE broadcasts it and the train side is ONE
+    map-side-joined pass with no train-side shuffle; candidates (and
+    the verify join behind them) are bounded by docs actually sharing
+    a rare shingle with the benchmark, never |L|×|R|.
+
+    Exact duplicates are collapsed per side before shingling (the
+    hot-bucket guard — boilerplate duplicated N times contributes one
+    signature, not N² candidate rows) and members re-attached after
+    verification; cross-side identical texts need no special casing
+    (identical shingle sets verify at exactly 1.0). Returns
+    (id_a = left id, id_b = right id, jaccard); ids live in the
+    caller's two id spaces and are never compared across sides.
+    """
+    mem_l = mem_r = None
+    src_l, src_r = left_df, right_df
+    if collapse_exact:
+        src_l, mem_l = exact_collapse(left_df, text_col, id_col)
+        src_r, mem_r = exact_collapse(right_df, text_col, id_col)
+        mem_l, mem_r = _persist(mem_l), _persist(mem_r)
+    sh_l = _shingle_hash_structs(src_l, text_col, id_col, n)
+    sh_r = _shingle_hash_structs(src_r, text_col, id_col, n)
+    if prefix_order == "df":
+        freq = _shingle_freq(sh_l, sh_r)
+        sh_l, sh_r = _df_order(sh_l, freq), _df_order(sh_r, freq)
+    elif prefix_order != "hash":
+        raise ValueError("prefix_order must be 'df' or 'hash'")
+    sh_l, sh_r = _persist(sh_l), _persist(sh_r)
+    cands = (
+        _prefix_keys(sh_l, threshold, bucket_cap).alias("L")
+        .join(
+            _prefix_keys(sh_r, threshold, bucket_cap).alias("R"),
+            "__bucket",
+        )
+        .select(
+            F.col("L.__id").alias("id_a"), F.col("R.__id").alias("id_b")
+        )
+        .distinct()
+    )
+    grams = lambda sh: sh.select(  # noqa: E731
+        "__id", F.transform("__sh", lambda x: x["g"]).alias("__g")
+    )
+    a, b = grams(sh_l).alias("A"), grams(sh_r).alias("B")
+    inter = F.size(F.array_intersect(F.col("A.__g"), F.col("B.__g")))
+    pairs = (
+        cands.join(a, F.col("id_a") == F.col("A.__id"))
+        .join(b, F.col("id_b") == F.col("B.__id"))
+        .select(
+            "id_a", "id_b",
+            (
+                inter
+                / (
+                    F.size(F.col("A.__g")) + F.size(F.col("B.__g"))
+                    - inter
+                )
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    if collapse_exact:
+        # cross-side expansion: each side fans out through its OWN
+        # duplicate map (LEFT joins against duplicate-sized frames,
+        # singletons pass through); no intra pairs — output rows are
+        # strictly (left, right)
+        ma = mem_l.select(
+            F.col("__rep").alias("__ra"), F.col("__mid").alias("__ma")
+        )
+        mb = mem_r.select(
+            F.col("__rep").alias("__rb"), F.col("__mid").alias("__mb")
+        )
+        pairs = (
+            pairs.join(ma, F.col("id_a") == F.col("__ra"), "left")
+            .join(mb, F.col("id_b") == F.col("__rb"), "left")
+            .select(
+                F.coalesce(F.col("__ma"), F.col("id_a")).alias("id_a"),
+                F.coalesce(F.col("__mb"), F.col("id_b")).alias("id_b"),
+                "jaccard",
+            )
+        )
+    return pairs
+
+
+def near_decontaminate(train_df, bench_df, text_col="text",
+                       id_col="doc_id", n=3, threshold=0.8,
+                       prefix_order="df", return_audit=False):
+    """Drop training documents that are NEAR-duplicates of any
+    benchmark document — the fuzzy tier of the decontamination family
+    (text.containment_ratio catches verbatim n-gram overlap; this
+    catches paraphrased/perturbed leakage the exact tiers miss, cf.
+    the near-dup decontamination in GPT-3 appx C / Llama-2 §A.6).
+
+    One :func:`ngram_jaccard_join` against the (small) benchmark side,
+    then a max-jaccard aggregate keyed by train doc and a LEFT ANTI
+    join back onto the train corpus — the corpus is scanned once for
+    shingles and once for the rewrite; nothing corpus-sized shuffles
+    except the flagged-id anti join, whose right side is bounded by
+    the contaminated row count. ``return_audit`` additionally returns
+    the (id, max_jaccard) audit frame — publish it next to the
+    dataset card."""
+    pairs = ngram_jaccard_join(
+        train_df, bench_df, text_col=text_col, id_col=id_col, n=n,
+        threshold=threshold, prefix_order=prefix_order,
+    )
+    flagged = pairs.groupBy(F.col("id_a").alias(id_col)).agg(
+        F.max("jaccard").alias("max_jaccard")
+    )
+    clean = train_df.join(
+        flagged.select(id_col), id_col, "left_anti"
+    )
+    return (clean, flagged) if return_audit else clean
 
 
 # ---------------------------------------------------------------------------

@@ -36,22 +36,22 @@ def test_oracle_keys_subset():
 
 def test_driver_row_budget_ordering():
     """The driver's correctness run covers only the first 50 entries
-    (round 2 lost rows this way). Round-5 replaced the hand-pinned
-    ordering with a deterministic per-round ROTATION: this round's
-    DEBUTS lead, oracle-checkable veterans rotate through the window
-    round by round, rows-only entries stay last. Pins:
+    (round 2 lost rows this way). Round-6 replaced the modular-offset
+    rotation (which opened a 3-name coverage gap the moment a third
+    DEBUT landed) with STALENESS ordering: DEBUTS lead, then veterans
+    by ascending last-driver-recorded round (never-recorded sorts
+    first), rows-only entries last. Recording a window refreshes its
+    entries' staleness, so coverage advances by construction. Pins:
 
     - the first 50 entries are all oracle-checkable;
     - the debuts sit at the very front (driver-recorded in their debut
       round);
-    - three consecutive rounds cover EVERY oracle-checkable veteran
-      (the round-4 VERDICT counted 52 green oracle queries the driver
-      had never re-recorded);
-    - the rotation is stable for a fixed round number;
-    - round 6: veterans with NO recorded CORRECTNESS row in any past
-      round (read from the on-disk CORRECTNESS_r*.json) jump the
-      queue, so a DEBUTS change can never rotate a never-seen entry
-      out of the window.
+    - simulating the record-then-reorder feedback loop, three rounds
+      cover EVERY oracle-checkable veteran;
+    - the ordering is stable for a fixed recording state;
+    - never-recorded veterans sit ahead of every recorded one, so a
+      DEBUTS change can never push a never-seen entry out of the
+      window's reach.
     """
     oracles = set(entry_mod.oracle_sql())
     names = list(QUERIES)
@@ -61,16 +61,35 @@ def test_driver_row_budget_ordering():
     for i, name in enumerate(entry_mod.DEBUTS):
         assert names[i] == name, (i, name)
 
-    covered = set()
+    # stable for a fixed recording state
+    assert entry_mod._ordered_names(6) == entry_mod._ordered_names(6)
+
+    # never-recorded veterans lead the veteran block
+    recorded = entry_mod._recorded_rounds()
+    ordered = entry_mod._ordered_names(6)
+    vet_block = [n for n in ordered if n in oracles
+                 and n not in entry_mod.DEBUTS]
+    seen_recorded = False
+    for n in vet_block:
+        if recorded.get(n, 0):
+            seen_recorded = True
+        else:
+            assert not seen_recorded, \
+                "never-recorded %s sits after a recorded veteran" % n
+
+    # feedback-loop simulation: the driver records each round's window,
+    # staleness reorders, three rounds cover every veteran
     veterans = {n for n in entry_mod._all_queries()
                 if n in oracles and n not in entry_mod.DEBUTS}
+    sim = dict(recorded)
+    covered = set()
     for rnd in (6, 7, 8):
-        window = entry_mod._ordered_names(rnd)[:50]
+        window = entry_mod._ordered_names(rnd, recorded=sim)[:50]
         assert len(window) == 50
         assert all(n in oracles for n in window)
         covered.update(window)
-        # stable for a fixed round
-        assert entry_mod._ordered_names(rnd) == entry_mod._ordered_names(rnd)
+        for n in window:
+            sim[n] = rnd
     missing = veterans - covered
     assert not missing, missing
     # rows-only entries never displace an oracle-checkable one

@@ -97,6 +97,85 @@ def test_ngram_jaccard_exact_matches_bruteforce(spark, docs):
     assert got == want and (0, 100) in want
 
 
+def _brute_cross_jaccard(left_rows, right_rows, threshold, n=3):
+    def sh(text):
+        toks = text.split()
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+    want = {}
+    for a in left_rows:
+        sa = sh(a.text)
+        for b in right_rows:
+            sb = sh(b.text)
+            inter = len(sa & sb)
+            j = inter / (len(sa) + len(sb) - inter)
+            if j >= threshold:
+                want[(a.doc_id, b.doc_id)] = round(j, 6)
+    return want
+
+
+@pytest.mark.parametrize("order", ["df", "hash"])
+def test_ngram_jaccard_join_matches_bruteforce(spark, docs, order):
+    """Cross-corpus R-S prefix-filter join == brute |L|x|R| under both
+    prefix orders (recall is 100% under ANY shared total order)."""
+    left = docs.filter(F.col("doc_id") % 2 == 0)
+    right = docs.filter(F.col("doc_id") % 2 == 1)
+    got = {
+        (r.id_a, r.id_b): round(r.jaccard, 6)
+        for r in dedup.ngram_jaccard_join(
+            left, right, threshold=0.3, prefix_order=order
+        ).collect()
+    }
+    want = _brute_cross_jaccard(
+        left.collect(), right.collect(), 0.3)
+    assert got == want
+    dedup.release_caches()
+
+
+def test_ngram_jaccard_join_expands_exact_dups_both_sides(spark):
+    """Per-side exact collapse re-expands to the full cross answer:
+    3 identical left copies x 2 identical right copies -> 6 pairs at
+    1.0, plus each side's near-dup variants."""
+    boiler = "a b c d e f g h i j"
+    left = spark.createDataFrame(
+        [(i, boiler) for i in range(3)]
+        + [(7, boiler + " k")], ["doc_id", "text"])
+    right = spark.createDataFrame(
+        [(i, boiler) for i in (20, 21)] + [(30, "totally other words here now")],
+        ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b): round(r.jaccard, 4)
+        for r in dedup.ngram_jaccard_join(
+            left, right, threshold=0.5).collect()
+    }
+    for li in (0, 1, 2):
+        for ri in (20, 21):
+            assert got[(li, ri)] == 1.0
+    assert got[(7, 20)] == got[(7, 21)] > 0.5
+    assert not any(b == 30 for _, b in got)
+    dedup.release_caches()
+
+
+def test_near_decontaminate(spark, docs):
+    """Flagged train docs = exactly those with a >=t benchmark match;
+    clean + flagged partitions the train corpus."""
+    bench = docs.filter(F.col("doc_id").isin([0, 1, 2]))
+    train = docs.filter(~F.col("doc_id").isin([0, 1, 2]))
+    clean, audit = dedup.near_decontaminate(
+        train, bench, threshold=0.5, return_audit=True)
+    flagged = {r.doc_id: round(r.max_jaccard, 6) for r in audit.collect()}
+    want_pairs = _brute_cross_jaccard(
+        train.collect(), bench.collect(), 0.5)
+    want = {}
+    for (a, _b), j in want_pairs.items():
+        want[a] = max(want.get(a, 0.0), j)
+    assert flagged == want
+    assert {100, 101, 102} <= set(flagged)  # the planted leaks
+    clean_ids = {r.doc_id for r in clean.collect()}
+    train_ids = {r.doc_id for r in train.collect()}
+    assert clean_ids == train_ids - set(flagged)
+    dedup.release_caches()
+
+
 def test_embedding_dedup_and_knn(spark):
     rnd = random.Random(3)
     dim = 16
