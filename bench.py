@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "ngram_jaccard_docs",
     "neardup_groups_spanning_docs",
     "knn_rerank_exact",
+    "hybrid_search_docs",
+    "neardup_decontam_docs",
 ]
 
 

@@ -106,8 +106,13 @@ def main():
     # JVM; the per-round default (8g) OOMs during the signature
     # shuffle. 48g ~ 1.5g/task — the local-mode stand-in for ordinary
     # per-executor memory on a real cluster.
+    # 128 shuffle partitions: at 10M docs the default 32 leaves ~4x
+    # more per-task aggregate/window state than a real cluster would —
+    # partition count is sized to the data, exactly as it would be
+    # per-job at 100 TB (AQE coalesces the small ones back down)
     spark = get_spark(app_name="tanker_spark_soak",
-                      extra_conf={"spark.driver.memory": "48g"})
+                      extra_conf={"spark.driver.memory": "48g",
+                                  "spark.sql.shuffle.partitions": "128"})
 
     if not args.skip_gen:
         t0 = time.perf_counter()
@@ -150,11 +155,26 @@ def main():
         return entry_mod.curation_pipeline_v2(
             spark, args.dir, surp_max=15.0).count()
 
+    def decontam_soak():
+        # the R-S decontamination shape: ~1k-doc benchmark side vs the
+        # full corpus. ~25% of the bench sample are boilerplate
+        # templates, so the flagged set is large — per-side exact
+        # collapse and member expansion both work at scale here
+        key = F.pmod(F.xxhash64("doc_id", F.lit(99)), F.lit(10_000))
+        bench = docs.filter(key == 0)
+        train = docs.filter(key != 0)
+        _, audit = dedup.near_decontaminate(
+            train, bench, threshold=0.8, return_audit=True)
+        n = audit.count()
+        dedup.release_caches()
+        return n
+
     benches = {
         "exact_dedup": exact_dedup_soak,
         "minhash_spanning_pairs": minhash_soak,
         "dsir_select": dsir_soak,
         "curation_pipeline_v2": curation_v2_soak,
+        "near_decontaminate": decontam_soak,
     }
     only = set(args.only.split(",")) if args.only else None
     for name, fn in benches.items():

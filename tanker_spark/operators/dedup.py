@@ -835,55 +835,59 @@ def _shingle_freq(*shs):
     )
 
 
-def _df_order(sh, freq):
-    """Reorder each doc's shingle array by (ascending document
-    frequency, hash): rarest-first prefixes — the PPJoin ordering."""
-    ex = sh.select("__id", F.explode("__sh").alias("__s"))
-    return (
-        ex.join(freq, F.col("__s.h") == F.col("__fh"))
-        .groupBy("__id")
-        .agg(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        F.col("__c").alias("c"),
-                        F.col("__s.h").alias("h"),
-                        F.col("__s.g").alias("g"),
-                    )
-                )
-            ).alias("__sh")
-        )
+def _plen(size_col, threshold):
+    """Prefix length |s| - ⌈t·|s|⌉ + 1 (floored at 1)."""
+    return F.greatest(
+        size_col - F.ceil(F.lit(float(threshold)) * size_col).cast("int")
+        + 1,
+        F.lit(1),
     )
 
 
-def _shingle_structs(df, text_col, id_col, n, prefix_order):
-    """(__id, __sh): each doc's distinct shingles as a SORTED
-    array<struct> under the chosen prefix total order — ``hash``
-    (xxhash64; zero statistics) or ``df`` (ascending corpus document
-    frequency, hash tie-break: rarest-first prefixes, the
-    orders-of-magnitude harder pruning on skewed corpora, for one
-    extra count+join stage)."""
-    sh = _shingle_hash_structs(df, text_col, id_col, n)
-    if prefix_order == "hash":
-        return sh
-    if prefix_order != "df":
-        raise ValueError("prefix_order must be 'df' or 'hash'")
-    return _df_order(sh, _shingle_freq(sh))
+def _df_prefix_keys(sh, freq, threshold, bucket_cap=None):
+    """(__id, __bucket) prefix keys under the document-frequency order
+    (ascending corpus df, hash tie-break: rarest-first — the PPJoin
+    ordering) WITHOUT re-assembling per-doc arrays: explode the
+    hash-order frame, join the shared ``freq`` table, rank each doc's
+    shingles with a windowed row_number and keep rank ≤ prefix length.
+    The window sorts within doc groups and SPILLS — the previous
+    collect_list re-assembly buffered every doc's full struct array
+    inside a hash aggregate and died with AGGREGATE_OUT_OF_MEMORY on
+    the 10M-doc soak corpus. Only the prefix needs the df ORDER;
+    verification uses the hash-ordered arrays (set intersection is
+    order-agnostic), so nothing else pays for the statistics pass."""
+    ex = sh.select(
+        "__id", F.size("__sh").alias("__sz"),
+        F.explode("__sh").alias("__s"),
+    )
+    w = Window.partitionBy("__id").orderBy(
+        F.col("__c").asc(), F.col("__s.h").asc()
+    )
+    pref = (
+        ex.join(freq, F.col("__s.h") == F.col("__fh"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= _plen(F.col("__sz"), threshold))
+        .select("__id", F.col("__s.h").alias("__bucket"))
+    )
+    if bucket_cap:
+        pref = _cap_buckets(pref, bucket_cap)
+    return pref
 
 
 def _prefix_keys(sh, threshold, bucket_cap=None):
-    """(__id, __bucket) prefix blocking keys of a ``_shingle_structs``
+    """(__id, __bucket) prefix blocking keys of a hash-ordered shingle
     frame: any pair with J ≥ t must share a key from each side's first
-    |s| - ⌈t·|s|⌉ + 1 shingles under the (shared) total order."""
-    size = F.size(F.col("__sh"))
-    plen = (
-        size - F.ceil(F.lit(float(threshold)) * size).cast("int") + 1
-    )
+    |s| - ⌈t·|s|⌉ + 1 shingles under the (shared) total order. For the
+    df order use :func:`_df_prefix_keys` (same contract, windowed
+    rank instead of array slicing)."""
     pref = sh.select(
         "__id",
         F.explode(
             F.transform(
-                F.slice(F.col("__sh"), 1, F.greatest(plen, F.lit(1))),
+                F.slice(
+                    F.col("__sh"), 1,
+                    _plen(F.size(F.col("__sh")), threshold),
+                ),
                 lambda x: x["h"],
             )
         ).alias("__bucket"),
@@ -893,11 +897,23 @@ def _prefix_keys(sh, threshold, bucket_cap=None):
     return pref
 
 
-def _prefix_candidates(sh, threshold, bucket_cap=None):
-    """Distinct candidate pairs from the prefix-filter blocking join
-    over a ``_shingle_structs`` frame. Factored out so tests can count
-    candidates per prefix order."""
-    pref = _prefix_keys(sh, threshold, bucket_cap)
+def _ordered_prefix_keys(sh, threshold, prefix_order, bucket_cap=None,
+                         freq=None):
+    """Prefix keys under either total order; ``freq`` lets an R-S join
+    share one frequency table across both sides."""
+    if prefix_order == "hash":
+        return _prefix_keys(sh, threshold, bucket_cap)
+    if prefix_order != "df":
+        raise ValueError("prefix_order must be 'df' or 'hash'")
+    return _df_prefix_keys(
+        sh, _shingle_freq(sh) if freq is None else freq,
+        threshold, bucket_cap,
+    )
+
+
+def _pair_candidates(pref):
+    """Distinct candidate pairs from the prefix-key self-join.
+    Factored out so tests can count candidates per prefix order."""
     return (
         pref.alias("L")
         .join(
@@ -957,10 +973,15 @@ def ngram_jaccard_exact(df, text_col="text", id_col="doc_id", n=3,
         src = reps
     else:
         src = df
-    sh = _shingle_structs(src, text_col, id_col, n, prefix_order)
-    sh = _persist(sh)  # feeds the blocking join (twice) + the verify
+    # hash-ordered arrays feed BOTH the blocking join and the verify
+    # (set intersection is order-agnostic); the df prefix order is
+    # applied key-side only (_df_prefix_keys) so no corpus-sized
+    # collect_list aggregate ever materializes
+    sh = _persist(_shingle_hash_structs(src, text_col, id_col, n))
     sh.count()
-    cands = _prefix_candidates(sh, threshold, bucket_cap)
+    cands = _pair_candidates(
+        _ordered_prefix_keys(sh, threshold, prefix_order, bucket_cap)
+    )
     grams = sh.select(
         "__id", F.transform("__sh", lambda x: x["g"]).alias("__g")
     )
@@ -1032,18 +1053,21 @@ def ngram_jaccard_join(left_df, right_df, text_col="text",
         src_l, mem_l = exact_collapse(left_df, text_col, id_col)
         src_r, mem_r = exact_collapse(right_df, text_col, id_col)
         mem_l, mem_r = _persist(mem_l), _persist(mem_r)
-    sh_l = _shingle_hash_structs(src_l, text_col, id_col, n)
-    sh_r = _shingle_hash_structs(src_r, text_col, id_col, n)
+    sh_l = _persist(_shingle_hash_structs(src_l, text_col, id_col, n))
+    sh_r = _persist(_shingle_hash_structs(src_r, text_col, id_col, n))
+    freq = None
     if prefix_order == "df":
         freq = _shingle_freq(sh_l, sh_r)
-        sh_l, sh_r = _df_order(sh_l, freq), _df_order(sh_r, freq)
     elif prefix_order != "hash":
         raise ValueError("prefix_order must be 'df' or 'hash'")
-    sh_l, sh_r = _persist(sh_l), _persist(sh_r)
     cands = (
-        _prefix_keys(sh_l, threshold, bucket_cap).alias("L")
+        _ordered_prefix_keys(
+            sh_l, threshold, prefix_order, bucket_cap, freq=freq
+        ).alias("L")
         .join(
-            _prefix_keys(sh_r, threshold, bucket_cap).alias("R"),
+            _ordered_prefix_keys(
+                sh_r, threshold, prefix_order, bucket_cap, freq=freq
+            ).alias("R"),
             "__bucket",
         )
         .select(

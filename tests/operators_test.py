@@ -1844,8 +1844,9 @@ def test_df_prefix_order_prunes_harder(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
 
     def cands(order):
-        sh = dedup._shingle_structs(df, "text", "doc_id", 3, order)
-        return dedup._prefix_candidates(sh, 0.9).count()
+        sh = dedup._shingle_hash_structs(df, "text", "doc_id", 3)
+        pref = dedup._ordered_prefix_keys(sh, 0.9, order)
+        return dedup._pair_candidates(pref).count()
 
     n_hash, n_df = cands("hash"), cands("df")
     assert n_df < n_hash, (n_df, n_hash)
