@@ -1096,31 +1096,83 @@ def ngram_jaccard_join(left_df, right_df, text_col="text",
         .filter(F.col("jaccard") >= threshold)
     )
     if collapse_exact:
-        # cross-side expansion: each side fans out through its OWN
-        # duplicate map (LEFT joins against duplicate-sized frames,
-        # singletons pass through); no intra pairs — output rows are
-        # strictly (left, right)
-        ma = mem_l.select(
-            F.col("__rep").alias("__ra"), F.col("__mid").alias("__ma")
+        pairs = _expand_cross(pairs, mem_l, mem_r, "jaccard")
+    return pairs
+
+
+def _expand_cross(pairs, mem_l, mem_r, score_col):
+    """Cross-side member expansion for R-S joins: each side fans out
+    through its OWN duplicate map (LEFT joins against duplicate-sized
+    frames, singletons pass through on the coalesce); no intra pairs —
+    output rows are strictly (left, right), members scoring exactly
+    like their representative pair."""
+    ma = mem_l.select(
+        F.col("__rep").alias("__ra"), F.col("__mid").alias("__ma")
+    )
+    mb = mem_r.select(
+        F.col("__rep").alias("__rb"), F.col("__mid").alias("__mb")
+    )
+    return (
+        pairs.join(ma, F.col("id_a") == F.col("__ra"), "left")
+        .join(mb, F.col("id_b") == F.col("__rb"), "left")
+        .select(
+            F.coalesce(F.col("__ma"), F.col("id_a")).alias("id_a"),
+            F.coalesce(F.col("__mb"), F.col("id_b")).alias("id_b"),
+            score_col,
         )
-        mb = mem_r.select(
-            F.col("__rep").alias("__rb"), F.col("__mid").alias("__mb")
+    )
+
+
+def minhash_join(left_df, right_df, text_col="text", id_col="doc_id",
+                 num_hashes=16, bands=4, shingle_n=3, threshold=0.5,
+                 seed=42, collapse_exact=True, bucket_cap=1000):
+    """Cross-corpus (R-S) MinHash+LSH candidate join: (left, right)
+    pairs whose ESTIMATED Jaccard ≥ ``threshold`` — the probabilistic
+    sibling of :func:`ngram_jaccard_join` for the scale where even
+    shingle materialization is the budget: each side is reduced to
+    ``num_hashes`` longs per doc (map-only), the band equi-join keys
+    are 8-byte hashes, and nothing text-sized crosses the wire. Same
+    hot-bucket guard as the self-join (per-side exact collapse +
+    band-bucket cap + member re-expansion via :func:`_expand_cross`);
+    both sides must share (num_hashes, bands, shingle_n, seed) for
+    the band hashes to collide — the same contract as
+    :func:`minhash_incremental`, which is this join against a
+    PERSISTED right side. Recall is the LSH S-curve, not 100%: use
+    :func:`ngram_jaccard_join` when the answer must be exact."""
+    mem_l = mem_r = None
+    src_l, src_r = left_df, right_df
+    if collapse_exact:
+        src_l, mem_l = exact_collapse(left_df, text_col, id_col)
+        src_r, mem_r = exact_collapse(right_df, text_col, id_col)
+        mem_l, mem_r = _persist(mem_l), _persist(mem_r)
+    sig_l = _persist(minhash_signatures_df(
+        src_l, text_col, id_col, num_hashes, shingle_n, seed))
+    sig_r = _persist(minhash_signatures_df(
+        src_r, text_col, id_col, num_hashes, shingle_n, seed))
+    ex_l = _cap_buckets(_band_explode(sig_l, num_hashes, bands),
+                        bucket_cap)
+    ex_r = _cap_buckets(_band_explode(sig_r, num_hashes, bands),
+                        bucket_cap)
+    pairs = (
+        ex_l.alias("L")
+        .join(ex_r.alias("R"), "__bucket")
+        .select(
+            F.col("L.__id").alias("id_a"),
+            F.col("R.__id").alias("id_b"),
+            _sig_agreement(num_hashes).alias("est_jaccard"),
         )
-        pairs = (
-            pairs.join(ma, F.col("id_a") == F.col("__ra"), "left")
-            .join(mb, F.col("id_b") == F.col("__rb"), "left")
-            .select(
-                F.coalesce(F.col("__ma"), F.col("id_a")).alias("id_a"),
-                F.coalesce(F.col("__mb"), F.col("id_b")).alias("id_b"),
-                "jaccard",
-            )
-        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .distinct()
+    )
+    if collapse_exact:
+        pairs = _expand_cross(pairs, mem_l, mem_r, "est_jaccard")
     return pairs
 
 
 def near_decontaminate(train_df, bench_df, text_col="text",
                        id_col="doc_id", n=3, threshold=0.8,
-                       prefix_order="df", return_audit=False):
+                       prefix_order="df", return_audit=False,
+                       method="exact"):
     """Drop training documents that are NEAR-duplicates of any
     benchmark document — the fuzzy tier of the decontamination family
     (text.containment_ratio catches verbatim n-gram overlap; this
@@ -1134,13 +1186,31 @@ def near_decontaminate(train_df, bench_df, text_col="text",
     except the flagged-id anti join, whose right side is bounded by
     the contaminated row count. ``return_audit`` additionally returns
     the (id, max_jaccard) audit frame — publish it next to the
-    dataset card."""
-    pairs = ngram_jaccard_join(
-        train_df, bench_df, text_col=text_col, id_col=id_col, n=n,
-        threshold=threshold, prefix_order=prefix_order,
-    )
+    dataset card.
+
+    ``method="exact"`` (default) is 100%-recall
+    :func:`ngram_jaccard_join`; ``"minhash"`` swaps in
+    :func:`minhash_join` for the scale where even the train side's
+    shingle materialization is the budget — signatures are
+    num_hashes longs/doc, the audit scores become LSH ESTIMATES, and
+    recall follows the S-curve (published decontamination pipelines
+    run this tier, cf. GPT-3 appx C)."""
+    if method == "exact":
+        pairs = ngram_jaccard_join(
+            train_df, bench_df, text_col=text_col, id_col=id_col, n=n,
+            threshold=threshold, prefix_order=prefix_order,
+        )
+        score = "jaccard"
+    elif method == "minhash":
+        pairs = minhash_join(
+            train_df, bench_df, text_col=text_col, id_col=id_col,
+            shingle_n=n, threshold=threshold,
+        )
+        score = "est_jaccard"
+    else:
+        raise ValueError("method must be 'exact' or 'minhash'")
     flagged = pairs.groupBy(F.col("id_a").alias(id_col)).agg(
-        F.max("jaccard").alias("max_jaccard")
+        F.max(score).alias("max_jaccard")
     )
     clean = train_df.join(
         flagged.select(id_col), id_col, "left_anti"

@@ -155,6 +155,41 @@ def test_ngram_jaccard_join_expands_exact_dups_both_sides(spark):
     dedup.release_caches()
 
 
+def test_minhash_join_cross_corpus(spark, docs):
+    """R-S MinHash band join: planted leaks (exact + near dup of the
+    bench side) surface with est 1.0 / high est; unrelated docs don't;
+    per-side exact collapse re-expands (doc 100 is an exact dup of
+    train doc 0, so it matches wherever 0 does)."""
+    bench = docs.filter(F.col("doc_id").isin([0, 1, 2]))
+    train = docs.filter(~F.col("doc_id").isin([0, 1, 2]))
+    got = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in dedup.minhash_join(
+            train, bench, threshold=0.5, num_hashes=16, bands=8
+        ).collect()
+    }
+    assert got[(100, 0)] == 1.0          # exact copy of bench doc 0
+    assert got.get((101, 1), 0) >= 0.5   # near dup of bench doc 1
+    assert got.get((102, 2), 0) >= 0.5
+    assert all(a in (100, 101, 102) for a, _ in got)
+    dedup.release_caches()
+
+
+def test_near_decontaminate_minhash_tier(spark, docs):
+    """method='minhash' flags the same planted leaks as the exact tier
+    (on this corpus the S-curve at t=0.5 catches all three)."""
+    bench = docs.filter(F.col("doc_id").isin([0, 1, 2]))
+    train = docs.filter(~F.col("doc_id").isin([0, 1, 2]))
+    clean, audit = dedup.near_decontaminate(
+        train, bench, threshold=0.5, return_audit=True,
+        method="minhash")
+    flagged = {r.doc_id for r in audit.collect()}
+    assert flagged == {100, 101, 102}
+    assert {r.doc_id for r in clean.collect()} == (
+        {r.doc_id for r in train.collect()} - flagged)
+    dedup.release_caches()
+
+
 def test_near_decontaminate(spark, docs):
     """Flagged train docs = exactly those with a >=t benchmark match;
     clean + flagged partitions the train corpus."""
