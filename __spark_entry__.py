@@ -1357,6 +1357,24 @@ def neardup_decontam_docs(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def neardup_decontam_minhash_docs(spark, sf_dir):
+    """The probabilistic decontamination tier (no SQL oracle — LSH
+    estimates; planted-leak tests pin it): signatures instead of
+    shingle arrays, for the scale where even shingle materialization
+    is the budget. Same train/bench split as neardup_decontam_docs so
+    the two tiers are comparable side by side."""
+    df = _read(spark, sf_dir, "documents")
+    bench = df.filter(F.col("doc_id") % 10 == 0)
+    train = df.filter(F.col("doc_id") % 10 != 0)
+    _, audit = dedup.near_decontaminate(
+        train, bench, threshold=0.5, return_audit=True,
+        method="minhash"
+    )
+    return audit.select(
+        "doc_id", F.round("max_jaccard", 4).alias("max_jaccard")
+    ).orderBy("doc_id")
+
+
 def hybrid_search_docs(spark, sf_dir):
     """Round-6 debut: hybrid retrieval — BM25 over `documents` + exact
     cosine over the same-id-space `embeddings`, fused by reciprocal
@@ -2222,6 +2240,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search_docs": bm25_search_docs,
         "hybrid_search_docs": hybrid_search_docs,
         "neardup_decontam_docs": neardup_decontam_docs,
+        "neardup_decontam_minhash_docs": neardup_decontam_minhash_docs,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
