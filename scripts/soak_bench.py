@@ -94,6 +94,48 @@ def generate(spark, n_rows, path):
     df.write.mode("overwrite").parquet(path + "/documents.parquet")
 
 
+def generate_embeddings(spark, n_rows, path, dim=64, n_clusters=4096):
+    """embeddings.parquet twin (vec_id, embedding float[], label) with
+    the structure the similarity family is built for:
+
+    - ``n_clusters`` true centroids (hash-derived, uniform [-1,1] per
+      dim, norm ≈ √(dim/3)); every vector = centroid + 0.3-amplitude
+      noise, so same-cluster strangers sit at cos ≈ 0.91 — BELOW a
+      0.95 dedup threshold;
+    - ~10% planted near-exact duplicates: rows in the same 10-id group
+      that roll the dup branch share the GROUP's noise draw plus a
+      0.002 jitter (cos ≈ 0.9999 — safely above any threshold), and
+      inherit the group's cluster so they land in one cell;
+    - fully distributed: per-component hash expressions, no UDF, no
+      driver loop.
+    """
+    def unit(seed_col, j, salt):
+        # deterministic pseudo-uniform in [-1, 1]
+        return (
+            F.pmod(F.xxhash64(seed_col, j + salt), F.lit(2001)) / 1000.0
+            - 1.0
+        )
+
+    roll = F.pmod(F.xxhash64("id", F.lit(21)), F.lit(100))
+    group = (F.col("id") - F.pmod(F.col("id"), F.lit(10)))
+    seed = F.when(roll < 10, group).otherwise(F.col("id"))
+    cluster = F.pmod(F.xxhash64(seed, F.lit(22)), F.lit(n_clusters))
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda j: (
+            unit(cluster, j, F.lit(100))          # centroid component
+            + 0.3 * unit(seed, j, F.lit(200))     # spread within cell
+            + 0.002 * unit(F.col("id"), j, F.lit(300))  # dup jitter
+        ).cast("float"),
+    )
+    df = spark.range(n_rows).select(
+        F.col("id").alias("vec_id"),
+        vec.alias("embedding"),
+        cluster.cast("int").alias("label"),
+    )
+    df.write.mode("overwrite").parquet(path + "/embeddings.parquet")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=10_000_000)
@@ -117,12 +159,14 @@ def main():
     if not args.skip_gen:
         t0 = time.perf_counter()
         generate(spark, args.rows, args.dir)
+        generate_embeddings(spark, args.rows, args.dir)
         print("# generated %d rows in %.1fs" % (
             args.rows, time.perf_counter() - t0), file=sys.stderr)
 
-    from tanker_spark.operators import curation, dedup
+    from tanker_spark.operators import curation, dedup, similarity
 
     docs = spark.read.parquet(args.dir + "/documents.parquet")
+    emb = spark.read.parquet(args.dir + "/embeddings.parquet")
 
     def minhash_soak():
         # spanning mode: the full expansion's intra pairs are the true
@@ -169,12 +213,58 @@ def main():
         dedup.release_caches()
         return n
 
+    def embedding_neardup_soak():
+        # auto_n_planes sizes buckets from the 10M count; planted dups
+        # verify at cos ~0.9999, same-cluster strangers at ~0.91.
+        # verify="gemm" pinned (auto picks it past 2M rows anyway):
+        # the ~n*1024*bands candidate dots run as per-bucket BLAS
+        pairs = dedup.embedding_dedup_pairs(
+            emb, threshold=0.95, verify="gemm")
+        n = pairs.count()
+        dedup.release_caches()
+        return n
+
+    def semdedup_soak():
+        # target 128 rows/cell -> k ~ 78k centroids: above
+        # TWO_LEVEL_ASSIGN_MIN_K, so this drives the coarse-then-fine
+        # assignment path (sqrt-k coarse matrix per task) at the scale
+        # it exists for; pair space = O(128 x 10M) scored rows
+        kept = similarity.semdedup(
+            emb, target_cluster_rows=128, threshold=0.95)
+        n = kept.count()
+        dedup.release_caches()
+        return n
+
+    def knn_join_lsh_soak():
+        # 10k queries vs the 10M corpus through hyperplane buckets;
+        # multiprobe=1 — the ball explodes per-query candidates ~7x
+        # per extra radius step and per-pair scoring is Column math
+        queries = emb.filter(F.pmod("vec_id", F.lit(1000)) == 0)
+        res = similarity.knn_join(queries, emb, k=5, method="lsh",
+                                  multiprobe=1)
+        n = res.count()
+        dedup.release_caches()
+        return n
+
+    def knn_join_gemm_soak():
+        # 1k queries, EXACT top-5 over all 10M rows: one BLAS multiply
+        # per corpus partition against the broadcast query matrix
+        queries = emb.filter(F.pmod("vec_id", F.lit(10_000)) == 0)
+        res = similarity.knn_join(queries, emb, k=5, method="gemm")
+        n = res.count()
+        dedup.release_caches()
+        return n
+
     benches = {
         "exact_dedup": exact_dedup_soak,
         "minhash_spanning_pairs": minhash_soak,
         "dsir_select": dsir_soak,
         "curation_pipeline_v2": curation_v2_soak,
         "near_decontaminate": decontam_soak,
+        "embedding_neardup": embedding_neardup_soak,
+        "semdedup_two_level": semdedup_soak,
+        "knn_join_lsh": knn_join_lsh_soak,
+        "knn_join_gemm": knn_join_gemm_soak,
     }
     only = set(args.only.split(",")) if args.only else None
     for name, fn in benches.items():

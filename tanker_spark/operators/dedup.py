@@ -1474,10 +1474,18 @@ def auto_n_planes(n_rows, target_bucket_rows=1024, lo=4, hi=24):
     return max(lo, min(hi, math.ceil(math.log2(n_rows / target_bucket_rows))))
 
 
+#: above this corpus size ``verify="auto"`` switches pair verification
+#: from the per-pair Column dot (interpreted HOF aggregate, ~1-2 µs a
+#: pair — fine for thousands, hours for the ~n·target_bucket_rows·bands
+#: candidates a 10M+ corpus generates) to the per-bucket numpy GEMM.
+GEMM_VERIFY_MIN_ROWS = 2_000_000
+
+
 def embedding_dedup_pairs(df, vec_col="embedding", id_col="vec_id",
                           dim=64, threshold=0.95, n_planes=None,
                           n_bands=4, target_bucket_rows=1024, seed=42,
-                          sig_path=None):
+                          sig_path=None, verify="auto",
+                          bucket_cap=4096):
     """Near-duplicate embedding pairs: banded hyperplane LSH.
 
     ``n_bands`` independent sign-bit codes of ``n_planes`` bits each
@@ -1488,9 +1496,27 @@ def embedding_dedup_pairs(df, vec_col="embedding", id_col="vec_id",
 
     ``n_planes=None`` derives the per-band width from the corpus size
     (one metadata-only parquet count) targeting ``target_bucket_rows``
-    rows per bucket; pass an explicit value to pin it."""
+    rows per bucket; pass an explicit value to pin it.
+
+    Verification cost is the scale bound, not candidate generation:
+    candidates ≈ n·target_bucket_rows·n_bands pairs (40G at 10M rows
+    with the defaults). Inverse norms are computed ONCE per row in the
+    persisted signature frame, so the per-pair Column check is a single
+    dot product — but even that is an interpreted HOF aggregate (~1-2
+    µs/pair). ``verify="gemm"`` (what ``"auto"`` picks past
+    ``GEMM_VERIFY_MIN_ROWS`` when the corpus was counted) instead
+    groups each band bucket and scores ALL its pairs as one numpy
+    ``V @ V.T`` (Arrow-batched ``applyInPandas``): the 40G dots become
+    ~10⁴ BLAS calls of ``bucket_cap²·dim`` flops, and only
+    above-threshold pairs are ever materialized. ``bucket_cap`` bounds
+    both the GEMM tile and hot-bucket blowup (identical vectors land in
+    one bucket of every band) via the deterministic band-mixed sample
+    of :func:`_cap_buckets`."""
     from ..utils import logger
 
+    if verify not in ("auto", "column", "gemm"):
+        raise ValueError("verify must be 'auto', 'column' or 'gemm'")
+    n_rows = None
     if n_planes is None:
         n_rows = df.count()  # parquet footer count: no data scan
         n_planes = auto_n_planes(n_rows, target_bucket_rows)
@@ -1500,6 +1526,12 @@ def embedding_dedup_pairs(df, vec_col="embedding", id_col="vec_id",
             n_rows, n_planes, 1 << n_planes, n_bands,
             n_rows / float(1 << n_planes),
         )
+    if verify == "auto":
+        verify = (
+            "gemm"
+            if n_rows is not None and n_rows >= GEMM_VERIFY_MIN_ROWS
+            else "column"
+        )
     band_cols = [
         F.xxhash64(
             F.lit(b),
@@ -1508,9 +1540,14 @@ def embedding_dedup_pairs(df, vec_col="embedding", id_col="vec_id",
         ).alias("__band%d" % b)
         for b in range(n_bands)
     ]
+    nrm = _norm(F.col(vec_col))
     base = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
+        # once per ROW here, not twice per candidate PAIR below; the
+        # when() also keeps zero vectors from an ANSI divide-by-zero
+        # (null inv → null sim → filtered, never paired)
+        F.when(nrm > 0, 1.0 / nrm).alias("__inv"),
         *band_cols,
     )
     if sig_path:
@@ -1520,12 +1557,17 @@ def embedding_dedup_pairs(df, vec_col="embedding", id_col="vec_id",
     else:
         base = _persist(base)
         base.count()  # eager: join stages must not race the cache fill
-    exploded = base.select(
-        "__id", "__v",
-        F.explode(
-            F.array(*[F.col("__band%d" % b) for b in range(n_bands)])
-        ).alias("__bucket"),
+    exploded = _cap_buckets(
+        base.select(
+            "__id", "__v", "__inv",
+            F.explode(
+                F.array(*[F.col("__band%d" % b) for b in range(n_bands)])
+            ).alias("__bucket"),
+        ),
+        bucket_cap,
     )
+    if verify == "gemm":
+        return _pairs_bucket_gemm(exploded, threshold)
     L, R = exploded.alias("L"), exploded.alias("R")
     return (
         L.join(
@@ -1536,9 +1578,50 @@ def embedding_dedup_pairs(df, vec_col="embedding", id_col="vec_id",
         .select(
             F.col("L.__id").alias("id_a"),
             F.col("R.__id").alias("id_b"),
-            cosine(F.col("L.__v"), F.col("R.__v")).alias("cos_sim"),
+            (
+                _dot(F.col("L.__v"), F.col("R.__v"))
+                * F.col("L.__inv") * F.col("R.__inv")
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def _pairs_bucket_gemm(exploded, threshold):
+    """Score every within-bucket pair as one numpy GEMM per band
+    bucket: rows arrive grouped by ``__bucket`` (Arrow batches), the
+    bucket's normalized vector matrix multiplies against its own
+    transpose, and only the above-threshold upper triangle (rows
+    pre-sorted by id, so id_a < id_b) leaves the task. The shuffle is
+    the exploded signature frame (rows × bands), never the candidate
+    pair space; the GEMM tile is ≤ bucket_cap² doubles."""
+    import numpy as np
+    import pandas as pd
+
+    id_dt = dict(exploded.dtypes)["__id"]
+    schema = f"id_a {id_dt}, id_b {id_dt}, cos_sim double"
+    empty = {"id_a": [], "id_b": [], "cos_sim": []}
+
+    def emit(pdf):
+        pdf = pdf[pdf["__inv"].notna()]
+        if len(pdf) < 2:
+            return pd.DataFrame(empty)
+        pdf = pdf.sort_values("__id")
+        V = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+        V *= pdf["__inv"].to_numpy()[:, None]
+        S = V @ V.T
+        i, j = np.where(np.triu(S >= threshold, k=1))
+        if not len(i):
+            return pd.DataFrame(empty)
+        ids = pdf["__id"].to_numpy()
+        return pd.DataFrame(
+            {"id_a": ids[i], "id_b": ids[j], "cos_sim": S[i, j]}
+        )
+
+    return (
+        exploded.groupBy("__bucket")
+        .applyInPandas(emit, schema)
         .dropDuplicates(["id_a", "id_b"])
     )
 

@@ -838,7 +838,15 @@ def semdedup(df, vec_col="embedding", id_col="vec_id", n_clusters=None,
             cell.alias("__cell"),
             csim.alias("__csim"),
         )
-    base = _persist(assigned)
+    nrm = _norm(F.col("__v"))
+    # inverse norm ONCE per row in the persisted frame: the within-cell
+    # pair check below becomes a single dot product instead of three
+    # interpreted HOF aggregates per candidate pair — at 10M rows /
+    # 128-row cells that is ~1.3G pairs, where the cosine() form costs
+    # ~3× the whole job (zero vectors: null inv → null sim → filtered)
+    base = _persist(
+        assigned.withColumn("__inv", F.when(nrm > 0, 1.0 / nrm))
+    )
     base.count()  # eager: both self-join sides read the cached frame
     L, R = base.alias("L"), base.alias("R")
     if keep == "centroid_far":
@@ -857,8 +865,11 @@ def semdedup(df, vec_col="embedding", id_col="vec_id", n_clusters=None,
             & (F.col("L.__id") != F.col("R.__id"))
             & dominates,
         )
-        .filter(cosine(F.col("L.__v"), F.col("R.__v"))
-                >= F.lit(float(threshold)))
+        .filter(
+            (_dot(F.col("L.__v"), F.col("R.__v"))
+             * F.col("L.__inv") * F.col("R.__inv"))
+            >= F.lit(float(threshold))
+        )
         .select(F.col("R.__id").alias("__rid"))
         .distinct()
     )

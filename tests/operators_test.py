@@ -535,6 +535,40 @@ def test_banded_lsh_recall(spark):
     assert len(got) == pairs.count()
 
 
+def test_embedding_pairs_gemm_verify(spark):
+    """The per-bucket GEMM verification path returns the same pair set
+    and (to float tolerance) the same similarities as the per-pair
+    Column path, and both survive zero vectors (null inverse norm →
+    never paired, no ANSI divide-by-zero)."""
+    rnd = random.Random(7)
+    dim = 16
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(dim)]) for i in range(200)]
+    planted = [
+        (1000 + i, [x + rnd.gauss(0, 0.001) for x in rows[i][1]])
+        for i in (0, 7, 23)
+    ]
+    zero = [(2000, [0.0] * dim)]
+    df = spark.createDataFrame(
+        rows + planted + zero, ["vec_id", "embedding"]
+    )
+    col = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in dedup.embedding_dedup_pairs(
+            df, dim=dim, threshold=0.99, verify="column"
+        ).collect()
+    }
+    gem = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in dedup.embedding_dedup_pairs(
+            df, dim=dim, threshold=0.99, verify="gemm"
+        ).collect()
+    }
+    assert set(col) == set(gem) == {(0, 1000), (7, 1007), (23, 1023)}
+    for k, v in col.items():
+        assert abs(v - gem[k]) < 1e-9
+    dedup.release_caches()
+
+
 def test_neardup_groups(spark):
     """Connected components over pair lists: chain, triangle, singleton
     pair — group_id is the component minimum."""
