@@ -278,11 +278,21 @@ def knn_join(queries, corpus, k=5, vec_col="embedding", id_col="vec_id",
     """
     from pyspark.sql import Window
 
+    # inverse norms once per ROW (query rows are broadcast with theirs;
+    # corpus rows carry theirs through the join), so the per-candidate
+    # score below is a single dot product instead of three interpreted
+    # HOF aggregates — the candidate space is |Q|×|C| (brute) or
+    # bucket-bounded (lsh), either way >> |Q|+|C|. Zero-norm rows get a
+    # null inverse (cosine_cols gave them NaN, which ranks FIRST in a
+    # descending sort); their null sims are filtered before the top-k.
+    qn, cn = _norm(F.col(vec_col)), _norm(F.col(vec_col))
     q = queries.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("__qv")
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("__qv"),
+        F.when(qn > 0, 1.0 / qn).alias("__qinv"),
     )
     c = corpus.select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("__cv")
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("__cv"),
+        F.when(cn > 0, 1.0 / cn).alias("__cinv"),
     )
     if method == "brute":
         scored = F.broadcast(q).crossJoin(c)
@@ -310,7 +320,8 @@ def knn_join(queries, corpus, k=5, vec_col="embedding", id_col="vec_id",
                     b = b.bitwiseXOR(1 << j)
                 balls.append(b)
         qexp = qb.select(
-            "qid", "__qv", F.explode(F.array(*balls)).alias("__bucket")
+            "qid", "__qv", "__qinv",
+            F.explode(F.array(*balls)).alias("__bucket"),
         ).dropDuplicates(["qid", "__bucket"])
         scored = F.broadcast(qexp).join(c, "__bucket").dropDuplicates(
             ["qid", "cid"]
@@ -319,8 +330,11 @@ def knn_join(queries, corpus, k=5, vec_col="embedding", id_col="vec_id",
         raise ValueError("unknown knn_join method %r" % method)
     scored = scored.select(
         "qid", "cid",
-        cosine_cols(F.col("__qv"), F.col("__cv")).alias("cos_sim"),
-    )
+        (
+            _dot(F.col("__qv"), F.col("__cv"))
+            * F.col("__qinv") * F.col("__cinv")
+        ).alias("cos_sim"),
+    ).filter(F.col("cos_sim").isNotNull())
     w = Window.partitionBy("qid").orderBy(
         F.col("cos_sim").desc(), F.col("cid").asc()
     )
