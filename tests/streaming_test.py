@@ -792,3 +792,97 @@ def test_funnel_stream_matches_batch(spark, tmp_path):
         n_first = len(by_user[u]) if u in by_user else 0
         n_conv = sum(by_user.get(u, []))
         assert batch[u] == (n_first, n_conv), u
+
+
+def test_event_transitions_stream_matches_batch(spark, tmp_path):
+    """Streaming transitions twin: one appended (user, from_type,
+    to_type, to_ts) row per consecutive-event pair, emitted only once
+    the watermark passes the pair's LATER event — so out-of-order
+    arrivals across micro-batch boundaries still land in batch order.
+    Equals event_transitions' pair multiset minus only the still-open
+    tail (pairs whose later event the final watermark hasn't passed)."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    rows, eid = [], 0
+
+    def ev(user, minutes, etype, ts_override=None):
+        nonlocal eid
+        ts = ts_override or (base + timedelta(minutes=minutes))
+        rows.append((eid, ts, user, etype, 1.0, "{}"))
+        eid += 1
+
+    # u1: in-order chain inside one batch
+    ev(1, 10, "a"); ev(1, 20, "b"); ev(1, 30, "c")
+    # u2: chain spanning the batch-1/batch-2 boundary
+    ev(2, 590, "a"); ev(2, 610, "b")
+    # u3: OUT OF ORDER across batches, inside the watermark: the
+    # type-b event (minute 1150) arrives a batch AFTER the type-a
+    # event (minute 1190) — batch order is b -> a, and the stream must
+    # emit (b, a), never (a, b)
+    ev(3, 1190, "a")            # lands in batch 2
+    ev(3, 1150, "b")            # lands in batch 3 (late but admissible)
+    # u4: same-timestamp tie broken by event_id (insertion order here)
+    ev(4, 200, "x"); ev(4, 200, "y")
+    # u5: still-open tail — later event above the final watermark
+    ev(5, 1700, "a"); ev(5, 1840, "b")
+    # driver: keeps the watermark moving through minute 1861
+    for h in range(32):
+        ev(99, h * 60 + 1, "tick")
+
+    src = str(tmp_path / "trans_src")
+    bounds = [(0, 600), (600, 1200), (1200, 10**9)]
+    for k, (lo, hi) in enumerate(bounds):
+        chunk = [r for r in rows
+                 if (lo <= (r[1] - base).total_seconds() // 60 < hi)
+                 and not (r[2] == 3 and r[3] == "b")]
+        if k == 2:  # u3's late b-event arrives only in the last batch
+            chunk += [r for r in rows if r[2] == 3 and r[3] == "b"]
+        spark.createDataFrame(chunk, sev.EVENTS_SCHEMA) \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    stream = sev.read_events_stream(spark, src, max_files_per_trigger=1)
+    out = sev.run_to_memory(
+        sev.event_transitions_stream(stream, watermark="2 hours"),
+        name="t_trans_stream", output_mode="append")
+    got = {(r.user_id, r.from_type, r.to_type, r.to_ts)
+           for r in out.collect()}
+
+    # brute-force expectation: per-user (ts, id)-sorted consecutive
+    # pairs whose later event the final watermark has passed
+    final_wm = max(r[1] for r in rows) - timedelta(hours=2)
+    want = set()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r[2], []).append(r)
+    for u, evs in by_user.items():
+        evs.sort(key=lambda r: (r[1], r[0]))
+        for prev, cur in zip(evs, evs[1:]):
+            if cur[1] <= final_wm:
+                want.add((u, prev[3], cur[3], cur[1]))
+    assert got == want
+    # named scenarios
+    u3 = sorted((f, t) for (u, f, t, _ts) in got if u == 3)
+    assert u3 == [("b", "a")]            # reordered across batches
+    assert (4, "x", "y", base + timedelta(minutes=200)) in got
+    assert not any(u == 5 for (u, _f, _t, _ts) in got)  # open tail
+
+    # aggregate equality with the batch twin on the closed pairs
+    import pyspark.sql.functions as F
+    batch_df = spark.createDataFrame(rows, sev.EVENTS_SCHEMA)
+    closed = batch_df  # batch matrix restricted to the final-wm pairs
+    bm = {(r.from_type, r.to_type): r.n
+          for r in sev.event_transitions(closed).collect()}
+    sm = {}
+    for (_u, f, t, _ts) in got:
+        sm[(f, t)] = sm.get((f, t), 0) + 1
+    # stream == batch on every edge except those still open
+    open_edges = {}
+    for u, evs in by_user.items():
+        evs.sort(key=lambda r: (r[1], r[0]))
+        for prev, cur in zip(evs, evs[1:]):
+            if cur[1] > final_wm:
+                k = (prev[3], cur[3])
+                open_edges[k] = open_edges.get(k, 0) + 1
+    for k, n in bm.items():
+        assert sm.get(k, 0) == n - open_edges.get(k, 0), (k, n, sm)
