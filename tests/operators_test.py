@@ -1675,6 +1675,19 @@ def test_semdedup(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         similarity.semdedup(df, keep="bogus")
+    with _pytest.raises(ValueError):
+        similarity.semdedup(df, verify="bogus")
+
+    # the per-cell GEMM scorer applies the identical dominance rule:
+    # survivor sets match the join path under BOTH keep policies
+    for keep in ("min_id", "centroid_far"):
+        a = {r.vec_id for r in similarity.semdedup(
+            df, n_clusters=4, threshold=0.999, keep=keep,
+            verify="column").collect()}
+        b = {r.vec_id for r in similarity.semdedup(
+            df, n_clusters=4, threshold=0.999, keep=keep,
+            verify="gemm").collect()}
+        assert a == b
 
 
 def test_semdedup_k_uncapped():
