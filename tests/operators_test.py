@@ -1690,6 +1690,42 @@ def test_semdedup(spark):
         assert a == b
 
 
+def test_knn_join_lsh_gemm_matches_column(spark):
+    """knn_join(method='lsh') per-bucket GEMM scoring returns the same
+    (qid, cid) top-k and similarities as the per-candidate Column path,
+    and zero-norm corpus rows score 0 instead of NaN-ranking first."""
+    rnd = random.Random(3)
+    dim = 16
+    corpus = [(i, [rnd.gauss(0, 1) for _ in range(dim)])
+              for i in range(500)]
+    queries = [(1000 + i, [x + rnd.gauss(0, 0.01)
+                           for x in corpus[i * 7][1]])
+               for i in range(20)]
+    cdf = spark.createDataFrame(corpus, ["vec_id", "embedding"])
+    qdf = spark.createDataFrame(queries, ["vec_id", "embedding"])
+    col = {
+        (r.qid, r.cid): r.cos_sim
+        for r in similarity.knn_join(
+            qdf, cdf, k=3, method="lsh", n_planes=5, score="column"
+        ).collect()
+    }
+    gem = {
+        (r.qid, r.cid): r.cos_sim
+        for r in similarity.knn_join(
+            qdf, cdf, k=3, method="lsh", n_planes=5, score="gemm"
+        ).collect()
+    }
+    assert set(col) == set(gem) and len(col) == 60
+    for key, v in col.items():
+        assert abs(v - gem[key]) < 1e-9
+    cdf2 = spark.createDataFrame(
+        corpus + [(9999, [0.0] * dim)], ["vec_id", "embedding"]
+    )
+    g2 = similarity.knn_join(qdf, cdf2, k=3, method="lsh", n_planes=5,
+                             score="gemm")
+    assert not any(r.cid == 9999 and r.cos_sim > 0 for r in g2.collect())
+
+
 def test_semdedup_k_uncapped():
     """Regression (round-5 VERDICT): k = n/target with NO 4096 ceiling —
     the cap froze k beyond ~4M rows, cluster sizes grew linearly with
