@@ -1485,7 +1485,8 @@ def embedding_dedup_pairs(df, vec_col="embedding", id_col="vec_id",
                           dim=64, threshold=0.95, n_planes=None,
                           n_bands=4, target_bucket_rows=1024, seed=42,
                           sig_path=None, verify="auto",
-                          bucket_cap=4096):
+                          bucket_cap=4096, collapse_exact=True,
+                          expand_members=True):
     """Near-duplicate embedding pairs: banded hyperplane LSH.
 
     ``n_bands`` independent sign-bit codes of ``n_planes`` bits each
@@ -1497,6 +1498,22 @@ def embedding_dedup_pairs(df, vec_col="embedding", id_col="vec_id",
     ``n_planes=None`` derives the per-band width from the corpus size
     (one metadata-only parquet count) targeting ``target_bucket_rows``
     rows per bucket; pass an explicit value to pin it.
+
+    ``collapse_exact`` (default on) is the embedding twin of the text
+    pipelines' hot-bucket guard: BIT-IDENTICAL vectors (re-crawled
+    pages, default embeddings, padding rows) land in the same bucket
+    of EVERY band, and the ``bucket_cap`` sample would otherwise both
+    melt on and UNDER-REPORT them (pairs only among the sampled
+    members). Identical vectors collapse to one representative before
+    bucketing (:func:`exact_collapse` groups the raw array column —
+    xxhash64 hashes arrays natively), and members re-attach after
+    verification: cross-class pairs score like their rep pair,
+    intra-class pairs are exactly 1.0 (cosine of a vector with
+    itself), so the output equals the uncollapsed answer with full
+    recall on the very rows the sample would have dropped.
+    ``expand_members=False`` swaps the quadratic intra-class expansion
+    for linear SPANNING pairs (rep↔member at 1.0) — identical
+    connected components through :func:`neardup_groups`.
 
     Verification cost is the scale bound, not candidate generation:
     candidates ≈ n·target_bucket_rows·n_bands pairs (40G at 10M rows
@@ -1532,6 +1549,10 @@ def embedding_dedup_pairs(df, vec_col="embedding", id_col="vec_id",
             if n_rows is not None and n_rows >= GEMM_VERIFY_MIN_ROWS
             else "column"
         )
+    members = None
+    if collapse_exact:
+        df, members = exact_collapse(df, vec_col, id_col)
+        members = _persist(members)
     band_cols = [
         F.xxhash64(
             F.lit(b),
@@ -1567,25 +1588,39 @@ def embedding_dedup_pairs(df, vec_col="embedding", id_col="vec_id",
         bucket_cap,
     )
     if verify == "gemm":
-        return _pairs_bucket_gemm(exploded, threshold)
-    L, R = exploded.alias("L"), exploded.alias("R")
-    return (
-        L.join(
-            R,
-            (F.col("L.__bucket") == F.col("R.__bucket"))
-            & (F.col("L.__id") < F.col("R.__id")),
+        pairs = _pairs_bucket_gemm(exploded, threshold)
+    else:
+        L, R = exploded.alias("L"), exploded.alias("R")
+        pairs = (
+            L.join(
+                R,
+                (F.col("L.__bucket") == F.col("R.__bucket"))
+                & (F.col("L.__id") < F.col("R.__id")),
+            )
+            .select(
+                F.col("L.__id").alias("id_a"),
+                F.col("R.__id").alias("id_b"),
+                (
+                    _dot(F.col("L.__v"), F.col("R.__v"))
+                    * F.col("L.__inv") * F.col("R.__inv")
+                ).alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= threshold)
+            .dropDuplicates(["id_a", "id_b"])
         )
-        .select(
-            F.col("L.__id").alias("id_a"),
-            F.col("R.__id").alias("id_b"),
-            (
-                _dot(F.col("L.__v"), F.col("R.__v"))
-                * F.col("L.__inv") * F.col("R.__inv")
-            ).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= threshold)
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    if collapse_exact:
+        if expand_members:
+            pairs = _expand_pairs(pairs, members, "cos_sim", 1.0)
+        else:
+            dup_pairs = members.filter(
+                F.col("__rep") != F.col("__mid")
+            ).select(
+                F.col("__rep").alias("id_a"),
+                F.col("__mid").alias("id_b"),
+                F.lit(1.0).alias("cos_sim"),
+            )
+            pairs = pairs.unionAll(dup_pairs)
+    return pairs
 
 
 def _pairs_bucket_gemm(exploded, threshold):

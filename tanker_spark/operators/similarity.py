@@ -920,7 +920,8 @@ def _semdedup_removed_gemm(assigned, threshold, keep):
 def semdedup(df, vec_col="embedding", id_col="vec_id", n_clusters=None,
              threshold=0.95, keep="centroid_far", method="sample",
              seed=42, target_cluster_rows=1024,
-             two_level_min_k=TWO_LEVEL_ASSIGN_MIN_K, verify="auto"):
+             two_level_min_k=TWO_LEVEL_ASSIGN_MIN_K, verify="auto",
+             collapse_exact=True):
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by clustering embeddings and dropping all but one of
     each within-cluster group of near-identical points.
@@ -956,6 +957,14 @@ def semdedup(df, vec_col="embedding", id_col="vec_id", n_clusters=None,
     with one distributed join instead of a python loop. Returns the
     surviving rows of ``df`` unchanged.
 
+    ``collapse_exact`` (default on) collapses BIT-IDENTICAL vectors to
+    one representative before clustering — the hot-CELL guard:
+    identical vectors all land in one cell regardless of k, so a
+    10⁶-copy blob would make the within-cell pair space quadratic.
+    The result is unchanged by construction: every non-rep member is
+    dominated by its own representative (same centroid-cosine, id
+    tie-break, cosine exactly 1.0), so survivors(df) ≡ survivors(reps).
+
     ``verify`` picks how the within-cell pairs are scored:
     ``"column"`` — the equi-self-join with a per-pair dot product
     (inverse norms precomputed per row); ``"gemm"`` — one numpy
@@ -974,6 +983,19 @@ def semdedup(df, vec_col="embedding", id_col="vec_id", n_clusters=None,
         raise ValueError("keep must be 'centroid_far' or 'min_id'")
     if verify not in ("auto", "column", "gemm"):
         raise ValueError("verify must be 'auto', 'column' or 'gemm'")
+    orig, members = df, None
+    if collapse_exact:
+        # hot-CELL guard, the embedding twin of the text pipelines'
+        # exact collapse: bit-identical vectors all land in ONE cell
+        # regardless of k, so a 10⁶-copy blob makes the within-cell
+        # pair space quadratic. Collapsed, the class costs one row —
+        # and every non-rep member is provably removed (its rep shares
+        # the class csim, wins the id tie, and sits at cosine exactly
+        # 1.0 ≥ threshold), so survivors(df) == survivors(reps) ∪ ∅.
+        from .dedup import exact_collapse
+
+        df, members = exact_collapse(df, vec_col, id_col)
+        members = _persist(members)
     n_rows = None
     if n_clusters is None:
         n_rows = df.count()
@@ -1002,10 +1024,10 @@ def semdedup(df, vec_col="embedding", id_col="vec_id", n_clusters=None,
             csim.alias("__csim"),
         )
     if verify == "gemm":
-        return df.join(
+        return _semdedup_apply(
+            orig,
             _semdedup_removed_gemm(assigned, float(threshold), keep),
-            F.col(id_col) == F.col("__rid"),
-            "left_anti",
+            members, id_col,
         )
     nrm = _norm(F.col("__v"))
     # inverse norm ONCE per row in the persisted frame: the within-cell
@@ -1042,7 +1064,19 @@ def semdedup(df, vec_col="embedding", id_col="vec_id", n_clusters=None,
         .select(F.col("R.__id").alias("__rid"))
         .distinct()
     )
-    return df.join(
+    return _semdedup_apply(orig, removed, members, id_col)
+
+
+def _semdedup_apply(orig, removed, members, id_col):
+    """Anti-join the removed rep ids — plus, when exact duplicates
+    were collapsed, every non-representative member (each is dominated
+    by its rep at cosine exactly 1.0) — back onto the ORIGINAL frame."""
+    if members is not None:
+        nonrep = members.filter(
+            F.col("__rep") != F.col("__mid")
+        ).select(F.col("__mid").alias("__rid"))
+        removed = removed.unionAll(nonrep)
+    return orig.join(
         removed, F.col(id_col) == F.col("__rid"), "left_anti"
     )
 

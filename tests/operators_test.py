@@ -1690,6 +1690,53 @@ def test_semdedup(spark):
         assert a == b
 
 
+def test_embedding_exact_collapse_guard(spark):
+    """Bit-identical vectors (the embedding hot-bucket/hot-cell case)
+    collapse to one representative before bucketing/clustering, and the
+    answers are unchanged: pair output equals the uncollapsed run
+    (intra-class pairs at exactly 1.0), spanning mode is linear with
+    identical connected components, and semdedup survivor sets match
+    with collapse on/off under both verify paths — the blob collapses
+    to its min-id rep."""
+    rnd = random.Random(5)
+    dim = 16
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(dim)]) for i in range(80)]
+    blob = [(500 + j, list(rows[2][1])) for j in range(40)]
+    near = [(900, [x + rnd.gauss(0, 1e-4) for x in rows[2][1]])]
+    df = spark.createDataFrame(rows + blob + near,
+                               ["vec_id", "embedding"])
+
+    full = dedup.embedding_dedup_pairs(
+        df, dim=dim, threshold=0.999, n_planes=4, collapse_exact=True)
+    raw = dedup.embedding_dedup_pairs(
+        df, dim=dim, threshold=0.999, n_planes=4, collapse_exact=False,
+        bucket_cap=None)
+    fs = {(r.id_a, r.id_b) for r in full.collect()}
+    assert fs == {(r.id_a, r.id_b) for r in raw.collect()}
+    # the 41-member identical class contributes its full C(41,2) pairs
+    klass = {2} | set(range(500, 540))
+    assert sum(1 for a, b in fs if a in klass and b in klass) == 820
+    span = dedup.embedding_dedup_pairs(
+        df, dim=dim, threshold=0.999, n_planes=4, expand_members=False)
+    sp = span.persist()
+    assert sp.count() < len(fs)   # linear spanning, not quadratic
+    gf = {(r.id, r.group_id)
+          for r in dedup.neardup_groups(full).collect()}
+    gs = {(r.id, r.group_id) for r in dedup.neardup_groups(sp).collect()}
+    assert gf == gs
+
+    for verify in ("column", "gemm"):
+        a = {r.vec_id for r in similarity.semdedup(
+            df, n_clusters=6, threshold=0.999, keep="min_id",
+            verify=verify, collapse_exact=True).collect()}
+        b = {r.vec_id for r in similarity.semdedup(
+            df, n_clusters=6, threshold=0.999, keep="min_id",
+            verify=verify, collapse_exact=False).collect()}
+        assert a == b
+        assert a & (klass | {900}) == {2}
+    dedup.release_caches()
+
+
 def test_knn_join_lsh_gemm_matches_column(spark):
     """knn_join(method='lsh') per-bucket GEMM scoring returns the same
     (qid, cid) top-k and similarities as the per-candidate Column path,
