@@ -906,8 +906,19 @@ def _semdedup_removed_gemm(assigned, threshold, keep):
         V = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
         n = np.linalg.norm(V, axis=1)
         V *= np.where(n > 0, 1.0 / np.where(n > 0, n, 1.0), 0.0)[:, None]
-        S = V @ V.T
-        hit = np.triu(S >= threshold, k=1).any(axis=0)
+        c = len(V)
+        # row-blocked GEMM: peak memory is block×c, not c² — a skewed
+        # cell of 50k rows would otherwise materialize a 20 GB S
+        # matrix (compute stays O(c²), the paper's own bound; cells
+        # are ~target_cluster_rows by construction and exact
+        # duplicates were collapsed upstream)
+        blk = max(1024, int(16_000_000 / c))
+        hit = np.zeros(c, dtype=bool)
+        for s0 in range(0, c, blk):
+            sb = V[s0:s0 + blk] @ V.T
+            # row r scores global index s0+r: keep only columns
+            # j > s0+r (strictly higher-priority rows remove j)
+            hit |= np.triu(sb >= threshold, k=s0 + 1).any(axis=0)
         return pd.DataFrame({"__rid": pdf["__id"].to_numpy()[hit]})
 
     return (
