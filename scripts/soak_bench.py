@@ -255,6 +255,40 @@ def main():
         dedup.release_caches()
         return n
 
+    def substring_dedup_soak():
+        # corpus-wide duplicated-window stats: the 25% boilerplate
+        # templates are full-doc duplicated spans. Shuffle volume is
+        # ~tokens/stride x 8-byte hashes
+        out = dedup.substring_dup_stats(docs, win=20, stride=5)
+        n = out.filter(F.col("dup_ratio") > 0.5).count()
+        dedup.release_caches()
+        return n
+
+    def ann_index_soak():
+        # persisted quantized index at 10M + a 100-probe latency sweep:
+        # the build is the one-off cost, probes must stay sub-second
+        # through PartitionFilters pruning + int8 first pass
+        import shutil
+        path = args.dir + "/ann_index"
+        shutil.rmtree(path, ignore_errors=True)
+        t0 = time.perf_counter()
+        similarity.build_ann_index(
+            emb, path, method="lsh", n_planes=10, quantize=True)
+        build_s = time.perf_counter() - t0
+        probes = [r["embedding"] for r in
+                  emb.filter(F.pmod("vec_id", F.lit(100_000)) == 7)
+                  .collect()]
+        t0 = time.perf_counter()
+        total = 0
+        for p in probes:
+            total += len(similarity.knn_indexed(
+                spark, path, p, k=10, multiprobe=1,
+                rerank_df=emb).collect())
+        probe_s = (time.perf_counter() - t0) / max(len(probes), 1)
+        print("# ann_index: build %.1fs, %.3fs/probe over %d probes"
+              % (build_s, probe_s, len(probes)), file=sys.stderr)
+        return total
+
     benches = {
         "exact_dedup": exact_dedup_soak,
         "minhash_spanning_pairs": minhash_soak,
@@ -265,6 +299,8 @@ def main():
         "semdedup_two_level": semdedup_soak,
         "knn_join_lsh": knn_join_lsh_soak,
         "knn_join_gemm": knn_join_gemm_soak,
+        "substring_dedup": substring_dedup_soak,
+        "ann_index": ann_index_soak,
     }
     only = set(args.only.split(",")) if args.only else None
     for name, fn in benches.items():

@@ -589,6 +589,12 @@ def build_ann_index(df, path, method="lsh", vec_col="embedding",
         stored = df.select(
             F.col(id_col), F.col(vec_col), col.alias("__bucket")
         )
+    # one shuffle on the bucket before the partitioned write: without
+    # it every scan task writes a file into every bucket directory it
+    # sees (tasks x buckets small files — 32k at the 10M soak, worse
+    # with real executor counts); after it each bucket lands in
+    # exactly one task -> one file per directory
+    stored = stored.repartition(F.col("__bucket"))
     stored.write.mode("overwrite").partitionBy("__bucket").parquet(path)
     with open(os.path.join(path, ANN_META), "w") as fh:
         json.dump(meta, fh)
@@ -625,6 +631,7 @@ def ann_index_append(new_df, path):
         stored = new_df.select(
             F.col(id_col), F.col(vec_col), col.alias("__bucket")
         )
+    stored = stored.repartition(F.col("__bucket"))
     stored.write.mode("append").partitionBy("__bucket").parquet(path)
 
 
