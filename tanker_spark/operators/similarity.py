@@ -409,7 +409,12 @@ def knn_join(queries, corpus, k=5, vec_col="embedding", id_col="vec_id",
                 q.schema["qid"].dataType.simpleString(),
                 c.schema["cid"].dataType.simpleString(),
             )
-            cand = _knn_lsh_gemm(qexp, c, k, schema_str, bucket_cap)
+            # zero-norm queries return no rows on the column path
+            # (null sim filtered); match it rather than emit 0.0 rows
+            cand = _knn_lsh_gemm(
+                qexp.filter(F.col("__qinv").isNotNull()),
+                c, k, schema_str, bucket_cap,
+            )
             w = Window.partitionBy("qid").orderBy(
                 F.col("cos_sim").desc(), F.col("cid").asc()
             )

@@ -1771,6 +1771,13 @@ def test_knn_join_lsh_gemm_matches_column(spark):
     g2 = similarity.knn_join(qdf, cdf2, k=3, method="lsh", n_planes=5,
                              score="gemm")
     assert not any(r.cid == 9999 and r.cos_sim > 0 for r in g2.collect())
+    # a zero-norm QUERY returns no rows on either path
+    qdf2 = spark.createDataFrame([(7777, [0.0] * dim)],
+                                 ["vec_id", "embedding"])
+    for mode in ("column", "gemm"):
+        assert similarity.knn_join(
+            qdf2, cdf, k=3, method="lsh", n_planes=5, score=mode
+        ).count() == 0
 
 
 def test_semdedup_k_uncapped():
