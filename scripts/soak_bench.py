@@ -289,6 +289,44 @@ def main():
               % (build_s, probe_s, len(probes)), file=sys.stderr)
         return total
 
+    from tanker_spark.operators import search, similarity as _sim  # noqa
+
+    # query terms exist in the synthetic vocab: template words t0..t4999
+    # (hot — boilerplate), unique-doc words w0..w49999 (long tail)
+    SOAK_QUERY = "t100 t2500 w500 w31337"
+
+    def bm25_soak():
+        # one full-corpus pass: explode-filter to the 4 query terms,
+        # broadcast corpus stats, sum per doc, top-k
+        return search.bm25_topk(docs, SOAK_QUERY, k=10).count()
+
+    def bm25_indexed_soak():
+        # persisted postings: build once (the one-off), then a
+        # 20-query latency sweep against term-pruned postings
+        import shutil
+        path = args.dir + "/text_index"
+        shutil.rmtree(path, ignore_errors=True)
+        t0 = time.perf_counter()
+        search.build_text_index(docs, path)
+        build_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n = 0
+        for i in range(20):
+            q = "t%d w%d" % (100 + i, 500 + i)
+            n += search.bm25_topk_indexed(spark, path, q, k=10).count()
+        per = (time.perf_counter() - t0) / 20
+        print("# bm25_indexed: build %.1fs, %.3fs/query over 20"
+              % (build_s, per), file=sys.stderr)
+        return n
+
+    def hybrid_soak():
+        # BM25 + dense cosine fused by reciprocal rank, both legs over
+        # the full 10M corpus (same id space by construction)
+        probe = emb.filter(F.col("vec_id") == 12345) \
+                   .collect()[0]["embedding"]
+        return search.hybrid_topk(
+            docs, emb, SOAK_QUERY, probe, k=10, n_each=50).count()
+
     benches = {
         "exact_dedup": exact_dedup_soak,
         "minhash_spanning_pairs": minhash_soak,
@@ -301,6 +339,9 @@ def main():
         "knn_join_gemm": knn_join_gemm_soak,
         "substring_dedup": substring_dedup_soak,
         "ann_index": ann_index_soak,
+        "bm25_direct": bm25_soak,
+        "bm25_indexed": bm25_indexed_soak,
+        "hybrid_retrieval": hybrid_soak,
     }
     only = set(args.only.split(",")) if args.only else None
     for name, fn in benches.items():
