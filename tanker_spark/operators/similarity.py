@@ -895,6 +895,128 @@ def cell_assign_two_level(df, cent_vecs, vec_col="embedding",
     )
 
 
+#: past this many centroids :func:`semdedup` stops collecting the
+#: centroid list to the driver at all (k·dim floats — ~10 GB at k=10⁷
+#: on dim=128, plus a k×salts createDataFrame that ships as task
+#: binary) and switches to the fully distributed two-level assignment:
+#: centroids stay a DataFrame end-to-end, only the ⌈√k⌉ coarse level
+#: is ever collected.
+CENTROID_COLLECT_MAX_K = 1 << 20
+
+
+def _centroid_frame(df, n_cells, seed, vec_col, id_col):
+    """Deterministic hash-ordered centroid SAMPLE as a DataFrame —
+    :func:`ivf_centroid_vectors`'s ``method="sample"`` without the
+    driver collect. Returns (__fid, __fv): the centroid's own source
+    id is its cell label (distinct and orderable — the tie-break
+    currency — with no global 0..k-1 numbering to coordinate)."""
+    return (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("__fid"),
+                F.col(vec_col).cast("array<double>").alias("__fv"))
+        .orderBy(F.xxhash64(F.col("__fid"), F.lit(seed)))
+        .limit(int(n_cells))
+    )
+
+
+def cell_assign_two_level_df(df, cents_df, vec_col="embedding",
+                             id_col="vec_id", n_coarse=None,
+                             row_group_salts=16, seed=42):
+    """Two-level nearest-centroid assignment with DISTRIBUTED
+    centroids — the k→∞ end of the assignment ladder (flat greatest →
+    broadcast GEMM → driver-list two-level → this): nothing k-sized
+    ever touches the driver or a task closure.
+
+    Level 1: ⌈√k⌉ coarse centroids are a hash-ordered sub-sample of
+    ``cents_df`` — the ONLY collect, √k rows. Rows and fine centroids
+    both coarse-assign through the broadcast-GEMM path; the fine side
+    then explodes ``row_group_salts`` ways IN-PLAN (no driver list).
+    Level 2: the same salted cogroup as
+    :func:`cell_assign_two_level` — each task scores one row group
+    against one coarse cell's fine block.
+
+    Output ``__cell`` is the winning centroid's SOURCE id (dtype
+    follows ``id_col``), not a dense 0..k-1 index — everything
+    downstream (the cell equi-join / per-cell GEMM, the csim
+    dominance) only needs distinctness and order."""
+    import numpy as np
+    import pandas as pd
+
+    cents_df = _persist(cents_df)
+    k = cents_df.count()
+    if n_coarse is None:
+        n_coarse = max(1, int(math.ceil(math.sqrt(k))))
+    coarse_vecs = [
+        [float(x) for x in r["__fv"]]
+        for r in cents_df.orderBy(
+            F.xxhash64(F.col("__fid"), F.lit(seed + 1))
+        ).limit(int(n_coarse)).collect()
+    ]
+    fine_df = (
+        cell_assign_gemm(
+            cents_df, coarse_vecs, vec_col="__fv", id_col="__fid"
+        )
+        .select(
+            F.col("__id").alias("__fid"),
+            F.col("__v").alias("__fv"),
+            F.col("__cell").alias("__ccell"),
+        )
+        .withColumn(
+            "__salt",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(int(row_group_salts) - 1))
+            ),
+        )
+    )
+    coarse = cell_assign_gemm(df, coarse_vecs, vec_col, id_col).select(
+        "__id", "__v", F.col("__cell").alias("__ccell"),
+        F.pmod(F.xxhash64("__id"), F.lit(row_group_salts))
+        .cast("int").alias("__salt"),
+    )
+    id_t = df.schema[id_col].dataType.simpleString()
+    vec_t = df.schema[vec_col].dataType.simpleString()
+    schema_str = ("__id %s, __v %s, __cell %s, __csim double"
+                  % (id_t, vec_t, id_t))
+
+    def assign(key, rows_pdf, cents_pdf):
+        out = pd.DataFrame({
+            "__id": rows_pdf["__id"],
+            "__v": rows_pdf["__v"],
+            "__cell": pd.array([None] * len(rows_pdf), dtype=object),
+            "__csim": pd.array([None] * len(rows_pdf),
+                               dtype="Float64"),
+        })
+        if not len(rows_pdf) or not len(cents_pdf):
+            return out
+        cents_pdf = cents_pdf.sort_values("__fid")  # tie → lowest id
+        Cf = np.stack(cents_pdf["__fv"].to_numpy()).astype(np.float64)
+        Cfn = Cf / np.linalg.norm(Cf, axis=1, keepdims=True)
+        dim = Cfn.shape[1]
+        ok = rows_pdf["__v"].map(
+            lambda v: v is not None and len(v) == dim
+        ).to_numpy()
+        if ok.any():
+            V = np.stack(rows_pdf["__v"][ok].to_numpy()) \
+                .astype(np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            S = Vn @ Cfn.T
+            j = np.argmax(S, axis=1)
+            cells = out["__cell"].to_numpy(dtype=object)
+            csims = out["__csim"].to_numpy(dtype=object)
+            cells[ok] = cents_pdf["__fid"].to_numpy()[j]
+            csims[ok] = [float(s)
+                         for s in S[np.arange(len(j)), j]]
+            out["__cell"] = pd.array(cells, dtype=object)
+            out["__csim"] = pd.array(csims, dtype="Float64")
+        return out
+
+    return (
+        coarse.groupBy("__ccell", "__salt")
+        .cogroup(fine_df.groupBy("__ccell", "__salt"))
+        .applyInPandas(assign, schema_str)
+    )
+
+
 def _semdedup_removed_gemm(assigned, threshold, keep):
     """Within-cell dominance scoring as one numpy GEMM per cell: rows
     sorted by priority (centroid-cosine then id, or id alone), the
@@ -912,6 +1034,11 @@ def _semdedup_removed_gemm(assigned, threshold, keep):
     order = ["__csim", "__id"] if keep == "centroid_far" else ["__id"]
 
     def emit(pdf):
+        # NULL embeddings can reach here with a NON-null cell (the
+        # flat greatest() argmax compares structs whose sim field is
+        # null); they can never be near-duplicates, so drop them
+        # before the stack instead of raggedly crashing it
+        pdf = pdf[pdf["__v"].map(lambda v: v is not None)]
         if len(pdf) < 2:
             return pd.DataFrame({"__rid": []})
         pdf = pdf.sort_values(order)
@@ -944,7 +1071,8 @@ def semdedup(df, vec_col="embedding", id_col="vec_id", n_clusters=None,
              threshold=0.95, keep="centroid_far", method="sample",
              seed=42, target_cluster_rows=1024,
              two_level_min_k=TWO_LEVEL_ASSIGN_MIN_K, verify="auto",
-             collapse_exact=True):
+             collapse_exact=True,
+             centroid_collect_max_k=CENTROID_COLLECT_MAX_K):
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by clustering embeddings and dropping all but one of
     each within-cluster group of near-identical points.
@@ -962,9 +1090,12 @@ def semdedup(df, vec_col="embedding", id_col="vec_id", n_clusters=None,
     goes COARSE-THEN-FINE (:func:`cell_assign_two_level`): per-executor
     memory drops from the full k·dim·8 centroid matrix (~1 GB at
     k=10⁶/dim=128) to one √k coarse matrix plus one coarse cell's fine
-    block per task, so k scales with the corpus indefinitely; the
-    driver still materializes the centroid list once (k·dim floats —
-    the remaining practical bound, ~10 GB at k=10⁷).
+    block per task. Past ``centroid_collect_max_k`` (sample method
+    only) even the driver-side centroid list disappears
+    (:func:`cell_assign_two_level_df`): centroids stay a DataFrame
+    end-to-end, only the ⌈√k⌉ coarse level is collected, and cell
+    labels are the centroids' own source ids — k scales with the
+    corpus with NO driver- or closure-side k-sized object anywhere.
     A point is dropped when a higher-priority
     near-duplicate (cosine ≥ ``threshold``) shares its cluster:
 
@@ -1031,21 +1162,32 @@ def semdedup(df, vec_col="embedding", id_col="vec_id", n_clusters=None,
             if n_rows is not None and n_rows >= GEMM_VERIFY_MIN_ROWS
             else "column"
         )
-    cents = ivf_centroid_vectors(
-        df, n_clusters, seed, vec_col, id_col, method=method
-    )
-    if two_level_min_k and len(cents) > two_level_min_k:
-        assigned = cell_assign_two_level(df, cents, vec_col, id_col)
-    elif len(cents) > GEMM_ASSIGN_MIN_K:
-        assigned = cell_assign_gemm(df, cents, vec_col, id_col)
-    else:
-        cell, csim = cell_and_sim(cents, vec_col)
-        assigned = df.select(
-            F.col(id_col).alias("__id"),
-            F.col(vec_col).alias("__v"),
-            cell.alias("__cell"),
-            csim.alias("__csim"),
+    if (method == "sample" and centroid_collect_max_k
+            and n_clusters > centroid_collect_max_k):
+        # k too large to ever materialize driver-side (k·dim floats +
+        # a k×salts createDataFrame): centroids stay a DataFrame,
+        # only the ⌈√k⌉ coarse level is collected
+        assigned = cell_assign_two_level_df(
+            df,
+            _centroid_frame(df, n_clusters, seed, vec_col, id_col),
+            vec_col, id_col, seed=seed,
         )
+    else:
+        cents = ivf_centroid_vectors(
+            df, n_clusters, seed, vec_col, id_col, method=method
+        )
+        if two_level_min_k and len(cents) > two_level_min_k:
+            assigned = cell_assign_two_level(df, cents, vec_col, id_col)
+        elif len(cents) > GEMM_ASSIGN_MIN_K:
+            assigned = cell_assign_gemm(df, cents, vec_col, id_col)
+        else:
+            cell, csim = cell_and_sim(cents, vec_col)
+            assigned = df.select(
+                F.col(id_col).alias("__id"),
+                F.col(vec_col).alias("__v"),
+                cell.alias("__cell"),
+                csim.alias("__csim"),
+            )
     if verify == "gemm":
         return _semdedup_apply(
             orig,

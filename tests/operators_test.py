@@ -1737,6 +1737,39 @@ def test_embedding_exact_collapse_guard(spark):
     dedup.release_caches()
 
 
+def test_semdedup_distributed_centroids(spark):
+    """Past centroid_collect_max_k semdedup never materializes the
+    centroid list driver-side: centroids stay a DataFrame (only the
+    √k coarse level is collected) and assignment runs through the
+    salted cogroup. Same hash-ordered sample and seed as the flat
+    path ⇒ the survivor set matches it exactly on this fixture, under
+    both keep policies and both verify paths; NULL embeddings pass
+    through."""
+    rnd = random.Random(7)
+    dim = 16
+    rows = []
+    for i in range(30):
+        rows.append((i, [rnd.gauss(5, 0.5) for _ in range(dim)]))
+    for i in range(30, 60):
+        rows.append((i, [rnd.gauss(-5, 0.5) for _ in range(dim)]))
+    for nid in (200, 201, 202):
+        rows.append((nid, [x + rnd.gauss(0, 1e-4) for x in rows[3][1]]))
+    rows.append((999, None))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    for keep in ("min_id", "centroid_far"):
+        for verify in ("column", "gemm"):
+            flat = {r.vec_id for r in similarity.semdedup(
+                df, threshold=0.999, keep=keep,
+                target_cluster_rows=4, verify=verify).collect()}
+            dist = {r.vec_id for r in similarity.semdedup(
+                df, threshold=0.999, keep=keep,
+                target_cluster_rows=4, verify=verify,
+                centroid_collect_max_k=4).collect()}
+            assert dist == flat
+            assert 999 in dist
+    dedup.release_caches()
+
+
 def test_knn_join_lsh_gemm_matches_column(spark):
     """knn_join(method='lsh') per-bucket GEMM scoring returns the same
     (qid, cid) top-k and similarities as the per-candidate Column path,
