@@ -2130,6 +2130,62 @@ def multimodal_features(spark, sf_dir):
     ).orderBy("media_id")
 
 
+def line_dedup_docs(spark, sf_dir):
+    """Corpus-level duplicated-line removal (RefinedWeb "line-wise
+    corrections"): segments occurring in >= ceil(0.78 * n_docs)
+    distinct docs are boilerplate and removed from every doc, order
+    preserved. Space separator on this corpus (its docs are
+    single-line), exercising the identical split/count/join/rebuild
+    machinery."""
+    from tanker_spark.operators import dedup
+
+    df = _read(spark, sf_dir, "documents")
+    out = dedup.line_dedup(df, sep=" ", min_frac=0.78)
+    return out.select(
+        "doc_id", "text", "n_lines", "n_removed"
+    ).orderBy("doc_id")
+
+
+def top_terms_by_lang(spark, sf_dir):
+    """Per-language characteristic terms by TF-IDF (dataset-card
+    audit). Row selection rides the integer key (tf DESC, df ASC,
+    term ASC) so both engines pick identical rows; the float score is
+    reported rounded."""
+    from tanker_spark.operators import text as text_ops
+
+    df = _read(spark, sf_dir, "documents")
+    out = text_ops.tfidf_top_terms(df, group_col="lang", k=3)
+    return out.orderBy("lang", "rank")
+
+
+def mix_unimax_langs(spark, sf_dir):
+    """UniMax budget allocation (arXiv:2304.09151): 60k-char budget
+    spread uniformly over languages, each capped at 0.5 epochs of its
+    own mass; capped groups' leftovers flow to high-resource groups
+    via the closed-form water-fill, computed entirely in-plan. The
+    doc_id-modulus bucket keeps DuckDB bit-exact (production default
+    is xxhash64)."""
+    from tanker_spark.operators import curation
+
+    df = _read(spark, sf_dir, "documents")
+    out = curation.mix_unimax(
+        df, "lang", budget=60000, len_col="n_chars", epochs=0.5,
+        bucket_expr=F.pmod(F.col("doc_id") * F.lit(7919), F.lit(10000)),
+    )
+    return out.select("doc_id", "lang", "n_chars").orderBy("doc_id")
+
+
+def ngram_diversity_langs(spark, sf_dir):
+    """Per-language 1/2-gram diversity (distinct/total) — the
+    memorization-risk / templatedness signal; both gram sizes ride one
+    tagged explode."""
+    from tanker_spark.operators import text as text_ops
+
+    df = _read(spark, sf_dir, "documents")
+    out = text_ops.ngram_diversity(df, group_col="lang", ns=(1, 2))
+    return out.orderBy("lang", "n")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2143,12 +2199,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #: 50-row correctness window so every new operator gets a driver-recorded
 #: CORRECTNESS row in its debut round.
 DEBUTS = [
-    # round-6 debuts: spanning-pair dedup resolution (the hot-bucket
-    # guard's scale output mode) and the quantized-index re-rank probe
-    "neardup_groups_spanning_docs",
-    "knn_rerank_exact",
-    "hybrid_search_docs",
-    "neardup_decontam_docs",
+    # round-7 debuts: line-level corpus dedup, TF-IDF top terms,
+    # UniMax epoch-capped mixing, n-gram diversity
+    "line_dedup_docs",
+    "top_terms_by_lang",
+    "mix_unimax_langs",
+    "ngram_diversity_langs",
 ]
 
 
@@ -2368,6 +2424,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_docs": pack_docs,
         "semdedup_embeddings": semdedup_embeddings,
         "dsir_select_docs": dsir_select_docs,
+        # round-7 debuts (oracle-checkable; DEBUTS pins them to the
+        # front of the driver window)
+        "line_dedup_docs": line_dedup_docs,
+        "top_terms_by_lang": top_terms_by_lang,
+        "mix_unimax_langs": mix_unimax_langs,
+        "ngram_diversity_langs": ngram_diversity_langs,
     }
 
 
@@ -4121,6 +4183,112 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(t[s+1 : s+32], ' ') AS chunk_text
             FROM starts
             ORDER BY doc_id, chunk_id
+        """,
+        "line_dedup_docs": """
+            WITH docs AS (
+              SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents
+            ),
+            thr AS (SELECT ceil(0.78 * count(*)) AS md FROM documents),
+            dup AS (
+              SELECT tok FROM (
+                SELECT doc_id, unnest(toks) AS tok FROM docs
+              ) u
+              WHERE trim(tok) <> ''
+              GROUP BY tok
+              HAVING count(DISTINCT doc_id) >= (SELECT md FROM thr)
+            ),
+            ds AS (SELECT coalesce(list(tok), []) AS dl FROM dup)
+            SELECT d.doc_id,
+                   coalesce(array_to_string(
+                     list_filter(d.toks,
+                                 t -> NOT list_contains(ds.dl, t)),
+                     ' '), '') AS text,
+                   len(d.toks) AS n_lines,
+                   len(d.toks) - len(list_filter(
+                     d.toks, t -> NOT list_contains(ds.dl, t)))
+                     AS n_removed
+            FROM docs d CROSS JOIN ds ORDER BY doc_id
+        """,
+        "top_terms_by_lang": """
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                       AS term
+              FROM documents
+            ),
+            tf AS (
+              SELECT lang, term, count(*) AS tf FROM toks
+              WHERE term <> '' GROUP BY 1, 2
+            ),
+            dfq AS (
+              SELECT term, count(DISTINCT doc_id) AS df FROM toks
+              WHERE term <> '' GROUP BY 1
+            ),
+            n AS (SELECT count(*) AS n FROM documents)
+            SELECT lang, term, tf, df, tfidf, rank FROM (
+              SELECT lang, term, tf, df,
+                     round(tf * ln((n + 1) / (df + 1)), 2) AS tfidf,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY tf DESC, df ASC, term ASC) AS rank
+              FROM tf JOIN dfq USING (term) CROSS JOIN n
+            ) WHERE rank <= 3 ORDER BY lang, rank
+        """,
+        "mix_unimax_langs": """
+            WITH counts AS (
+              SELECT lang, sum(n_chars)::DOUBLE AS toks
+              FROM documents GROUP BY lang
+            ),
+            caps AS (
+              SELECT lang, toks, 0.5 * toks AS cap FROM counts
+            ),
+            ordered AS (
+              SELECT lang, toks, cap,
+                     coalesce(sum(cap) OVER (
+                       ORDER BY cap ASC, lang ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS prefix,
+                     row_number() OVER (
+                       ORDER BY cap ASC, lang ASC) - 1 AS j,
+                     count(*) OVER () AS k
+              FROM caps
+            ),
+            lam AS (
+              SELECT max((60000 - prefix) / (k - j)) AS lam
+              FROM ordered
+            ),
+            keep AS (
+              SELECT lang,
+                     least(1.0,
+                           least(cap, (SELECT lam FROM lam)) / toks)
+                       AS f
+              FROM ordered
+            )
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d JOIN keep USING (lang)
+            WHERE (d.doc_id * 7919) % 10000 < floor(f * 10000)
+            ORDER BY d.doc_id
+        """,
+        "ngram_diversity_langs": """
+            WITH docs AS (
+              SELECT lang, string_split(text, ' ') AS toks
+              FROM documents
+            ),
+            grams AS (
+              SELECT lang, 1 AS n, unnest(toks) AS gram FROM docs
+              UNION ALL
+              SELECT lang, 2 AS n,
+                     unnest(list_transform(
+                       range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i+1])) AS gram
+              FROM docs
+            )
+            SELECT lang, n, count(*) AS total_ngrams,
+                   count(DISTINCT gram) AS distinct_ngrams,
+                   round(count(DISTINCT gram)::DOUBLE / count(*), 6)
+                     AS diversity
+            FROM grams GROUP BY lang, n ORDER BY lang, n
         """,
         # minhash/simhash/doc_fingerprints/knn_lsh/knn_ivf/multimodal:
         # hash/UDF internals or approximate recall are not portably

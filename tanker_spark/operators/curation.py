@@ -706,3 +706,70 @@ def dsir_resample(df, weights, k, id_col="doc_id", seed=42,
         .limit(int(k))
         .drop("__gk")
     )
+
+
+def mix_unimax(df, group_col, budget, len_col, epochs=1.0,
+               id_col="doc_id", bucket_expr=None):
+    """UniMax budget allocation (Chung et al. 2023, arXiv:2304.09151):
+    distribute a total token ``budget`` as UNIFORMLY as possible
+    across groups (languages/sources), capping every group at
+    ``epochs × its token count`` — the anti-starvation alternative to
+    temperature mixing: low-resource groups are never oversampled past
+    ``epochs`` repetitions, and their unused share flows to
+    high-resource groups.
+
+    The allocation is the exact water-fill ``alloc_g = min(cap_g, λ)``
+    with ``λ = max_i (budget − prefix_i) / (k − i)`` over caps sorted
+    ascending (prefix_i = sum of the i smaller caps) — a closed form:
+    for the binding row ``λ`` makes the uniform shares of the ``k−i``
+    uncapped groups absorb exactly what the ``i`` capped groups left
+    on the table. Computed entirely in-plan on the |groups|-row count
+    frame (one window + one max — no driver collect), so the operator
+    composes lazily like the other mixers. Row selection is the
+    deterministic hash bucket at rate ``alloc_g / tokens_g`` —
+    map-only, reproducible across cluster sizes and re-runs; realized
+    token mass fluctuates by O(√n_docs · avg_len) per group exactly as
+    :func:`sample_to_token_budget` documents.
+    """
+    counts = df.groupBy(group_col).agg(
+        F.sum(len_col).cast("double").alias("__toks")
+    )
+    caps = counts.select(
+        group_col, "__toks",
+        (F.lit(float(epochs)) * F.col("__toks")).alias("__cap"),
+    )
+    w = Window.orderBy(F.col("__cap").asc(), F.col(group_col).asc())
+    ordered = caps.select(
+        group_col, "__toks", "__cap",
+        F.coalesce(
+            F.sum("__cap").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0.0),
+        ).alias("__prefix"),
+        (F.row_number().over(w) - 1).alias("__j"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(F.lit(1))
+        ).alias("__k"),
+    )
+    lam = ordered.agg(
+        F.max(
+            (F.lit(float(budget)) - F.col("__prefix"))
+            / (F.col("__k") - F.col("__j"))
+        ).alias("__lam")
+    )
+    keep = ordered.crossJoin(F.broadcast(lam)).select(
+        group_col,
+        F.least(
+            F.lit(1.0),
+            F.least(F.col("__cap"), F.col("__lam")) / F.col("__toks"),
+        ).alias("__keep"),
+    )
+    b = bucket_expr if bucket_expr is not None else hash_bucket(
+        F.col(id_col)
+    )
+    return (
+        df.join(F.broadcast(keep), group_col)
+        .filter(b < F.floor(F.col("__keep") * SAMPLE_MOD))
+        .drop("__keep")
+    )

@@ -1917,3 +1917,91 @@ def compact_side_table(spark, path, key_col="__id",
     os.rename(tmp, path)
     shutil.rmtree(old)
     return n
+
+
+def line_dedup(df, text_col="text", id_col="doc_id", sep="\n",
+               min_docs=2, min_frac=None):
+    """Corpus-level duplicated-line removal — the RefinedWeb / CCNet
+    "line-wise corrections" step (Penedo et al. 2023 §3.2; Wenzek et
+    al. 2019 paragraph dedup): a line (segment of ``text_col`` split
+    on ``sep``) that occurs in at least ``min_docs`` DISTINCT
+    documents is boilerplate (nav bars, cookie banners, license
+    headers) and is removed from EVERY document; all other lines
+    survive in their original order. ``min_frac`` (when given)
+    overrides ``min_docs`` with ``ceil(min_frac * n_docs)`` so one
+    setting scales across corpus sizes. Blank lines (whitespace-only
+    after trim) are never counted and never removed.
+
+    Returns ``(id_col, text_col, n_lines, n_removed)`` — the rebuilt
+    text, total segments, and segments dropped.
+
+    Shape at 100 TB: posexplode → line-frequency count keyed by
+    ``xxhash64(trim(line))`` (narrow 8-byte shuffle rows, never the
+    line text), join exploded lines against the duplicated-hash set
+    (hash equi-join — the dup set is corpus-sized-dependent, NOT
+    assumed broadcastable), then one doc-keyed rebuild aggregate whose
+    state is bounded by document size. Three shuffles total (line
+    count, dup join, rebuild), each on a natural key; no doc×doc or
+    line×line pair space ever exists.
+    """
+    import re as _re
+
+    pat = _re.escape(sep)
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), pat, -1)).alias(
+            "__pos", "__line"
+        ),
+    ).withColumn("__norm", F.trim(F.col("__line")))
+    nonblank = lines.filter(F.col("__norm") != "")
+    counts = nonblank.groupBy(
+        F.xxhash64("__norm").alias("__lh")
+    ).agg(F.count_distinct("__id").alias("__df"))
+    if min_frac is not None:
+        thr = df.agg(
+            F.ceil(F.count(F.lit(1)) * F.lit(float(min_frac))).alias(
+                "__md"
+            )
+        )
+        dup = (
+            counts.crossJoin(F.broadcast(thr))
+            .filter(F.col("__df") >= F.col("__md"))
+            .select("__lh")
+        )
+    else:
+        dup = counts.filter(F.col("__df") >= int(min_docs)).select("__lh")
+    tagged = (
+        lines.join(
+            dup.withColumn("__dup", F.lit(True)),
+            F.xxhash64(lines["__norm"]) == dup["__lh"],
+            "left",
+        )
+        .select(
+            "__id", "__pos", "__line",
+            F.coalesce("__dup", F.lit(False)).alias("__rm"),
+        )
+    )
+    out = tagged.groupBy("__id").agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("__rm"),
+                            F.struct(
+                                F.col("__pos").alias("p"),
+                                F.col("__line").alias("l"),
+                            ),
+                        )
+                    )
+                ),
+                lambda s: s["l"],
+            ),
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("__rm").cast("int")).alias("n_removed"),
+    )
+    return out.select(
+        F.col("__id").alias(id_col), text_col, "n_lines", "n_removed"
+    )

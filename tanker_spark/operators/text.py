@@ -815,3 +815,126 @@ def quality_classifier_score(col, weights, intercept):
 
 def as_col_text(col):
     return F.col(col) if isinstance(col, str) else col
+
+
+def tfidf_top_terms(df, text_col="text", id_col="doc_id",
+                    group_col="source", k=3, pattern="[a-z]+"):
+    """Per-group characteristic terms by TF-IDF — the corpus
+    "dataset card" signal (what is each source/language/cluster
+    about?) used to audit training-mix composition.
+
+    ``tf`` = occurrences of the term within the group, ``df`` =
+    documents containing it corpus-wide, score =
+    ``tf · ln((N+1)/(df+1))`` (add-one smoothed IDF). The top-``k``
+    rows per group are selected by the INTEGER key
+    ``(tf DESC, df ASC, term ASC)`` — most frequent first, rarer
+    corpus-wide wins ties — so row selection is exact and
+    engine-portable, while the float score is reported rounded.
+
+    Returns ``(group_col, term, tf, df, tfidf, rank)``.
+
+    Shape at 100 TB: one tokenize-explode pass, a (group, term) count
+    and a (term) distinct-doc count riding the same exploded frame,
+    broadcast of the one-row corpus count, top-k per group via
+    row_number over (group) — shuffles keyed by term/group, state
+    bounded by vocabulary, never by corpus size.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(group_col).alias("__g"),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(pattern), F.lit(0)
+            )
+        ).alias("__term"),
+    ).filter(F.col("__term") != "")
+    tf = toks.groupBy("__g", "__term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = toks.groupBy("__term").agg(
+        F.count_distinct("__id").alias("df")
+    )
+    n = df.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(dfreq, "__term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "__g", "__term", "tf", "df",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("__n") + 1) / (F.col("df") + 1)),
+                2,
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("__g").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("__term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__term").alias("term"),
+            "tf", "df", "tfidf", "rank",
+        )
+    )
+
+
+def ngram_diversity(df, text_col="text", group_col="source", ns=(1, 2)):
+    """Per-group token n-gram diversity: ``distinct / total`` n-gram
+    ratio for each n in ``ns`` — the standard memorization-risk /
+    templatedness signal for a training mix (low distinct-ratio =
+    repetitive or boilerplate-heavy source). Documents shorter than
+    ``n`` tokens contribute no n-grams.
+
+    Returns ``(group_col, n, total_ngrams, distinct_ngrams,
+    diversity)`` with ``diversity = round(distinct/total, 6)``.
+
+    Shape at 100 TB: all requested n sizes ride ONE tagged explode
+    (the text is scanned once, as in :func:`repetition_signals`), then
+    a single (group, n, gram) count aggregate with map-side partials
+    and a (group, n) rollup — shuffle keys are gram-sized, state is
+    vocabulary-bounded.
+    """
+    from .dedup import shingles_all
+
+    t = tokens(F.col(text_col))
+    size = F.size(t)
+
+    def _grams(n):
+        g = shingles_all(F.col(text_col), n)
+        # exact slice: zero grams for docs shorter than n tokens
+        # (shingles_all pads short docs with one truncated gram)
+        return F.slice(g, 1, F.greatest(size - (n - 1), F.lit(0)))
+
+    def _mk(n):
+        # single-parameter lambda: a two-parameter one would be read by
+        # F.transform as (element, index) and bind n to the array index
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
+
+    tagged = F.concat(*[F.transform(_grams(n), _mk(n)) for n in ns])
+    ex = df.select(
+        F.col(group_col).alias("__g"), F.explode(tagged).alias("__t")
+    ).select(
+        "__g", F.col("__t.n").alias("n"), F.col("__t.g").alias("__gram")
+    )
+    counts = ex.groupBy("__g", "n", "__gram").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    return (
+        counts.groupBy("__g", "n")
+        .agg(
+            F.sum("__c").alias("total_ngrams"),
+            F.count(F.lit(1)).alias("distinct_ngrams"),
+        )
+        .select(
+            F.col("__g").alias(group_col), "n",
+            "total_ngrams", "distinct_ngrams",
+            F.round(
+                F.col("distinct_ngrams") / F.col("total_ngrams"), 6
+            ).alias("diversity"),
+        )
+    )

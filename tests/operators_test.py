@@ -2175,3 +2175,103 @@ def test_knn_indexed_rerank_recall(spark, tmp_path):
     # scores: same API, still k rows
     assert len(similarity.knn_indexed(
         spark, path, rows[3][1], k=10, n_probe=6).collect()) == 10
+
+
+def test_line_dedup(spark):
+    from tanker_spark.operators.dedup import line_dedup
+
+    rows = [
+        (1, "keep one\nBOILER\nkeep two\n   \nBOILER"),
+        (2, "BOILER\nunique line"),
+        (3, "BOILER\nother text"),
+        (4, "  BOILER  \nsolo"),
+        (5, "BOILER"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in line_dedup(df, min_docs=3).collect()}
+    # BOILER (trimmed) occurs in 5 distinct docs >= 3 -> removed from
+    # every doc, incl. its second occurrence in doc 1 and the
+    # whitespace-padded variant in doc 4; blank lines are never removed
+    assert out[1].text == "keep one\nkeep two\n   "
+    assert (out[1].n_lines, out[1].n_removed) == (5, 2)
+    assert out[2].text == "unique line"
+    assert out[4].text == "solo" and out[4].n_removed == 1
+    # a doc that was ALL boilerplate survives as an empty row
+    assert out[5].text == "" and (out[5].n_lines, out[5].n_removed) == (1, 1)
+
+    # min_frac derives the same threshold from the corpus size
+    frac = {r.doc_id: r for r in
+            line_dedup(df, min_frac=0.6).collect()}  # ceil(5*0.6)=3
+    assert {d: r.text for d, r in frac.items()} == {
+        d: r.text for d, r in out.items()
+    }
+
+
+def test_tfidf_top_terms(spark):
+    rows = [
+        (1, "a", "apple apple apple common"),
+        (2, "a", "apple banana common"),
+        (3, "b", "zebra zebra common common"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "text"])
+    out = text.tfidf_top_terms(df, group_col="grp", k=2).collect()
+    got = {(r.grp, r.rank): r for r in out}
+    assert len(out) == 4
+    # group a: apple tf=4 leads; common tf=2 beats banana tf=1
+    assert got[("a", 1)].term == "apple" and got[("a", 1)].tf == 4
+    assert got[("a", 2)].term == "common"
+    # group b: zebra/common tie on tf=2 -> rarer corpus-wide (df asc) wins
+    assert got[("b", 1)].term == "zebra" and got[("b", 1)].df == 1
+    assert got[("b", 2)].term == "common"
+    # idf of a term in every doc is ln((3+1)/(3+1)) = 0
+    assert got[("a", 2)].tfidf == 0.0 and got[("b", 2)].tfidf == 0.0
+
+
+def test_mix_unimax(spark):
+    from tanker_spark.operators.curation import mix_unimax
+
+    bucket = F.pmod(F.col("doc_id") * F.lit(7919), F.lit(10000))
+
+    def _expected(ids, frac):
+        cut = int(frac * 10000)
+        return {i for i in ids if (i * 7919) % 10000 < cut}
+
+    small = [(i, "s", 10) for i in range(10)]        # 100 tokens
+    large = [(i, "l", 10) for i in range(100, 200)]  # 1000 tokens
+    df = spark.createDataFrame(small + large,
+                               ["doc_id", "grp", "n_toks"])
+
+    # budget 600, epochs=1: caps (100, 1000); waterfill lambda =
+    # max(600/2, (600-100)/1) = 500 -> small keeps all, large 50%
+    out = mix_unimax(df, "grp", budget=600, len_col="n_toks",
+                     epochs=1.0, bucket_expr=bucket)
+    got = {(r.grp, r.doc_id) for r in out.collect()}
+    small_ids = {i for g, i in got if g == "s"}
+    large_ids = {i for g, i in got if g == "l"}
+    assert small_ids == set(range(10))  # uncapped group keeps 100%
+    assert large_ids == _expected(range(100, 200), 0.5)
+
+    # budget beyond sum(caps): every group pinned at its epoch cap
+    out2 = mix_unimax(df, "grp", budget=10_000, len_col="n_toks",
+                      epochs=0.2, bucket_expr=bucket)
+    got2 = {(r.grp, r.doc_id) for r in out2.collect()}
+    assert {i for g, i in got2 if g == "s"} == _expected(range(10), 0.2)
+    assert {i for g, i in got2 if g == "l"} == _expected(
+        range(100, 200), 0.2)
+
+
+def test_ngram_diversity(spark):
+    rows = [(1, "g", "a b a"), (2, "g", "a b"), (3, "h", "solo")]
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "text"])
+    out = {(r.grp, r.n): r for r in
+           text.ngram_diversity(df, group_col="grp", ns=(1, 2)).collect()}
+    assert (out[("g", 1)].total_ngrams,
+            out[("g", 1)].distinct_ngrams) == (5, 2)
+    assert float(out[("g", 1)].diversity) == 0.4
+    # bigrams: "a b","b a" from doc 1 + "a b" from doc 2
+    assert (out[("g", 2)].total_ngrams,
+            out[("g", 2)].distinct_ngrams) == (3, 2)
+    assert float(out[("g", 2)].diversity) == 0.666667
+    # a single-token doc contributes no bigrams at all
+    assert (out[("h", 1)].total_ngrams == 1
+            and ("h", 2) not in out)
