@@ -157,7 +157,7 @@ def exact_collapse(df, text_col="text", id_col="doc_id"):
     return reps, members
 
 
-def _cap_buckets(exploded, bucket_cap):
+def _cap_buckets(exploded, bucket_cap, id_col="__id"):
     """Deterministically keep at most ``bucket_cap`` rows per band
     bucket (hash-ordered sample; the hash mixes the bucket so each
     band drops DIFFERENT survivors — a pair over-capped in one band
@@ -168,7 +168,7 @@ def _cap_buckets(exploded, bucket_cap):
     if not bucket_cap:
         return exploded
     w = Window.partitionBy("__bucket").orderBy(
-        F.xxhash64(F.col("__id"), F.col("__bucket"))
+        F.xxhash64(F.col(id_col), F.col("__bucket"))
     )
     return (
         exploded.withColumn("__bn", F.row_number().over(w))
@@ -217,6 +217,25 @@ def _expand_pairs(rep_pairs, members, score_col, intra_score,
         )
     )
     return cross.unionAll(intra)
+
+
+def _attach_members(pairs, members, score_col, intra_score,
+                    expand_members):
+    """Shared tail of every pair-dedup operator that pre-collapsed
+    exact duplicates: re-attach the collapsed members to the
+    representative-level ``pairs`` — the full pairwise expansion
+    (:func:`_expand_pairs`) when ``expand_members``, else the linear
+    spanning form (one rep→member edge per member, enough for
+    connected-components grouping without the intra-class
+    quadratic)."""
+    if expand_members:
+        return _expand_pairs(pairs, members, score_col, intra_score)
+    dup_pairs = members.filter(F.col("__rep") != F.col("__mid")).select(
+        F.col("__rep").alias("id_a"),
+        F.col("__mid").alias("id_b"),
+        F.lit(intra_score).alias(score_col),
+    )
+    return pairs.unionAll(dup_pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -468,17 +487,8 @@ def minhash_lsh_pairs(
         .distinct()
     )
     if collapse_exact:
-        if expand_members:
-            pairs = _expand_pairs(pairs, members, "est_jaccard", 1.0)
-        else:
-            dup_pairs = members.filter(
-                F.col("__rep") != F.col("__mid")
-            ).select(
-                F.col("__rep").alias("id_a"),
-                F.col("__mid").alias("id_b"),
-                F.lit(1.0).alias("est_jaccard"),
-            )
-            pairs = pairs.unionAll(dup_pairs)
+        pairs = _attach_members(pairs, members, "est_jaccard", 1.0,
+                                expand_members)
     return pairs
 
 
@@ -702,17 +712,8 @@ def simhash_pairs(df, text_col="text", id_col="doc_id", max_hamming=3,
         .distinct()
     )
     if collapse_exact:
-        if expand_members:
-            pairs = _expand_pairs(pairs, members, "hamming", 0)
-        else:
-            dup_pairs = members.filter(
-                F.col("__rep") != F.col("__mid")
-            ).select(
-                F.col("__rep").alias("id_a"),
-                F.col("__mid").alias("id_b"),
-                F.lit(0).alias("hamming"),
-            )
-            pairs = pairs.unionAll(dup_pairs)
+        pairs = _attach_members(pairs, members, "hamming", 0,
+                                expand_members)
     return pairs
 
 
@@ -1003,17 +1004,8 @@ def ngram_jaccard_exact(df, text_col="text", id_col="doc_id", n=3,
         .filter(F.col("jaccard") >= threshold)
     )
     if collapse_exact:
-        if expand_members:
-            pairs = _expand_pairs(pairs, members, "jaccard", 1.0)
-        else:
-            dup_pairs = members.filter(
-                F.col("__rep") != F.col("__mid")
-            ).select(
-                F.col("__rep").alias("id_a"),
-                F.col("__mid").alias("id_b"),
-                F.lit(1.0).alias("jaccard"),
-            )
-            pairs = pairs.unionAll(dup_pairs)
+        pairs = _attach_members(pairs, members, "jaccard", 1.0,
+                                expand_members)
     return pairs
 
 
@@ -1609,17 +1601,8 @@ def embedding_dedup_pairs(df, vec_col="embedding", id_col="vec_id",
             .dropDuplicates(["id_a", "id_b"])
         )
     if collapse_exact:
-        if expand_members:
-            pairs = _expand_pairs(pairs, members, "cos_sim", 1.0)
-        else:
-            dup_pairs = members.filter(
-                F.col("__rep") != F.col("__mid")
-            ).select(
-                F.col("__rep").alias("id_a"),
-                F.col("__mid").alias("id_b"),
-                F.lit(1.0).alias("cos_sim"),
-            )
-            pairs = pairs.unionAll(dup_pairs)
+        pairs = _attach_members(pairs, members, "cos_sim", 1.0,
+                                expand_members)
     return pairs
 
 
@@ -1935,8 +1918,14 @@ def line_dedup(df, text_col="text", id_col="doc_id", sep="\n",
     Returns ``(id_col, text_col, n_lines, n_removed)`` — the rebuilt
     text, total segments, and segments dropped.
 
-    Shape at 100 TB: posexplode → line-frequency count keyed by
-    ``xxhash64(trim(line))`` (narrow 8-byte shuffle rows, never the
+    NULL ``text_col`` is treated as empty text (the doc survives as
+    one blank line) so the output stays one-row-per-input-doc.
+
+    Shape at 100 TB: posexplode → line-frequency count keyed by a
+    128-bit two-seed xxhash64 of ``trim(line)`` — removal is
+    destructive, so collisions must stay impossible past 2³² distinct
+    lines, exactly as :func:`exact_collapse` argues — (narrow 16-byte
+    shuffle rows, never the
     line text), join exploded lines against the duplicated-hash set
     (hash equi-join — the dup set is corpus-sized-dependent, NOT
     assumed broadcastable), then one doc-keyed rebuild aggregate whose
@@ -1947,15 +1936,23 @@ def line_dedup(df, text_col="text", id_col="doc_id", sep="\n",
     import re as _re
 
     pat = _re.escape(sep)
+    # NULL text is treated as empty (one blank line survives) so the
+    # operator stays one-row-per-input-doc — posexplode(split(NULL))
+    # would silently drop the doc from the output.
     lines = df.select(
         F.col(id_col).alias("__id"),
-        F.posexplode(F.split(F.col(text_col), pat, -1)).alias(
-            "__pos", "__line"
-        ),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), pat, -1)
+        ).alias("__pos", "__line"),
     ).withColumn("__norm", F.trim(F.col("__line")))
     nonblank = lines.filter(F.col("__norm") != "")
+    # 128-bit two-seed key, like exact_collapse: removal is
+    # DESTRUCTIVE, and at corpus scale (>2^32 distinct lines) a bare
+    # 64-bit match would strip innocent collision victims from every
+    # doc that contains them.
     counts = nonblank.groupBy(
-        F.xxhash64("__norm").alias("__lh")
+        F.xxhash64("__norm", F.lit(0)).alias("__lh1"),
+        F.xxhash64("__norm", F.lit(1)).alias("__lh2"),
     ).agg(F.count_distinct("__id").alias("__df"))
     if min_frac is not None:
         thr = df.agg(
@@ -1966,14 +1963,17 @@ def line_dedup(df, text_col="text", id_col="doc_id", sep="\n",
         dup = (
             counts.crossJoin(F.broadcast(thr))
             .filter(F.col("__df") >= F.col("__md"))
-            .select("__lh")
+            .select("__lh1", "__lh2")
         )
     else:
-        dup = counts.filter(F.col("__df") >= int(min_docs)).select("__lh")
+        dup = counts.filter(F.col("__df") >= int(min_docs)).select(
+            "__lh1", "__lh2"
+        )
     tagged = (
         lines.join(
             dup.withColumn("__dup", F.lit(True)),
-            F.xxhash64(lines["__norm"]) == dup["__lh"],
+            (F.xxhash64(lines["__norm"], F.lit(0)) == dup["__lh1"])
+            & (F.xxhash64(lines["__norm"], F.lit(1)) == dup["__lh2"]),
             "left",
         )
         .select(

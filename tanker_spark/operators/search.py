@@ -215,12 +215,20 @@ def hybrid_topk(docs_df, emb_df, query, probe_vec, k=10, n_each=50,
     query. Each leg is its own already-audited scale path; swap in
     :func:`bm25_topk_indexed` / a persisted ANN probe for repeated
     queries at scale and reuse :func:`rrf_fuse` unchanged."""
-    from .similarity import cosine_to, knn_brute
+    from .similarity import cosine_to
 
     lex = bm25_topk(docs_df, query, k=n_each, text_col=text_col,
                     id_col=doc_id_col)
-    den = knn_brute(emb_df, probe_vec, k=n_each, vec_col=vec_col,
-                    id_col=vec_id_col)
+    # the n_each candidate CUT must ride the ROUNDED score (like
+    # bm25_topk's) — cutting on raw doubles lets two engines whose
+    # cosines differ past 1e-6 pick different boundary candidates,
+    # and rrf_fuse can't repair membership differences
+    den_sim = F.round(cosine_to(F.col(vec_col), probe_vec), 6)
+    den = (
+        emb_df.select(F.col(vec_id_col), den_sim.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(vec_id_col).asc())
+        .limit(n_each)
+    )
     return rrf_fuse(
         [(lex, "bm25", "doc_id", 4), (den, "cos_sim", vec_id_col, 6)],
         k=k, rrf_k=rrf_k,

@@ -264,15 +264,9 @@ def _knn_lsh_gemm(qexp, cb, k, schema_str, bucket_cap):
     import numpy as np
     import pandas as pd
 
-    if bucket_cap:
-        w = Window.partitionBy("__bucket").orderBy(
-            F.xxhash64(F.col("cid"), F.col("__bucket"))
-        )
-        cb = (
-            cb.withColumn("__bn", F.row_number().over(w))
-            .filter(F.col("__bn") <= int(bucket_cap))
-            .drop("__bn")
-        )
+    from .dedup import _cap_buckets
+
+    cb = _cap_buckets(cb, bucket_cap, id_col="cid")
 
     def _unit(M):
         n = np.linalg.norm(M, axis=1, keepdims=True)
@@ -409,11 +403,14 @@ def knn_join(queries, corpus, k=5, vec_col="embedding", id_col="vec_id",
                 q.schema["qid"].dataType.simpleString(),
                 c.schema["cid"].dataType.simpleString(),
             )
-            # zero-norm queries return no rows on the column path
-            # (null sim filtered); match it rather than emit 0.0 rows
+            # zero-norm rows on EITHER side return no rows on the
+            # column path (null sim filtered before top-k); match it —
+            # a zero corpus vector scoring 0.0 in the tile would
+            # displace a real negative-cosine neighbor
             cand = _knn_lsh_gemm(
                 qexp.filter(F.col("__qinv").isNotNull()),
-                c, k, schema_str, bucket_cap,
+                c.filter(F.col("__cinv").isNotNull()),
+                k, schema_str, bucket_cap,
             )
             w = Window.partitionBy("qid").orderBy(
                 F.col("cos_sim").desc(), F.col("cid").asc()

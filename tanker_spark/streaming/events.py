@@ -721,14 +721,16 @@ def _transitions_resolver(ts_col, type_col, id_col, key_col,
                 for t, i, ty in zip(ms, pdf[id_col], pdf[type_col]):
                     buf.append((int(t), int(i), str(ty)))
         buf.sort()
-        # a pair (e_{j-1}, e_j) is FINAL once ts_j ≤ wm: every later
-        # arrival has ts ≥ wm (watermark-admitted), so nothing can land
-        # between them anymore. buf[0] is the already-emitted frontier
-        # (final under the PREVIOUS watermark), so pairs 1..f are
-        # exactly the newly final ones — emitted once, never twice.
+        # a pair (e_{j-1}, e_j) is FINAL once ts_j < wm: Spark drops
+        # only rows with ts < watermark, so a later arrival can still
+        # tie at ts == wm and sort between an already-emitted pair —
+        # strict < keeps those pairs pending until the watermark
+        # passes them. buf[0] is the already-emitted frontier (final
+        # under the PREVIOUS watermark), so pairs 1..f are exactly the
+        # newly final ones — emitted once, never twice.
         f = -1
         for j, (t, _i, _ty) in enumerate(buf):
-            if t <= wm:
+            if t < wm:
                 f = j
         rows = [
             (k, buf[j - 1][2], buf[j][2], buf[j][0])

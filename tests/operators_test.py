@@ -1803,7 +1803,13 @@ def test_knn_join_lsh_gemm_matches_column(spark):
     )
     g2 = similarity.knn_join(qdf, cdf2, k=3, method="lsh", n_planes=5,
                              score="gemm")
-    assert not any(r.cid == 9999 and r.cos_sim > 0 for r in g2.collect())
+    # a zero-norm CORPUS row is never a neighbor at all (the column
+    # path filters its null sim; the gemm tile must not hand it 0.0,
+    # which would displace a real negative-cosine neighbor)
+    assert not any(r.cid == 9999 for r in g2.collect())
+    c2 = similarity.knn_join(qdf, cdf2, k=3, method="lsh", n_planes=5,
+                             score="column")
+    assert not any(r.cid == 9999 for r in c2.collect())
     # a zero-norm QUERY returns no rows on either path
     qdf2 = spark.createDataFrame([(7777, [0.0] * dim)],
                                  ["vec_id", "embedding"])
@@ -2205,6 +2211,18 @@ def test_line_dedup(spark):
     assert {d: r.text for d, r in frac.items()} == {
         d: r.text for d, r in out.items()
     }
+
+    # NULL text is treated as empty: the doc SURVIVES (one blank
+    # line, nothing removed) instead of silently vanishing from the
+    # output — line_dedup stays one-row-per-input-doc
+    withnull = spark.createDataFrame(
+        rows + [(6, None)], ["doc_id", "text"]
+    )
+    out6 = {r.doc_id: r for r in
+            line_dedup(withnull, min_docs=3).collect()}
+    assert len(out6) == 6
+    assert out6[6].text == "" and (out6[6].n_lines,
+                                   out6[6].n_removed) == (1, 0)
 
 
 def test_tfidf_top_terms(spark):

@@ -826,6 +826,14 @@ def test_event_transitions_stream_matches_batch(spark, tmp_path):
     ev(4, 200, "x"); ev(4, 200, "y")
     # u5: still-open tail — later event above the final watermark
     ev(5, 1700, "a"); ev(5, 1840, "b")
+    # u6: ties the WATERMARK exactly — p@1060 and q@1070 land in
+    # batch 2; after batch 2 the watermark is minute 1070 (max ts
+    # 1190 − 2 h), and r@1070 with a SMALLER event_id arrives in
+    # batch 3: admissible (Spark drops only ts < wm) and sorting
+    # between p and q, so (p,q) must NOT have been finalized at
+    # ts == wm — the stream must emit (p,r),(r,q), not (p,q),(r,q)
+    ev(6, 1070, "r")                     # created first: smaller id
+    ev(6, 1060, "p"); ev(6, 1070, "q")
     # driver: keeps the watermark moving through minute 1861
     for h in range(32):
         ev(99, h * 60 + 1, "tick")
@@ -835,9 +843,12 @@ def test_event_transitions_stream_matches_batch(spark, tmp_path):
     for k, (lo, hi) in enumerate(bounds):
         chunk = [r for r in rows
                  if (lo <= (r[1] - base).total_seconds() // 60 < hi)
-                 and not (r[2] == 3 and r[3] == "b")]
-        if k == 2:  # u3's late b-event arrives only in the last batch
-            chunk += [r for r in rows if r[2] == 3 and r[3] == "b"]
+                 and not (r[2] == 3 and r[3] == "b")
+                 and not (r[2] == 6 and r[3] == "r")]
+        if k == 2:  # u3's late b / u6's tying r arrive only last
+            chunk += [r for r in rows
+                      if (r[2] == 3 and r[3] == "b")
+                      or (r[2] == 6 and r[3] == "r")]
         spark.createDataFrame(chunk, sev.EVENTS_SCHEMA) \
             .coalesce(1).write.mode("append").parquet(src)
 
@@ -849,7 +860,9 @@ def test_event_transitions_stream_matches_batch(spark, tmp_path):
            for r in out.collect()}
 
     # brute-force expectation: per-user (ts, id)-sorted consecutive
-    # pairs whose later event the final watermark has passed
+    # pairs whose later event the final watermark has passed —
+    # STRICTLY: rows tying the watermark are still admissible, so a
+    # pair is final only once ts < wm
     final_wm = max(r[1] for r in rows) - timedelta(hours=2)
     want = set()
     by_user = {}
@@ -858,7 +871,7 @@ def test_event_transitions_stream_matches_batch(spark, tmp_path):
     for u, evs in by_user.items():
         evs.sort(key=lambda r: (r[1], r[0]))
         for prev, cur in zip(evs, evs[1:]):
-            if cur[1] <= final_wm:
+            if cur[1] < final_wm:
                 want.add((u, prev[3], cur[3], cur[1]))
     assert got == want
     # named scenarios
@@ -866,6 +879,9 @@ def test_event_transitions_stream_matches_batch(spark, tmp_path):
     assert u3 == [("b", "a")]            # reordered across batches
     assert (4, "x", "y", base + timedelta(minutes=200)) in got
     assert not any(u == 5 for (u, _f, _t, _ts) in got)  # open tail
+    # u6: the wm-tying late arrival sorted INSIDE the pending pair
+    u6 = sorted((f, t) for (u, f, t, _ts) in got if u == 6)
+    assert u6 == [("p", "r"), ("r", "q")]
 
     # aggregate equality with the batch twin on the closed pairs
     import pyspark.sql.functions as F
@@ -881,7 +897,7 @@ def test_event_transitions_stream_matches_batch(spark, tmp_path):
     for u, evs in by_user.items():
         evs.sort(key=lambda r: (r[1], r[0]))
         for prev, cur in zip(evs, evs[1:]):
-            if cur[1] > final_wm:
+            if cur[1] >= final_wm:
                 k = (prev[3], cur[3])
                 open_edges[k] = open_edges.get(k, 0) + 1
     for k, n in bm.items():
