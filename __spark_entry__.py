@@ -2186,6 +2186,55 @@ def ngram_diversity_langs(spark, sf_dir):
     return out.orderBy("lang", "n")
 
 
+#: the retrieval-eval query set: term-pair grading needs terms that
+#: co-occur in the synthetic vocabulary (all nine are top-25 corpus
+#: words), and three queries exercise per-query isolation
+_EVAL_QUERIES = [
+    (1, "spark merge window"),
+    (2, "vector hash join"),
+    (3, "stream batch filter"),
+]
+
+
+def retrieval_eval_bm25(spark, sf_dir):
+    """Round-7 debut: IR evaluation metrics (search.retrieval_metrics)
+    — recall@10 / MRR@10 / nDCG@10 of three BM25 runs against graded
+    pseudo-judgments (rel = number of distinct query terms a doc
+    contains, judged relevant at >= 2). Every frame after retrieval is
+    |queries|·k-sized; ranks ride the ROUNDED bm25 score so both
+    engines select identical rows."""
+    from tanker_spark.operators.search import bm25_topk, retrieval_metrics
+    from tanker_spark.operators.text import tokens
+
+    df = _read(spark, sf_dir, "documents")
+    res = None
+    for qid, q in _EVAL_QUERIES:
+        r = bm25_topk(df, q, k=10).select(
+            F.lit(qid).alias("query_id"), "doc_id",
+            F.col("bm25").alias("score"),
+        )
+        res = r if res is None else res.unionAll(r)
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, q in _EVAL_QUERIES
+         for t in sorted(set(q.split()))],
+        ["query_id", "term"],
+    )
+    doc_terms = df.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(tokens(F.lower(F.col("text"))))
+        ).alias("term"),
+    )
+    qrels = (
+        doc_terms.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("rel"))
+        .filter(F.col("rel") >= 2)
+    )
+    out = retrieval_metrics(res, qrels, k=10)
+    return out.orderBy("query_id")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2200,11 +2249,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #: CORRECTNESS row in its debut round.
 DEBUTS = [
     # round-7 debuts: line-level corpus dedup, TF-IDF top terms,
-    # UniMax epoch-capped mixing, n-gram diversity
+    # UniMax epoch-capped mixing, n-gram diversity, retrieval eval
     "line_dedup_docs",
     "top_terms_by_lang",
     "mix_unimax_langs",
     "ngram_diversity_langs",
+    "retrieval_eval_bm25",
 ]
 
 
@@ -2430,6 +2480,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms_by_lang": top_terms_by_lang,
         "mix_unimax_langs": mix_unimax_langs,
         "ngram_diversity_langs": ngram_diversity_langs,
+        "retrieval_eval_bm25": retrieval_eval_bm25,
     }
 
 
@@ -4289,6 +4340,93 @@ def oracle_sql() -> dict[str, str]:
                    round(count(DISTINCT gram)::DOUBLE / count(*), 6)
                      AS diversity
             FROM grams GROUP BY lang, n ORDER BY lang, n
+        """,
+        "retrieval_eval_bm25": """
+            WITH queries(query_id, term) AS (
+              VALUES (1,'merge'),(1,'spark'),(1,'window'),
+                     (2,'hash'),(2,'join'),(2,'vector'),
+                     (3,'batch'),(3,'filter'),(3,'stream')
+            ),
+            base AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\\s+')
+                       AS toks
+              FROM documents
+            ),
+            docs AS (SELECT doc_id, len(toks) AS dl FROM base),
+            stats AS (
+              SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM docs
+            ),
+            tok AS (SELECT doc_id, unnest(toks) AS term FROM base),
+            m AS (
+              SELECT q.query_id, t.doc_id, t.term, count(*) AS tf
+              FROM tok t JOIN queries q USING (term)
+              GROUP BY 1, 2, 3
+            ),
+            dfreq AS (
+              SELECT query_id, term, count(*) AS df_t
+              FROM m GROUP BY 1, 2
+            ),
+            scored AS (
+              SELECT m.query_id, m.doc_id,
+                     round(sum(
+                       ln((n_docs - df_t + 0.5)/(df_t + 0.5) + 1)
+                       * tf*(1.2+1)/(tf + 1.2*(1 - 0.75 + 0.75*dl/avgdl))
+                     ), 4) AS score
+              FROM m
+              JOIN dfreq USING (query_id, term)
+              JOIN docs USING (doc_id), stats
+              GROUP BY 1, 2
+            ),
+            topk AS (
+              SELECT query_id, doc_id, rank FROM (
+                SELECT query_id, doc_id,
+                       row_number() OVER (
+                         PARTITION BY query_id
+                         ORDER BY score DESC, doc_id ASC) AS rank
+                FROM scored
+              ) WHERE rank <= 10
+            ),
+            qrels AS (
+              SELECT q.query_id, d.doc_id,
+                     count(DISTINCT d.term) AS rel
+              FROM (SELECT DISTINCT doc_id, term FROM tok) d
+              JOIN queries q USING (term)
+              GROUP BY 1, 2
+              HAVING count(DISTINCT d.term) >= 2
+            ),
+            hits AS (
+              SELECT t.query_id, count(*) AS nhit, min(rank) AS frank,
+                     sum((pow(2.0, rel) - 1)/log2(rank + 1)) AS dcg
+              FROM topk t
+              JOIN qrels r
+                ON t.query_id = r.query_id AND t.doc_id = r.doc_id
+              GROUP BY 1
+            ),
+            ideal AS (
+              SELECT query_id,
+                     sum((pow(2.0, rel) - 1)/log2(ir + 1)) AS idcg
+              FROM (
+                SELECT query_id, rel,
+                       row_number() OVER (
+                         PARTITION BY query_id
+                         ORDER BY rel DESC, doc_id ASC) AS ir
+                FROM qrels
+              ) WHERE ir <= 10 GROUP BY 1
+            ),
+            totals AS (
+              SELECT query_id, count(*) AS nrel FROM qrels GROUP BY 1
+            )
+            SELECT t.query_id,
+                   round(coalesce(h.nhit, 0) / t.nrel, 6)
+                     AS recall_at_k,
+                   round(coalesce(1.0 / h.frank, 0.0), 6) AS mrr_at_k,
+                   round(coalesce(h.dcg, 0.0) / i.idcg, 6)
+                     AS ndcg_at_k
+            FROM totals t
+            JOIN ideal i USING (query_id)
+            LEFT JOIN hits h USING (query_id)
+            ORDER BY t.query_id
         """,
         # minhash/simhash/doc_fingerprints/knn_lsh/knn_ivf/multimodal:
         # hash/UDF internals or approximate recall are not portably

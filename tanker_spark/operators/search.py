@@ -233,3 +233,88 @@ def hybrid_topk(docs_df, emb_df, query, probe_vec, k=10, n_each=50,
         [(lex, "bm25", "doc_id", 4), (den, "cos_sim", vec_id_col, 6)],
         k=k, rrf_k=rrf_k,
     )
+
+
+def retrieval_metrics(results, qrels, k=10, query_col="query_id",
+                      id_col="doc_id", score_col="score",
+                      rel_col="rel", round_to=6):
+    """Per-query IR evaluation — recall@k, MRR@k, nDCG@k — of a ranked
+    ``results`` frame against a graded relevance-judgment frame
+    ``qrels`` (rows with ``rel_col <= 0`` are ignored). The eval side
+    of the search family: score a retrieval run (BM25, dense, hybrid)
+    against judgments, per query.
+
+    Ranks are assigned on ``(score DESC, id ASC)`` — results should
+    carry an already-ROUNDED score (as :func:`bm25_topk` and
+    :func:`hybrid_topk` emit) so rank assignment is engine-portable.
+    Definitions: ``recall@k = |relevant in top-k| / |relevant|``;
+    ``MRR@k = 1/rank`` of the first relevant in the top-k (0 when
+    none); ``nDCG@k = DCG@k / IDCG@k`` with the standard graded gain
+    ``(2^rel - 1)/log2(rank+1)``. Queries present in ``qrels`` but
+    retrieving nothing still get their (0-valued) row; queries with
+    no positive judgments are dropped (every metric is undefined).
+
+    Returns ``(query_col, recall_at_k, mrr_at_k, ndcg_at_k)``.
+
+    Shape at 100 TB: the ranked window and every join/aggregate are
+    keyed by the query; ``results`` is top-k-bounded per query
+    upstream, so all frames here are |queries|·k-sized regardless of
+    corpus size — the expensive part of an eval run is the retrieval
+    itself, never the metric math.
+    """
+    from pyspark.sql import Window
+
+    pos = qrels.filter(F.col(rel_col) > 0).select(
+        F.col(query_col).alias("__q"), F.col(id_col).alias("__d"),
+        F.col(rel_col).cast("double").alias("__rel"),
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    topk = (
+        results.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= int(k))
+        .select(F.col(query_col).alias("__q"),
+                F.col(id_col).alias("__d"), "__rank")
+    )
+    hits = topk.join(pos, ["__q", "__d"]).groupBy("__q").agg(
+        F.count(F.lit(1)).alias("__nhit"),
+        F.min("__rank").alias("__frank"),
+        F.sum(
+            (F.pow(2.0, F.col("__rel")) - 1.0)
+            / F.log2(F.col("__rank") + 1.0)
+        ).alias("__dcg"),
+    )
+    wi = Window.partitionBy("__q").orderBy(
+        F.col("__rel").desc(), F.col("__d").asc()
+    )
+    ideal = (
+        pos.withColumn("__ir", F.row_number().over(wi))
+        .filter(F.col("__ir") <= int(k))
+        .groupBy("__q")
+        .agg(
+            F.sum(
+                (F.pow(2.0, F.col("__rel")) - 1.0)
+                / F.log2(F.col("__ir") + 1.0)
+            ).alias("__idcg"),
+        )
+    )
+    totals = pos.groupBy("__q").agg(F.count(F.lit(1)).alias("__nrel"))
+    return (
+        totals.join(ideal, "__q")
+        .join(hits, "__q", "left")
+        .select(
+            F.col("__q").alias(query_col),
+            F.round(
+                F.coalesce(F.col("__nhit"), F.lit(0)) / F.col("__nrel"),
+                round_to,
+            ).alias("recall_at_k"),
+            F.round(
+                F.coalesce(1.0 / F.col("__frank"), F.lit(0.0)), round_to
+            ).alias("mrr_at_k"),
+            F.round(
+                F.coalesce(F.col("__dcg"), F.lit(0.0)) / F.col("__idcg"),
+                round_to,
+            ).alias("ndcg_at_k"),
+        )
+    )

@@ -107,3 +107,41 @@ def test_hybrid_topk_end_to_end(spark):
     assert set(ids[:2]) == {0, 1}
     scores = {r["doc_id"]: r["rrf"] for r in out}
     assert scores[1] > scores[3]
+
+
+def test_retrieval_metrics(spark):
+    from tanker_spark.operators.search import retrieval_metrics
+
+    res = spark.createDataFrame(
+        [(1, 10, 5.0), (1, 11, 4.0), (1, 12, 3.0),
+         (2, 20, 2.0), (2, 21, 1.0),
+         (3, 30, 9.0)],
+        ["query_id", "doc_id", "score"])
+    qrels = spark.createDataFrame(
+        [(1, 11, 2), (1, 12, 1), (1, 99, 3),
+         (2, 77, 1),
+         (3, 30, 1),
+         (4, 40, 1),          # judged query with NO results: 0-row
+         (5, 50, 0)],         # rel<=0 judgments are ignored entirely
+        ["query_id", "doc_id", "rel"])
+    out = {r.query_id: r
+           for r in retrieval_metrics(res, qrels, k=2).collect()}
+
+    import math
+    # q1 top-2 = (10, 11); hit doc 11 (rel 2) at rank 2
+    dcg = (2 ** 2 - 1) / math.log2(3)
+    idcg = (2 ** 3 - 1) / math.log2(2) + (2 ** 2 - 1) / math.log2(3)
+    assert out[1].recall_at_k == round(1 / 3, 6)
+    assert out[1].mrr_at_k == 0.5
+    assert out[1].ndcg_at_k == round(dcg / idcg, 6)
+    # q2: judged but nothing relevant retrieved
+    assert (out[2].recall_at_k, out[2].mrr_at_k,
+            out[2].ndcg_at_k) == (0.0, 0.0, 0.0)
+    # q3: perfect single-hit run
+    assert (out[3].recall_at_k, out[3].mrr_at_k,
+            out[3].ndcg_at_k) == (1.0, 1.0, 1.0)
+    # q4: judged query absent from results still reports zeros
+    assert (out[4].recall_at_k, out[4].mrr_at_k,
+            out[4].ndcg_at_k) == (0.0, 0.0, 0.0)
+    # q5 had only rel=0 judgments -> dropped (metrics undefined)
+    assert 5 not in out
