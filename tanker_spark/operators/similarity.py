@@ -1266,3 +1266,94 @@ def random_projection(df, out_dim, dim, vec_col="embedding", seed=42,
         for row in rows
     ])
     return df.withColumn(out_col or vec_col, proj)
+
+
+def embedding_incremental(new_df, index_path, threshold=0.95,
+                          multiprobe=1, exclude_batch_ids=False):
+    """Incremental embedding near-dup: match an arriving batch against
+    the persisted ANN index at ``index_path`` (built by
+    :func:`build_ann_index`, grown by :func:`ann_index_append`) — the
+    embedding twin of ``dedup.minhash_incremental`` /
+    ``dedup.simhash_incremental``, completing the incremental matrix
+    across all three dedup families. Returns ``(id_a, id_b, cos_sim)``
+    with ``id_a`` = batch id, ``id_b`` = index id, ``cos_sim >=
+    threshold``.
+
+    The batch side explodes to its radius-``multiprobe`` Hamming ball
+    (the same enumeration :func:`knn_join` uses) so a near-dup that
+    flips one sign bit still meets its corpus bucket; the index side
+    is read ONLY at the batch's bucket set — collected driver-side
+    (metadata-sized: ≤ |batch|·ball buckets) and pushed as a partition
+    filter, so the historical corpus is never scanned. Candidates
+    score with per-row hoisted inverse norms (one dot product each);
+    zero-norm rows on either side never match (null sim, as
+    everywhere). Quantized indexes dequantize in codegen — their
+    scores carry the lattice error, so keep thresholds clear of the
+    documented quantization margin.
+
+    ``exclude_batch_ids=True`` drops index rows whose id appears in
+    the batch — a replayed batch whose signature append already landed
+    must not match its own corpus twin (same contract, and the same
+    reason, as ``minhash_incremental``).
+
+    LSH indexes only: an IVF index's probe set is per-vector argmax
+    over centroids, which the batched form would have to recompute for
+    every row — build the LSH layout for corpora that are matched
+    incrementally."""
+    with open(os.path.join(index_path, ANN_META)) as fh:
+        meta = json.load(fh)
+    if meta["method"] != "lsh":
+        raise ValueError(
+            "embedding_incremental requires an LSH index; %r is %r"
+            % (index_path, meta["method"])
+        )
+    vec_col, id_col = meta["vec_col"], meta["id_col"]
+    dim, n_planes, seed = meta["dim"], meta["n_planes"], meta["seed"]
+
+    qn = _norm(F.col("__qv"))
+    q = new_df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__qv")
+    ).withColumn("__qinv", F.when(qn > 0, 1.0 / qn))
+    b = hyperplane_bucket(F.col("__qv"), dim, n_planes, seed)
+    balls = [b]
+    for r in range(1, multiprobe + 1):
+        for bits in combinations(range(n_planes), r):
+            bb = b
+            for j in bits:
+                bb = bb.bitwiseXOR(1 << j)
+            balls.append(bb)
+    qexp = q.select(
+        "id_a", "__qv", "__qinv",
+        F.explode(F.array(*balls)).alias("__bucket"),
+    ).dropDuplicates(["id_a", "__bucket"])
+
+    # batch bucket set, driver-side: bounded by |batch| x ball size,
+    # pushed into the index scan as a partition filter
+    buckets = [r["__bucket"]
+               for r in qexp.select("__bucket").distinct().collect()]
+    idx = new_df.sparkSession.read.parquet(index_path).filter(
+        F.col("__bucket").isin(buckets)
+    )
+    if exclude_batch_ids:
+        idx = idx.join(
+            new_df.select(F.col(id_col)).distinct(), id_col, "left_anti"
+        )
+    cv = (
+        dequantize_col(F.col("qcode"), F.col("qmin"), F.col("qscale"))
+        if meta.get("quantized") else F.col(vec_col)
+    )
+    cn = _norm(cv)
+    c = idx.select(
+        F.col(id_col).alias("id_b"), cv.alias("__cv"),
+        F.when(cn > 0, 1.0 / cn).alias("__cinv"),
+        "__bucket",
+    )
+    sim = _dot(F.col("__qv"), F.col("__cv")) \
+        * F.col("__qinv") * F.col("__cinv")
+    return (
+        qexp.join(c, "__bucket")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= float(threshold))
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -153,3 +153,81 @@ def decontaminate_sink(stream_df, out_path, bloom_path, checkpoint_dir,
         .trigger(availableNow=available_now)
         .start()
     )
+
+
+def semantic_filter_sink(stream_df, out_path, index_path, checkpoint_dir,
+                         vec_col="embedding", id_col="vec_id",
+                         threshold=0.95, multiprobe=1, dim=64,
+                         n_planes=8, seed=42, quantize=False,
+                         available_now=True):
+    """Streaming SEMANTIC near-duplicate gate: each micro-batch of
+    embedded rows is matched against the persisted ANN index at
+    ``index_path`` (:func:`operators.similarity.embedding_incremental`);
+    rows whose cosine vs the indexed corpus — or vs an earlier row in
+    the same batch — clears ``threshold`` are dropped, survivors land
+    in ``out_path`` and are appended to the index so later batches
+    (and later streams) see them. The embedding-space twin of
+    :func:`neardup_filter_sink`, for pipelines that deduplicate on
+    meaning (SemDeDup-style) rather than tokens.
+
+    Delivery: at-least-once batch replay from the checkpoint;
+    exactly-once OUTPUT via the deterministic ``batch=N`` overwrite
+    plus ``exclude_batch_ids=True`` on the index match (a replayed
+    batch must not be killed by its own appended twin). Replayed index
+    appends duplicate rows, bounded by the replay count — they change
+    no verdict (a dup of a dup still matches) and compact away on the
+    next :func:`operators.similarity.build_ann_index` rebuild.
+
+    Scale: per batch cost is O(batch ball buckets) index partitions
+    read + one intra-batch banded-LSH pass over the batch itself; the
+    historical corpus is only ever touched through its bucket-pruned
+    index partitions."""
+    import os
+
+    from ..operators import dedup as _dedup
+    from ..operators import similarity as _sim
+
+    def _filter_batch(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.persist()
+        # intra-batch near-dups first (keep the lowest id), so two
+        # same-batch twins can't both survive into the index
+        intra = _dedup.embedding_dedup_pairs(
+            batch_df, vec_col=vec_col, id_col=id_col, dim=dim,
+            threshold=threshold, seed=seed,
+        ).select(F.col("id_b").alias(id_col)).distinct()
+        keep = batch_df.join(intra, id_col, "left_anti")
+        if os.path.exists(os.path.join(index_path, _sim.ANN_META)):
+            pairs = _sim.embedding_incremental(
+                keep, index_path, threshold=threshold,
+                multiprobe=multiprobe, exclude_batch_ids=True,
+            )
+            dup_ids = pairs.select(
+                F.col("id_a").alias(id_col)
+            ).distinct()
+            keep = keep.join(dup_ids, id_col, "left_anti")
+            bdir = "%s/batch=%d" % (out_path, batch_id)
+            keep.write.mode("overwrite").parquet(bdir)
+            written = batch_df.sparkSession.read.parquet(bdir)
+            _sim.ann_index_append(
+                written.select(id_col, vec_col), index_path
+            )
+        else:
+            bdir = "%s/batch=%d" % (out_path, batch_id)
+            keep.write.mode("overwrite").parquet(bdir)
+            written = batch_df.sparkSession.read.parquet(bdir)
+            _sim.build_ann_index(
+                written.select(id_col, vec_col), index_path,
+                method="lsh", vec_col=vec_col, id_col=id_col, dim=dim,
+                n_planes=n_planes, seed=seed, quantize=quantize,
+            )
+        batch_df.unpersist()
+        _dedup.release_caches()
+
+    return (
+        stream_df.writeStream.foreachBatch(_filter_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=available_now)
+        .start()
+    )

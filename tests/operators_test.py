@@ -2293,3 +2293,72 @@ def test_ngram_diversity(spark):
     # a single-token doc contributes no bigrams at all
     assert (out[("h", 1)].total_ngrams == 1
             and ("h", 2) not in out)
+
+
+def test_embedding_incremental(spark, tmp_path):
+    """Batch-vs-persisted-index near-dup matching: the embedding twin
+    of minhash_incremental. Planted exact and near copies match their
+    indexed source; every reported pair clears the threshold by brute
+    force; exclude_batch_ids makes a replayed batch blind to its own
+    appended twin."""
+    rnd = random.Random(11)
+    dim = 16
+    corpus = [(i, [rnd.gauss(0, 1) for _ in range(dim)])
+              for i in range(300)]
+    cdf = spark.createDataFrame(corpus, ["vec_id", "embedding"])
+    path = str(tmp_path / "inc_idx")
+    similarity.build_ann_index(cdf, path, method="lsh", dim=dim,
+                               n_planes=6)
+    batch = []
+    for j in range(5):
+        batch.append((1000 + j, list(corpus[j * 13][1])))
+    for j in range(5):
+        batch.append((2000 + j,
+                      [x + rnd.gauss(0, 1e-5)
+                       for x in corpus[j * 29][1]]))
+    for j in range(5):
+        batch.append((3000 + j, [rnd.gauss(0, 1) for _ in range(dim)]))
+    bdf = spark.createDataFrame(batch, ["vec_id", "embedding"])
+    pairs = similarity.embedding_incremental(
+        bdf, path, threshold=0.999, multiprobe=1)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    for j in range(5):
+        assert (1000 + j, corpus[j * 13][0]) in got   # exact copies
+    for j in range(5):
+        assert (2000 + j, corpus[j * 29][0]) in got   # near copies
+    import math
+
+    cmap = dict(corpus)
+    bmap = dict(batch)
+
+    def _cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / math.sqrt(sum(x * x for x in a)
+                             * sum(x * x for x in b))
+
+    for a, b in got:  # nothing below threshold ever reported
+        assert _cos(bmap[a], cmap[b]) >= 0.999
+    # replay contract: after the batch's own append, exclude_batch_ids
+    # hides its corpus twin — the pair set is unchanged
+    similarity.ann_index_append(bdf, path)
+    replay = {(r.id_a, r.id_b)
+              for r in similarity.embedding_incremental(
+                  bdf, path, threshold=0.999, multiprobe=1,
+                  exclude_batch_ids=True).collect()}
+    assert replay == got
+    # quantized index: same exact-copy matches within lattice error
+    qpath = str(tmp_path / "inc_idx_q")
+    similarity.build_ann_index(cdf, qpath, method="lsh", dim=dim,
+                               n_planes=6, quantize=True)
+    qgot = {(r.id_a, r.id_b)
+            for r in similarity.embedding_incremental(
+                bdf, qpath, threshold=0.99, multiprobe=1).collect()}
+    for j in range(5):
+        assert (1000 + j, corpus[j * 13][0]) in qgot
+    # IVF layouts are per-vector-argmax probes — rejected with a clear
+    # error rather than a silent full scan
+    ipath = str(tmp_path / "inc_idx_ivf")
+    similarity.build_ann_index(cdf, ipath, method="ivf", n_cells=8)
+    with pytest.raises(ValueError, match="LSH"):
+        similarity.embedding_incremental(bdf, ipath).collect()
+    dedup.release_caches()

@@ -902,3 +902,78 @@ def test_event_transitions_stream_matches_batch(spark, tmp_path):
                 open_edges[k] = open_edges.get(k, 0) + 1
     for k, n in bm.items():
         assert sm.get(k, 0) == n - open_edges.get(k, 0), (k, n, sm)
+
+
+def test_semantic_filter_stream(spark, tmp_path):
+    """Streaming embedding near-dup gate: the first batch builds the
+    ANN index from its survivors (intra-batch twins collapsed); a
+    second stream whose rows are near copies of indexed survivors is
+    dropped entirely, while fresh vectors pass."""
+    import os
+    import random
+
+    from tanker_spark.streaming.ingest import semantic_filter_sink
+
+    rnd = random.Random(23)
+    dim = 16
+
+    def vec():
+        return [rnd.gauss(0, 1) for _ in range(dim)]
+
+    idx = str(tmp_path / "sem_idx")
+    a, b = vec(), vec()
+    batch1 = [
+        (1, a),
+        (2, b),
+        (3, [x + rnd.gauss(0, 1e-6) for x in a]),  # intra-batch twin
+    ]
+    src = str(tmp_path / "sem_src")
+    spark.createDataFrame(batch1, ["vec_id", "embedding"]).coalesce(1) \
+        .write.parquet(src)
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<double>").parquet(src)
+    out1 = str(tmp_path / "sem_out1")
+    q = semantic_filter_sink(
+        stream, out1, idx, str(tmp_path / "sem_ckpt1"),
+        threshold=0.999, dim=dim, n_planes=6)
+    q.awaitTermination(120)
+    kept = {r.vec_id for r in spark.read.parquet(out1).collect()}
+    assert kept == {1, 2}          # the intra-batch twin collapsed
+    assert os.path.exists(os.path.join(idx, "_ann_meta.json"))
+
+    # second stream: near copies of both survivors + one fresh vector
+    batch2 = [
+        (10, [x + rnd.gauss(0, 1e-6) for x in a]),
+        (11, [x + rnd.gauss(0, 1e-6) for x in b]),
+        (12, vec()),
+    ]
+    src2 = str(tmp_path / "sem_src2")
+    spark.createDataFrame(batch2, ["vec_id", "embedding"]).coalesce(1) \
+        .write.parquet(src2)
+    stream2 = spark.readStream.schema(
+        "vec_id long, embedding array<double>").parquet(src2)
+    out2 = str(tmp_path / "sem_out2")
+    q2 = semantic_filter_sink(
+        stream2, out2, idx, str(tmp_path / "sem_ckpt2"),
+        threshold=0.999, dim=dim, n_planes=6)
+    q2.awaitTermination(120)
+    kept2 = {r.vec_id for r in spark.read.parquet(out2).collect()}
+    assert kept2 == {12}
+    # ... and the fresh survivor joined the index: replaying IT now
+    # (new id) is dropped too
+    batch3 = [(20, list(batch2[2][1]))]
+    src3 = str(tmp_path / "sem_src3")
+    spark.createDataFrame(batch3, ["vec_id", "embedding"]).coalesce(1) \
+        .write.parquet(src3)
+    stream3 = spark.readStream.schema(
+        "vec_id long, embedding array<double>").parquet(src3)
+    out3 = str(tmp_path / "sem_out3")
+    q3 = semantic_filter_sink(
+        stream3, out3, idx, str(tmp_path / "sem_ckpt3"),
+        threshold=0.999, dim=dim, n_planes=6)
+    q3.awaitTermination(120)
+    files = ([f for f in os.listdir(out3) if f.startswith("batch=")]
+             if os.path.exists(out3) else [])
+    kept3 = ({r.vec_id for r in spark.read.parquet(out3).collect()}
+             if files else set())
+    assert kept3 == set()
