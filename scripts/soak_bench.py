@@ -327,6 +327,61 @@ def main():
         return search.hybrid_topk(
             docs, emb, SOAK_QUERY, probe, k=10, n_each=50).count()
 
+    def neardup_groups_soak():
+        # pairs -> clusters end-to-end: the ~100M spanning pairs from
+        # the banded-LSH stage resolved by alternating large-star/
+        # small-star — the O(log n) path that exists exactly for this
+        # scale (the 2500-copy hot classes are star-shaped components)
+        pairs = dedup.minhash_lsh_pairs(
+            docs, "text", "doc_id", num_hashes=16, bands=4,
+            threshold=0.5, expand_members=False,
+        )
+        groups = dedup.neardup_groups(pairs, method="star")
+        n = groups.agg(F.count_distinct("group_id")).collect()[0][0]
+        dedup.release_caches()
+        return n
+
+    def line_dedup_soak():
+        # segments = words on this corpus (single-line docs): template
+        # vocabulary t0..t4999 lands in ~24k docs each, unique-doc
+        # vocabulary w0..w49999 in ~8k — min_docs=15000 removes exactly
+        # the boilerplate tier. Explode is ~550M rows, counts/joins ride
+        # 16-byte hash keys, rebuild state is doc-bounded
+        out = dedup.line_dedup(docs, sep=" ", min_docs=15_000)
+        n = out.agg(F.sum("n_removed")).collect()[0][0]
+        dedup.release_caches()
+        return n
+
+    def streaming_decontam_soak():
+        # ingest throughput: the WHOLE 10M-doc corpus through the
+        # Bloom decontamination gate as a file stream (~1k-doc bench
+        # filter built once; per batch = broadcast bitmap + codegen
+        # shingle tests + the per-doc containment aggregate)
+        import shutil
+        from tanker_spark.operators import text as text_ops
+        from tanker_spark.streaming import ingest
+        base = args.dir + "/stream_soak"
+        shutil.rmtree(base, ignore_errors=True)
+        bloom = base + "/bloom.parquet"
+        bench = docs.filter(
+            F.pmod(F.xxhash64("doc_id", F.lit(99)), F.lit(10_000)) == 0)
+        text_ops.build_contamination_filter(bench, bloom)
+        stream = (spark.readStream.schema(docs.schema)
+                  .option("maxFilesPerTrigger", 16)
+                  .parquet(args.dir + "/documents.parquet"))
+        t0 = time.perf_counter()
+        q = ingest.decontaminate_sink(
+            stream, base + "/out", bloom, base + "/ckpt",
+            max_containment=0.5)
+        q.awaitTermination()
+        stream_s = time.perf_counter() - t0
+        n = spark.read.parquet(base + "/out").count()
+        print("# streaming_decontam: %.1fs stream time -> %.0f docs/s "
+              "admitted %d" % (stream_s, args.rows / stream_s, n),
+              file=sys.stderr)
+        shutil.rmtree(base, ignore_errors=True)
+        return n
+
     benches = {
         "exact_dedup": exact_dedup_soak,
         "minhash_spanning_pairs": minhash_soak,
@@ -342,6 +397,9 @@ def main():
         "bm25_direct": bm25_soak,
         "bm25_indexed": bm25_indexed_soak,
         "hybrid_retrieval": hybrid_soak,
+        "neardup_groups": neardup_groups_soak,
+        "line_dedup": line_dedup_soak,
+        "streaming_decontam": streaming_decontam_soak,
     }
     only = set(args.only.split(",")) if args.only else None
     for name, fn in benches.items():
