@@ -163,8 +163,16 @@ def _cap_buckets(exploded, bucket_cap, id_col="__id"):
     band drops DIFFERENT survivors — a pair over-capped in one band
     can still collide in another). Recall bound: a pair is missed only
     if EVERY shared bucket holds > bucket_cap rows and both ends fall
-    outside both samples. O(n log n) sort per bucket, never O(n²)
-    output. No-op when ``bucket_cap`` is falsy."""
+    outside both samples. No-op when ``bucket_cap`` is falsy.
+
+    One bucket-keyed Exchange + per-bucket sort over the exploded
+    frame, O(n log bucket_rows) — deliberately NOT a two-phase
+    "window only the overflowing buckets" form: that variant was
+    measured 1.6× SLOWER end-to-end (the split branches each rescan
+    the exploded frame and the band self-join loses the
+    ReusedExchange it gets from one shared window subtree), while the
+    single window's sort cost is per-bucket, not global, and was
+    measured fine at 10M docs (BENCH_NOTES soak table)."""
     if not bucket_cap:
         return exploded
     w = Window.partitionBy("__bucket").orderBy(
@@ -868,7 +876,8 @@ def _df_prefix_keys(sh, freq, threshold, bucket_cap=None):
         ex.join(freq, F.col("__s.h") == F.col("__fh"))
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= _plen(F.col("__sz"), threshold))
-        .select("__id", F.col("__s.h").alias("__bucket"))
+        .select("__id", "__sz", F.col("__rn").alias("__pos"),
+                F.col("__s.h").alias("__bucket"))
     )
     if bucket_cap:
         pref = _cap_buckets(pref, bucket_cap)
@@ -883,7 +892,8 @@ def _prefix_keys(sh, threshold, bucket_cap=None):
     rank instead of array slicing)."""
     pref = sh.select(
         "__id",
-        F.explode(
+        F.size("__sh").alias("__sz"),
+        F.posexplode(
             F.transform(
                 F.slice(
                     F.col("__sh"), 1,
@@ -891,8 +901,9 @@ def _prefix_keys(sh, threshold, bucket_cap=None):
                 ),
                 lambda x: x["h"],
             )
-        ).alias("__bucket"),
-    )
+        ).alias("__p0", "__bucket"),
+    ).select("__id", "__sz", (F.col("__p0") + 1).alias("__pos"),
+             "__bucket")
     if bucket_cap:
         pref = _cap_buckets(pref, bucket_cap)
     return pref
@@ -912,16 +923,42 @@ def _ordered_prefix_keys(sh, threshold, prefix_order, bucket_cap=None,
     )
 
 
-def _pair_candidates(pref):
-    """Distinct candidate pairs from the prefix-key self-join.
-    Factored out so tests can count candidates per prefix order."""
+def _positional_prune(joined, threshold):
+    """PPJoin positional filter on joined prefix-key rows: a shared
+    shingle at (1-based) order positions (i, j) admits overlap at most
+    ``min(|x|-i, |y|-j) + 1``; J ≥ t needs overlap ≥ t/(1+t)·(|x|+|y|).
+    Recall-safe row-at-a-time: for any true pair the row of its
+    MINIMAL common shingle (which the prefix lemma puts inside both
+    prefixes) has no common elements before it on either side, so its
+    bound is an upper bound that the true overlap meets — that row
+    always survives; other rows of the pair are free to be pruned
+    (``distinct`` runs after)."""
+    if threshold is None:
+        return joined
+    t = float(threshold)
+    bound = F.least(
+        F.col("L.__sz") - F.col("L.__pos"),
+        F.col("R.__sz") - F.col("R.__pos"),
+    ) + 1
+    return joined.filter(
+        bound >= F.lit(t / (1.0 + t))
+        * (F.col("L.__sz") + F.col("R.__sz"))
+    )
+
+
+def _pair_candidates(pref, threshold=None):
+    """Distinct candidate pairs from the prefix-key self-join, with
+    the positional prune applied BEFORE the distinct shuffle and the
+    array-fetch verification joins (it cuts candidates ~2× even on
+    uniform corpora, far more on skewed ones). Factored out so tests
+    can count candidates per prefix order."""
+    joined = pref.alias("L").join(
+        pref.alias("R"),
+        (F.col("L.__bucket") == F.col("R.__bucket"))
+        & (F.col("L.__id") < F.col("R.__id")),
+    )
     return (
-        pref.alias("L")
-        .join(
-            pref.alias("R"),
-            (F.col("L.__bucket") == F.col("R.__bucket"))
-            & (F.col("L.__id") < F.col("R.__id")),
-        )
+        _positional_prune(joined, threshold)
         .select(
             F.col("L.__id").alias("id_a"), F.col("R.__id").alias("id_b")
         )
@@ -981,7 +1018,8 @@ def ngram_jaccard_exact(df, text_col="text", id_col="doc_id", n=3,
     sh = _persist(_shingle_hash_structs(src, text_col, id_col, n))
     sh.count()
     cands = _pair_candidates(
-        _ordered_prefix_keys(sh, threshold, prefix_order, bucket_cap)
+        _ordered_prefix_keys(sh, threshold, prefix_order, bucket_cap),
+        threshold=threshold,
     )
     grams = sh.select(
         "__id", F.transform("__sh", lambda x: x["g"]).alias("__g")
@@ -1053,14 +1091,17 @@ def ngram_jaccard_join(left_df, right_df, text_col="text",
     elif prefix_order != "hash":
         raise ValueError("prefix_order must be 'df' or 'hash'")
     cands = (
-        _ordered_prefix_keys(
-            sh_l, threshold, prefix_order, bucket_cap, freq=freq
-        ).alias("L")
-        .join(
+        _positional_prune(
             _ordered_prefix_keys(
-                sh_r, threshold, prefix_order, bucket_cap, freq=freq
-            ).alias("R"),
-            "__bucket",
+                sh_l, threshold, prefix_order, bucket_cap, freq=freq
+            ).alias("L")
+            .join(
+                _ordered_prefix_keys(
+                    sh_r, threshold, prefix_order, bucket_cap, freq=freq
+                ).alias("R"),
+                "__bucket",
+            ),
+            threshold,
         )
         .select(
             F.col("L.__id").alias("id_a"), F.col("R.__id").alias("id_b")
