@@ -183,3 +183,91 @@ def test_filter_three_valued_logic(spark, tmp_path_factory, pred):
             if _eval(pred, qty, note) is True
         )
         assert got == want, _to_sexpr(pred)
+
+
+# ---------------------------------------------------------------------------
+# operator models: random corpora vs plain-python brute force
+# ---------------------------------------------------------------------------
+
+_WORDS = ["aa", "bb", "cc", "dd", "ee"]
+
+doc_st = st.lists(
+    st.sampled_from(_WORDS + ["  "]), min_size=1, max_size=8
+).map(lambda ws: " ".join(ws))
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=5, deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(texts=st.lists(doc_st, min_size=2, max_size=8),
+       min_docs=st.integers(2, 4))
+def test_line_dedup_model(spark, texts, min_docs):
+    """line_dedup == the python model: a trimmed nonblank segment in
+    >= min_docs distinct docs disappears from every doc, order kept."""
+    from tanker_spark.operators.dedup import line_dedup
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    sep = " "
+    seen = {}
+    for i, t in rows:
+        for seg in set(s.strip() for s in t.split(sep)):
+            if seg:
+                seen[seg] = seen.get(seg, 0) + 1
+    dup = {s for s, c in seen.items() if c >= min_docs}
+    want = {}
+    for i, t in rows:
+        segs = t.split(sep)
+        kept = [s for s in segs if s.strip() not in dup
+                or s.strip() == ""]
+        want[i] = (sep.join(kept), len(segs),
+                   sum(1 for s in segs if s.strip() in dup
+                       and s.strip() != ""))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: (r.text, r.n_lines, r.n_removed)
+           for r in line_dedup(df, sep=sep, min_docs=min_docs).collect()}
+    assert got == want
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=5, deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(texts=st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=1, max_size=10)
+    .map(" ".join),
+    min_size=2, max_size=10,
+), threshold=st.sampled_from([0.3, 0.5, 0.8]))
+def test_ngram_jaccard_exact_model(spark, texts, threshold):
+    """ngram_jaccard_exact (prefix filter + positional prune + exact
+    collapse/expand) == the brute-force all-pairs python model on any
+    corpus — the 100%-recall contract under composition."""
+    from tanker_spark.operators import dedup
+
+    n = 3
+
+    def sset(t):
+        toks = t.split()
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i:i + n])
+                for i in range(len(toks) - n + 1)}
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    want = {}
+    for i, a in rows:
+        for j, b in rows:
+            if i >= j:
+                continue
+            sa, sb = sset(a), sset(b)
+            jac = len(sa & sb) / len(sa | sb)
+            if jac >= threshold:
+                want[(i, j)] = round(jac, 6)
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r.id_a, r.id_b): round(r.jaccard, 6)
+           for r in dedup.ngram_jaccard_exact(
+               df, n=n, threshold=threshold).collect()}
+    dedup.release_caches()
+    assert got == want
