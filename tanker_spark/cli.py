@@ -20,7 +20,7 @@ def cli(argv=None):
     parser = argparse.ArgumentParser(description="tanker_spark CLI")
     parser.add_argument(
         "action",
-        help="info, read, write, delete, sql, optimize, init or "
+        help="info, read, write, delete, sql, optimize, diff, init or "
         "version", nargs=1
     )
     parser.add_argument("table", help="Table to query", nargs="*")
@@ -200,6 +200,25 @@ def cli_main(args):
             raise SystemExit("optimize action needs a table name")
         ctx.optimize(args.table[0], zorder_by=args.table[1:] or None)
         logger.info("optimized %s", args.table[0])
+        return
+
+    if action == "diff":
+        # `tk diff table SINCE [UNTIL]` — snapshot CDC between two
+        # retained versions (ctx.diff; Delta CHANGE DATA FEED analog)
+        if len(args.table) < 2:
+            raise SystemExit("diff needs a table name and a version")
+        until = int(args.table[2]) if len(args.table) > 2 else None
+        df = ctx.diff(args.table[0], int(args.table[1]), until)
+        rows = [tuple(r) for r in df.collect()]
+        headers = None if args.hide_headers else df.columns
+        if args.ascii_table:
+            for line in ascii_table(rows, headers=headers):
+                out.write(line)
+        else:
+            writer = csv.writer(out)
+            if headers:
+                writer.writerow(headers)
+            writer.writerows(rows)
         return
 
     if action == "sql":

@@ -190,3 +190,27 @@ def test_cli_explain(cfg_file, capsys, spark):
     out = capsys.readouterr().out
     assert "Scan parquet" in out       # a real physical plan
     assert "BroadcastHashJoin" in out  # the country dim join
+
+
+def test_cli_diff(cfg_file, capsys, spark):
+    """`tk diff table SINCE [UNTIL]`: snapshot CDC as csv."""
+    run_cli(["init"], cfg_file)
+    run_cli(["write", "team"], cfg_file,
+            stdin="name,country.name\nBlue,Belgium\nRed,Belgium\n")
+    run_cli(["write", "team"], cfg_file,
+            stdin="name,country.name\nBlue,France\nGreen,Belgium\n")
+    capsys.readouterr()
+    from tanker_spark import connect, ctx
+    import yaml as _yaml
+    cfg = _yaml.safe_load(open(cfg_file))
+    with connect(cfg):
+        v1, v2 = ctx.versions("team")[-2:]
+    run_cli(["diff", "team", str(v1), str(v2)], cfg_file)
+    out = capsys.readouterr().out
+    rows = list(csv.reader(io.StringIO(out)))
+    assert rows[0][0] == "change"
+    changes = {(r[0], r[rows[0].index("name")]) for r in rows[1:]}
+    # team's key is (name, country): the second write INSERTS two new
+    # key rows; the untouched Red row never appears
+    assert changes == {("insert", "Green"), ("insert", "Blue")}
+    assert not any(n == "Red" for _c, n in changes)

@@ -80,3 +80,51 @@ def test_time_travel_read(spark, tmp_path):
         # a GC'd / unknown version raises with the available list
         with pytest.raises(KeyError, match="no snapshot"):
             v.read(version=999).all()
+
+
+def test_snapshot_diff(spark, tmp_path):
+    """ctx.diff: snapshot CDC between retained versions — inserts,
+    updates (new values), deletes (final old values), unchanged keys
+    absent; until=None diffs against the current snapshot."""
+    import pytest
+
+    from tanker_spark import View, connect, create_tables, ctx
+
+    schema = """
+    - table: item
+      columns:
+        sku: varchar
+        qty: integer
+      key: [sku]
+    """
+    cfg = {"root": str(tmp_path / "cdc"), "schema": schema,
+           "spark": spark, "keep_versions": 5}
+    with connect(cfg):
+        create_tables()
+        v = View("item", ["sku", "qty"])
+        v.write([("a", 1), ("b", 5), ("c", 7)])        # v1
+        v.write([("a", 2), ("d", 9)])                  # v2: update + insert
+        View("item", ["sku"]).delete(data=[["b"]])     # v3: delete b
+        v1, v2, v3 = ctx.versions("item")[-3:]
+
+        d12 = {(r.change, r.sku): r.qty
+               for r in ctx.diff("item", v1, v2).collect()}
+        assert d12 == {("update", "a"): 2, ("insert", "d"): 9}
+
+        d23 = {(r.change, r.sku): r.qty
+               for r in ctx.diff("item", v2, v3).collect()}
+        assert d23 == {("delete", "b"): 5}
+
+        # against current (until=None) — the composed change set;
+        # unchanged c never appears
+        d13 = {(r.change, r.sku): r.qty
+               for r in ctx.diff("item", v1).collect()}
+        assert d13 == {("update", "a"): 2, ("insert", "d"): 9,
+                       ("delete", "b"): 5}
+
+        # identical snapshots diff to nothing
+        assert ctx.diff("item", v3, v3).count() == 0
+
+        # unknown version raises with the retained list
+        with pytest.raises(KeyError, match="no snapshot"):
+            ctx.diff("item", 999).count()
