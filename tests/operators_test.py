@@ -2362,3 +2362,49 @@ def test_embedding_incremental(spark, tmp_path):
     with pytest.raises(ValueError, match="LSH"):
         similarity.embedding_incremental(bdf, ipath).collect()
     dedup.release_caches()
+
+
+def test_new_operator_plan_shapes(spark, tmp_path):
+    """Plan pins for the round-7 operators: embedding_incremental's
+    index scan is partition-pruned to the batch's bucket set; the
+    line_dedup dup join and the snapshot-CDC key join never fall back
+    to a nested-loop/cartesian plan."""
+    rnd = random.Random(5)
+    dim = 16
+    corpus = [(i, [rnd.gauss(0, 1) for _ in range(dim)])
+              for i in range(100)]
+    cdf = spark.createDataFrame(corpus, ["vec_id", "embedding"])
+    path = str(tmp_path / "plan_idx")
+    similarity.build_ann_index(cdf, path, method="lsh", dim=dim,
+                               n_planes=6)
+    bdf = spark.createDataFrame(corpus[:5], ["vec_id", "embedding"])
+    got = similarity.embedding_incremental(bdf, path, threshold=0.9)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "__bucket" in plan.split("PartitionFilters")[1][:200]
+    assert "CartesianProduct" not in plan
+
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(10)], ["doc_id", "text"])
+    plan = dedup.line_dedup(docs, sep=" ", min_docs=3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    from tanker_spark import View, connect, create_tables, ctx
+    schema = """
+    - table: it
+      columns: {k: varchar, v: integer}
+      key: [k]
+    """
+    with connect({"root": str(tmp_path / "cdcp"), "schema": schema,
+                  "spark": spark, "keep_versions": 3}):
+        create_tables()
+        View("it", ["k", "v"]).write([("a", 1)])
+        View("it", ["k", "v"]).write([("a", 2)])
+        v1 = ctx.versions("it")[-2]
+        plan = ctx.diff("it", v1)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+    dedup.release_caches()
