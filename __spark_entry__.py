@@ -2235,6 +2235,19 @@ def retrieval_eval_bm25(spark, sf_dir):
     return out.orderBy("query_id")
 
 
+def quantile_cut_docs(spark, sf_dir):
+    """Round-7 debut: per-group quantile cut
+    (curation.filter_by_group_quantile) — keep docs at or above their
+    OWN language's median length; the per-group exact interpolated
+    percentile matches DuckDB's quantile_cont definition, so the
+    boundary is engine-exact."""
+    from tanker_spark.operators.curation import filter_by_group_quantile
+
+    df = _read(spark, sf_dir, "documents")
+    out = filter_by_group_quantile(df, "n_chars", "lang", q=0.5)
+    return out.select("doc_id", "lang", "n_chars").orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2255,6 +2268,7 @@ DEBUTS = [
     "mix_unimax_langs",
     "ngram_diversity_langs",
     "retrieval_eval_bm25",
+    "quantile_cut_docs",
 ]
 
 
@@ -2481,6 +2495,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_unimax_langs": mix_unimax_langs,
         "ngram_diversity_langs": ngram_diversity_langs,
         "retrieval_eval_bm25": retrieval_eval_bm25,
+        "quantile_cut_docs": quantile_cut_docs,
     }
 
 
@@ -4427,6 +4442,16 @@ def oracle_sql() -> dict[str, str]:
             JOIN ideal i USING (query_id)
             LEFT JOIN hits h USING (query_id)
             ORDER BY t.query_id
+        """,
+        "quantile_cut_docs": """
+            WITH cuts AS (
+              SELECT lang, quantile_cont(n_chars, 0.5) AS cut
+              FROM documents GROUP BY lang
+            )
+            SELECT doc_id, lang, n_chars
+            FROM documents JOIN cuts USING (lang)
+            WHERE n_chars >= cut
+            ORDER BY doc_id
         """,
         # minhash/simhash/doc_fingerprints/knn_lsh/knn_ivf/multimodal:
         # hash/UDF internals or approximate recall are not portably

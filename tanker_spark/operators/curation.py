@@ -773,3 +773,34 @@ def mix_unimax(df, group_col, budget, len_col, epochs=1.0,
         .filter(b < F.floor(F.col("__keep") * SAMPLE_MOD))
         .drop("__keep")
     )
+
+
+def filter_by_group_quantile(df, score_col, group_col, q=0.5,
+                             keep="above"):
+    """Per-group quantile cut: keep rows whose ``score_col`` is on the
+    ``keep`` side ("above"/"below", inclusive) of their OWN group's
+    exact interpolated ``q``-quantile — the per-language / per-source
+    quality or length cut every curation recipe applies, because a
+    single global threshold over-prunes low-resource groups whose
+    score distribution sits lower.
+
+    Shape at 100 TB: one (group) aggregate computes every cutoff —
+    Spark's ``percentile`` is exact (sort-based within the aggregate
+    buffer, spilling; the group count is tiny) — the |groups|-row
+    cutoff frame broadcasts back onto the scan and the comparison
+    stays in whole-stage codegen. For corpora where even per-group
+    exact percentiles are too heavy, swap ``percentile`` for
+    ``percentile_approx`` and accept the documented rank error.
+    """
+    if keep not in ("above", "below"):
+        raise ValueError("keep must be 'above' or 'below'")
+    cuts = df.groupBy(group_col).agg(
+        F.percentile(F.col(score_col), F.lit(float(q))).alias("__cut")
+    )
+    joined = df.join(F.broadcast(cuts), group_col)
+    cond = (
+        F.col(score_col) >= F.col("__cut")
+        if keep == "above"
+        else F.col(score_col) <= F.col("__cut")
+    )
+    return joined.filter(cond).drop("__cut")

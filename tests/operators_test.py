@@ -2408,3 +2408,24 @@ def test_new_operator_plan_shapes(spark, tmp_path):
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
     dedup.release_caches()
+
+
+def test_filter_by_group_quantile(spark):
+    from tanker_spark.operators.curation import filter_by_group_quantile
+
+    rows = [(1, "a", 10), (2, "a", 20), (3, "a", 30), (4, "a", 40),
+            (5, "b", 1), (6, "b", 2), (7, "b", 3)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "score"])
+    # group a median = 25 (interpolated) -> keeps 30, 40; group b
+    # median = 2 (odd count, exact member) -> keeps 2, 3 inclusive
+    up = {r.doc_id for r in filter_by_group_quantile(
+        df, "score", "grp", q=0.5).collect()}
+    assert up == {3, 4, 6, 7}
+    down = {r.doc_id for r in filter_by_group_quantile(
+        df, "score", "grp", q=0.5, keep="below").collect()}
+    assert down == {1, 2, 5, 6}
+    # q=0 keeps everything on the "above" side
+    assert filter_by_group_quantile(df, "score", "grp", q=0).count() == 7
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="above"):
+        filter_by_group_quantile(df, "score", "grp", keep="sideways")
