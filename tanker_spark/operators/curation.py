@@ -364,7 +364,7 @@ def mix_sources(dfs_with_weights, id_col, bucket_expr=None):
     return out
 
 
-def export_shards(df, path, n_shards, id_col, seed=42):
+def export_shards(df, path, n_shards, id_col, seed=42, fmt="parquet"):
     """Deterministic shuffled shard export — the delivery step of a
     training-data pipeline: rows land in ``n_shards`` hash-assigned
     shards (``shard=N`` partition dirs) with a within-shard order that
@@ -374,28 +374,38 @@ def export_shards(df, path, n_shards, id_col, seed=42):
     One shuffle (repartition on the shard id); sorting happens within
     partitions (``sortWithinPartitions`` — no global sort). Bump
     ``seed`` to re-deal the rows into a fresh epoch-level shuffle.
+
+    ``fmt``: ``"parquet"`` (columnar, for further processing) or
+    ``"jsonl"`` (Spark's JSON sink is line-delimited — the standard
+    trainer-ingest delivery format). Same layout, shuffle and manifest
+    either way.
     """
+    if fmt not in ("parquet", "jsonl"):
+        raise ValueError("fmt must be 'parquet' or 'jsonl'")
+    spark_fmt = "json" if fmt == "jsonl" else fmt
     shard = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)),
                    F.lit(n_shards)).cast("int")
     (
         df.withColumn("shard", shard)
         .repartition(n_shards, "shard")
         .sortWithinPartitions(F.xxhash64(F.col(id_col), F.lit(seed + 1)))
-        .write.mode("overwrite").partitionBy("shard").parquet(path)
+        .write.mode("overwrite").partitionBy("shard").format(spark_fmt)
+        .save(path)
     )
     # delivery manifest: per-shard row counts + params, written beside
-    # the data (underscore prefix = invisible to parquet readers) so a
+    # the data (underscore prefix = invisible to readers) so a
     # consumer can verify completeness without a scan
     import json
     import os
 
     rows = (
-        df.sparkSession.read.parquet(path)
+        df.sparkSession.read.format(spark_fmt).load(path)
         .groupBy("shard").count().collect()
     )
     manifest = {
         "n_shards": n_shards,
         "seed": seed,
+        "format": fmt,
         "total_rows": sum(r["count"] for r in rows),
         "shards": {str(r["shard"]): r["count"] for r in rows},
     }

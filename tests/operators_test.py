@@ -657,6 +657,22 @@ def test_export_shards(spark, docs, tmp_path):
     b = {(r.doc_id, r.shard) for r in
          spark.read.parquet(path2).select("doc_id", "shard").collect()}
     assert a == b
+    # jsonl delivery: line-delimited files, same shard assignment
+    path3 = str(tmp_path / "shards_jsonl")
+    curation.export_shards(docs, path3, n_shards=4, id_col="doc_id",
+                           fmt="jsonl")
+    import glob
+    import json as _json
+    files = glob.glob(path3 + "/shard=*/part-*")
+    assert files and not any(f.endswith(".parquet") for f in files)
+    with open(files[0]) as fh:
+        first = fh.readline()
+    assert _json.loads(first)["doc_id"] is not None  # one json per line
+    c = {(r.doc_id, int(r.shard)) for r in
+         spark.read.json(path3).select("doc_id", "shard").collect()}
+    assert c == a
+    with pytest.raises(ValueError, match="fmt"):
+        curation.export_shards(docs, path3, 4, "doc_id", fmt="csvx")
 
 
 def test_resize_images(spark):
