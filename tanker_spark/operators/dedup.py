@@ -1974,27 +1974,8 @@ def line_dedup(df, text_col="text", id_col="doc_id", sep="\n",
     count, dup join, rebuild), each on a natural key; no doc×doc or
     line×line pair space ever exists.
     """
-    import re as _re
-
-    pat = _re.escape(sep)
-    # NULL text is treated as empty (one blank line survives) so the
-    # operator stays one-row-per-input-doc — posexplode(split(NULL))
-    # would silently drop the doc from the output.
-    lines = df.select(
-        F.col(id_col).alias("__id"),
-        F.posexplode(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), pat, -1)
-        ).alias("__pos", "__line"),
-    ).withColumn("__norm", F.trim(F.col("__line")))
-    nonblank = lines.filter(F.col("__norm") != "")
-    # 128-bit two-seed key, like exact_collapse: removal is
-    # DESTRUCTIVE, and at corpus scale (>2^32 distinct lines) a bare
-    # 64-bit match would strip innocent collision victims from every
-    # doc that contains them.
-    counts = nonblank.groupBy(
-        F.xxhash64("__norm", F.lit(0)).alias("__lh1"),
-        F.xxhash64("__norm", F.lit(1)).alias("__lh2"),
-    ).agg(F.count_distinct("__id").alias("__df"))
+    lines = _line_explode(df, text_col, id_col, sep)
+    counts = _line_counts(lines)
     if min_frac is not None:
         thr = df.agg(
             F.ceil(F.count(F.lit(1)) * F.lit(float(min_frac))).alias(
@@ -2010,6 +1991,43 @@ def line_dedup(df, text_col="text", id_col="doc_id", sep="\n",
         dup = counts.filter(F.col("__df") >= int(min_docs)).select(
             "__lh1", "__lh2"
         )
+    return _line_rebuild(lines, dup, sep, text_col, id_col)
+
+
+def _line_explode(df, text_col, id_col, sep):
+    """(__id, __pos, __line, __norm): one row per segment of each doc.
+    NULL text is treated as empty (one blank line survives) so callers
+    stay one-row-per-input-doc — posexplode(split(NULL)) would
+    silently drop the doc."""
+    import re as _re
+
+    pat = _re.escape(sep)
+    return df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), pat, -1)
+        ).alias("__pos", "__line"),
+    ).withColumn("__norm", F.trim(F.col("__line")))
+
+
+def _line_counts(lines):
+    """Per-line distinct-doc counts keyed by the 128-bit two-seed
+    xxhash64 of the trimmed line — removal is DESTRUCTIVE, and at
+    corpus scale (>2³² distinct lines) a bare 64-bit match would strip
+    innocent collision victims from every doc containing them (same
+    argument as :func:`exact_collapse`). Blank lines never count."""
+    return lines.filter(F.col("__norm") != "").groupBy(
+        F.xxhash64("__norm", F.lit(0)).alias("__lh1"),
+        F.xxhash64("__norm", F.lit(1)).alias("__lh2"),
+    ).agg(F.count_distinct("__id").alias("__df"))
+
+
+def _line_rebuild(lines, dup, sep, text_col, id_col):
+    """Rebuild each doc's text with the ``dup`` (__lh1, __lh2) set's
+    lines removed, original order preserved; returns (id, text,
+    n_lines, n_removed). One hash equi-join (the dup set is NOT
+    assumed broadcastable) + one doc-keyed aggregate whose state is
+    bounded by document size."""
     tagged = (
         lines.join(
             dup.withColumn("__dup", F.lit(True)),

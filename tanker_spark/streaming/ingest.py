@@ -231,3 +231,69 @@ def semantic_filter_sink(stream_df, out_path, index_path, checkpoint_dir,
         .trigger(availableNow=available_now)
         .start()
     )
+
+
+def line_filter_sink(stream_df, out_path, freq_path, checkpoint_dir,
+                     text_col="text", id_col="doc_id", sep="\n",
+                     min_docs=2, available_now=True):
+    """Streaming boilerplate-LINE gate: the ingest-time twin of
+    :func:`operators.dedup.line_dedup`. Each micro-batch contributes
+    its per-line distinct-doc counts to a persisted frequency side
+    table, then rewrites its documents with every line whose
+    ACCUMULATED count (history + this batch) has reached ``min_docs``
+    removed — nav bars and license headers stop landing in the corpus
+    as soon as enough distinct docs have carried them.
+
+    Ingest-time semantics, stated plainly: a line that crosses the
+    threshold at batch N is scrubbed from batch N onward; docs already
+    written by earlier batches keep it (re-run the batch
+    ``line_dedup`` over the landed corpus for the full retroactive
+    form). This is the strongest guarantee a single forward pass can
+    give.
+
+    Delivery: exactly-once on BOTH artifacts — each batch's frequency
+    contribution lands in its own deterministic ``batch=N`` directory
+    under ``freq_path`` (a replay overwrites the same rows, so counts
+    never double), and the rewritten docs overwrite
+    ``out_path/batch=N``. The aggregated frequency view is a sum over
+    batch directories, keyed by the same 128-bit two-seed line hash as
+    the batch operator.
+
+    Scale: per batch = one explode + one (line-hash) count + the
+    history sum (hash-keyed, map-side partials over the side table) +
+    the doc-keyed rebuild; the landed corpus is never re-read."""
+    import os
+
+    from ..operators.dedup import (_line_counts, _line_explode,
+                                   _line_rebuild)
+
+    def _filter_batch(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        lines = _line_explode(batch_df, text_col, id_col, sep)
+        contrib = _line_counts(lines)
+        contrib.write.mode("overwrite").parquet(
+            "%s/batch=%d" % (freq_path, batch_id)
+        )
+        total = (
+            spark.read.parquet(freq_path)
+            .groupBy("__lh1", "__lh2")
+            .agg(F.sum("__df").alias("__df"))
+        )
+        dup = total.filter(F.col("__df") >= int(min_docs)).select(
+            "__lh1", "__lh2"
+        )
+        rebuilt = _line_rebuild(lines, dup, sep, text_col, id_col)
+        keep = batch_df.drop(text_col).join(rebuilt.drop(
+            "n_lines", "n_removed"), id_col)
+        keep.write.mode("overwrite").parquet(
+            "%s/batch=%d" % (out_path, batch_id)
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_filter_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=available_now)
+        .start()
+    )

@@ -977,3 +977,38 @@ def test_semantic_filter_stream(spark, tmp_path):
     kept3 = ({r.vec_id for r in spark.read.parquet(out3).collect()}
              if files else set())
     assert kept3 == set()
+
+
+def test_line_filter_stream(spark, tmp_path):
+    """Streaming line gate: a boilerplate line is scrubbed from the
+    batch where its accumulated distinct-doc count reaches min_docs
+    onward; earlier batches keep it (forward-pass semantics); replayed
+    frequency contributions land exactly-once."""
+    from tanker_spark.streaming.ingest import line_filter_sink
+
+    b = "BOILER"
+    batches = [
+        [(1, b + "\nkeep one")],                   # count(b) = 1
+        [(2, b + "\nkeep two"), (3, "solo")],      # count(b) = 2 -> dup
+        [(4, b + "\nkeep three")],                 # still dup
+    ]
+    src = str(tmp_path / "lf_src")
+    for chunk in batches:
+        spark.createDataFrame(chunk, ["doc_id", "text"]).coalesce(1) \
+            .write.mode("append").parquet(src)
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out, freq = str(tmp_path / "lf_out"), str(tmp_path / "lf_freq")
+    q = line_filter_sink(stream, out, freq, str(tmp_path / "lf_ckpt"),
+                         min_docs=2)
+    q.awaitTermination(120)
+    got = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
+    assert got[1] == b + "\nkeep one"      # before the threshold
+    assert got[2] == "keep two"            # crossing batch: scrubbed
+    assert got[3] == "solo"
+    assert got[4] == "keep three"          # after: scrubbed
+    # frequency table: one contribution row set per batch dir, summed
+    import pyspark.sql.functions as F
+    total = (spark.read.parquet(freq)
+             .groupBy("__lh1", "__lh2").agg(F.sum("__df").alias("n")))
+    assert total.agg(F.max("n")).collect()[0][0] == 3  # b seen 3x
