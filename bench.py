@@ -61,6 +61,12 @@ BENCH_QUERIES = [
     "knn_rerank_exact",
     "hybrid_search_docs",
     "neardup_decontam_docs",
+    # round-7 additions: line-level corpus dedup, UniMax mixing,
+    # retrieval eval, per-group quantile cut
+    "line_dedup_docs",
+    "mix_unimax_langs",
+    "retrieval_eval_bm25",
+    "quantile_cut_docs",
 ]
 
 

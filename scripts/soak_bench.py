@@ -382,6 +382,25 @@ def main():
         shutil.rmtree(base, ignore_errors=True)
         return n
 
+    def embedding_incremental_soak():
+        # 100k-vector arriving batch (10% planted copies of indexed
+        # rows) matched against the persisted 10M quantized index —
+        # the steady-state ingest shape: index partitions read only at
+        # the batch's Hamming-ball bucket set
+        idx = args.dir + "/ann_index"
+        if not os.path.exists(idx + "/_ann_meta.json"):
+            similarity.build_ann_index(
+                emb, idx, method="lsh", n_planes=10, quantize=True)
+        batch = (
+            emb.filter(F.pmod("vec_id", F.lit(100)) == 7)
+            .withColumn("vec_id", F.col("vec_id") + 1_000_000_000)
+        )
+        pairs = similarity.embedding_incremental(
+            batch, idx, threshold=0.99, multiprobe=1)
+        n = pairs.count()
+        dedup.release_caches()
+        return n
+
     benches = {
         "exact_dedup": exact_dedup_soak,
         "minhash_spanning_pairs": minhash_soak,
@@ -400,6 +419,7 @@ def main():
         "neardup_groups": neardup_groups_soak,
         "line_dedup": line_dedup_soak,
         "streaming_decontam": streaming_decontam_soak,
+        "embedding_incremental": embedding_incremental_soak,
     }
     only = set(args.only.split(",")) if args.only else None
     for name, fn in benches.items():
