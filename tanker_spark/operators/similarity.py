@@ -511,7 +511,15 @@ def quant_cols(v):
 
     ``floor(x + 0.5)`` instead of ``round`` so the lattice assignment
     is reproducible across engines (HALF_UP everywhere). Constant
-    vectors get scale 0 and decode exactly."""
+    vectors get scale 0 and decode exactly.
+
+    NOTE: the returned ``code`` transform embeds the min/scale
+    AGGREGATE expressions in its lambda body, and lambda bodies get
+    no subexpression elimination — each ELEMENT re-evaluates
+    array_min/array_max, O(dim²) interpreted work per row. Fine for
+    expression-level composition on small frames; for corpus-scale
+    materialization use :func:`_quantized_frame`, which evaluates
+    min/scale once per row."""
     mn = F.array_min(v).cast("double")
     scale = ((F.array_max(v).cast("double") - mn) / F.lit(255.0))
     code = F.transform(
@@ -525,19 +533,53 @@ def quant_cols(v):
     return code, mn, scale
 
 
+def _quantized_frame(df, vec_col, id_col, bucket_col=None):
+    """``(id, qcode, qmin, qscale[, __bucket])`` with min/scale
+    evaluated ONCE PER ROW: the code transform references qmin/qscale
+    as already-computed sibling COLUMNS from an inner projection.
+    Embedding the aggregates in the lambda (as :func:`quant_cols`
+    does) makes every element re-run array_min/array_max — an
+    O(dim²)-per-row interpreted cost that dominated the 10M index
+    build (measured ~10× the whole-build time). CollapseProject keeps
+    the two projections apart because each alias is referenced more
+    than once and is not cheap, so the split is stable under the
+    optimizer."""
+    mn = F.array_min(F.col(vec_col)).cast("double")
+    cols = [
+        F.col(id_col), F.col(vec_col).alias("__qv"),
+        mn.alias("qmin"),
+        (
+            (F.array_max(F.col(vec_col)).cast("double") - mn)
+            / F.lit(255.0)
+        ).alias("qscale"),
+    ]
+    if bucket_col is not None:
+        cols.append(bucket_col.alias("__bucket"))
+    base = df.select(*cols)
+    code = F.transform(
+        F.col("__qv"),
+        lambda x: (
+            F.when(F.col("qscale") == 0, F.lit(0)).otherwise(
+                F.floor(
+                    (x.cast("double") - F.col("qmin"))
+                    / F.col("qscale") + F.lit(0.5)
+                )
+            ).cast("int") - 128
+        ).cast("tinyint"),
+    )
+    out = [F.col(id_col), code.alias("qcode"), "qmin", "qscale"]
+    if bucket_col is not None:
+        out.append("__bucket")
+    return base.select(*out)
+
+
 def quantize_embeddings(df, vec_col="embedding", id_col="vec_id"):
     """Per-vector 8-bit linear quantization: stores vectors as
     ``array<tinyint>`` + (min, scale) — 4× smaller ANN side tables, the
     standard first rung of vector compression at corpus scale. Pure
     column math (array_min/max + transform), map-only.
     """
-    code, mn, scale = quant_cols(F.col(vec_col))
-    return df.select(
-        F.col(id_col),
-        code.alias("qcode"),
-        mn.alias("qmin"),
-        scale.alias("qscale"),
-    )
+    return _quantized_frame(df, vec_col, id_col)
 
 
 def dequantize_col(qcode, qmin, qscale):
@@ -582,11 +624,7 @@ def build_ann_index(df, path, method="lsh", vec_col="embedding",
         raise ValueError("unknown ANN index method %r" % method)
     meta["quantized"] = bool(quantize)
     if quantize:
-        code, mn, scale = quant_cols(F.col(vec_col))
-        stored = df.select(
-            F.col(id_col), code.alias("qcode"), mn.alias("qmin"),
-            scale.alias("qscale"), col.alias("__bucket"),
-        )
+        stored = _quantized_frame(df, vec_col, id_col, bucket_col=col)
     else:
         stored = df.select(
             F.col(id_col), F.col(vec_col), col.alias("__bucket")
@@ -624,11 +662,8 @@ def ann_index_append(new_df, path):
     else:
         col = ivf_cell_col(meta["centroids"], vec_col)
     if meta.get("quantized"):
-        code, mn, scale = quant_cols(F.col(vec_col))
-        stored = new_df.select(
-            F.col(id_col), code.alias("qcode"), mn.alias("qmin"),
-            scale.alias("qscale"), col.alias("__bucket"),
-        )
+        stored = _quantized_frame(new_df, vec_col, id_col,
+                                  bucket_col=col)
     else:
         stored = new_df.select(
             F.col(id_col), F.col(vec_col), col.alias("__bucket")
@@ -1269,7 +1304,8 @@ def random_projection(df, out_dim, dim, vec_col="embedding", seed=42,
 
 
 def embedding_incremental(new_df, index_path, threshold=0.95,
-                          multiprobe=1, exclude_batch_ids=False):
+                          multiprobe=1, exclude_batch_ids=False,
+                          score="auto"):
     """Incremental embedding near-dup: match an arriving batch against
     the persisted ANN index at ``index_path`` (built by
     :func:`build_ann_index`, grown by :func:`ann_index_append`) — the
@@ -1284,12 +1320,23 @@ def embedding_incremental(new_df, index_path, threshold=0.95,
     flips one sign bit still meets its corpus bucket; the index side
     is read ONLY at the batch's bucket set — collected driver-side
     (metadata-sized: ≤ |batch|·ball buckets) and pushed as a partition
-    filter, so the historical corpus is never scanned. Candidates
-    score with per-row hoisted inverse norms (one dot product each);
-    zero-norm rows on either side never match (null sim, as
-    everywhere). Quantized indexes dequantize in codegen — their
-    scores carry the lattice error, so keep thresholds clear of the
-    documented quantization margin.
+    filter, so the historical corpus is never scanned. Zero-norm rows
+    on either side never match. Quantized indexes dequantize into the
+    scoring input — their scores carry the lattice error, so keep
+    thresholds clear of the documented quantization margin.
+
+    ``score``: candidate verification path. ``"column"`` — per-pair
+    dot with hoisted inverse norms, plan-pure, right for small pruned
+    index sides. ``"gemm"`` — cogroup batch and index rows per bucket
+    and score each bucket as one row-blocked numpy ``Q @ C.T``,
+    emitting only above-threshold cells. The candidate space is
+    |batch|·bucket_rows·ball and each dot is interpreted HOF math on
+    the column path (never codegen'd) — at a 10M-row index a 100k
+    batch is ~10¹⁰ interpreted dots, HOURS; the same r6 lesson as
+    ``embedding_dedup_pairs``/``knn_join``, same fix. ``"auto"``
+    (default) picks gemm once the pruned index side exceeds
+    ``dedup.GEMM_VERIFY_MIN_ROWS`` (one cheap count over the pruned
+    partitions). Both paths return identical pairs (pinned by test).
 
     ``exclude_batch_ids=True`` drops index rows whose id appears in
     the batch — a replayed batch whose signature append already landed
@@ -1348,6 +1395,37 @@ def embedding_incremental(new_df, index_path, threshold=0.95,
         F.when(cn > 0, 1.0 / cn).alias("__cinv"),
         "__bucket",
     )
+    if score not in ("auto", "column", "gemm"):
+        raise ValueError("score must be 'auto', 'column' or 'gemm'")
+    if score == "auto":
+        from .dedup import GEMM_VERIFY_MIN_ROWS
+
+        score = ("gemm" if c.count() >= GEMM_VERIFY_MIN_ROWS
+                 else "column")
+    if score == "gemm":
+        schema_str = "id_a %s, id_b %s, cos_sim double" % (
+            qexp.schema["id_a"].dataType.simpleString(),
+            c.schema["id_b"].dataType.simpleString(),
+        )
+        # cogroup key types MUST match exactly: the index side's
+        # __bucket is an int (parquet partition-column inference), the
+        # batch side's is a long (bitwise bucket expression), and
+        # cogroup does NOT coerce — each side exchanges on ITS OWN
+        # type's hash, so the same bucket value lands in different
+        # partitions and the groups silently miss each other (measured
+        # at the 500k soak repro: 115 pairs instead of 5000; invisible
+        # on tiny frames where AQE coalesces both exchanges to one
+        # partition). The equi-join on the column path coerces, which
+        # is why only this path needs the explicit cast.
+        pairs = _inc_bucket_gemm(
+            qexp.filter(F.col("__qinv").isNotNull())
+            .withColumn("__bucket", F.col("__bucket").cast("long")),
+            c.filter(F.col("__cinv").isNotNull())
+            .withColumn("__bucket", F.col("__bucket").cast("long")),
+            float(threshold), schema_str,
+        )
+        return pairs.filter(F.col("id_a") != F.col("id_b")) \
+                    .dropDuplicates(["id_a", "id_b"])
     sim = _dot(F.col("__qv"), F.col("__cv")) \
         * F.col("__qinv") * F.col("__cinv")
     return (
@@ -1356,4 +1434,47 @@ def embedding_incremental(new_df, index_path, threshold=0.95,
         .select("id_a", "id_b", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= float(threshold))
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def _inc_bucket_gemm(qexp, c, threshold, schema_str, q_block=512):
+    """Per-bucket R-S GEMM for :func:`embedding_incremental`: batch
+    and index rows cogroup on the band bucket, each bucket scores as
+    row-blocked ``Q @ C.T`` (rows normalized in numpy), and only the
+    above-threshold cells leave the task — output is the true match
+    set, never the candidate space. Peak per-task memory is
+    ``q_block × |C_b|`` doubles plus the bucket's vectors."""
+    import numpy as np
+    import pandas as pd
+
+    def emit(key, qpdf, cpdf):
+        if not len(qpdf) or not len(cpdf):
+            return pd.DataFrame({"id_a": [], "id_b": [],
+                                 "cos_sim": []})
+        def unit(M):
+            n = np.linalg.norm(M, axis=1, keepdims=True)
+            return M / np.where(n > 0, n, 1.0)
+
+        Qn = unit(np.stack(qpdf["__qv"].to_numpy()).astype(np.float64))
+        Cn = unit(np.stack(cpdf["__cv"].to_numpy()).astype(np.float64))
+        qids = qpdf["id_a"].to_numpy()
+        cids = cpdf["id_b"].to_numpy()
+        outs = []
+        for s0 in range(0, len(Qn), q_block):
+            S = Qn[s0:s0 + q_block] @ Cn.T
+            ia, ib = np.nonzero(S >= threshold)
+            if len(ia):
+                outs.append(pd.DataFrame({
+                    "id_a": qids[s0 + ia], "id_b": cids[ib],
+                    "cos_sim": S[ia, ib],
+                }))
+        if not outs:
+            return pd.DataFrame({"id_a": [], "id_b": [],
+                                 "cos_sim": []})
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        qexp.groupBy("__bucket")
+        .cogroup(c.groupBy("__bucket"))
+        .applyInPandas(emit, schema_str)
     )

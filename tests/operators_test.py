@@ -2354,6 +2354,30 @@ def test_embedding_incremental(spark, tmp_path):
 
     for a, b in got:  # nothing below threshold ever reported
         assert _cos(bmap[a], cmap[b]) >= 0.999
+    # gemm verification path returns the identical pair set with
+    # matching scores (the scale path past GEMM_VERIFY_MIN_ROWS).
+    # AQE partition coalescing is disabled for this call: on tiny
+    # frames it folds both cogroup exchanges to ONE partition, which
+    # masks key-type misalignment (int partition column vs long
+    # bucket expression — the 500k-soak bug where the gemm path found
+    # 115 of 5000 pairs)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+                   "false")
+    try:
+        gemm = {(r.id_a, r.id_b): r.cos_sim
+                for r in similarity.embedding_incremental(
+                    bdf, path, threshold=0.999, multiprobe=1,
+                    score="gemm").collect()}
+    finally:
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", "true")
+    assert set(gemm) == got
+    colp = {(r.id_a, r.id_b): r.cos_sim
+            for r in similarity.embedding_incremental(
+                bdf, path, threshold=0.999, multiprobe=1,
+                score="column").collect()}
+    for k, v in colp.items():
+        assert abs(v - gemm[k]) < 1e-9
     # replay contract: after the batch's own append, exclude_batch_ids
     # hides its corpus twin — the pair set is unchanged
     similarity.ann_index_append(bdf, path)
