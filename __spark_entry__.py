@@ -1958,6 +1958,33 @@ def knn_indexed_probe(spark, sf_dir):
     )
 
 
+def embedding_incremental_match(spark, sf_dir):
+    """Round-7 debut (rows-only): incremental embedding near-dup — a
+    batch slice matched against a persisted LSH index built from the
+    REST of the corpus (similarity.embedding_incremental, the
+    embedding twin of minhash_incremental). LSH bucket internals are
+    not ANSI-SQL-expressible; correctness is pinned in operators_test
+    by gemm==column equality, brute-force-subset and planted-copy
+    recall, and the replay exclude-batch-ids contract."""
+    import tempfile
+
+    df = _read(spark, sf_dir, "embeddings")
+    idx = os.path.join(tempfile.mkdtemp(prefix="tk_inc_"), "lsh")
+    similarity.build_ann_index(df, idx, method="lsh", dim=64,
+                               n_planes=6)
+    # arriving batch = re-id'd copies of every 10th corpus row: each
+    # must match (at least) its indexed twin at cos 1.0
+    batch = df.filter(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    pairs = similarity.embedding_incremental(
+        batch, idx, threshold=0.9, multiprobe=1
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim")
+    ).orderBy("id_a", "id_b")
+
+
 def stratified_sample_docs(spark, sf_dir):
     """Deterministic per-source stratified sampling (curation op).
 
@@ -2496,6 +2523,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_diversity_langs": ngram_diversity_langs,
         "retrieval_eval_bm25": retrieval_eval_bm25,
         "quantile_cut_docs": quantile_cut_docs,
+        "embedding_incremental_match": embedding_incremental_match,
     }
 
 
