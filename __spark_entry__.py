@@ -1985,6 +1985,27 @@ def embedding_incremental_match(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+
+def audio_features_wav(spark, sf_dir):
+    """REAL audio decode + features (rows-only): deterministic sine
+    WAVs through the vendored 16-bit PCM codec and numpy feature
+    reduction — sample rate, duration, RMS/peak, zero-crossing rate,
+    frame-RMS envelope; junk payloads yield NULL rows. Feature math is
+    pinned analytically in operators_test (sine RMS = amp/sqrt 2,
+    ZCR = 2f/rate)."""
+    from tanker_spark.operators import multimodal
+
+    media = multimodal.make_fake_audio(spark, n=100)
+    feats = multimodal.audio_features(media, frame_ms=25)
+    return feats.select(
+        "media_id", "sample_rate", "n_channels",
+        F.round("duration_ms", 3).alias("duration_ms"),
+        F.round("rms", 4).alias("rms"),
+        F.round("zcr", 4).alias("zcr"),
+        F.size("frame_rms").alias("n_frames"),
+    ).orderBy("media_id")
+
+
 def stratified_sample_docs(spark, sf_dir):
     """Deterministic per-source stratified sampling (curation op).
 
@@ -2524,6 +2545,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_eval_bm25": retrieval_eval_bm25,
         "quantile_cut_docs": quantile_cut_docs,
         "embedding_incremental_match": embedding_incremental_match,
+        "audio_features_wav": audio_features_wav,
     }
 
 

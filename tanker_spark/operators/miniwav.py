@@ -1,0 +1,68 @@
+"""Minimal pure-stdlib WAV codec: 16-bit PCM, mono or stereo.
+
+The audio twin of :mod:`minipng` — exists so the audio decode path is
+REAL (samples in, samples out) even in environments without soundfile/
+librosa: this container ships no audio libs, and a decode path that
+only ever runs its stub is untested plumbing. 16-bit PCM WAV is just a
+RIFF header in front of little-endian int16 frames, so a conformant
+subset codec is ~60 lines and numpy consumes the samples directly.
+
+Writer: canonical 44-byte RIFF/fmt/data layout. Decoder: walks the
+chunk list (ignoring LIST/fact/etc.), so files from any conformant
+encoder decode as long as they are 16-bit integer PCM.
+"""
+
+from __future__ import annotations
+
+import struct
+
+
+def encode_pcm16(samples, sample_rate: int, n_channels: int = 1) -> bytes:
+    """Interleaved int16 samples → WAV bytes."""
+    if n_channels not in (1, 2):
+        raise ValueError("n_channels must be 1 or 2")
+    if len(samples) % n_channels:
+        raise ValueError("sample count not a multiple of channels")
+    data = struct.pack("<%dh" % len(samples), *samples)
+    byte_rate = sample_rate * n_channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, byte_rate,
+        n_channels * 2, 16,
+    )
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def decode_pcm16(payload: bytes):
+    """WAV bytes → (samples, sample_rate, n_channels); samples are the
+    interleaved int16 frames as a python list. Raises ValueError on
+    anything that is not 16-bit integer PCM."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        tag = payload[pos:pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + size]
+        if tag == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif tag == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, sample_rate = fmt[0], fmt[1], fmt[2]
+    bits = fmt[5]
+    if audio_format != 1 or bits != 16:
+        raise ValueError(
+            "only 16-bit integer PCM supported (format %d, %d bits)"
+            % (audio_format, bits)
+        )
+    n = len(data) // 2
+    samples = list(struct.unpack("<%dh" % n, data[:n * 2]))
+    return samples, sample_rate, n_channels

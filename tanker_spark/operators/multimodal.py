@@ -237,3 +237,110 @@ def media_neardup_pairs(df, threshold=0.99, n_planes=8, seed=42,
         feats, vec_col="feature", id_col="media_id", dim=FEATURE_DIM,
         threshold=threshold, n_planes=n_planes, seed=seed,
     )
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_channels", T.IntegerType()),
+    T.StructField("duration_ms", T.DoubleType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("peak", T.DoubleType()),
+    T.StructField("zcr", T.DoubleType()),
+    T.StructField("frame_rms", T.ArrayType(T.DoubleType())),
+])
+
+
+def audio_features(df, frame_ms=25, payload_col="payload",
+                   id_col="media_id"):
+    """REAL audio feature extraction over 16-bit PCM WAV payloads —
+    the audio leg of the multimodal family, decoded by the vendored
+    :mod:`miniwav` codec (no external audio libs needed) and reduced
+    with numpy inside one Arrow-batched ``mapInPandas`` hop.
+
+    Per payload: sample_rate / n_channels / duration_ms from the
+    header, global RMS and peak (float samples normalized to [-1, 1]),
+    zero-crossing rate (per mono-mixed sample), and the per-frame RMS
+    envelope at ``frame_ms`` — the standard inputs to silence
+    trimming, loudness filtering and energy-based segmentation in a
+    speech-data pipeline. Non-WAV / non-PCM payloads yield a NULL
+    feature row (same contract as the image path's honest
+    NotImplementedError: a silent fake can't masquerade as a decode —
+    here the nulls are filterable downstream).
+
+    Scale: map-only; per-task memory is one Arrow batch of payloads
+    plus one decoded copy.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from . import miniwav
+
+    hop = None  # frames are non-overlapping at frame_ms
+
+    def _extract(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    samples, rate, nch = miniwav.decode_pcm16(
+                        bytes(payload)
+                    )
+                except (ValueError, TypeError):
+                    rows.append((int(mid), None, None, None, None,
+                                 None, None, None))
+                    continue
+                x = np.asarray(samples, dtype=np.float64) / 32768.0
+                if nch > 1:
+                    x = x.reshape(-1, nch).mean(axis=1)
+                n = len(x)
+                dur = 1000.0 * n / rate if rate else 0.0
+                rms = float(np.sqrt(np.mean(x * x))) if n else 0.0
+                peak = float(np.max(np.abs(x))) if n else 0.0
+                zcr = (
+                    float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                    if n > 1 else 0.0
+                )
+                flen = max(1, int(rate * frame_ms / 1000)) if rate else 1
+                nf = n // flen
+                fr = (
+                    np.sqrt(
+                        (x[: nf * flen].reshape(nf, flen) ** 2).mean(axis=1)
+                    ).tolist()
+                    if nf else []
+                )
+                rows.append((int(mid), int(rate), int(nch), dur, rms,
+                             peak, zcr, fr))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURE_SCHEMA]
+            )
+
+    return df.mapInPandas(_extract, schema=AUDIO_FEATURE_SCHEMA)
+
+
+def make_fake_audio(spark, n=50, seed=42, rate=8000):
+    """Deterministic synthetic WAV table for tests: sine tones of
+    varying frequency/amplitude/length (REAL PCM payloads via
+    miniwav), with every 7th row a non-audio payload to exercise the
+    NULL contract."""
+    import math
+
+    from . import miniwav
+
+    rows = []
+    for i in range(n):
+        if i % 7 == 3:
+            rows.append((i, bytearray(b"not a wav"), "application/junk",
+                         None, None, None))
+            continue
+        freq = 200 + 50 * (i % 8)
+        amp = 0.1 + 0.05 * (i % 5)
+        n_samp = rate // 4 + 100 * (i % 3)
+        samples = [
+            int(32767 * amp * math.sin(2 * math.pi * freq * t / rate))
+            for t in range(n_samp)
+        ]
+        payload = miniwav.encode_pcm16(samples, rate)
+        rows.append((i, bytearray(payload), "audio/wav", None, None,
+                     int(1000 * n_samp / rate)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -2469,3 +2469,62 @@ def test_filter_by_group_quantile(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="above"):
         filter_by_group_quantile(df, "score", "grp", keep="sideways")
+
+
+def test_miniwav_roundtrip():
+    from tanker_spark.operators import miniwav
+
+    samples = [0, 1000, -1000, 32767, -32768, 5]
+    for nch in (1, 2):
+        payload = miniwav.encode_pcm16(samples, 8000, nch)
+        back, rate, ch = miniwav.decode_pcm16(payload)
+        assert (back, rate, ch) == (samples, 8000, nch)
+    with pytest.raises(ValueError, match="RIFF"):
+        miniwav.decode_pcm16(b"junk")
+    with pytest.raises(ValueError, match="channels"):
+        miniwav.encode_pcm16(samples, 8000, 3)
+
+
+def test_audio_features(spark):
+    """Real PCM decode + numpy features: a pure sine's RMS is
+    amplitude/sqrt(2) and its zero-crossing rate ~ 2*freq/rate; junk
+    payloads yield NULL feature rows instead of crashing the batch."""
+    import math
+
+    rate, freq, amp, n = 8000, 400, 0.5, 8000
+    samples = [int(32767 * amp * math.sin(2 * math.pi * freq * t / rate))
+               for t in range(n)]
+    from tanker_spark.operators import miniwav
+    wav = miniwav.encode_pcm16(samples, rate)
+    stereo = miniwav.encode_pcm16(
+        [s for s in samples[:4000] for _ in (0, 1)], rate, 2)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav), "audio/wav", None, None, 1000),
+         (2, bytearray(stereo), "audio/wav", None, None, 500),
+         (3, bytearray(b"nope"), "application/junk", None, None, None)],
+        multimodal.MEDIA_SCHEMA)
+    got = {r.media_id: r
+           for r in multimodal.audio_features(df, frame_ms=25).collect()}
+    r1 = got[1]
+    assert (r1.sample_rate, r1.n_channels) == (rate, 1)
+    assert abs(r1.duration_ms - 1000.0) < 1e-9
+    assert abs(r1.rms - amp / math.sqrt(2)) < 0.01
+    assert abs(r1.peak - amp) < 0.01
+    assert abs(r1.zcr - 2 * freq / rate) < 0.005
+    # 25 ms frames at 8 kHz = 200 samples -> 40 frames; a steady tone
+    # has a flat envelope
+    assert len(r1.frame_rms) == 40
+    assert max(r1.frame_rms) - min(r1.frame_rms) < 0.02
+    # stereo mixes down to mono before features
+    assert got[2].n_channels == 2 and abs(got[2].rms - r1.rms) < 0.01
+    # junk: NULL features, row preserved
+    assert got[3].sample_rate is None and got[3].frame_rms is None
+
+    # batch plumbing over the generator
+    fa = multimodal.make_fake_audio(spark, n=20)
+    out = multimodal.audio_features(fa).collect()
+    assert len(out) == 20
+    assert sum(1 for r in out if r.sample_rate is None) == 3  # junk rows
+    for r in out:
+        if r.sample_rate is not None:
+            assert r.rms > 0 and r.zcr > 0
