@@ -1374,13 +1374,20 @@ def embedding_incremental(new_df, index_path, threshold=0.95,
         F.explode(F.array(*balls)).alias("__bucket"),
     ).dropDuplicates(["id_a", "__bucket"])
 
-    # batch bucket set, driver-side: bounded by |batch| x ball size,
-    # pushed into the index scan as a partition filter
-    buckets = [r["__bucket"]
-               for r in qexp.select("__bucket").distinct().collect()]
-    idx = new_df.sparkSession.read.parquet(index_path).filter(
-        F.col("__bucket").isin(buckets)
-    )
+    # batch bucket set, driver-side: bounded by min(|batch|·ball,
+    # 2^n_planes), pushed into the index scan as a partition filter.
+    # The collect is CAPPED — at wide codes a large batch can touch
+    # millions of buckets, and a million-literal isin is worse than
+    # scanning: past the cap the partition filter is skipped and the
+    # bucket equi-join (or cogroup) prunes logically instead.
+    cap = 10_000
+    bs = (qexp.select("__bucket").distinct()
+          .limit(cap + 1).collect())
+    idx = new_df.sparkSession.read.parquet(index_path)
+    if len(bs) <= cap:
+        idx = idx.filter(
+            F.col("__bucket").isin([r["__bucket"] for r in bs])
+        )
     if exclude_batch_ids:
         idx = idx.join(
             new_df.select(F.col(id_col)).distinct(), id_col, "left_anti"
