@@ -64,26 +64,34 @@ def test_driver_row_budget_ordering():
     # stable for a fixed recording state
     assert entry_mod._ordered_names(6) == entry_mod._ordered_names(6)
 
-    # never-recorded veterans lead the veteran block
+    # red-at-latest veterans lead the veteran block (a failed driver
+    # row must be retried the round its fix lands), then never-recorded
+    # ones, then recorded-green by staleness
     recorded = entry_mod._recorded_rounds()
+    red = entry_mod._red_names()
     ordered = entry_mod._ordered_names(6)
     vet_block = [n for n in ordered if n in oracles
                  and n not in entry_mod.DEBUTS]
-    seen_recorded = False
+    phase = 0  # 0 = red, 1 = never-recorded, 2 = recorded green
     for n in vet_block:
-        if recorded.get(n, 0):
-            seen_recorded = True
-        else:
-            assert not seen_recorded, \
-                "never-recorded %s sits after a recorded veteran" % n
+        p = 0 if n in red else (1 if not recorded.get(n, 0) else 2)
+        assert p >= phase, \
+            "%s (phase %d) sits after a phase-%d veteran" % (n, p, phase)
+        phase = max(phase, p)
 
     # feedback-loop simulation: the driver records each round's window,
-    # staleness reorders, three rounds cover every veteran
+    # staleness reorders, three rounds cover every veteran. Start from
+    # the CURRENT on-disk round (r7 postmortem: a literal (6, 7, 8)
+    # went stale the moment the driver dropped CORRECTNESS_r07.json —
+    # 44 veterans became "recorded in 7" and sorted freshest-last
+    # inside the simulated past rounds).
     veterans = {n for n in entry_mod._all_queries()
                 if n in oracles and n not in entry_mod.DEBUTS}
+    start = max(recorded.values(), default=0) + 1
+    assert entry_mod._round_no() == start
     sim = dict(recorded)
     covered = set()
-    for rnd in (6, 7, 8):
+    for rnd in range(start, start + 3):
         window = entry_mod._ordered_names(rnd, recorded=sim)[:50]
         assert len(window) == 50
         assert all(n in oracles for n in window)
@@ -97,6 +105,30 @@ def test_driver_row_budget_ordering():
                        if n not in oracles])
     tail = entry_mod._ordered_names(6)[-n_rows_only:]
     assert all(n not in oracles for n in tail)
+
+
+def test_rotation_survives_future_driver_recordings(monkeypatch):
+    """r7 regression: the rotation-coverage pins must hold for ANY
+    on-disk recording state, not just today's — plant a fake future
+    CORRECTNESS history (driver recorded windows through round 12,
+    unevenly) and re-assert round derivation + 3-round coverage."""
+    oracles = set(entry_mod.oracle_sql())
+    names = list(entry_mod._all_queries())
+    fake = {n: 5 + (i % 8) for i, n in enumerate(names)}  # rounds 5..12
+    monkeypatch.setattr(entry_mod, "_recorded_rounds", lambda: fake)
+    start = max(fake.values()) + 1
+    assert entry_mod._round_no() == start
+    veterans = {n for n in names
+                if n in oracles and n not in entry_mod.DEBUTS}
+    sim = dict(fake)
+    covered = set()
+    for rnd in range(start, start + 3):
+        window = entry_mod._ordered_names(rnd, recorded=sim)[:50]
+        assert len(window) == 50
+        covered.update(window)
+        for n in window:
+            sim[n] = rnd
+    assert not veterans - covered
 
 
 def test_events_ts_stays_timestamp():
