@@ -1544,13 +1544,25 @@ def contamination_check(spark, sf_dir):
 
 
 def semdedup_embeddings(spark, sf_dir):
-    """SemDeDup (arXiv:2303.09540) survivors over the embeddings table
-    — cluster-partitioned semantic dedup. Rows-only: centroid fitting
-    (hash-ordered sample / KMeans) is not SQL-expressible; the prune
-    semantics are pinned by tests/operators_test.py::test_semdedup."""
+    """SemDeDup (arXiv:2303.09540) survivors over the embeddings table.
+
+    Oracle-checkable configuration (r8 — this name had never earned a
+    driver row as rows-only): ``n_clusters=1`` + ``keep="min_id"``
+    makes survival exactly "no lower-id point at cosine ≥ threshold" —
+    a DuckDB ``NOT EXISTS`` over ``list_cosine_similarity`` — while
+    still driving the exact-collapse guard, the cell machinery and the
+    per-cell GEMM dominance verify. The clustered (KMeans /
+    hash-sampled centroid, ``centroid_far``) paths stay pinned by
+    tests/operators_test.py::test_semdedup*. threshold=0.35 because
+    the sf testdata embeddings are near-orthogonal random vectors (max
+    pairwise cos 0.513 at sf0.01) — a loose semantic threshold prunes
+    ~40%, a tight one would pin an empty filter. Single-cluster is the
+    CORRECTNESS vehicle only; production k scales with the corpus
+    (see semdedup docstring)."""
     df = _read(spark, sf_dir, "embeddings")
     return (
-        similarity.semdedup(df, threshold=0.98, target_cluster_rows=256)
+        similarity.semdedup(df, threshold=0.35, n_clusters=1,
+                            keep="min_id")
         .select("vec_id")
         .orderBy("vec_id")
     )
@@ -1576,8 +1588,16 @@ def dsir_select_docs(spark, sf_dir):
 
 
 def pack_docs(spark, sf_dir):
-    """Context-window packing (first-fit-decreasing per partition, no
-    SQL oracle — sequential bin assignment; invariants pinned in
+    """Context-window packing (first-fit-decreasing).
+
+    Oracle-checkable as of r8 (this name had never earned a driver row
+    as rows-only): ``n_partitions=1`` makes the FFD sweep globally
+    deterministic — one bin list over docs sorted (len DESC, doc_id) —
+    which a DuckDB recursive CTE carrying the bin-remainder list
+    reproduces bit-exactly (bin ids, fills and all). Single-partition
+    is the CORRECTNESS vehicle only; production packing keeps the
+    default hash-partitioned parallel sweep with partition-unique pack
+    ids (multi-partition invariants stay pinned in
     tests/operators_test.py::test_pack_sequences)."""
     from tanker_spark.operators import curation
 
@@ -1585,7 +1605,7 @@ def pack_docs(spark, sf_dir):
         "doc_id", F.length("text").alias("n_chars")
     )
     return curation.pack_sequences(
-        df, "doc_id", "n_chars", budget=2000
+        df, "doc_id", "n_chars", budget=2000, n_partitions=1
     ).orderBy("doc_id")
 
 
@@ -1987,17 +2007,26 @@ def embedding_incremental_match(spark, sf_dir):
 
 
 def audio_features_wav(spark, sf_dir):
-    """REAL audio decode + features (rows-only): deterministic sine
-    WAVs through the vendored 16-bit PCM codec and numpy feature
-    reduction — sample rate, duration, RMS/peak, zero-crossing rate,
-    frame-RMS envelope; junk payloads yield NULL rows. Feature math is
-    pinned analytically in operators_test (sine RMS = amp/sqrt 2,
-    ZCR = 2f/rate)."""
+    """REAL audio decode + features: deterministic sine WAVs through
+    the vendored 16-bit PCM codec and numpy feature reduction — sample
+    rate, duration, RMS/peak, zero-crossing rate, frame-RMS envelope.
+
+    Oracle-checkable as of r8 (this name had never earned a driver row
+    as rows-only): the payload spec is deterministic closed-form math,
+    so an INDEPENDENT reduction (``_audio_expected_rows`` — pure
+    math/numpy from the generation spec, no miniwav, no Spark) emits a
+    DuckDB ``VALUES`` oracle; what the driver then verifies end-to-end
+    is the encode→Arrow→decode→feature pipeline. Junk payloads are
+    filtered here (their NULL features would promote the int columns
+    to float64 in BOTH engines' pandas frames — the corpus_stats dtype
+    lesson); the junk→NULL contract stays pinned by
+    tests/operators_test.py and the sine analytics (RMS=amp/√2,
+    ZCR=2f/rate)."""
     from tanker_spark.operators import multimodal
 
     media = multimodal.make_fake_audio(spark, n=100)
     feats = multimodal.audio_features(media, frame_ms=25)
-    return feats.select(
+    return feats.filter(F.col("sample_rate").isNotNull()).select(
         "media_id", "sample_rate", "n_channels",
         F.round("duration_ms", 3).alias("duration_ms"),
         F.round("rms", 4).alias("rms"),
@@ -2309,14 +2338,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #: 50-row correctness window so every new operator gets a driver-recorded
 #: CORRECTNESS row in its debut round.
 DEBUTS = [
-    # round-7 debuts: line-level corpus dedup, TF-IDF top terms,
-    # UniMax epoch-capped mixing, n-gram diversity, retrieval eval
-    "line_dedup_docs",
-    "top_terms_by_lang",
-    "mix_unimax_langs",
-    "ngram_diversity_langs",
-    "retrieval_eval_bm25",
-    "quantile_cut_docs",
+    # round-8 debuts land here as they are built. The r7 debuts all
+    # recorded green rows in CORRECTNESS_r07 and rejoin the staleness
+    # rotation; the three newly-oracle-checkable names
+    # (audio_features_wav, pack_docs, semdedup_embeddings) need no
+    # DEBUTS slot — never-recorded veterans sort directly after
+    # red-at-latest ones by construction.
 ]
 
 
@@ -2585,6 +2612,64 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_incremental_match": embedding_incremental_match,
         "audio_features_wav": audio_features_wav,
     }
+
+
+def _audio_expected_rows():
+    """Expected ``audio_features_wav`` rows, computed INDEPENDENTLY of
+    the engine under test: regenerates the deterministic sine-sample
+    spec (`multimodal.make_fake_audio`: freq=200+50·(i%8),
+    amp=0.1+0.05·(i%5), n=rate/4+100·(i%3), int-truncated 16-bit
+    quantization, rate=8000, every 7th row junk) with plain math and
+    reduces with numpy — no miniwav, no Arrow, no Spark. Rounding uses
+    Decimal ROUND_HALF_UP on the float's shortest repr, which is
+    exactly Spark's ROUND-on-double (BigDecimal.valueOf + HALF_UP)."""
+    import math as _math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    def _r(v, places):
+        q = Decimal(1).scaleb(-places)
+        return float(Decimal(repr(float(v))).quantize(
+            q, rounding=ROUND_HALF_UP))
+
+    rate, rows = 8000, []
+    for i in range(100):
+        if i % 7 == 3:
+            continue  # junk payload -> NULL row, filtered by the entry
+        freq = 200 + 50 * (i % 8)
+        amp = 0.1 + 0.05 * (i % 5)
+        n_samp = rate // 4 + 100 * (i % 3)
+        s = np.array(
+            [int(32767 * amp * _math.sin(2 * _math.pi * freq * t / rate))
+             for t in range(n_samp)], dtype=np.float64) / 32768.0
+        dur = 1000.0 * n_samp / rate
+        rms = float(np.sqrt(np.mean(s * s)))
+        zcr = float(np.mean(np.signbit(s[1:]) != np.signbit(s[:-1])))
+        flen = rate * 25 // 1000
+        rows.append((i, rate, 1, _r(dur, 3), _r(rms, 4), _r(zcr, 4),
+                     n_samp // flen))
+    return rows
+
+
+def _audio_oracle_sql() -> str:
+    vals = ",\n              ".join(
+        "(%d, %d, %d, %r, %r, %r, %d)" % row
+        for row in _audio_expected_rows()
+    )
+    return """
+            SELECT media_id::BIGINT AS media_id,
+                   sample_rate::INTEGER AS sample_rate,
+                   n_channels::INTEGER AS n_channels,
+                   duration_ms::DOUBLE AS duration_ms,
+                   rms::DOUBLE AS rms, zcr::DOUBLE AS zcr,
+                   n_frames::INTEGER AS n_frames
+            FROM (VALUES
+              %s
+            ) AS t(media_id, sample_rate, n_channels, duration_ms,
+                   rms, zcr, n_frames)
+            ORDER BY media_id
+        """ % vals
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4545,6 +4630,59 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_chars >= cut
             ORDER BY doc_id
         """,
+        "semdedup_embeddings": """
+            -- single-cluster min_id SemDeDup: survival == "no
+            -- lower-id point at cosine >= threshold" (see the entry's
+            -- docstring for why this configuration is the oracle
+            -- vehicle)
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v
+              FROM embeddings WHERE embedding IS NOT NULL
+            )
+            SELECT a.vec_id FROM e a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM e b WHERE b.vec_id < a.vec_id
+              AND list_cosine_similarity(a.v, b.v) >= 0.35)
+            ORDER BY a.vec_id
+        """,
+        "pack_docs": """
+            -- first-fit-decreasing replayed sequentially: a recursive
+            -- CTE carries the bin-remainder list (bin id = 0-based
+            -- list position; fill = budget - remainder, exact even
+            -- for oversize singletons). list_position returns 0 (not
+            -- NULL) on no-fit -> NULLIF.
+            WITH RECURSIVE docs AS (
+              SELECT doc_id, length(text)::BIGINT AS ln,
+                     row_number() OVER (
+                       ORDER BY length(text) DESC, doc_id) AS rn
+              FROM documents
+            ), st AS (
+              SELECT 0::BIGINT AS rn, NULL::BIGINT AS doc_id,
+                     NULL::BIGINT AS item_len, NULL::BIGINT AS pack_id,
+                     NULL::BIGINT AS pack_fill, []::BIGINT[] AS bins
+              UNION ALL
+              SELECT rn, doc_id, ln,
+                     CASE WHEN pos IS NULL THEN len(bins)
+                          ELSE pos - 1 END,
+                     CASE WHEN pos IS NULL THEN ln
+                          ELSE 2000 - (bins[pos] - ln) END,
+                     CASE WHEN pos IS NULL
+                          THEN list_append(bins, 2000 - ln)
+                          ELSE list_transform(bins, (r, i) ->
+                                 CASE WHEN i = pos THEN r - ln
+                                      ELSE r END) END
+              FROM (
+                SELECT d.rn, d.doc_id, d.ln, s.bins,
+                       NULLIF(list_position(
+                         list_transform(s.bins, r -> r >= d.ln),
+                         true), 0) AS pos
+                FROM st s JOIN docs d ON d.rn = s.rn + 1
+              )
+            )
+            SELECT doc_id, item_len, pack_id, pack_fill
+            FROM st WHERE rn > 0 ORDER BY doc_id
+        """,
+        "audio_features_wav": _audio_oracle_sql(),
         # minhash/simhash/doc_fingerprints/knn_lsh/knn_ivf/multimodal:
         # hash/UDF internals or approximate recall are not portably
         # expressible in ANSI SQL → rows-only checks; tests/ assert
