@@ -2192,14 +2192,21 @@ def curation_pipeline_v2(spark, sf_dir, surp_max=6.95):
 
 
 def multimodal_features(spark, sf_dir):
-    """Multimodal plumbing: deterministic fake media → mapInPandas
-    feature extraction (Arrow-batched). Rows-only: binary/UDF internals
-    are not SQL-expressible."""
+    """Multimodal image pipeline with a REAL pixel decode: deterministic
+    gradient PNGs (vendored minipng codec) → Arrow-batched mapInPandas
+    decode + 4×4 mean-pool features.
+
+    r8 upgrade mirroring r7's audio path: ``fake=False`` drives the
+    actual encode→Arrow→decode→pool stack end-to-end, and the oracle is
+    a DuckDB ``VALUES`` computed INDEPENDENTLY from the closed-form
+    pixel spec (``_media_expected_rows`` — pure python pooling, no
+    minipng decode, no Spark). Junk payloads yield NULL features
+    (filtered here for dtype-stable hashing; contract pytest-pinned)."""
     from tanker_spark.operators import multimodal
 
     media = multimodal.make_fake_media(spark, n=200)
-    feats = multimodal.extract_features(media, fake=True)
-    return feats.select(
+    feats = multimodal.extract_features(media, fake=False)
+    return feats.filter(F.col("feature").isNotNull()).select(
         "media_id", "mime", "n_bytes",
         F.round(F.aggregate(
             "feature", F.lit(0.0), lambda acc, x: acc + x
@@ -2650,6 +2657,59 @@ def _audio_expected_rows():
         rows.append((i, rate, 1, _r(dur, 3), _r(rms, 4), _r(zcr, 4),
                      n_samp // flen))
     return rows
+
+
+def _media_expected_rows():
+    """Expected ``multimodal_features`` rows, computed independently of
+    the engine under test: re-derives the closed-form gradient pixel
+    spec (`multimodal.fake_media_pixels`) and box mean-pools it in pure
+    python — no minipng DECODE, no Arrow, no Spark (the encoder is used
+    only for the payload byte length, which is part of the spec, not of
+    the decode under test). Feature elements are float32 (the schema's
+    array<float>) before Spark's double fold, so the sum quantizes each
+    pooled value through np.float32 first."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    from tanker_spark.operators import minipng
+    from tanker_spark.operators.multimodal import (FAKE_MEDIA_SIDE,
+                                                   fake_media_pixels)
+
+    side, pool = FAKE_MEDIA_SIDE, 4
+    rows = []
+    for i in range(200):
+        if i % 7 == 3:
+            continue  # junk payload -> NULL feature, filtered
+        px = fake_media_pixels(i)
+        n_bytes = len(minipng.encode_gray(px, side, side))
+        step = side // pool
+        acc = 0.0
+        for by in range(pool):
+            for bx in range(pool):
+                s = sum(px[y * side + x]
+                        for y in range(by * step, (by + 1) * step)
+                        for x in range(bx * step, (bx + 1) * step))
+                acc += float(np.float32(s / (step * step) / 255.0))
+        feat_sum = float(Decimal(repr(acc)).quantize(
+            Decimal("0.0001"), rounding=ROUND_HALF_UP))
+        rows.append((i, "image/png", n_bytes, feat_sum))
+    return rows
+
+
+def _media_oracle_sql() -> str:
+    vals = ",\n              ".join(
+        "(%d, '%s', %d, %r)" % row for row in _media_expected_rows()
+    )
+    return """
+            SELECT media_id::BIGINT AS media_id, mime,
+                   n_bytes::BIGINT AS n_bytes,
+                   feat_sum::DOUBLE AS feat_sum
+            FROM (VALUES
+              %s
+            ) AS t(media_id, mime, n_bytes, feat_sum)
+            ORDER BY media_id
+        """ % vals
 
 
 def _audio_oracle_sql() -> str:
@@ -4683,7 +4743,8 @@ def oracle_sql() -> dict[str, str]:
             FROM st WHERE rn > 0 ORDER BY doc_id
         """,
         "audio_features_wav": _audio_oracle_sql(),
-        # minhash/simhash/doc_fingerprints/knn_lsh/knn_ivf/multimodal:
+        "multimodal_features": _media_oracle_sql(),
+        # minhash/simhash/doc_fingerprints/knn_lsh/knn_ivf:
         # hash/UDF internals or approximate recall are not portably
         # expressible in ANSI SQL → rows-only checks; tests/ assert
         # planted-duplicate recall and ANN-vs-brute agreement instead.

@@ -108,6 +108,13 @@ def extract_features(df, fake: bool = True):
 
     Arrow-batched: each pandas batch holds whole payloads; the UDF is the
     only Python hop in the pipeline (unavoidable for codec work).
+
+    With ``fake=False`` a payload the real decode stack rejects
+    (non-PNG without Pillow, corrupt stream) yields a NULL feature row
+    — the same junk→NULL contract as :func:`audio_features`, so mixed
+    corpora are filterable downstream instead of failing the job on the
+    first bad blob. ``decode_image`` itself still raises, so single-
+    payload callers keep the honest no-codec error.
     """
 
     def _extract(batches):
@@ -116,9 +123,16 @@ def extract_features(df, fake: bool = True):
             out["n_bytes"] = pdf["payload"].map(
                 lambda p: len(p) if p is not None else 0
             )
-            out["feature"] = pdf["payload"].map(
-                lambda p: decode_image(p, fake=fake)
-            )
+
+            def _decode(p):
+                if fake:
+                    return decode_image(p, fake=True)
+                try:
+                    return decode_image(p, fake=False)
+                except Exception:
+                    return None
+
+            out["feature"] = pdf["payload"].map(_decode)
             yield out
 
     return df.mapInPandas(_extract, schema=FEATURE_SCHEMA)
@@ -206,15 +220,40 @@ def frame_sample(df, every_ms=1000):
     ).withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)
 
 
+#: make_fake_media image geometry (square)
+FAKE_MEDIA_SIDE = 32
+
+
+def fake_media_pixels(i, side=FAKE_MEDIA_SIDE):
+    """Deterministic gradient pixels for fake-media row ``i`` — the
+    closed-form spec an independent oracle can recompute (the image
+    twin of make_fake_audio's sine formulas)."""
+    return bytes(
+        (13 * i + 5 * x + 7 * y + ((x * y) >> 2)) % 256
+        for y in range(side) for x in range(side)
+    )
+
+
 def make_fake_media(spark, n=100, seed=42):
-    """Deterministic synthetic media table for tests (binary payloads)."""
+    """Deterministic synthetic media table: REAL 8-bit grayscale PNG
+    payloads (vendored minipng codec) with a closed-form gradient
+    pixel spec, plus every 7th row a non-image payload to exercise the
+    junk→NULL contract — the image twin of :func:`make_fake_audio`
+    (which got this real-payload upgrade in r7; this caught up in
+    r8)."""
+    from . import minipng
+
     rows = []
     for i in range(n):
-        payload = hashlib.sha256(b"media-%d-%d" % (seed, i)).digest() * 4
-        rows.append((
-            i, bytearray(payload), "image/png" if i % 2 == 0 else
-            "audio/wav", 64, 64, 1000 * (i % 7),
-        ))
+        if i % 7 == 3:
+            payload = hashlib.sha256(b"junk-%d-%d" % (seed, i)).digest()
+            rows.append((i, bytearray(payload), "application/junk",
+                         None, None, None))
+            continue
+        side = FAKE_MEDIA_SIDE
+        payload = minipng.encode_gray(fake_media_pixels(i), side, side)
+        rows.append((i, bytearray(payload), "image/png", side, side,
+                     1000 * (i % 7)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 

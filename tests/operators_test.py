@@ -321,7 +321,7 @@ def test_multimodal(spark):
     assert len(rows) == 20
     for r in rows:
         assert len(r.feature) == multimodal.FEATURE_DIM
-        assert r.n_bytes == 128
+        assert r.n_bytes > 0
     # deterministic: same payload → same feature
     again = {r.media_id: r.feature for r in
              multimodal.extract_features(media, fake=True).collect()}
@@ -335,6 +335,48 @@ def test_multimodal(spark):
         # non-PNG payload without Pillow: honest refusal, not a stub
         with pytest.raises(NotImplementedError):
             multimodal.decode_image(b"\x00", fake=False)
+
+
+def test_multimodal_real_decode(spark):
+    """r8: make_fake_media payloads are REAL PNGs — fake=False decodes
+    them through the vendored codec; junk payloads yield NULL feature
+    rows (the audio path's contract); pooled features match an
+    independent pure-python reduction of the pixel spec."""
+    from tanker_spark.operators.multimodal import (FAKE_MEDIA_SIDE,
+                                                   fake_media_pixels)
+
+    media = multimodal.make_fake_media(spark, n=21)
+    rows = {r.media_id: r for r in
+            multimodal.extract_features(media, fake=False).collect()}
+    assert len(rows) == 21
+    for i in (3, 10, 17):  # junk rows -> NULL feature, n_bytes kept
+        assert rows[i].feature is None and rows[i].n_bytes > 0
+    side, pool, step = FAKE_MEDIA_SIDE, 4, FAKE_MEDIA_SIDE // 4
+    for i in (0, 5, 20):
+        px = fake_media_pixels(i)
+        expected = [
+            sum(px[y * side + x]
+                for y in range(by * step, (by + 1) * step)
+                for x in range(bx * step, (bx + 1) * step))
+            / (step * step) / 255.0
+            for by in range(pool) for bx in range(pool)
+        ]
+        got = rows[i].feature
+        assert len(got) == multimodal.FEATURE_DIM
+        assert all(abs(g - e) < 1e-6 for g, e in zip(got, expected))
+
+
+def test_media_neardup_real_decode(spark):
+    """Planted-duplicate media detection over REAL pixel features: an
+    exact payload copy must pair with its original at cos 1.0."""
+    media = multimodal.make_fake_media(spark, n=30)
+    dup = media.filter(F.col("media_id") == 0).withColumn(
+        "media_id", F.col("media_id") + 100)
+    both = media.unionByName(dup)
+    pairs = multimodal.media_neardup_pairs(
+        both, threshold=0.999, fake=False).collect()
+    sims = {(r.id_a, r.id_b): r.cos_sim for r in pairs}
+    assert sims.get((0, 100), 0.0) > 0.999
 
 
 def _make_png(width=8, height=8, split=4):
