@@ -2006,6 +2006,31 @@ def embedding_incremental_match(spark, sf_dir):
 
 
 
+def embedding_incremental_match_ivf(spark, sf_dir):
+    """Round-8 debut (rows-only): incremental embedding near-dup
+    against an IVF-built persisted index — the layout the r7 VERDICT
+    flagged as the missing cell of the incremental matrix (it raised
+    through r7). Batch vectors assign to their n_probe nearest cells
+    in one batched GEMM (similarity._batch_probe_cells), cell ids push
+    as partition filters, the cogroup-GEMM verify is unchanged.
+    Correctness pinned by operators_test::test_embedding_incremental_ivf
+    (planted copies, brute-force subset, gemm==column, replay)."""
+    import tempfile
+
+    df = _read(spark, sf_dir, "embeddings")
+    idx = os.path.join(tempfile.mkdtemp(prefix="tk_inc_ivf_"), "ivf")
+    similarity.build_ann_index(df, idx, method="ivf", n_cells=16)
+    batch = df.filter(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    pairs = similarity.embedding_incremental(
+        batch, idx, threshold=0.9, n_probe=2
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim")
+    ).orderBy("id_a", "id_b")
+
+
 def audio_features_wav(spark, sf_dir):
     """REAL audio decode + features: deterministic sine WAVs through
     the vendored 16-bit PCM codec and numpy feature reduction — sample
@@ -2617,6 +2642,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_eval_bm25": retrieval_eval_bm25,
         "quantile_cut_docs": quantile_cut_docs,
         "embedding_incremental_match": embedding_incremental_match,
+        "embedding_incremental_match_ivf": embedding_incremental_match_ivf,
         "audio_features_wav": audio_features_wav,
     }
 

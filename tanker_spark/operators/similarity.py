@@ -1303,9 +1303,66 @@ def random_projection(df, out_dim, dim, vec_col="embedding", seed=42,
     return df.withColumn(out_col or vec_col, proj)
 
 
+def _batch_probe_cells(q, cent_vecs, n_probe):
+    """Batched IVF probe assignment for :func:`embedding_incremental`:
+    one ``Q @ C.T`` numpy GEMM per Arrow batch against the broadcast
+    normalized centroid matrix, emitting each batch vector's
+    ``n_probe`` highest-cosine cells (ties to the lowest cell id, the
+    :func:`ivf_cell_col` rule — full sort of the top slice, so the
+    emitted cell SET is deterministic even on ties). Map-only; rows
+    with NULL / wrong-dim / zero-norm vectors emit nothing (they can
+    never match). Input ``q`` is (id_a, __qv, __qinv); output adds
+    ``__bucket`` (int cell id, the index's partition column)."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.array(cent_vecs, dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    k = len(cent_vecs)
+    n_probe = max(1, min(int(n_probe), k))
+    spark = q.sparkSession
+    bc = spark.sparkContext.broadcast(Cn)
+    id_t = q.schema["id_a"].dataType.simpleString()
+    vec_t = q.schema["__qv"].dataType.simpleString()
+    schema_str = ("id_a %s, __qv %s, __qinv double, __bucket int"
+                  % (id_t, vec_t))
+
+    def probe(batches):
+        b_Cn = bc.value
+        dim = b_Cn.shape[1]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ok = pdf["__qv"].map(
+                lambda v: v is not None and len(v) == dim
+            ).to_numpy() & pdf["__qinv"].notna().to_numpy()
+            if not ok.any():
+                continue
+            sub = pdf[ok]
+            V = np.array(list(sub["__qv"]), dtype=np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            S = Vn @ b_Cn.T  # (batch, k)
+            if n_probe < k:
+                top = np.argpartition(-S, n_probe - 1, axis=1)[:, :n_probe]
+            else:
+                top = np.tile(np.arange(k), (len(S), 1))
+            # tie rule: sort the top slice by (-sim, cell id)
+            rows_sim = np.take_along_axis(S, top, axis=1)
+            order = np.lexsort((top, -rows_sim), axis=1)
+            top = np.take_along_axis(top, order, axis=1)
+            yield pd.DataFrame({
+                "id_a": sub["id_a"].to_numpy().repeat(n_probe),
+                "__qv": sub["__qv"].to_numpy().repeat(n_probe),
+                "__qinv": sub["__qinv"].to_numpy().repeat(n_probe),
+                "__bucket": top.ravel().astype("int32"),
+            })
+
+    return q.mapInPandas(probe, schema_str)
+
+
 def embedding_incremental(new_df, index_path, threshold=0.95,
                           multiprobe=1, exclude_batch_ids=False,
-                          score="auto"):
+                          score="auto", n_probe=None):
     """Incremental embedding near-dup: match an arriving batch against
     the persisted ANN index at ``index_path`` (built by
     :func:`build_ann_index`, grown by :func:`ann_index_append`) — the
@@ -1343,36 +1400,43 @@ def embedding_incremental(new_df, index_path, threshold=0.95,
     must not match its own corpus twin (same contract, and the same
     reason, as ``minhash_incremental``).
 
-    LSH indexes only: an IVF index's probe set is per-vector argmax
-    over centroids, which the batched form would have to recompute for
-    every row — build the LSH layout for corpora that are matched
-    incrementally."""
+    Works on BOTH persisted layouts (r8 — through r7 this raised on
+    IVF, forcing an IVF corpus owner to rebuild as LSH): an LSH
+    batch explodes to its radius-``multiprobe`` Hamming ball; an IVF
+    batch assigns to its ``n_probe`` nearest cells in ONE numpy GEMM
+    per Arrow batch against the broadcast centroid matrix
+    (:func:`_batch_probe_cells` — the batched form of ``knn_ivf``'s
+    driver-side probe, never per-row argmax recompute), and the cell
+    ids flow into the same capped partition filter + bucket
+    equi-join / cogroup-GEMM verify. ``n_probe`` defaults to
+    ``multiprobe + 1`` so both layouts widen recall with the same
+    knob; it is ignored for LSH."""
     with open(os.path.join(index_path, ANN_META)) as fh:
         meta = json.load(fh)
-    if meta["method"] != "lsh":
-        raise ValueError(
-            "embedding_incremental requires an LSH index; %r is %r"
-            % (index_path, meta["method"])
-        )
     vec_col, id_col = meta["vec_col"], meta["id_col"]
-    dim, n_planes, seed = meta["dim"], meta["n_planes"], meta["seed"]
 
     qn = _norm(F.col("__qv"))
     q = new_df.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("__qv")
     ).withColumn("__qinv", F.when(qn > 0, 1.0 / qn))
-    b = hyperplane_bucket(F.col("__qv"), dim, n_planes, seed)
-    balls = [b]
-    for r in range(1, multiprobe + 1):
-        for bits in combinations(range(n_planes), r):
-            bb = b
-            for j in bits:
-                bb = bb.bitwiseXOR(1 << j)
-            balls.append(bb)
-    qexp = q.select(
-        "id_a", "__qv", "__qinv",
-        F.explode(F.array(*balls)).alias("__bucket"),
-    ).dropDuplicates(["id_a", "__bucket"])
+    if meta["method"] == "ivf":
+        if n_probe is None:
+            n_probe = multiprobe + 1
+        qexp = _batch_probe_cells(q, meta["centroids"], int(n_probe))
+    else:
+        dim, n_planes, seed = meta["dim"], meta["n_planes"], meta["seed"]
+        b = hyperplane_bucket(F.col("__qv"), dim, n_planes, seed)
+        balls = [b]
+        for r in range(1, multiprobe + 1):
+            for bits in combinations(range(n_planes), r):
+                bb = b
+                for j in bits:
+                    bb = bb.bitwiseXOR(1 << j)
+                balls.append(bb)
+        qexp = q.select(
+            "id_a", "__qv", "__qinv",
+            F.explode(F.array(*balls)).alias("__bucket"),
+        ).dropDuplicates(["id_a", "__bucket"])
 
     # batch bucket set, driver-side: bounded by min(|batch|·ball,
     # 2^n_planes), pushed into the index scan as a partition filter.

@@ -2437,12 +2437,83 @@ def test_embedding_incremental(spark, tmp_path):
                 bdf, qpath, threshold=0.99, multiprobe=1).collect()}
     for j in range(5):
         assert (1000 + j, corpus[j * 13][0]) in qgot
-    # IVF layouts are per-vector-argmax probes — rejected with a clear
-    # error rather than a silent full scan
+    dedup.release_caches()
+
+
+def test_embedding_incremental_ivf(spark, tmp_path):
+    """r8: incremental matching against an IVF-built index — the
+    missing cell of the incremental matrix (through r7 this raised,
+    forcing a rebuild as LSH). Same contract as the LSH path: planted
+    exact/near copies match their indexed source, brute-force subset,
+    gemm==column, replay exclude; probes ride the batched
+    coarse-argmax GEMM, never per-row centroid recompute."""
+    import math
+
+    rnd = random.Random(12)
+    dim = 16
+    corpus = [(i, [rnd.gauss(0, 1) for _ in range(dim)])
+              for i in range(300)]
+    cdf = spark.createDataFrame(corpus, ["vec_id", "embedding"])
     ipath = str(tmp_path / "inc_idx_ivf")
     similarity.build_ann_index(cdf, ipath, method="ivf", n_cells=8)
-    with pytest.raises(ValueError, match="LSH"):
-        similarity.embedding_incremental(bdf, ipath).collect()
+    batch = []
+    for j in range(5):
+        batch.append((1000 + j, list(corpus[j * 13][1])))
+    for j in range(5):
+        batch.append((2000 + j,
+                      [x + rnd.gauss(0, 1e-5)
+                       for x in corpus[j * 29][1]]))
+    for j in range(5):
+        batch.append((3000 + j, [rnd.gauss(0, 1) for _ in range(dim)]))
+    bdf = spark.createDataFrame(batch, ["vec_id", "embedding"])
+    pairs = similarity.embedding_incremental(
+        bdf, ipath, threshold=0.999, n_probe=2)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    for j in range(5):
+        assert (1000 + j, corpus[j * 13][0]) in got   # exact copies
+    for j in range(5):
+        assert (2000 + j, corpus[j * 29][0]) in got   # near copies
+    cmap, bmap = dict(corpus), dict(batch)
+
+    def _cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / math.sqrt(sum(x * x for x in a)
+                             * sum(x * x for x in b))
+
+    for a, b in got:  # nothing below threshold ever reported
+        assert _cos(bmap[a], cmap[b]) >= 0.999
+    # gemm == column on the IVF probe set (AQE coalescing off — the
+    # key-type masking lesson from the LSH soak applies identically)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+                   "false")
+    try:
+        gemm = {(r.id_a, r.id_b): r.cos_sim
+                for r in similarity.embedding_incremental(
+                    bdf, ipath, threshold=0.999, n_probe=2,
+                    score="gemm").collect()}
+    finally:
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", "true")
+    assert set(gemm) == got
+    colp = {(r.id_a, r.id_b): r.cos_sim
+            for r in similarity.embedding_incremental(
+                bdf, ipath, threshold=0.999, n_probe=2,
+                score="column").collect()}
+    for k, v in colp.items():
+        assert abs(v - gemm[k]) < 1e-9
+    # replay contract survives the layout change
+    similarity.ann_index_append(bdf, ipath)
+    replay = {(r.id_a, r.id_b)
+              for r in similarity.embedding_incremental(
+                  bdf, ipath, threshold=0.999, n_probe=2,
+                  exclude_batch_ids=True).collect()}
+    assert replay == got
+    # the probe scan stays partition-pruned to the batch's cell set
+    plan = similarity.embedding_incremental(
+        bdf, ipath, threshold=0.999, n_probe=2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "__bucket" in plan.split("PartitionFilters")[1][:200]
     dedup.release_caches()
 
 
