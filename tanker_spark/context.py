@@ -305,14 +305,21 @@ class TankerContext:
         old = self.read(table_name, version=since)
         new = self.read(table_name, version=until)
         cols = list(new.columns)
-        o = old.select([F.col(c).alias("__o_%s" % c) for c in cols])
-        n = new.select([F.col(c).alias("__n_%s" % c) for c in cols])
+        # literal presence markers, NOT key-column null checks: the
+        # join is eqNullSafe and the schema's key columns are nullable
+        # (table.py builds every StructField nullable), so a row whose
+        # first key value is NULL would otherwise always classify as
+        # 'insert' — even when unchanged, updated, or deleted
+        o = old.select([F.col(c).alias("__o_%s" % c) for c in cols]
+                       + [F.lit(True).alias("__o_present")])
+        n = new.select([F.col(c).alias("__n_%s" % c) for c in cols]
+                       + [F.lit(True).alias("__n_present")])
         cond = None
         for k in key:
             c = F.col("__o_%s" % k).eqNullSafe(F.col("__n_%s" % k))
             cond = c if cond is None else cond & c
-        in_old = F.col("__o_%s" % key[0]).isNotNull()
-        in_new = F.col("__n_%s" % key[0]).isNotNull()
+        in_old = F.col("__o_present").isNotNull()
+        in_new = F.col("__n_present").isNotNull()
         changed = F.lit(False)
         for c in cols:
             if c in key:

@@ -157,13 +157,26 @@ def exact_collapse(df, text_col="text", id_col="doc_id"):
     return reps, members
 
 
-def _cap_buckets(exploded, bucket_cap, id_col="__id"):
+def _cap_buckets(exploded, bucket_cap, id_col="__id",
+                 mark_doc_capped=False):
     """Deterministically keep at most ``bucket_cap`` rows per band
     bucket (hash-ordered sample; the hash mixes the bucket so each
     band drops DIFFERENT survivors — a pair over-capped in one band
     can still collide in another). Recall bound: a pair is missed only
     if EVERY shared bucket holds > bucket_cap rows and both ends fall
     outside both samples. No-op when ``bucket_cap`` is falsy.
+
+    ``mark_doc_capped`` (the PPJoin prefix paths) adds a
+    ``__doc_capped`` flag: true iff ANY of the doc's rows were dropped
+    by the cap. :func:`_positional_prune` exempts flagged docs, which
+    keeps the bound above EXACT under composition — the prune's
+    recall-safety argument needs the pair's minimal-common-shingle row
+    in the join, and capping can drop exactly that row while the pair
+    survives in a non-minimal bucket (r8 ADVICE fix: the two filters
+    composed to a silently weaker bound). Unflagged docs have their
+    full prefix present, so the prune's per-pair argument is intact.
+    Costs one extra Exchange of the prefix frame on the doc id, only
+    when capping is actually requested.
 
     One bucket-keyed Exchange + per-bucket sort over the exploded
     frame, O(n log bucket_rows) — deliberately NOT a two-phase
@@ -174,13 +187,22 @@ def _cap_buckets(exploded, bucket_cap, id_col="__id"):
     single window's sort cost is per-bucket, not global, and was
     measured fine at 10M docs (BENCH_NOTES soak table)."""
     if not bucket_cap:
+        if mark_doc_capped:
+            return exploded.withColumn("__doc_capped", F.lit(False))
         return exploded
     w = Window.partitionBy("__bucket").orderBy(
         F.xxhash64(F.col(id_col), F.col("__bucket"))
     )
+    numbered = exploded.withColumn("__bn", F.row_number().over(w))
+    if mark_doc_capped:
+        wd = Window.partitionBy(id_col)
+        numbered = numbered.withColumn(
+            "__doc_capped",
+            F.max((F.col("__bn") > int(bucket_cap)).cast("int"))
+            .over(wd).cast("boolean"),
+        )
     return (
-        exploded.withColumn("__bn", F.row_number().over(w))
-        .filter(F.col("__bn") <= int(bucket_cap))
+        numbered.filter(F.col("__bn") <= int(bucket_cap))
         .drop("__bn")
     )
 
@@ -879,9 +901,7 @@ def _df_prefix_keys(sh, freq, threshold, bucket_cap=None):
         .select("__id", "__sz", F.col("__rn").alias("__pos"),
                 F.col("__s.h").alias("__bucket"))
     )
-    if bucket_cap:
-        pref = _cap_buckets(pref, bucket_cap)
-    return pref
+    return _cap_buckets(pref, bucket_cap, mark_doc_capped=True)
 
 
 def _prefix_keys(sh, threshold, bucket_cap=None):
@@ -904,9 +924,7 @@ def _prefix_keys(sh, threshold, bucket_cap=None):
         ).alias("__p0", "__bucket"),
     ).select("__id", "__sz", (F.col("__p0") + 1).alias("__pos"),
              "__bucket")
-    if bucket_cap:
-        pref = _cap_buckets(pref, bucket_cap)
-    return pref
+    return _cap_buckets(pref, bucket_cap, mark_doc_capped=True)
 
 
 def _ordered_prefix_keys(sh, threshold, prefix_order, bucket_cap=None,
@@ -932,7 +950,14 @@ def _positional_prune(joined, threshold):
     prefixes) has no common elements before it on either side, so its
     bound is an upper bound that the true overlap meets — that row
     always survives; other rows of the pair are free to be pruned
-    (``distinct`` runs after)."""
+    (``distinct`` runs after).
+
+    Composition with ``bucket_cap``: that argument needs the minimal
+    row IN the join, and capping can drop it while the pair still
+    meets in a non-minimal bucket — so rows of docs that lost ANY
+    prefix row to the cap (``__doc_capped``, set by
+    :func:`_cap_buckets`) pass through unpruned, and the combined
+    recall bound stays exactly the cap's own."""
     if threshold is None:
         return joined
     t = float(threshold)
@@ -941,8 +966,9 @@ def _positional_prune(joined, threshold):
         F.col("R.__sz") - F.col("R.__pos"),
     ) + 1
     return joined.filter(
-        bound >= F.lit(t / (1.0 + t))
-        * (F.col("L.__sz") + F.col("R.__sz"))
+        F.col("L.__doc_capped") | F.col("R.__doc_capped")
+        | (bound >= F.lit(t / (1.0 + t))
+           * (F.col("L.__sz") + F.col("R.__sz")))
     )
 
 

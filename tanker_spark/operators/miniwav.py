@@ -48,6 +48,16 @@ def decode_pcm16(payload: bytes):
     while pos + 8 <= len(payload):
         tag = payload[pos:pos + 4]
         (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        if pos + 8 + size > len(payload):
+            # a declared chunk size past the payload end means a
+            # truncated/corrupt file — raise so it hits the documented
+            # junk→NULL path instead of silently decoding fewer
+            # samples (whose duration/RMS would quietly reflect the
+            # truncation; r8 ADVICE fix)
+            raise ValueError(
+                "truncated %r chunk: declares %d bytes, %d remain"
+                % (tag, size, len(payload) - pos - 8)
+            )
         body = payload[pos + 8:pos + 8 + size]
         if tag == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])

@@ -192,10 +192,17 @@ def semantic_filter_sink(stream_df, out_path, index_path, checkpoint_dir,
             return
         batch_df = batch_df.persist()
         # intra-batch near-dups first (keep the lowest id), so two
-        # same-batch twins can't both survive into the index
+        # same-batch twins can't both survive into the index. The
+        # sink's n_planes threads through (r8 ADVICE fix: defaulting
+        # to the library's auto n_planes made intra-batch and
+        # cross-batch recall silently diverge for the same threshold);
+        # multiprobe radius r maps to 1+r bands — each band is an
+        # independent chance to collide, the banded analog of probing
+        # r extra Hamming-ball buckets
         intra = _dedup.embedding_dedup_pairs(
             batch_df, vec_col=vec_col, id_col=id_col, dim=dim,
-            threshold=threshold, seed=seed,
+            threshold=threshold, seed=seed, n_planes=n_planes,
+            n_bands=1 + multiprobe,
         ).select(F.col("id_b").alias(id_col)).distinct()
         keep = batch_df.join(intra, id_col, "left_anti")
         if os.path.exists(os.path.join(index_path, _sim.ANN_META)):

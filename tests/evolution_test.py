@@ -128,3 +128,24 @@ def test_snapshot_diff(spark, tmp_path):
         # unknown version raises with the retained list
         with pytest.raises(KeyError, match="no snapshot"):
             ctx.diff("item", 999).count()
+
+        # NULL-key rows (possible via the low-level snapshot write,
+        # which bypasses View.write's key validation) classify by the
+        # presence markers, not key-column nullness (r8 ADVICE fix:
+        # the eqNullSafe join matches NULL==NULL, so a NULL-key row
+        # used to always read as 'insert')
+        base = ctx.read("item")
+        nullrow = spark.createDataFrame(
+            [tuple(None if c == "sku" else (42 if c == "qty" else 999)
+                   for c in base.columns)], schema=base.schema)
+        ctx.write("item", base.unionByName(nullrow))   # v4: + NULL key
+        v4 = ctx.versions("item")[-1]
+        d34 = {(r.change, r.sku): r.qty
+               for r in ctx.diff("item", v3, v4).collect()}
+        assert d34 == {("insert", None): 42}
+        assert ctx.diff("item", v4, v4).count() == 0   # unchanged
+        ctx.write("item", base)                        # v5: NULL key gone
+        v5 = ctx.versions("item")[-1]
+        d45 = {(r.change, r.sku): r.qty
+               for r in ctx.diff("item", v4, v5).collect()}
+        assert d45 == {("delete", None): 42}

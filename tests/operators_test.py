@@ -2097,6 +2097,41 @@ def test_bucket_cap_recall_bound(spark):
     dedup.release_caches()
 
 
+def test_bucket_cap_positional_prune_composition(spark):
+    """r8 ADVICE fix: with a binding bucket_cap, docs that LOST prefix
+    rows to the cap are exempt from the PPJoin positional prune (the
+    prune's recall argument needs the pair's minimal-common-shingle
+    row in the join, and the cap can drop exactly that row) — so the
+    combined recall bound is exactly the cap's own: capped+pruned
+    finds every pair the capped-unpruned run finds."""
+    rnd = random.Random(23)
+    base = _doc(rnd, n=60).split()
+    rows = []
+    for i in range(30):  # near-identical docs: shared shingles are hot
+        toks = list(base)
+        toks[i % len(toks)] = "EDIT%d" % i
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = {(r.id_a, r.id_b) for r in dedup.ngram_jaccard_exact(
+        df, threshold=0.5, bucket_cap=3).collect()}
+    # same cap, prune disabled end-to-end via threshold=None at the
+    # candidate layer: compare candidate SETS, cap sampling identical
+    sh = dedup._shingle_hash_structs(df, "text", "doc_id", 3)
+    pref = dedup._ordered_prefix_keys(sh, 0.5, "df", bucket_cap=3)
+    unpruned = {(r.id_a, r.id_b)
+                for r in dedup._pair_candidates(pref, None).collect()}
+    pruned = {(r.id_a, r.id_b)
+              for r in dedup._pair_candidates(pref, 0.5).collect()}
+    assert pruned == unpruned  # every doc flagged -> prune inert here
+    # flags actually set: the hot corpus overflows cap=3 somewhere
+    assert pref.filter(F.col("__doc_capped")).count() > 0
+    # and with NO cap the flag stays false everywhere (prune active)
+    pref_nc = dedup._ordered_prefix_keys(sh, 0.5, "df", bucket_cap=None)
+    assert pref_nc.filter(F.col("__doc_capped")).count() == 0
+    assert capped  # end-to-end pairs exist under cap+prune
+    dedup.release_caches()
+
+
 def test_df_prefix_order_prunes_harder(spark):
     """PPJoin df-ordering: on a boilerplate-heavy corpus (every doc
     shares a 30-token template, each has 6 unique rare tokens) the
@@ -2596,6 +2631,11 @@ def test_miniwav_roundtrip():
         miniwav.decode_pcm16(b"junk")
     with pytest.raises(ValueError, match="channels"):
         miniwav.encode_pcm16(samples, 8000, 3)
+    # a truncated payload raises (r8 ADVICE fix) — silently decoding
+    # fewer samples would quietly skew duration/RMS downstream
+    whole = miniwav.encode_pcm16(samples, 8000, 1)
+    with pytest.raises(ValueError, match="truncated"):
+        miniwav.decode_pcm16(whole[:-4])
 
 
 def test_audio_features(spark):
