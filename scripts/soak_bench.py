@@ -401,6 +401,63 @@ def main():
         dedup.release_caches()
         return n
 
+    def semantic_gate_soak():
+        # the r7 streaming op with no 10M number (r7 VERDICT #6): the
+        # full 10M x 64-dim corpus through the semantic near-dup
+        # ingest gate as a file stream. The source copy scatters the
+        # generator's planted dup groups (consecutive ids share a
+        # noise draw) across files by id mod 64, so near-dups arrive
+        # CROSS-BATCH and only the index match can catch them.
+        # n_planes=12 -> 4096 index partitions; per batch the index is
+        # read only at the batch's Hamming-ball bucket set.
+        import shutil
+
+        from tanker_spark.streaming import ingest
+        base = args.dir + "/sem_gate"
+        shutil.rmtree(base, ignore_errors=True)
+        src = base + "/src"
+        emb.repartition(64, F.pmod("vec_id", F.lit(64))) \
+           .write.mode("overwrite").parquet(src)
+        stream = (spark.readStream.schema(emb.schema)
+                  .option("maxFilesPerTrigger", 4).parquet(src))
+        t0 = time.perf_counter()
+        q = ingest.semantic_filter_sink(
+            stream, base + "/out", base + "/idx", base + "/ckpt",
+            threshold=0.99, multiprobe=1, dim=64, n_planes=12)
+        q.awaitTermination()
+        stream_s = time.perf_counter() - t0
+        out = spark.read.parquet(base + "/out")
+        n = out.count()
+        n_batches = len([d for d in os.listdir(base + "/out")
+                         if d.startswith("batch=")])
+        idx_rows = spark.read.parquet(base + "/idx").count()
+        idx_parts = len([d for d in os.listdir(base + "/idx")
+                         if d.startswith("__bucket=")])
+        # probe-scope evidence: one batch's Hamming-ball bucket set vs
+        # the index's partition count (the per-batch index read is
+        # partition-pruned to this set — plan pinned in
+        # operators_test::test_new_operator_plan_shapes)
+        sample = spark.read.parquet(base + "/out/batch=1")
+        bcol = similarity.hyperplane_bucket(
+            F.col("embedding"), 64, 12, 42)
+        n_base_buckets = sample.select(
+            bcol.alias("b")).distinct().count()
+        ball = 1 + 12  # multiprobe=1: base + one bucket per flipped bit
+        # stream survivors agree with the batch matcher: a batch
+        # near-dup pass over the survivor set finds (near) nothing
+        resid = dedup.embedding_dedup_pairs(
+            out.select("vec_id", "embedding"), threshold=0.99,
+            n_planes=12, n_bands=2).count()
+        print("# semantic_gate: %.1fs stream -> %.0f docs/s over %d "
+              "batches; survivors %d, index rows %d in %d partitions; "
+              "batch-1 ball <= %d buckets x %d probes; residual "
+              "survivor near-dup pairs %d"
+              % (stream_s, args.rows / stream_s, n_batches, n,
+                 idx_rows, idx_parts, n_base_buckets, ball, resid),
+              file=sys.stderr)
+        dedup.release_caches()
+        return n
+
     benches = {
         "exact_dedup": exact_dedup_soak,
         "minhash_spanning_pairs": minhash_soak,
@@ -420,6 +477,7 @@ def main():
         "line_dedup": line_dedup_soak,
         "streaming_decontam": streaming_decontam_soak,
         "embedding_incremental": embedding_incremental_soak,
+        "semantic_gate": semantic_gate_soak,
     }
     only = set(args.only.split(",")) if args.only else None
     for name, fn in benches.items():
