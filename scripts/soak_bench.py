@@ -419,7 +419,7 @@ def main():
         emb.repartition(64, F.pmod("vec_id", F.lit(64))) \
            .write.mode("overwrite").parquet(src)
         stream = (spark.readStream.schema(emb.schema)
-                  .option("maxFilesPerTrigger", 4).parquet(src))
+                  .option("maxFilesPerTrigger", 8).parquet(src))
         t0 = time.perf_counter()
         q = ingest.semantic_filter_sink(
             stream, base + "/out", base + "/idx", base + "/ckpt",
@@ -428,6 +428,17 @@ def main():
         stream_s = time.perf_counter() - t0
         out = spark.read.parquet(base + "/out")
         n = out.count()
+        # planted ground truth from the generator formula: dup-branch
+        # rows share their GROUP's draw; extras (group size - 1) are
+        # what a perfect gate drops
+        roll = F.pmod(F.xxhash64("id", F.lit(21)), F.lit(100))
+        planted = (
+            spark.range(args.rows)
+            .filter(roll < 10)
+            .groupBy((F.col("id") - F.pmod("id", F.lit(10))).alias("g"))
+            .agg(F.count(F.lit(1)).alias("m"))
+            .agg(F.sum(F.col("m") - 1)).collect()[0][0] or 0
+        )
         n_batches = len([d for d in os.listdir(base + "/out")
                          if d.startswith("batch=")])
         idx_rows = spark.read.parquet(base + "/idx").count()
@@ -448,12 +459,14 @@ def main():
         resid = dedup.embedding_dedup_pairs(
             out.select("vec_id", "embedding"), threshold=0.99,
             n_planes=12, n_bands=2).count()
-        print("# semantic_gate: %.1fs stream -> %.0f docs/s over %d "
-              "batches; survivors %d, index rows %d in %d partitions; "
-              "batch-1 ball <= %d buckets x %d probes; residual "
-              "survivor near-dup pairs %d"
+        print("\n# semantic_gate: %.1fs stream -> %.0f docs/s over %d "
+              "batches; survivors %d (dropped %d vs %d planted dup "
+              "extras), index rows %d in %d partitions; batch-1 ball "
+              "<= %d buckets x %d probes; residual survivor near-dup "
+              "pairs %d"
               % (stream_s, args.rows / stream_s, n_batches, n,
-                 idx_rows, idx_parts, n_base_buckets, ball, resid),
+                 args.rows - n, planted, idx_rows, idx_parts,
+                 n_base_buckets, ball, resid),
               file=sys.stderr)
         dedup.release_caches()
         return n
