@@ -2006,6 +2006,26 @@ def embedding_incremental_match(spark, sf_dir):
 
 
 
+def semantic_decontam_embeddings(spark, sf_dir):
+    """Round-8 debut: embedding-space decontamination audit — every
+    5th embedding plays the benchmark, the rest are the train corpus;
+    each flagged train row reports its nearest benchmark row (highest
+    cosine, ties to the lowest benchmark id). The broadcast-GEMM path
+    is EXACT, so the DuckDB brute cross join is a full value oracle.
+    threshold=0.4 because the testdata embeddings are near-orthogonal
+    random vectors (max pairwise cos 0.513) — a loose semantic
+    threshold flags real rows."""
+    df = _read(spark, sf_dir, "embeddings")
+    train = df.filter(F.col("vec_id") % 5 != 0)
+    bench = df.filter(F.col("vec_id") % 5 == 0)
+    _, audit = similarity.semantic_decontaminate(
+        train, bench, threshold=0.4, return_audit=True
+    )
+    return audit.select(
+        "vec_id", "near_id", F.round("cos_sim", 4).alias("cos_sim")
+    ).orderBy("vec_id")
+
+
 def embedding_incremental_match_ivf(spark, sf_dir):
     """Round-8 debut (rows-only): incremental embedding near-dup
     against an IVF-built persisted index — the layout the r7 VERDICT
@@ -2370,12 +2390,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #: 50-row correctness window so every new operator gets a driver-recorded
 #: CORRECTNESS row in its debut round.
 DEBUTS = [
-    # round-8 debuts land here as they are built. The r7 debuts all
-    # recorded green rows in CORRECTNESS_r07 and rejoin the staleness
-    # rotation; the three newly-oracle-checkable names
-    # (audio_features_wav, pack_docs, semdedup_embeddings) need no
-    # DEBUTS slot — never-recorded veterans sort directly after
-    # red-at-latest ones by construction.
+    # round-8 debuts. The r7 debuts all recorded green rows in
+    # CORRECTNESS_r07 and rejoin the staleness rotation; the
+    # newly-oracle-checkable veterans (audio_features_wav, pack_docs,
+    # semdedup_embeddings, multimodal_features) need no DEBUTS slot —
+    # never-recorded veterans sort directly after red-at-latest ones
+    # by construction.
+    "semantic_decontam_embeddings",
 ]
 
 
@@ -2643,6 +2664,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_cut_docs": quantile_cut_docs,
         "embedding_incremental_match": embedding_incremental_match,
         "embedding_incremental_match_ivf": embedding_incremental_match_ivf,
+        "semantic_decontam_embeddings": semantic_decontam_embeddings,
         "audio_features_wav": audio_features_wav,
     }
 
@@ -4715,6 +4737,31 @@ def oracle_sql() -> dict[str, str]:
             FROM documents JOIN cuts USING (lang)
             WHERE n_chars >= cut
             ORDER BY doc_id
+        """,
+        "semantic_decontam_embeddings": """
+            -- brute cross join == the broadcast-GEMM path exactly
+            -- (100% recall by construction); nearest benchmark row by
+            -- (cos DESC, id ASC)
+            WITH t AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              WHERE vec_id % 5 != 0 AND embedding IS NOT NULL
+            ), b AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              WHERE vec_id % 5 = 0 AND embedding IS NOT NULL
+            ), s AS (
+              SELECT t.vec_id, b.vec_id AS near_id,
+                     list_cosine_similarity(t.v, b.v) AS c
+              FROM t, b
+            ), r AS (
+              SELECT vec_id, near_id, c,
+                     row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY c DESC, near_id ASC) AS rn
+              FROM s
+            )
+            SELECT vec_id, near_id, round(c, 4) AS cos_sim
+            FROM r WHERE rn = 1 AND c >= 0.4
+            ORDER BY vec_id
         """,
         "semdedup_embeddings": """
             -- single-cluster min_id SemDeDup: survival == "no

@@ -67,6 +67,9 @@ BENCH_QUERIES = [
     "mix_unimax_langs",
     "retrieval_eval_bm25",
     "quantile_cut_docs",
+    # round-8 addition: embedding-space decontamination (broadcast-GEMM
+    # exact path)
+    "semantic_decontam_embeddings",
 ]
 
 

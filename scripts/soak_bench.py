@@ -460,8 +460,10 @@ def main():
             out.select("vec_id", "embedding"), threshold=0.99,
             n_planes=12, n_bands=2).count()
         print("\n# semantic_gate: %.1fs stream -> %.0f docs/s over %d "
-              "batches; survivors %d (dropped %d vs %d planted dup "
-              "extras), index rows %d in %d partitions; batch-1 ball "
+              "batches; survivors %d (dropped %d >= %d planted dup "
+              "extras — same-cluster strangers' cos tail also crosses "
+              "the threshold), index rows %d in %d partitions; "
+              "batch-1 ball "
               "<= %d buckets x %d probes; residual survivor near-dup "
               "pairs %d"
               % (stream_s, args.rows / stream_s, n_batches, n,

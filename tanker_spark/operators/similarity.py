@@ -1549,3 +1549,165 @@ def _inc_bucket_gemm(qexp, c, threshold, schema_str, q_block=512):
         .cogroup(c.groupBy("__bucket"))
         .applyInPandas(emit, schema_str)
     )
+
+
+#: benchmark sides past this row count refuse the broadcast-GEMM
+#: decontamination path (matrix = rows·dim·8 bytes per executor —
+#: 1M × 128d ≈ 1 GB, the same practical ceiling as cell_assign_gemm)
+DECONTAM_BROADCAST_MAX_ROWS = 1_000_000
+
+
+def semantic_decontaminate(train_df, bench_df, threshold=0.95,
+                           vec_col="embedding", id_col="vec_id",
+                           method="broadcast", return_audit=False,
+                           index_path=None, multiprobe=1, n_probe=None,
+                           max_broadcast_rows=DECONTAM_BROADCAST_MAX_ROWS):
+    """Drop training rows whose EMBEDDING is a near-duplicate of any
+    benchmark row — the semantic tier of the decontamination family
+    (``text.containment_ratio`` catches verbatim n-gram overlap,
+    ``dedup.near_decontaminate`` catches token-level paraphrase; this
+    catches meaning-level leakage that survives rewording, cf. the
+    embedding-similarity decontamination in the Phi / Gemini dataset
+    reports). Returns ``kept_df`` (train rows below threshold against
+    every benchmark row, schema unchanged) — with ``return_audit=True``
+    also the audit frame ``(id, near_id, cos_sim)``: each flagged train
+    row, its NEAREST benchmark row (highest cosine, ties to the lowest
+    benchmark id), and that cosine. Publish the audit next to the
+    dataset card.
+
+    ``method="broadcast"`` (default, EXACT — 100% recall): the
+    benchmark matrix is collected, L2-normalized and broadcast
+    (guarded by ``max_broadcast_rows``; benchmark suites are ~10³-10⁵
+    rows), and ONE Arrow-batched numpy ``V @ B.T`` per train batch
+    computes every train row's max benchmark cosine — map-only, zero
+    shuffle, the single pass emits both the kept rows and the audit.
+    NULL / wrong-dim / zero-norm train vectors can never match and are
+    kept; zero-norm benchmark rows are dropped from the matrix.
+
+    ``method="lsh"`` (approximate, for benchmark sides past the
+    broadcast ceiling): delegates to :func:`embedding_incremental`
+    against a persisted ANN index of the BENCHMARK — pass
+    ``index_path`` to reuse one across decontamination runs (the
+    steady state: build once per benchmark release), or leave None to
+    build a temporary LSH index from ``bench_df``. Recall follows the
+    Hamming-ball/``multiprobe`` S-curve; the train side is scanned
+    once and only benchmark index partitions in the train's bucket
+    ball are read."""
+    import numpy as np
+    import pandas as pd
+
+    if method == "lsh":
+        import shutil
+        import tempfile
+
+        built = None
+        if index_path is None:
+            built = index_path = os.path.join(
+                tempfile.mkdtemp(prefix="tk_semdecon_"), "bench_idx")
+            build_ann_index(
+                bench_df, index_path, method="lsh", vec_col=vec_col,
+                id_col=id_col,
+                dim=len(bench_df.select(vec_col).first()[0]),
+                n_planes=None,
+            )
+        pairs = embedding_incremental(
+            train_df, index_path, threshold=threshold,
+            multiprobe=multiprobe, n_probe=n_probe,
+        )
+        w = Window.partitionBy("id_a").orderBy(
+            F.col("cos_sim").desc(), F.col("id_b").asc())
+        audit = (
+            pairs.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(F.col("id_a").alias(id_col),
+                    F.col("id_b").alias("near_id"), "cos_sim")
+        )
+        audit = _persist(audit)
+        kept = train_df.join(
+            audit.select(id_col), id_col, "left_anti")
+        if built is not None:
+            # temp index consumed eagerly so the dir can be removed
+            audit.count()
+            shutil.rmtree(os.path.dirname(built), ignore_errors=True)
+        return (kept, audit) if return_audit else kept
+    if method != "broadcast":
+        raise ValueError("method must be 'broadcast' or 'lsh'")
+
+    bn = _norm(F.col(vec_col))
+    brows = (
+        bench_df.filter(F.col(vec_col).isNotNull() & (bn > 0))
+        .select(F.col(id_col).cast("long"), F.col(vec_col))
+        .limit(int(max_broadcast_rows) + 1)
+        .collect()
+    )
+    if len(brows) > max_broadcast_rows:
+        raise ValueError(
+            "benchmark side exceeds max_broadcast_rows=%d; use "
+            "method='lsh' (persisted benchmark index)"
+            % max_broadcast_rows
+        )
+    bids = np.array([r[0] for r in brows], dtype=np.int64)
+    order = np.argsort(bids, kind="stable")  # tie rule: lowest id wins
+    bids = bids[order]
+    B = np.array([list(brows[i][1]) for i in order], dtype=np.float64)
+    if not len(B):
+        # empty benchmark: nothing can be contaminated
+        empty = train_df.sparkSession.createDataFrame(
+            [], "%s %s, near_id long, cos_sim double"
+            % (id_col, train_df.schema[id_col].dataType.simpleString()))
+        return (train_df, empty) if return_audit else train_df
+    Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+    dim = Bn.shape[1]
+    bc = train_df.sparkSession.sparkContext.broadcast((Bn, bids))
+
+    from pyspark.sql import types as T
+    out_schema = T.StructType(
+        list(train_df.schema.fields)
+        + [T.StructField("__max_cos", T.DoubleType()),
+           T.StructField("__near_id", T.LongType())]
+    )
+    cols = [f.name for f in train_df.schema.fields]
+
+    def score(batches):
+        b_Bn, b_ids = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ok = pdf[vec_col].map(
+                lambda v: v is not None and len(v) == dim
+            ).to_numpy()
+            mx = np.full(len(pdf), None, dtype=object)
+            nid = np.full(len(pdf), None, dtype=object)
+            if ok.any():
+                V = np.array(list(pdf[vec_col][ok]), dtype=np.float64)
+                nrm = np.linalg.norm(V, axis=1, keepdims=True)
+                nz = (nrm[:, 0] > 0)
+                if nz.any():
+                    Vn = V[nz] / nrm[nz]
+                    S = Vn @ b_Bn.T
+                    j = np.argmax(S, axis=1)  # first max = lowest id
+                    sub = np.zeros(int(ok.sum()), dtype=object)
+                    subn = np.zeros(int(ok.sum()), dtype=object)
+                    sub[:] = None
+                    subn[:] = None
+                    sub[nz] = [float(s) for s in
+                               S[np.arange(len(j)), j]]
+                    subn[nz] = [int(b_ids[c]) for c in j]
+                    mx[ok] = sub
+                    nid[ok] = subn
+            out = pdf[cols].copy()
+            out["__max_cos"] = pd.array(mx, dtype="Float64")
+            out["__near_id"] = pd.array(nid, dtype="Int64")
+            yield out
+
+    scored = _persist(train_df.mapInPandas(score, out_schema))
+    flagged = F.col("__max_cos").isNotNull() & (
+        F.col("__max_cos") >= float(threshold))
+    kept = scored.filter(~flagged).select(*cols)
+    if not return_audit:
+        return kept
+    audit = scored.filter(flagged).select(
+        F.col(id_col), F.col("__near_id").alias("near_id"),
+        F.col("__max_cos").alias("cos_sim"),
+    )
+    return kept, audit

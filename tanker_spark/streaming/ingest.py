@@ -204,7 +204,13 @@ def semantic_filter_sink(stream_df, out_path, index_path, checkpoint_dir,
             threshold=threshold, seed=seed, n_planes=n_planes,
             n_bands=1 + multiprobe,
         ).select(F.col("id_b").alias(id_col)).distinct()
-        keep = batch_df.join(intra, id_col, "left_anti")
+        # persist the post-intra-dedup frame: the index-match branch
+        # evaluates it FOUR times (Hamming-ball bucket-set collect,
+        # exclude-batch-ids anti join, cogroup GEMM, final write), and
+        # without the pin each action re-runs the whole intra-batch
+        # LSH pass — measured at the 10M soak as the difference
+        # between ~25 min/batch and ~4 min/batch (r8 soak finding)
+        keep = batch_df.join(intra, id_col, "left_anti").persist()
         if os.path.exists(os.path.join(index_path, _sim.ANN_META)):
             pairs = _sim.embedding_incremental(
                 keep, index_path, threshold=threshold,
@@ -213,9 +219,9 @@ def semantic_filter_sink(stream_df, out_path, index_path, checkpoint_dir,
             dup_ids = pairs.select(
                 F.col("id_a").alias(id_col)
             ).distinct()
-            keep = keep.join(dup_ids, id_col, "left_anti")
+            out = keep.join(dup_ids, id_col, "left_anti")
             bdir = "%s/batch=%d" % (out_path, batch_id)
-            keep.write.mode("overwrite").parquet(bdir)
+            out.write.mode("overwrite").parquet(bdir)
             written = batch_df.sparkSession.read.parquet(bdir)
             _sim.ann_index_append(
                 written.select(id_col, vec_col), index_path
@@ -229,6 +235,7 @@ def semantic_filter_sink(stream_df, out_path, index_path, checkpoint_dir,
                 method="lsh", vec_col=vec_col, id_col=id_col, dim=dim,
                 n_planes=n_planes, seed=seed, quantize=quantize,
             )
+        keep.unpersist()
         batch_df.unpersist()
         _dedup.release_caches()
 

@@ -1,31 +1,23 @@
 # coding: utf-8
-"""UTF-8 round-trips through write + filters (port of
-/root/reference/tests/encoding_test.py)."""
+"""Non-ASCII strings must round-trip through writes, dict filters and
+s-expression literals alike (behavior pinned against the reference's
+encoding suite — same View calls, same expected values — as a
+table-driven parametrization)."""
+
+import pytest
 
 from tanker_spark import View
 
+NON_ASCII = ["日本", "Corée"]
 
-def test_str(session):
-    japan = "日本"
+
+@pytest.mark.parametrize("value", NON_ASCII)
+def test_utf8_roundtrip(session, value):
     view = View("country", ["name"])
-    view.write([(japan,)])
-
-    row = view.read(filters={"name": japan}).one()
-    assert row[0] == japan
-
-    fltr = '(= name "%s")' % japan
-    row = view.read(fltr).one()
-    assert row[0] == japan
-
-
-def test_unicode(session):
-    korea = "Corée"
-    view = View("country", ["name"])
-    view.write([(korea,)])
-
-    row = view.read(filters={"name": korea}).one()
-    assert row[0] == korea
-
-    fltr = '(= name "%s")' % korea
-    row = view.read(fltr).one()
-    assert row[0] == korea
+    view.write([(value,)])
+    for cursor in (
+        view.read(filters={"name": value}),
+        view.read('(= name "%s")' % value),
+        view.read("(= name {})", args=[value]),
+    ):
+        assert cursor.one()[0] == value

@@ -2475,6 +2475,76 @@ def test_embedding_incremental(spark, tmp_path):
     dedup.release_caches()
 
 
+def test_semantic_decontaminate(spark, tmp_path):
+    """r8: embedding-space train-vs-benchmark decontamination. The
+    broadcast-GEMM path is exact: planted benchmark twins are flagged
+    at cos 1.0, audits brute-check, kept rows all clear the threshold,
+    null/zero-norm rows are kept, ties go to the lowest benchmark id;
+    the LSH path finds every planted exact copy and never flags below
+    threshold."""
+    import math
+
+    rnd = random.Random(31)
+    dim = 16
+    train = [(i, [rnd.gauss(0, 1) for _ in range(dim)])
+             for i in range(200)]
+    # planted leakage: bench rows 1000+j duplicate train rows j*17
+    bench = [(1000 + j, list(train[j * 17][1])) for j in range(10)]
+    bench += [(2000 + j, [rnd.gauss(0, 1) for _ in range(dim)])
+              for j in range(10)]
+    tdf = spark.createDataFrame(
+        train + [(900, None), (901, [0.0] * dim)],
+        ["vec_id", "embedding"])
+    bdf = spark.createDataFrame(bench, ["vec_id", "embedding"])
+    kept, audit = similarity.semantic_decontaminate(
+        tdf, bdf, threshold=0.99, return_audit=True)
+    arows = {r.vec_id: (r.near_id, r.cos_sim) for r in audit.collect()}
+    assert set(arows) == {j * 17 for j in range(10)}
+    for j in range(10):
+        nid, cs = arows[j * 17]
+        assert nid == 1000 + j and cs > 0.999999
+    kept_ids = {r.vec_id for r in kept.collect()}
+    assert kept_ids == ({i for i in range(200)}
+                        - set(arows)) | {900, 901}  # nulls kept
+
+    def _cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / math.sqrt(sum(x * x for x in a)
+                             * sum(x * x for x in b))
+
+    # brute check: every kept row is truly below threshold vs EVERY
+    # benchmark row (exactness of the broadcast path)
+    bmap = dict(bench)
+    tmap = dict(train)
+    for i in kept_ids - {900, 901}:
+        assert max(_cos(tmap[i], bv) for bv in bmap.values()) < 0.99
+    # tie rule: duplicate benchmark vectors -> lowest id reported
+    bdup = spark.createDataFrame(
+        [(5, list(train[0][1])), (3, list(train[0][1]))],
+        ["vec_id", "embedding"])
+    _, a2 = similarity.semantic_decontaminate(
+        tdf, bdup, threshold=0.99, return_audit=True)
+    assert {(r.vec_id, r.near_id) for r in a2.collect()} == {(0, 3)}
+    # empty benchmark: everything kept, empty audit
+    k3, a3 = similarity.semantic_decontaminate(
+        tdf, bdf.filter(F.col("vec_id") < 0), threshold=0.5,
+        return_audit=True)
+    assert k3.count() == tdf.count() and a3.count() == 0
+    # broadcast guard
+    with pytest.raises(ValueError, match="max_broadcast_rows"):
+        similarity.semantic_decontaminate(
+            tdf, bdf, threshold=0.9, max_broadcast_rows=5)
+    # LSH path: planted exact copies all found; flags subset of exact
+    kl, al = similarity.semantic_decontaminate(
+        tdf, bdf, threshold=0.99, method="lsh", return_audit=True)
+    lsh_flagged = {r.vec_id for r in al.collect()}
+    assert {j * 17 for j in range(10)} <= lsh_flagged
+    assert lsh_flagged <= set(arows)
+    assert {r.vec_id for r in kl.collect()} == \
+        set(r.vec_id for r in tdf.collect()) - lsh_flagged
+    dedup.release_caches()
+
+
 def test_embedding_incremental_ivf(spark, tmp_path):
     """r8: incremental matching against an IVF-built index — the
     missing cell of the incremental matrix (through r7 this raised,
