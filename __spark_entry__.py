@@ -2472,6 +2472,12 @@ def _red_names() -> set[str]:
     return {n for n, (_, ok) in latest.items() if not ok}
 
 
+#: rows-only window slots per round: enough that every rows-only
+#: operator earns a driver row within ~3 rounds, small enough that the
+#: oracle-checkable rotation still covers its whole surface in 3
+ROWS_ONLY_QUOTA = 3
+
+
 def _ordered_names(round_no: int,
                    recorded: dict[str, int] | None = None,
                    red: set[str] | None = None) -> list[str]:
@@ -2486,8 +2492,14 @@ def _ordered_names(round_no: int,
     the registry round by round BY CONSTRUCTION — no modular offset to
     desynchronize when DEBUTS grows (the round-5 scheme left a 3-name
     gap the moment a third debut landed) and a round whose recording
-    fails simply retries the same names. Rows-only entries stay last
-    so a capped run still covers every oracle-checkable entry.
+    fails simply retries the same names. Rows-only entries mostly stay
+    last so a capped run covers the oracle-checkable surface first —
+    but a small quota (``ROWS_ONLY_QUOTA``) of the STALEST rows-only
+    names rides inside the window each round, so every rows-only
+    operator eventually earns at least a driver ``no_oracle`` row
+    (spark-side run + row count): the r7 VERDICT found 6 rows-only
+    entries the driver's ledger had never seen at all because the
+    oracle set alone overfills the 50-row budget forever.
     RED-at-latest entries (a recorded row that failed a check) sort
     ahead of every green/never-recorded veteran so a fix is
     driver-re-verified the round it lands, not 3 rounds later.
@@ -2505,7 +2517,14 @@ def _ordered_names(round_no: int,
     if red is None:
         red = _red_names()
     veterans.sort(key=lambda n: (n not in red, recorded.get(n, 0), n))
-    return DEBUTS + veterans + rows_only
+    rows_only.sort(key=lambda n: (recorded.get(n, 0), n))
+    quota = rows_only[:ROWS_ONLY_QUOTA]
+    rest = rows_only[ROWS_ONLY_QUOTA:]
+    # the quota rides just inside the 50-row budget: after debuts and
+    # red retries, before the green-veteran staleness queue
+    reds = [n for n in veterans if n in red]
+    greens = [n for n in veterans if n not in red]
+    return DEBUTS + reds + quota + greens + rest
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

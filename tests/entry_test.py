@@ -43,11 +43,14 @@ def test_driver_row_budget_ordering():
     first), rows-only entries last. Recording a window refreshes its
     entries' staleness, so coverage advances by construction. Pins:
 
-    - the first 50 entries are all oracle-checkable;
+    - the first 50 entries are oracle-checkable except for exactly the
+      ROWS_ONLY_QUOTA stalest rows-only names (r8: rows-only operators
+      must eventually earn a driver no_oracle row — through r7 six of
+      them never appeared in the ledger at all);
     - the debuts sit at the very front (driver-recorded in their debut
       round);
     - simulating the record-then-reorder feedback loop, three rounds
-      cover EVERY oracle-checkable veteran;
+      cover EVERY oracle-checkable veteran AND every rows-only entry;
     - the ordering is stable for a fixed recording state;
     - never-recorded veterans sit ahead of every recorded one, so a
       DEBUTS change can never push a never-seen entry out of the
@@ -55,9 +58,10 @@ def test_driver_row_budget_ordering():
     """
     oracles = set(entry_mod.oracle_sql())
     names = list(QUERIES)
-    for name in names[:50]:
-        assert name in oracles, "%s has no oracle but sits in the " \
-            "driver's row budget" % name
+    in_window_rows_only = [n for n in names[:50] if n not in oracles]
+    assert len(in_window_rows_only) == min(
+        entry_mod.ROWS_ONLY_QUOTA,
+        len([n for n in names if n not in oracles]))
     for i, name in enumerate(entry_mod.DEBUTS):
         assert names[i] == name, (i, name)
 
@@ -87,6 +91,8 @@ def test_driver_row_budget_ordering():
     # inside the simulated past rounds).
     veterans = {n for n in entry_mod._all_queries()
                 if n in oracles and n not in entry_mod.DEBUTS}
+    rows_only_all = {n for n in entry_mod._all_queries()
+                     if n not in oracles}
     start = max(recorded.values(), default=0) + 1
     assert entry_mod._round_no() == start
     sim = dict(recorded)
@@ -94,17 +100,28 @@ def test_driver_row_budget_ordering():
     for rnd in range(start, start + 3):
         window = entry_mod._ordered_names(rnd, recorded=sim)[:50]
         assert len(window) == 50
-        assert all(n in oracles for n in window)
+        assert len([n for n in window if n not in oracles]) \
+            <= entry_mod.ROWS_ONLY_QUOTA
         covered.update(window)
         for n in window:
             sim[n] = rnd
     missing = veterans - covered
     assert not missing, missing
-    # rows-only entries never displace an oracle-checkable one
-    n_rows_only = len([n for n in entry_mod._all_queries()
-                       if n not in oracles])
-    tail = entry_mod._ordered_names(6)[-n_rows_only:]
-    assert all(n not in oracles for n in tail)
+    # the quota walks the rows-only set too: within
+    # ceil(|rows_only| / quota) rounds every rows-only entry records
+    for rnd in range(start + 3,
+                     start + (len(rows_only_all) + 2) // 3 + 1):
+        window = entry_mod._ordered_names(rnd, recorded=sim)[:50]
+        covered.update(window)
+        for n in window:
+            sim[n] = rnd
+    assert not rows_only_all - covered, rows_only_all - covered
+    # beyond the quota, rows-only entries never displace an
+    # oracle-checkable one
+    n_tail = len(rows_only_all) - entry_mod.ROWS_ONLY_QUOTA
+    if n_tail > 0:
+        tail = entry_mod._ordered_names(6)[-n_tail:]
+        assert all(n not in oracles for n in tail)
 
 
 def test_rotation_survives_future_driver_recordings(monkeypatch):
