@@ -1433,10 +1433,16 @@ def embedding_incremental(new_df, index_path, threshold=0.95,
                 for j in bits:
                     bb = bb.bitwiseXOR(1 << j)
                 balls.append(bb)
+        # no dedup needed: every Hamming-ball point is distinct by
+        # construction (distinct flipped-bit subsets xor to distinct
+        # masks, and x^m1 == x^m2 iff m1 == m2) — the dropDuplicates
+        # this used to run was a full shuffle of the exploded frame
+        # (|batch|·ball rows × the vector payload, ~10 GB per 1.25M-row
+        # batch at dim=64) for nothing (r8 soak finding)
         qexp = q.select(
             "id_a", "__qv", "__qinv",
             F.explode(F.array(*balls)).alias("__bucket"),
-        ).dropDuplicates(["id_a", "__bucket"])
+        )
 
     # batch bucket set, driver-side: bounded by min(|batch|·ball,
     # 2^n_planes), pushed into the index scan as a partition filter.

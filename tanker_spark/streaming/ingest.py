@@ -212,9 +212,15 @@ def semantic_filter_sink(stream_df, out_path, index_path, checkpoint_dir,
         # between ~25 min/batch and ~4 min/batch (r8 soak finding)
         keep = batch_df.join(intra, id_col, "left_anti").persist()
         if os.path.exists(os.path.join(index_path, _sim.ANN_META)):
+            # score="gemm" pinned: the sink's batches are corpus-scale
+            # (foreachBatch micro-batches of an ingest stream), so
+            # "auto"'s index count — a full pruned-index scan per
+            # batch just to pick the path — always lands on gemm
+            # anyway (r8 soak finding)
             pairs = _sim.embedding_incremental(
                 keep, index_path, threshold=threshold,
                 multiprobe=multiprobe, exclude_batch_ids=True,
+                score="gemm",
             )
             dup_ids = pairs.select(
                 F.col("id_a").alias(id_col)
