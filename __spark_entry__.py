@@ -1889,6 +1889,33 @@ def knn_rerank_exact(spark, sf_dir):
     )
 
 
+def knn_pq_rerank(spark, sf_dir):
+    """Round-8 debut: PRODUCT-QUANTIZED index two-pass probe — PQ
+    codebooks train on the corpus, vectors store as 8 one-byte codes
+    (32× smaller than float32 at dim=64), the first pass scores codes
+    by ADC lookup tables, and the full-precision re-rank over all IVF
+    cells must reproduce the brute-force top-10 exactly (same cosine
+    fold, same tie-break). The DuckDB brute-force oracle therefore
+    checks the whole train→encode→ADC→re-rank machinery end to end;
+    partial-probe recall is pinned separately in operators_test."""
+    import tempfile
+
+    df = _read(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="tk_annpq_")
+    similarity.build_ann_index(
+        df, path, method="ivf", n_cells=8, quantize="pq",
+        pq_m=8, pq_codes=256,
+    )
+    probe = [1.0] * 64
+    out = similarity.knn_indexed(
+        spark, path, probe, k=10, n_probe=8, rerank_df=df,
+        rerank_k=4096,
+    )
+    return out.select(
+        "vec_id", F.round(F.col("cos_sim"), 6).alias("cos_sim")
+    )
+
+
 def train_test_split_docs(spark, sf_dir):
     """Leakage-safe 80/10/10 split: near-dup clusters (exact n-gram
     Jaccard ≥ 0.5 → connected components) are assigned to a split AS A
@@ -2397,6 +2424,7 @@ DEBUTS = [
     # never-recorded veterans sort directly after red-at-latest ones
     # by construction.
     "semantic_decontam_embeddings",
+    "knn_pq_rerank",
 ]
 
 
@@ -2588,6 +2616,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_groups_docs": neardup_groups_docs,
         "neardup_groups_spanning_docs": neardup_groups_spanning_docs,
         "knn_rerank_exact": knn_rerank_exact,
+        "knn_pq_rerank": knn_pq_rerank,
         "string_fns_nation": string_fns_nation,
         "text_quality": text_quality,
         "cap_per_source": cap_per_source,
@@ -3145,6 +3174,16 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cos_sim DESC, vec_id LIMIT 10
         """,
         "knn_rerank_exact": """
+            SELECT vec_id,
+                   round(
+                     list_dot_product(embedding,
+                                      [1.0::FLOAT for x in range(64)])
+                     / (sqrt(list_dot_product(embedding, embedding)) *
+                        sqrt(64.0)), 6) AS cos_sim
+            FROM embeddings
+            ORDER BY cos_sim DESC, vec_id LIMIT 10
+        """,
+        "knn_pq_rerank": """
             SELECT vec_id,
                    round(
                      list_dot_product(embedding,

@@ -589,11 +589,208 @@ def dequantize_col(qcode, qmin, qscale):
     )
 
 
+# -- product quantization (the 10^9-vector memory rung) -------------------
+#: PQ training sample cap: driver-side numpy footprint is
+#: sample x dim float64 (64k x 64d = 33 MB) INDEPENDENT of corpus size
+#: — the same metadata discipline as ivf_centroid_vectors.
+PQ_TRAIN_CAP = 65536
+
+
+def train_pq(df, m=8, n_codes=256, vec_col="embedding", id_col="vec_id",
+             sample_rows=PQ_TRAIN_CAP, iters=10, seed=42):
+    """Train product-quantization codebooks (Jégou/Douze/Schmid, TPAMI
+    2011 — the FAISS IVF-PQ layout): L2-normalize, split the vector into
+    ``m`` contiguous subspaces, k-means each subspace to ``n_codes``
+    centroids. A vector then stores as ``m`` uint8 codes — 8 bytes at
+    the defaults vs 256 bytes of float32, 32×; the int8 path
+    (:func:`quantize_embeddings`) is the 4× rung, this is the rung that
+    makes a 10⁹-vector index RAM-resident on a 1000-executor cluster.
+
+    Training is driver-side numpy over a deterministic hash-ordered
+    sample capped at ``sample_rows`` (Lloyd iterations are
+    (sample × n_codes) GEMMs per subspace — seconds); encoding and
+    scoring stay distributed (:func:`pq_encode_frame`,
+    :func:`_pq_adc_scores`). Normalizing BEFORE the subspace split
+    makes the ADC dot product approximate the cosine directly, so PQ
+    scores are drop-in comparable with every other cos_sim in this
+    module. Returns ``[m][n_codes][dim/m]`` plain python lists
+    (json-able — they ride in ``_ann_meta.json``)."""
+    import numpy as np
+
+    rows = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv"))
+        .orderBy(F.xxhash64(F.col("__cid"), F.lit(seed)))
+        .limit(int(sample_rows))
+        .collect()
+    )
+    if not rows:
+        raise ValueError("train_pq: no non-null vectors to train on")
+    # dim = the sample's modal vector length (ties to the smaller dim
+    # — deterministic); wrong-dim strays are dropped here exactly as
+    # the encode and scoring passes drop them
+    counts = {}
+    for r in rows:
+        counts[len(r["__cv"])] = counts.get(len(r["__cv"]), 0) + 1
+    dim = min(counts, key=lambda d: (-counts[d], d))
+    X = np.array(
+        [list(r["__cv"]) for r in rows if len(r["__cv"]) == dim],
+        dtype=np.float64,
+    )
+    if dim % m:
+        raise ValueError("train_pq: dim %d not divisible by m=%d"
+                         % (dim, m))
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    X = X / norms
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = []
+    for s in range(m):
+        Xs = np.ascontiguousarray(X[:, s * dsub:(s + 1) * dsub])
+        C = Xs[rng.choice(len(Xs), size=n_codes,
+                          replace=len(Xs) < n_codes)].copy()
+        for _ in range(int(iters)):
+            # argmin ||x-c||² == argmax x·c − ½||c||² — one GEMM
+            assign = (Xs @ C.T - 0.5 * (C * C).sum(1)).argmax(1)
+            sums = np.zeros_like(C)
+            np.add.at(sums, assign, Xs)
+            counts = np.bincount(assign, minlength=n_codes)
+            nz = counts > 0
+            C[nz] = sums[nz] / counts[nz, None]
+            # empty cells keep their previous centroid (deterministic;
+            # no random restarts, so retraining reproduces bit-exactly)
+        books.append(C.tolist())
+    return books
+
+
+def _pq_books_np(books):
+    import numpy as np
+
+    return np.array(books, dtype=np.float64)  # (m, n_codes, dsub)
+
+
+def pq_encode_frame(df, books, vec_col, id_col, bucket_col=None):
+    """``(id, pq_code[, __bucket])``: one mapInPandas pass — rows
+    L2-normalize in numpy and every subspace assigns via a single
+    (batch × n_codes) GEMM argmax per Arrow batch (the r6/r7 lesson:
+    never per-row or per-element interpreted HOF math at corpus
+    scale). Codes store as ``array<tinyint>`` (code − 128), m bytes of
+    payload per vector. NULL / wrong-dim vectors encode to NULL codes
+    (the same propagate-don't-drop contract as
+    :func:`_quantized_frame`); zero-norm vectors encode the zero
+    vector's codes and are excluded by scorers via their stored rows'
+    inability to reach any positive threshold — ADC scores for them
+    are meaningless, matching int8's documented lattice-error margin.
+    """
+    import numpy as np
+    import pandas as pd
+
+    B = _pq_books_np(books)
+    m, n_codes, dsub = B.shape
+    dim = m * dsub
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(B)
+    id_t = df.schema[id_col].dataType.simpleString()
+    cols = [F.col(id_col), F.col(vec_col).alias("__v")]
+    schema_str = "%s %s, pq_code array<tinyint>" % (id_col, id_t)
+    if bucket_col is not None:
+        # partitionBy re-infers the column type from directory names on
+        # read; long here keeps one schema for lsh (long bitwise
+        # bucket) and ivf (int cell) alike
+        cols.append(bucket_col.cast("long").alias("__bucket"))
+        schema_str += ", __bucket long"
+    base = df.select(*cols)
+
+    def encode(batches):
+        Bb = bc.value
+        # half-centroid-norm term, precomputed once per executor
+        half = 0.5 * (Bb * Bb).sum(2)  # (m, n_codes)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ok = pdf["__v"].map(
+                lambda v: v is not None and len(v) == dim
+            ).to_numpy()
+            codes = np.empty(len(pdf), dtype=object)
+            if ok.any():
+                V = np.array(list(pdf["__v"][ok]), dtype=np.float64)
+                norms = np.linalg.norm(V, axis=1, keepdims=True)
+                norms[norms == 0] = 1.0
+                Vn = V / norms
+                out = np.empty((len(V), m), dtype=np.int64)
+                for s in range(m):
+                    Vs = Vn[:, s * dsub:(s + 1) * dsub]
+                    out[:, s] = (Vs @ Bb[s].T - half[s]).argmax(1)
+                out = (out - 128).astype(np.int8)
+                rows = np.empty(len(out), dtype=object)
+                for i in range(len(out)):
+                    rows[i] = out[i]
+                codes[ok] = rows
+            res = {id_col: pdf[id_col].to_numpy(), "pq_code": codes}
+            if "__bucket" in pdf.columns:
+                res["__bucket"] = pdf["__bucket"].to_numpy()
+            yield pd.DataFrame(res)
+
+    return base.mapInPandas(encode, schema_str)
+
+
+def _pq_adc_scores(idx, books, probe_vec, id_col):
+    """Asymmetric-distance (ADC) scoring of PQ codes against one probe:
+    the per-subspace lookup table ``LUT[s][j] = probe_s · C[s][j]`` is
+    a (m × n_codes) numpy matrix computed driver-side (tiny — it rides
+    the closure, no broadcast var needed) and every Arrow batch scores
+    with ONE fancy-index gather + row sum — no code is ever expanded
+    back to a float vector. Output ``(id, cos_sim)`` approximates the
+    cosine of the NORMALIZED corpus vector to the probe; ranking error
+    is the PQ reconstruction error, which the two-pass probe's exact
+    re-rank erases (:func:`knn_indexed`). NULL codes emit nothing."""
+    import numpy as np
+    import pandas as pd
+
+    B = _pq_books_np(books)
+    m, n_codes, dsub = B.shape
+    p = np.array(probe_vec, dtype=np.float64)
+    pn = np.linalg.norm(p)
+    if pn > 0:
+        p = p / pn
+    lut = np.einsum("sd,skd->sk", p.reshape(m, dsub), B)  # (m, n_codes)
+    id_t = idx.schema[id_col].dataType.simpleString()
+    schema_str = "%s %s, cos_sim double" % (id_col, id_t)
+    sub_idx = np.arange(m)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ok = pdf["pq_code"].map(
+                lambda c: c is not None and len(c) == m
+            ).to_numpy()
+            if not ok.any():
+                continue
+            sub = pdf[ok]
+            codes = np.array(list(sub["pq_code"]),
+                             dtype=np.int64) + 128
+            sims = lut[sub_idx, codes].sum(1)
+            yield pd.DataFrame({id_col: sub[id_col].to_numpy(),
+                                "cos_sim": sims})
+
+    return idx.select(id_col, "pq_code").mapInPandas(score, schema_str)
+
+
+def _qmode(meta):
+    """Quantization mode from index metadata: False, ``"int8"`` or
+    ``"pq"`` (a pre-r8 boolean ``True`` reads as int8)."""
+    q = meta.get("quantized")
+    return "int8" if q is True else q
+
+
 # -- persisted index (the 100 TB steady state) ----------------------------
 def build_ann_index(df, path, method="lsh", vec_col="embedding",
                     id_col="vec_id", dim=64, n_planes=8, seed=42,
                     n_cells=16, centroid_method="sample",
-                    quantize=False):
+                    quantize=False, pq_m=8, pq_codes=256,
+                    pq_iters=10):
     """Materialize the ANN side table: (id, vector, __bucket), written as
     parquet PARTITIONED BY the bucket/cell — probes prune to the matching
     partition directories instead of recomputing signatures over the full
@@ -603,11 +800,20 @@ def build_ann_index(df, path, method="lsh", vec_col="embedding",
     bucket space from the corpus so per-partition-directory row counts
     stay bounded as the table grows.
 
-    ``quantize=True`` stores int8 codes + (min, scale) instead of the
-    float vector — a ~4× smaller index. Bucket assignment still uses
-    the ORIGINAL float vector (quantization error never moves a row to
-    another bucket); probes dequantize on the fly inside codegen, so
-    ranking error is bounded by the lattice step."""
+    ``quantize=True`` / ``"int8"`` stores int8 codes + (min, scale)
+    instead of the float vector — a ~4× smaller index. Bucket
+    assignment still uses the ORIGINAL float vector (quantization
+    error never moves a row to another bucket); probes dequantize on
+    the fly inside codegen, so ranking error is bounded by the lattice
+    step.
+
+    ``quantize="pq"`` stores product-quantization codes instead —
+    ``pq_m`` bytes per vector (~32× smaller at the defaults;
+    :func:`train_pq`): the layout that keeps a 10⁹-vector index
+    RAM-resident across a cluster. Codebooks train once here on a
+    capped sample and ride in the metadata; probes score codes by ADC
+    lookup tables and erase the reconstruction error with the
+    full-precision re-rank pass (:func:`knn_indexed` ``rerank_df``)."""
     if method == "lsh":
         if n_planes is None:
             n_planes = auto_n_planes(df.count())
@@ -622,8 +828,17 @@ def build_ann_index(df, path, method="lsh", vec_col="embedding",
                 "vec_col": vec_col, "id_col": id_col}
     else:
         raise ValueError("unknown ANN index method %r" % method)
-    meta["quantized"] = bool(quantize)
-    if quantize:
+    qmode = {False: False, True: "int8"}.get(quantize, quantize)
+    if qmode not in (False, "int8", "pq"):
+        raise ValueError("quantize must be False, 'int8' or 'pq'")
+    meta["quantized"] = qmode
+    if qmode == "pq":
+        books = train_pq(df, m=pq_m, n_codes=pq_codes, vec_col=vec_col,
+                         id_col=id_col, iters=pq_iters, seed=seed)
+        meta["pq_books"] = books
+        stored = pq_encode_frame(df, books, vec_col, id_col,
+                                 bucket_col=col)
+    elif qmode == "int8":
         stored = _quantized_frame(df, vec_col, id_col, bucket_col=col)
     else:
         stored = df.select(
@@ -661,7 +876,13 @@ def ann_index_append(new_df, path):
         )
     else:
         col = ivf_cell_col(meta["centroids"], vec_col)
-    if meta.get("quantized"):
+    qmode = _qmode(meta)
+    if qmode == "pq":
+        # re-encode with the STORED codebooks — old and new rows share
+        # one code space, so a probe's ADC tables score both
+        stored = pq_encode_frame(new_df, meta["pq_books"], vec_col,
+                                 id_col, bucket_col=col)
+    elif qmode == "int8":
         stored = _quantized_frame(new_df, vec_col, id_col,
                                   bucket_col=col)
     else:
@@ -690,7 +911,14 @@ def knn_indexed(spark, path, probe_vec, k=10, multiprobe=1, n_probe=4,
     neighbor is missed only if quantization error pushes it below
     ~4k-th place in its probed buckets — recall@k ≥ 0.95 pinned by
     operators_test. No-op for unquantized indexes (pass 1 is already
-    exact)."""
+    exact).
+
+    PQ-coded indexes (``quantize="pq"``) run the same two-pass shape
+    with an ADC first pass: the probe's (m × n_codes) lookup tables
+    score every code row with one numpy gather per Arrow batch
+    (:func:`_pq_adc_scores`) — at 8 bytes/vector the pruned buckets
+    read ~32× less than floats, and the re-rank leaves the final
+    order float-exact exactly as for int8."""
     with open(os.path.join(path, ANN_META)) as fh:
         meta = json.load(fh)
     if meta["method"] == "lsh":
@@ -703,18 +931,26 @@ def knn_indexed(spark, path, probe_vec, k=10, multiprobe=1, n_probe=4,
         buckets = _probe_cells(meta["centroids"], probe_vec, n_probe)
     idx = spark.read.parquet(path).filter(F.col("__bucket").isin(buckets))
     id_col, vec_name = meta["id_col"], meta["vec_col"]
-    if meta.get("quantized"):
-        vec = dequantize_col(
-            F.col("qcode"), F.col("qmin"), F.col("qscale")
-        )
+    qmode = _qmode(meta)
+    if qmode == "pq":
+        # ADC pass: codes score against the probe's lookup tables —
+        # no float vector is ever materialized index-side
+        approx = _pq_adc_scores(
+            idx, meta["pq_books"], probe_vec, id_col
+        ).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
     else:
-        vec = F.col(vec_name)
-    sim = cosine_to(vec, probe_vec)
-    approx = (
-        idx.select(F.col(id_col), sim.alias("cos_sim"))
-        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
-    )
-    if rerank_df is None or not meta.get("quantized"):
+        if qmode == "int8":
+            vec = dequantize_col(
+                F.col("qcode"), F.col("qmin"), F.col("qscale")
+            )
+        else:
+            vec = F.col(vec_name)
+        sim = cosine_to(vec, probe_vec)
+        approx = (
+            idx.select(F.col(id_col), sim.alias("cos_sim"))
+            .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        )
+    if rerank_df is None or not qmode:
         return approx.limit(k)
     cand = approx.limit(int(rerank_k)).select(id_col)
     exact_sim = cosine_to(F.col(vec_name), probe_vec)
@@ -1414,6 +1650,18 @@ def embedding_incremental(new_df, index_path, threshold=0.95,
     with open(os.path.join(index_path, ANN_META)) as fh:
         meta = json.load(fh)
     vec_col, id_col = meta["vec_col"], meta["id_col"]
+    if _qmode(meta) == "pq":
+        # PQ reconstruction error (several cosine points at m=8) is NOT
+        # inside the near-dup threshold margin the int8 lattice is —
+        # scoring reconstructed codes at threshold~0.95 silently drops
+        # true pairs. An exact-contract incremental match needs floats
+        # or int8; rebuild with quantize='int8' (4×) if incremental
+        # matching must run against this corpus.
+        raise NotImplementedError(
+            "embedding_incremental: PQ-coded indexes carry "
+            "reconstruction error beyond the near-dup threshold "
+            "margin; build the index with quantize='int8' or floats"
+        )
 
     qn = _norm(F.col("__qv"))
     q = new_df.select(

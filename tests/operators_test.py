@@ -2276,6 +2276,113 @@ def test_knn_indexed_rerank_recall(spark, tmp_path):
         spark, path, rows[3][1], k=10, n_probe=6).collect()) == 10
 
 
+def test_pq_train_deterministic_shapes(spark):
+    """PQ codebooks: deterministic across retrains (seeded init, no
+    random restarts), [m][n_codes][dim/m] shape, json-able floats."""
+    import json
+
+    rnd = random.Random(11)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(16)])
+            for i in range(300)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    b1 = similarity.train_pq(df, m=4, n_codes=32, iters=5)
+    b2 = similarity.train_pq(df, m=4, n_codes=32, iters=5)
+    assert b1 == b2
+    assert len(b1) == 4 and len(b1[0]) == 32 and len(b1[0][0]) == 4
+    json.dumps(b1)  # must ride _ann_meta.json
+    with pytest.raises(ValueError):
+        similarity.train_pq(df, m=5)  # 16 % 5 != 0
+
+
+def test_pq_encode_adc_identity(spark):
+    """The ADC score is EXACTLY (same float ops) the dot of the
+    normalized probe with the code's reconstruction — pinned by
+    recomputing both sides in pure numpy from the same codes. NULL /
+    wrong-dim vectors encode NULL codes and emit no ADC row."""
+    import numpy as np
+
+    rnd = random.Random(23)
+    dim, m = 16, 4
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(dim)])
+            for i in range(200)]
+    df = spark.createDataFrame(
+        rows + [(900, None), (901, [1.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    books = similarity.train_pq(df, m=m, n_codes=16, iters=5)
+    enc = similarity.pq_encode_frame(df, books, "embedding", "vec_id")
+    got = {r.vec_id: r.pq_code for r in enc.collect()}
+    assert got[900] is None and got[901] is None
+    assert all(len(got[i]) == m for i, _ in rows)
+    probe = rows[7][1]
+    B = np.array(books)
+    p = np.array(probe) / np.linalg.norm(probe)
+    lut = np.einsum("sd,skd->sk", p.reshape(m, dim // m), B)
+    adc = {r.vec_id: r.cos_sim for r in similarity._pq_adc_scores(
+        enc, books, probe, "vec_id").collect()}
+    assert set(adc) == {i for i, _ in rows}  # null codes emit nothing
+    for i, _v in rows[:50]:
+        codes = np.array(got[i], dtype=np.int64) + 128
+        want = lut[np.arange(m), codes].sum()
+        assert abs(adc[i] - want) < 1e-12
+    # the whole point: ADC approximates the true cosine
+    errs = []
+    for i, v in rows:
+        true = float(np.dot(p, np.array(v) / np.linalg.norm(v)))
+        errs.append(abs(adc[i] - true))
+    assert sum(errs) / len(errs) < 0.2
+
+
+def test_pq_indexed_rerank_recall(spark, tmp_path):
+    """PQ-coded index two-pass probe: ADC first pass + full-precision
+    re-rank ≥ 0.9 recall@10 vs brute under a PARTIAL probe, float-exact
+    scores for the hits, partition pruning intact, and an append that
+    re-encodes with the stored codebooks (a planted exact copy of the
+    probe ranks top-1)."""
+    rnd = random.Random(41)
+    dim = 16
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(dim)])
+            for i in range(500)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    path = str(tmp_path / "ann_pq")
+    similarity.build_ann_index(df, path, method="ivf", n_cells=8,
+                               quantize="pq", pq_m=4, pq_codes=64,
+                               dim=dim)
+    recalls = []
+    for probe_id in (3, 77, 200, 444):
+        probe = rows[probe_id][1]
+        want = {r.vec_id: r.cos_sim for r in similarity.knn_brute(
+            df, probe, k=10).collect()}
+        probed = similarity.knn_indexed(
+            spark, path, probe, k=10, n_probe=6,
+            rerank_df=df, rerank_k=256)
+        got = {r.vec_id: r.cos_sim for r in probed.collect()}
+        recalls.append(len(set(got) & set(want)) / 10)
+        for vid in set(got) & set(want):
+            assert abs(got[vid] - want[vid]) < 1e-12
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+    # the ADC scan is still partition-pruned (mapInPandas sits above
+    # the pruned parquet scan, not instead of it)
+    plan = similarity.knn_indexed(
+        spark, path, rows[3][1], k=10, n_probe=2
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "__bucket" in plan.split("PartitionFilters")[1][:200]
+    # append re-encodes with the STORED codebooks: an exact copy of
+    # the probe must land rank-1 through the ADC+rerank pipeline
+    extra = spark.createDataFrame([(9000, rows[3][1])],
+                                  ["vec_id", "embedding"])
+    similarity.ann_index_append(extra, path)
+    top = similarity.knn_indexed(
+        spark, path, rows[3][1], k=2, n_probe=8,
+        rerank_df=df.union(extra), rerank_k=600).collect()
+    assert {r.vec_id for r in top} == {3, 9000}
+    # incremental matching declines PQ indexes loudly (reconstruction
+    # error exceeds the near-dup threshold margin)
+    with pytest.raises(NotImplementedError):
+        similarity.embedding_incremental(extra, path)
+
+
 def test_line_dedup(spark):
     from tanker_spark.operators.dedup import line_dedup
 
