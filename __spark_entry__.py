@@ -1337,6 +1337,27 @@ def bm25_search_docs(spark, sf_dir):
     return bm25_topk(df, "spark merge window", k=10)
 
 
+def bm25_incremental_search(spark, sf_dir):
+    """Round-8 debut: incremental text-index maintenance
+    (search.text_index_append) — the index builds on the even half of
+    the corpus, the odd half APPENDS (new postings land as partition
+    files, n_docs/avgdl merge closed-form, df_t counts from old+new
+    postings at probe time), and the probe over the grown index must
+    equal full-corpus ad-hoc BM25 — so the DuckDB full-corpus oracle
+    checks the whole append path end to end."""
+    import tempfile
+
+    from tanker_spark.operators.search import (
+        bm25_topk_indexed, build_text_index, text_index_append,
+    )
+
+    df = _read(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="tk_bm25inc_")
+    build_text_index(df.filter(F.col("doc_id") % 2 == 0), path)
+    text_index_append(df.filter(F.col("doc_id") % 2 == 1), path)
+    return bm25_topk_indexed(spark, path, "spark merge window", k=10)
+
+
 def neardup_decontam_docs(spark, sf_dir):
     """Round-6 debut: NEAR-duplicate decontamination audit — the fuzzy
     tier of the decontamination family (exact/Bloom n-gram containment
@@ -2425,6 +2446,7 @@ DEBUTS = [
     # by construction.
     "semantic_decontam_embeddings",
     "knn_pq_rerank",
+    "bm25_incremental_search",
 ]
 
 
@@ -2571,6 +2593,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gapfill": events_gapfill,
         "events_value_bands": events_value_bands,
         "bm25_search_docs": bm25_search_docs,
+        "bm25_incremental_search": bm25_incremental_search,
         "hybrid_search_docs": hybrid_search_docs,
         "neardup_decontam_docs": neardup_decontam_docs,
         "neardup_decontam_minhash_docs": neardup_decontam_minhash_docs,
@@ -3891,6 +3914,36 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY g.event_type, bucket
         """,
         "bm25_search_docs": """
+            WITH base AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\\s+')
+                           AS toks
+                FROM documents
+            ), docs AS (
+                SELECT doc_id, len(toks) AS dl FROM base
+            ), stats AS (
+                SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM docs
+            ), m AS (
+                SELECT b.doc_id, t.term, count(*) AS tf
+                FROM base b, unnest(b.toks) AS t(term)
+                WHERE t.term IN ('merge', 'spark', 'window')
+                GROUP BY b.doc_id, t.term
+            ), dfreq AS (
+                SELECT term, count(*) AS df_t FROM m GROUP BY term
+            )
+            SELECT m.doc_id,
+                   round(sum(
+                       ln((n_docs - df_t + 0.5)/(df_t + 0.5) + 1)
+                       * tf*(1.2+1)/(tf + 1.2*(1 - 0.75 + 0.75*dl/avgdl))
+                   ), 4) AS bm25
+            FROM m
+            JOIN dfreq USING (term)
+            JOIN docs USING (doc_id), stats
+            GROUP BY m.doc_id
+            ORDER BY bm25 DESC, m.doc_id ASC
+            LIMIT 10
+        """,
+        "bm25_incremental_search": """
             WITH base AS (
                 SELECT doc_id,
                        regexp_split_to_array(trim(lower(text)), '\\s+')

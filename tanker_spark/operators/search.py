@@ -119,12 +119,81 @@ def build_text_index(df, path, text_col="text", id_col="doc_id"):
     postings.write.mode("overwrite").partitionBy(_PFX).parquet(
         f"{path}/{POSTINGS_SUBDIR}"
     )
+    # dl_sum/dl_n (token totals over docs with a tokenizable text) ride
+    # along so text_index_append can merge avgdl EXACTLY — avg()
+    # ignores null-text docs, so an append weighted by n_docs alone
+    # would drift when such docs exist
     df.select(
-        tokens(F.lower(F.col(text_col))).alias("__toks")
+        F.size(tokens(F.lower(F.col(text_col)))).alias("__dl")
     ).agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.avg(F.size("__toks")).alias("avgdl"),
+        F.avg("__dl").alias("avgdl"),
+        F.sum("__dl").cast("double").alias("dl_sum"),
+        F.count("__dl").alias("dl_n"),
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{META_SUBDIR}")
+    return path
+
+
+def text_index_append(new_df, path, text_col="text", id_col="doc_id"):
+    """Incremental index maintenance for the text side — the search
+    twin of ``similarity.ann_index_append``, completing the
+    incremental matrix across every persisted index this package
+    maintains (minhash / simhash / embedding / BM25). A batch of new
+    documents tokenizes ONCE and its postings append as new partition
+    files under the same term-hash prefixes; the historical corpus is
+    never re-read, so at 100 TB the steady-state cost is O(batch).
+
+    Correctness after append, by construction:
+
+    - ``df_t`` (document frequency) needs NO stored state — both probe
+      paths count it from the matching postings at query time, so it
+      is exact over old+new rows the moment the files land.
+    - the one-row meta (n_docs, avgdl) merges closed-form:
+      ``avgdl' = (n·avgdl + nb·avgdl_b) / (n + nb)`` — two 1-row
+      actions, no corpus scan. Postings append FIRST, meta flips last:
+      a crash in between leaves scores normalized by the old avgdl
+      (slightly stale ranking, no rows lost or double-counted).
+
+    Append-only, exactly-once is the CALLER's contract (same as
+    ``ann_index_append``): re-appending a doc_id double-counts its
+    postings — replay protection belongs to the ingest layer
+    (cf. ``streaming/ingest.py``'s batch-id dirs)."""
+    toks = _postings(new_df, text_col, id_col)
+    postings = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+        .withColumn(_PFX, term_prefix(F.col("term")))
+    )
+    postings.write.mode("append").partitionBy(_PFX).parquet(
+        f"{path}/{POSTINGS_SUBDIR}"
+    )
+    spark = new_df.sparkSession
+    old = spark.read.parquet(f"{path}/{META_SUBDIR}").collect()[0]
+    batch = new_df.select(
+        F.size(tokens(F.lower(F.col(text_col)))).alias("__dl")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__dl").alias("s"), F.count("__dl").alias("c"),
+    ).collect()[0]
+    if batch["n"]:
+        od = old.asDict()
+        # pre-append indexes lack dl_sum/dl_n: reconstruct from
+        # avgdl·n_docs (exact when the old corpus had no null texts,
+        # the only regime those indexes could have been correct in)
+        o_sum = od.get("dl_sum")
+        o_n = od.get("dl_n")
+        if o_sum is None or o_n is None:
+            o_sum, o_n = old["avgdl"] * old["n_docs"], old["n_docs"]
+        dl_sum = o_sum + (batch["s"] or 0)
+        dl_n = o_n + batch["c"]
+        spark.createDataFrame(
+            [(old["n_docs"] + batch["n"],
+              float(dl_sum) / dl_n if dl_n else None,
+              float(dl_sum), int(dl_n))],
+            "n_docs long, avgdl double, dl_sum double, dl_n long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{path}/{META_SUBDIR}"
+        )
     return path
 
 

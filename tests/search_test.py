@@ -14,6 +14,7 @@ from tanker_spark.operators.search import (
     build_text_index,
     hybrid_topk,
     rrf_fuse,
+    text_index_append,
 )
 
 DOCS = [
@@ -41,6 +42,32 @@ def test_bm25_indexed_matches_adhoc(spark, tmp_path):
     probe = bm25_topk_indexed(spark, path, "spark merge", k=6).collect()
     assert [r.asDict() for r in adhoc] == [r.asDict() for r in probe]
     assert adhoc[0]["doc_id"] in (1, 5)  # heaviest term mass wins
+
+
+def test_bm25_index_append_matches_adhoc(spark, tmp_path):
+    """Incremental index maintenance: build on half the corpus, append
+    the other half — the probe over the grown index must be
+    row-identical to the ad-hoc path over the FULL corpus (df_t counts
+    from old+new postings at query time; n_docs/avgdl merge
+    closed-form). The grown index must also keep partition pruning."""
+    df = _docs(spark)
+    old = df.filter(F.col("doc_id") % 2 == 0)
+    new = df.filter(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "bm25inc")
+    build_text_index(old, path)
+    text_index_append(new, path)
+    adhoc = bm25_topk(df, "spark merge", k=6).collect()
+    probe = bm25_topk_indexed(spark, path, "spark merge", k=6).collect()
+    assert [r.asDict() for r in adhoc] == [r.asDict() for r in probe]
+    # meta merged exactly: n_docs = full corpus, avgdl = weighted mean
+    meta = spark.read.parquet(f"{path}/_bm25_meta").collect()[0]
+    assert meta["n_docs"] == 6
+    want = sum(len(t.split()) for _, t in DOCS) / 6
+    assert abs(meta["avgdl"] - want) < 1e-9
+    # an empty batch is a no-op, not a meta corruption
+    text_index_append(new.filter(F.lit(False)), path)
+    meta2 = spark.read.parquet(f"{path}/_bm25_meta").collect()[0]
+    assert meta2.asDict() == meta.asDict()
 
 
 def test_bm25_query_term_dedup_and_case(spark):
