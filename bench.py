@@ -67,9 +67,11 @@ BENCH_QUERIES = [
     "mix_unimax_langs",
     "retrieval_eval_bm25",
     "quantile_cut_docs",
-    # round-8 addition: embedding-space decontamination (broadcast-GEMM
-    # exact path)
+    # round-8 additions: embedding-space decontamination (broadcast-GEMM
+    # exact path), product-quantized index probe, incremental BM25
     "semantic_decontam_embeddings",
+    "knn_pq_rerank",
+    "bm25_incremental_search",
 ]
 
 

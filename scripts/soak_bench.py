@@ -289,6 +289,52 @@ def main():
               % (build_s, probe_s, len(probes)), file=sys.stderr)
         return total
 
+    def pq_index_soak():
+        # PQ-coded index at 10M x 64d: train (capped driver sample) +
+        # encode (one mapInPandas GEMM-argmax pass) + partitioned
+        # write; then a 100-probe ADC+rerank latency sweep and the
+        # on-disk size vs the int8 index (the memory rung the layout
+        # buys). Rerank recall vs the full-float brute top-10 rides
+        # along on 5 probes.
+        import shutil
+        import subprocess
+        path = args.dir + "/pq_index"
+        shutil.rmtree(path, ignore_errors=True)
+        t0 = time.perf_counter()
+        similarity.build_ann_index(
+            emb, path, method="lsh", n_planes=10, quantize="pq")
+        build_s = time.perf_counter() - t0
+        sz = subprocess.run(["du", "-sb", path], capture_output=True,
+                            text=True).stdout.split()[0]
+        i8 = args.dir + "/ann_index"
+        sz8 = (subprocess.run(["du", "-sb", i8], capture_output=True,
+                              text=True).stdout.split()[0]
+               if os.path.isdir(i8) else "n/a")
+        probes = [r["embedding"] for r in
+                  emb.filter(F.pmod("vec_id", F.lit(100_000)) == 7)
+                  .collect()]
+        t0 = time.perf_counter()
+        total = 0
+        for p in probes:
+            total += len(similarity.knn_indexed(
+                spark, path, p, k=10, multiprobe=1,
+                rerank_df=emb).collect())
+        probe_s = (time.perf_counter() - t0) / max(len(probes), 1)
+        hits = 0
+        for p in probes[:5]:
+            want = {r.vec_id for r in
+                    similarity.knn_brute(emb, p, k=10).collect()}
+            got = {r.vec_id for r in similarity.knn_indexed(
+                spark, path, p, k=10, multiprobe=1,
+                rerank_df=emb).collect()}
+            hits += len(want & got)
+        print("# pq_index: build %.1fs, %.3fs/probe over %d probes, "
+              "%s bytes on disk (int8 index: %s), recall@10 %.2f "
+              "over 5 brute-checked probes"
+              % (build_s, probe_s, len(probes), sz, sz8, hits / 50),
+              file=sys.stderr)
+        return total
+
     from tanker_spark.operators import search, similarity as _sim  # noqa
 
     # query terms exist in the synthetic vocab: template words t0..t4999
@@ -318,6 +364,33 @@ def main():
         print("# bm25_indexed: build %.1fs, %.3fs/query over 20"
               % (build_s, per), file=sys.stderr)
         return n
+
+    def bm25_append_soak():
+        # incremental text-index maintenance at 10M: build on 90% of
+        # the corpus, append the last 10% — the append must cost
+        # O(batch) (vs the full build), and a probe over the grown
+        # index must agree with ad-hoc BM25 over the full corpus
+        import shutil
+        path = args.dir + "/text_index_inc"
+        shutil.rmtree(path, ignore_errors=True)
+        old_docs = docs.filter(F.pmod("doc_id", F.lit(10)) != 9)
+        new_docs = docs.filter(F.pmod("doc_id", F.lit(10)) == 9)
+        t0 = time.perf_counter()
+        search.build_text_index(old_docs, path)
+        build_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        search.text_index_append(new_docs, path)
+        append_s = time.perf_counter() - t0
+        q = SOAK_QUERY
+        got = [r.asDict() for r in
+               search.bm25_topk_indexed(spark, path, q, k=10).collect()]
+        want = [r.asDict() for r in
+                search.bm25_topk(docs, q, k=10).collect()]
+        print("# bm25_append: build(90%%) %.1fs, append(10%%) %.1fs "
+              "(%.2fx of build), grown-index probe == full ad-hoc: %s"
+              % (build_s, append_s, append_s / build_s, got == want),
+              file=sys.stderr)
+        return len(got)
 
     def hybrid_soak():
         # BM25 + dense cosine fused by reciprocal rank, both legs over
@@ -485,8 +558,10 @@ def main():
         "knn_join_gemm": knn_join_gemm_soak,
         "substring_dedup": substring_dedup_soak,
         "ann_index": ann_index_soak,
+        "pq_index": pq_index_soak,
         "bm25_direct": bm25_soak,
         "bm25_indexed": bm25_indexed_soak,
+        "bm25_append": bm25_append_soak,
         "hybrid_retrieval": hybrid_soak,
         "neardup_groups": neardup_groups_soak,
         "line_dedup": line_dedup_soak,
