@@ -1468,6 +1468,34 @@ def knn_join_batch(spark, sf_dir):
     ).orderBy("qid", "cid")
 
 
+def knn_join_indexed_batch(spark, sf_dir):
+    """Round-8 debut: batch KNN against the PERSISTED index — top-3
+    neighbors for each of 5 query vectors through a PQ-coded IVF index
+    (batch cell-assignment GEMM → partition-pruned code read →
+    per-bucket batch-ADC tiles → float-exact re-rank). Full cell probe
+    + a corpus-sized re-rank cut make the result identical to the
+    brute-force join, so the SAME DuckDB oracle as knn_join_batch
+    checks the whole bulk-probe machinery end to end; partial-probe
+    recall is pinned separately in operators_test."""
+    import tempfile
+
+    df = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = df.filter(F.col("vec_id") < 5)
+    path = tempfile.mkdtemp(prefix="tk_kji_")
+    similarity.build_ann_index(
+        df, path, method="ivf", n_cells=8, quantize="pq",
+        pq_m=8, pq_codes=256,
+    )
+    out = similarity.knn_join_indexed(
+        q, path, k=3, n_probe=8, rerank_df=df, rerank_k=4096
+    )
+    return out.select(
+        "qid", "cid", F.round("cos_sim", 6).alias("cos_sim")
+    ).orderBy("qid", "cid")
+
+
 def minhash_dedup_docs(spark, sf_dir):
     """MinHash+LSH near-dup candidate pairs (no SQL oracle — checked
     rows-only; validated in tests/ via planted duplicates)."""
@@ -2447,6 +2475,7 @@ DEBUTS = [
     "semantic_decontam_embeddings",
     "knn_pq_rerank",
     "bm25_incremental_search",
+    "knn_join_indexed_batch",
 ]
 
 
@@ -2696,6 +2725,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "or_exists_filter": or_exists_filter,
         "text_stats": text_stats,
         "knn_join_batch": knn_join_batch,
+        "knn_join_indexed_batch": knn_join_indexed_batch,
         "mix_temperature_langs": mix_temperature_langs,
         "event_anomalies": event_anomalies,
         "user_retention_cohorts": user_retention_cohorts,
@@ -3217,6 +3247,25 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cos_sim DESC, vec_id LIMIT 10
         """,
         "knn_join_batch": """
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), q AS (
+              SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5
+            ), scored AS (
+              SELECT q.qid, c.vec_id AS cid,
+                     list_dot_product(q.qv, c.v) /
+                     (sqrt(list_dot_product(q.qv, q.qv)) *
+                      sqrt(list_dot_product(c.v, c.v))) AS s
+              FROM q, e c
+            ), ranked AS (
+              SELECT qid, cid, s, row_number() OVER
+                     (PARTITION BY qid ORDER BY s DESC, cid) AS rn
+              FROM scored
+            )
+            SELECT qid, cid, round(s, 6) AS cos_sim FROM ranked
+            WHERE rn <= 3 ORDER BY qid, cid
+        """,
+        "knn_join_indexed_batch": """
             WITH e AS (
               SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
             ), q AS (

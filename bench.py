@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "semantic_decontam_embeddings",
     "knn_pq_rerank",
     "bm25_incremental_search",
+    "knn_join_indexed_batch",
 ]
 
 

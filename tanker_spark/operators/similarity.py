@@ -963,6 +963,206 @@ def knn_indexed(spark, path, probe_vec, k=10, multiprobe=1, n_probe=4,
     )
 
 
+def knn_join_indexed(queries, index_path, k=5, multiprobe=1,
+                     n_probe=None, rerank_df=None, rerank_k=None,
+                     score="auto", bucket_cap=65536):
+    """Batch KNN against the PERSISTED index: top-k nearest index rows
+    for EVERY query row, returned as ``(qid, cid, cos_sim)`` — the
+    bulk form of :func:`knn_indexed` (one Spark job for a million
+    probes instead of a driver loop) and the steady-state form of
+    :func:`knn_join` (corpus buckets come from the index partitions,
+    never recomputed). The typical 100 TB shape: attach each arriving
+    document's nearest benchmark/corpus neighbors without rescanning
+    history.
+
+    The query side expands to its probe buckets under the index's own
+    metadata (:func:`_index_probe_expand` — Hamming ball for LSH,
+    batched top-``n_probe`` cell GEMM for IVF) and the index is read
+    ONLY at that bucket set (:func:`_index_pruned_read`). Scoring:
+
+    - float index — ``score="column"`` equi-joins and takes per-pair
+      dots (small pruned sides); ``"gemm"`` cogroups per bucket and
+      scores each as one ``Q @ C.T`` with within-bucket top-k
+      (:func:`_knn_lsh_gemm`), so the shuffle carries ≤ |Q|·probes·k
+      rows; ``"auto"`` picks gemm once the pruned index side exceeds
+      ``dedup.GEMM_VERIFY_MIN_ROWS``.
+    - int8 index — codes dequantize into either path (lattice-error
+      scores, exact after re-rank).
+    - PQ index — per-bucket batch ADC (:func:`_knn_pq_gemm`): each
+      cogroup tile computes the queries' (nq × n_codes) subspace
+      lookup tables with one GEMM and gathers code columns, never
+      reconstructing a vector. ``score="column"`` is rejected (codes
+      have no column-math form).
+
+    ``rerank_df`` (+ ``rerank_k``, default ``max(4k, 64)`` candidates
+    per query) adds the float-exact second pass: pass-1 survivors
+    fetch full-precision vectors from the primary corpus and re-score,
+    so quantization error never reaches the final order — a true
+    neighbor is missed only if it fell below rank ``rerank_k`` in
+    pass 1 or outside the probed buckets. Recall follows the same
+    LSH/IVF collision bounds as :func:`knn_indexed`; distant queries
+    can return < k rows."""
+    with open(os.path.join(index_path, ANN_META)) as fh:
+        meta = json.load(fh)
+    vec_col, id_col = meta["vec_col"], meta["id_col"]
+    qmode = _qmode(meta)
+    if score not in ("auto", "column", "gemm"):
+        raise ValueError("score must be 'auto', 'column' or 'gemm'")
+    if qmode == "pq" and score == "column":
+        raise ValueError(
+            "knn_join_indexed: PQ codes score by batch ADC tiles "
+            "(score='gemm'/'auto'); there is no column path"
+        )
+
+    # pass-1 keep per query: k, or the rerank candidate cut when a
+    # quantized pass 1 feeds an exact pass 2
+    reranking = rerank_df is not None and qmode
+    p1k = max(int(rerank_k or max(4 * k, 64)), k) if reranking else k
+
+    qn = _norm(F.col(vec_col))
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("__qv"),
+        F.when(qn > 0, 1.0 / qn).alias("__qinv"),
+    )
+    qexp = _index_probe_expand(q, "qid", meta, multiprobe, n_probe)
+    idx = _index_pruned_read(queries.sparkSession, index_path, qexp)
+
+    qid_t = q.schema["qid"].dataType.simpleString()
+    cid_t = idx.schema[id_col].dataType.simpleString()
+    schema_str = "qid %s, cid %s, cos_sim double" % (qid_t, cid_t)
+    # cogroup/joins key on __bucket: cast BOTH sides to long — the
+    # index side is an int partition column, the batch side a long
+    # expression, and cogroup does not coerce (the r7 silent-loss bug)
+    qexp = qexp.filter(F.col("__qinv").isNotNull()) \
+               .withColumn("__bucket", F.col("__bucket").cast("long"))
+    if qmode == "pq":
+        cb = idx.select(
+            F.col(id_col).alias("cid"), "pq_code",
+            F.col("__bucket").cast("long").alias("__bucket"),
+        )
+        cand = _knn_pq_gemm(qexp, cb, meta["pq_books"], p1k,
+                            schema_str, bucket_cap)
+    else:
+        cv = (
+            dequantize_col(F.col("qcode"), F.col("qmin"),
+                           F.col("qscale"))
+            if qmode == "int8" else F.col(vec_col)
+        )
+        cn = _norm(cv)
+        cb = idx.select(
+            F.col(id_col).alias("cid"), cv.alias("__cv"),
+            F.when(cn > 0, 1.0 / cn).alias("__cinv"),
+            F.col("__bucket").cast("long").alias("__bucket"),
+        ).filter(F.col("__cinv").isNotNull())
+        if score == "auto":
+            from .dedup import GEMM_VERIFY_MIN_ROWS
+
+            score = ("gemm" if cb.count() >= GEMM_VERIFY_MIN_ROWS
+                     else "column")
+        if score == "gemm":
+            cand = _knn_lsh_gemm(qexp, cb, p1k, schema_str, bucket_cap)
+        else:
+            sim = _dot(F.col("__qv"), F.col("__cv")) \
+                * F.col("__qinv") * F.col("__cinv")
+            cand = (
+                qexp.join(cb, "__bucket")
+                .select("qid", "cid", sim.alias("cos_sim"))
+                .filter(F.col("cos_sim").isNotNull())
+                .dropDuplicates(["qid", "cid"])
+            )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("cid").asc()
+    )
+    topped = (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= p1k)
+        .drop("__rn")
+    )
+    if not reranking:
+        return topped
+    # float-exact re-rank: candidates fetch full-precision vectors
+    # from the primary corpus (column-pruned (id, vector)), re-score
+    # against the query vectors, keep the exact per-query top-k
+    cvec = rerank_df.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("__cv")
+    )
+    cn = _norm(F.col("__cv"))
+    exact = (
+        topped.select("qid", "cid")
+        .join(cvec, "cid")
+        .withColumn("__cinv", F.when(cn > 0, 1.0 / cn))
+        .join(q, "qid")
+        .select(
+            "qid", "cid",
+            (_dot(F.col("__qv"), F.col("__cv"))
+             * F.col("__qinv") * F.col("__cinv")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim").isNotNull())
+    )
+    return (
+        exact.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def _knn_pq_gemm(qexp, cb, books, k, schema_str, bucket_cap):
+    """Per-bucket BATCH ADC for :func:`knn_join_indexed` over a
+    PQ-coded index: queries and code rows cogroup on the bucket; each
+    tile computes the queries' per-subspace lookup tables with one
+    ``Q_s @ C_s.T`` GEMM ((nq × n_codes) per subspace) and scores all
+    code rows by gathering code columns — ``sum_s L_s[:, codes_s]`` —
+    never reconstructing a float vector. Only each query's
+    within-bucket top-k leaves the task. Hot buckets cap at
+    ``bucket_cap`` exactly like the float tiles."""
+    import numpy as np
+    import pandas as pd
+
+    from .dedup import _cap_buckets
+
+    B = _pq_books_np(books)
+    m, n_codes, dsub = B.shape
+    cb = _cap_buckets(cb, bucket_cap, id_col="cid")
+
+    def emit(key, qpdf, cpdf):
+        if not len(qpdf) or not len(cpdf):
+            return pd.DataFrame({"qid": [], "cid": [], "cos_sim": []})
+        ok = cpdf["pq_code"].map(
+            lambda c: c is not None and len(c) == m
+        ).to_numpy()
+        cpdf = cpdf[ok]
+        if not len(cpdf):
+            return pd.DataFrame({"qid": [], "cid": [], "cos_sim": []})
+        Q = np.stack(qpdf["__qv"].to_numpy()).astype(np.float64)
+        n = np.linalg.norm(Q, axis=1, keepdims=True)
+        Qn = Q * np.where(n > 0, 1.0 / np.where(n > 0, n, 1.0), 0.0)
+        codes = (np.stack(cpdf["pq_code"].to_numpy()).astype(np.int64)
+                 + 128)  # (nc, m)
+        S = np.zeros((len(Qn), len(codes)))
+        for s in range(m):
+            L = Qn[:, s * dsub:(s + 1) * dsub] @ B[s].T  # (nq, codes)
+            S += L[:, codes[:, s]]
+        nc = S.shape[1]
+        kk = min(k, nc)
+        part = np.argpartition(-S, kk - 1, axis=1)[:, :kk] \
+            if kk < nc else np.tile(np.arange(nc), (len(Qn), 1))
+        cids = cpdf["cid"].to_numpy()
+        nq = len(Qn)
+        return pd.DataFrame({
+            "qid": np.repeat(qpdf["qid"].to_numpy(), part.shape[1]),
+            "cid": cids[part.ravel()],
+            "cos_sim": S[np.repeat(np.arange(nq), part.shape[1]),
+                         part.ravel()],
+        })
+
+    return (
+        qexp.groupBy("__bucket")
+        .cogroup(cb.groupBy("__bucket"))
+        .applyInPandas(emit, schema_str)
+        .dropDuplicates(["qid", "cid"])
+    )
+
+
 def cell_and_sim(cent_vecs, vec_col="embedding"):
     """(cell, sim) Columns: nearest-centroid id AND the cosine to it,
     from one ``greatest`` argmax pass (the same map-only struct trick
@@ -1596,6 +1796,66 @@ def _batch_probe_cells(q, cent_vecs, n_probe):
     return q.mapInPandas(probe, schema_str)
 
 
+def _index_probe_expand(q, qid_col, meta, multiprobe, n_probe):
+    """Expand a query frame ``(qid, __qv, __qinv)`` to its probe
+    buckets under a persisted index's metadata — the shared front half
+    of :func:`embedding_incremental` and :func:`knn_join_indexed`. An
+    LSH batch explodes to its radius-``multiprobe`` Hamming ball as a
+    column expression; an IVF batch assigns to its ``n_probe`` nearest
+    cells in one broadcast GEMM per Arrow batch
+    (:func:`_batch_probe_cells`). ``n_probe`` defaults to
+    ``multiprobe + 1`` so both layouts widen recall with one knob.
+
+    No dedup pass: every Hamming-ball point is distinct by
+    construction (distinct flipped-bit subsets xor to distinct masks,
+    and x^m1 == x^m2 iff m1 == m2) — the dropDuplicates this used to
+    run was a full shuffle of the exploded frame (|batch|·ball rows ×
+    the vector payload, ~10 GB per 1.25M-row batch at dim=64) for
+    nothing (r8 soak finding); `_batch_probe_cells` emits distinct
+    cells per row already."""
+    if meta["method"] == "ivf":
+        if n_probe is None:
+            n_probe = multiprobe + 1
+        if qid_col != "id_a":
+            q = q.withColumnRenamed(qid_col, "id_a")
+        out = _batch_probe_cells(q, meta["centroids"], int(n_probe))
+        if qid_col != "id_a":
+            out = out.withColumnRenamed("id_a", qid_col)
+        return out
+    dim, n_planes, seed = meta["dim"], meta["n_planes"], meta["seed"]
+    b = hyperplane_bucket(F.col("__qv"), dim, n_planes, seed)
+    balls = [b]
+    for r in range(1, multiprobe + 1):
+        for bits in combinations(range(n_planes), r):
+            bb = b
+            for j in bits:
+                bb = bb.bitwiseXOR(1 << j)
+            balls.append(bb)
+    return q.select(
+        qid_col, "__qv", "__qinv",
+        F.explode(F.array(*balls)).alias("__bucket"),
+    )
+
+
+def _index_pruned_read(spark, index_path, qexp):
+    """Read a persisted index at the batch's bucket set: the set is
+    collected driver-side (bounded by min(|batch|·ball, bucket-space))
+    and pushed as a partition filter. The collect is CAPPED — at wide
+    codes a large batch can touch millions of buckets, and a
+    million-literal isin is worse than scanning: past the cap the
+    partition filter is skipped and the bucket equi-join (or cogroup)
+    prunes logically instead."""
+    cap = 10_000
+    bs = (qexp.select("__bucket").distinct()
+          .limit(cap + 1).collect())
+    idx = spark.read.parquet(index_path)
+    if len(bs) <= cap:
+        idx = idx.filter(
+            F.col("__bucket").isin([r["__bucket"] for r in bs])
+        )
+    return idx
+
+
 def embedding_incremental(new_df, index_path, threshold=0.95,
                           multiprobe=1, exclude_batch_ids=False,
                           score="auto", n_probe=None):
@@ -1667,45 +1927,8 @@ def embedding_incremental(new_df, index_path, threshold=0.95,
     q = new_df.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("__qv")
     ).withColumn("__qinv", F.when(qn > 0, 1.0 / qn))
-    if meta["method"] == "ivf":
-        if n_probe is None:
-            n_probe = multiprobe + 1
-        qexp = _batch_probe_cells(q, meta["centroids"], int(n_probe))
-    else:
-        dim, n_planes, seed = meta["dim"], meta["n_planes"], meta["seed"]
-        b = hyperplane_bucket(F.col("__qv"), dim, n_planes, seed)
-        balls = [b]
-        for r in range(1, multiprobe + 1):
-            for bits in combinations(range(n_planes), r):
-                bb = b
-                for j in bits:
-                    bb = bb.bitwiseXOR(1 << j)
-                balls.append(bb)
-        # no dedup needed: every Hamming-ball point is distinct by
-        # construction (distinct flipped-bit subsets xor to distinct
-        # masks, and x^m1 == x^m2 iff m1 == m2) — the dropDuplicates
-        # this used to run was a full shuffle of the exploded frame
-        # (|batch|·ball rows × the vector payload, ~10 GB per 1.25M-row
-        # batch at dim=64) for nothing (r8 soak finding)
-        qexp = q.select(
-            "id_a", "__qv", "__qinv",
-            F.explode(F.array(*balls)).alias("__bucket"),
-        )
-
-    # batch bucket set, driver-side: bounded by min(|batch|·ball,
-    # 2^n_planes), pushed into the index scan as a partition filter.
-    # The collect is CAPPED — at wide codes a large batch can touch
-    # millions of buckets, and a million-literal isin is worse than
-    # scanning: past the cap the partition filter is skipped and the
-    # bucket equi-join (or cogroup) prunes logically instead.
-    cap = 10_000
-    bs = (qexp.select("__bucket").distinct()
-          .limit(cap + 1).collect())
-    idx = new_df.sparkSession.read.parquet(index_path)
-    if len(bs) <= cap:
-        idx = idx.filter(
-            F.col("__bucket").isin([r["__bucket"] for r in bs])
-        )
+    qexp = _index_probe_expand(q, "id_a", meta, multiprobe, n_probe)
+    idx = _index_pruned_read(new_df.sparkSession, index_path, qexp)
     if exclude_batch_ids:
         idx = idx.join(
             new_df.select(F.col(id_col)).distinct(), id_col, "left_anti"

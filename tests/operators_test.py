@@ -2383,6 +2383,100 @@ def test_pq_indexed_rerank_recall(spark, tmp_path):
         similarity.embedding_incremental(extra, path)
 
 
+def _kji_corpus(spark, n=600, dim=16, seed=7):
+    rnd = random.Random(seed)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(dim)])
+            for i in range(n)]
+    return rows, spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_knn_join_indexed_exact_under_full_probe(spark, tmp_path):
+    """Batch KNN against the persisted index reproduces knn_join brute
+    EXACTLY when the probe covers the whole bucket space — on all
+    three layouts (float, int8+rerank, PQ+rerank), both score paths,
+    and both index methods. The plan stays partition-pruned and the
+    empty query side returns empty."""
+    rows, corpus = _kji_corpus(spark)
+    queries = spark.createDataFrame(rows[:8], ["vec_id", "embedding"])
+    want = {(r.qid, r.cid) for r in similarity.knn_join(
+        queries, corpus, k=3).collect()}
+
+    p_f = str(tmp_path / "f")
+    similarity.build_ann_index(corpus, p_f, method="lsh", n_planes=4,
+                               dim=16)
+    got = {(r.qid, r.cid) for r in similarity.knn_join_indexed(
+        queries, p_f, k=3, multiprobe=4).collect()}
+    assert got == want
+    got = {(r.qid, r.cid) for r in similarity.knn_join_indexed(
+        queries, p_f, k=3, multiprobe=4, score="gemm").collect()}
+    assert got == want
+
+    p_q = str(tmp_path / "q")
+    similarity.build_ann_index(corpus, p_q, method="ivf", n_cells=6,
+                               quantize="int8", dim=16)
+    got = {(r.qid, r.cid) for r in similarity.knn_join_indexed(
+        queries, p_q, k=3, n_probe=6, rerank_df=corpus,
+        rerank_k=600).collect()}
+    assert got == want
+
+    p_p = str(tmp_path / "p")
+    similarity.build_ann_index(corpus, p_p, method="ivf", n_cells=6,
+                               quantize="pq", pq_m=4, pq_codes=64,
+                               dim=16)
+    got = {(r.qid, r.cid) for r in similarity.knn_join_indexed(
+        queries, p_p, k=3, n_probe=6, rerank_df=corpus,
+        rerank_k=600).collect()}
+    assert got == want
+    # PQ ADC-only still yields k rows per query; column path rejected
+    per = similarity.knn_join_indexed(
+        queries, p_p, k=3, n_probe=6).groupBy("qid").count().collect()
+    assert sorted(r["count"] for r in per) == [3] * 8
+    with pytest.raises(ValueError):
+        similarity.knn_join_indexed(queries, p_p, k=3, score="column")
+    # partition pruning + empty queries
+    plan = similarity.knn_join_indexed(
+        queries, p_q, k=3, n_probe=2
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert similarity.knn_join_indexed(
+        queries.filter(F.lit(False)), p_q, k=3).count() == 0
+
+
+def test_knn_join_indexed_partial_probe_recall(spark, tmp_path):
+    """Under a PARTIAL probe (the scale configuration) the batch
+    indexed join keeps planted-duplicate recall: an exact copy of
+    every query is planted in the corpus and must be each query's
+    top-1 — identical vectors share every bucket, so no collision
+    bound is in play."""
+    rows, corpus = _kji_corpus(spark, n=400)
+    planted = spark.createDataFrame(
+        [(10_000 + i, v) for i, v in rows[:12]],
+        ["vec_id", "embedding"])
+    full = corpus.union(planted)
+    queries = spark.createDataFrame(rows[:12], ["vec_id", "embedding"])
+    path = str(tmp_path / "pp")
+    similarity.build_ann_index(full, path, method="lsh", n_planes=8,
+                               dim=16, quantize="pq", pq_m=4,
+                               pq_codes=64)
+    got = similarity.knn_join_indexed(
+        queries, path, k=2, multiprobe=1, rerank_df=full,
+        rerank_k=64).collect()
+    top1 = {}
+    for r in got:
+        if r.qid not in top1 or r.cos_sim > top1[r.qid][1] or (
+                r.cos_sim == top1[r.qid][1] and r.cid < top1[r.qid][0]):
+            top1.setdefault(r.qid, (r.cid, r.cos_sim))
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.qid, []).append((r.cos_sim, r.cid))
+    for qid, lst in by_q.items():
+        best = sorted(lst, key=lambda t: (-t[0], t[1]))[0]
+        # the planted twin (10_000+qid) or the original itself tops
+        assert best[1] in (qid, 10_000 + qid), (qid, best)
+        assert best[0] > 1 - 1e-9
+    assert set(by_q) == {i for i, _ in rows[:12]}
+
+
 def test_line_dedup(spark):
     from tanker_spark.operators.dedup import line_dedup
 
