@@ -225,6 +225,42 @@ def bm25_topk_indexed(spark, path, query, k=10, k1=1.2, b=0.75,
                  .limit(k)
 
 
+def bm25_topk_stream_indexed(spark, path, query, k=10, k1=1.2, b=0.75,
+                             round_to=4):
+    """Probe a STREAM-maintained index (``streaming.ingest.
+    text_index_sink``): postings read prefix-pruned across every
+    ``batch=N`` directory (hive partition discovery exposes batch and
+    prefix as partition columns — the prefix filter prunes inside
+    every batch), corpus stats sum over the per-batch one-row stats
+    frames, and the scoring expression is shared with every other BM25
+    path — so the probe is row-identical to ad-hoc :func:`bm25_topk`
+    over the union of all streamed batches (pinned by
+    streaming_test)."""
+    terms = _query_terms(query)
+    pfx = sorted({
+        hashlib.sha256(t.encode()).hexdigest()[:2] for t in terms
+    })
+    m = (
+        spark.read.parquet(f"{path}/{POSTINGS_SUBDIR}")
+        .filter(F.col(_PFX).isin(pfx) & F.col("term").isin(terms))
+    )
+    stats = (
+        spark.read.parquet(f"{path}/{META_SUBDIR}")
+        .agg(F.sum("n_docs").alias("n_docs"),
+             (F.sum("dl_sum") / F.sum("dl_n")).alias("avgdl"))
+    )
+    dfreq = m.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    scored = (
+        m.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("__s", F.expr(_bm25_expr(k1, b)))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("__s"), round_to).alias("bm25"))
+    )
+    return scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()) \
+                 .limit(k)
+
+
 def _rank(df, score_col, id_col, round_to):
     """Deterministic dense candidate ranking: rank on the ROUNDED score
     (ties broken by id) so an engine re-implementing the same math —

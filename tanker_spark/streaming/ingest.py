@@ -253,6 +253,68 @@ def semantic_filter_sink(stream_df, out_path, index_path, checkpoint_dir,
     )
 
 
+def text_index_sink(stream_df, index_path, checkpoint_dir,
+                    text_col="text", id_col="doc_id",
+                    available_now=True):
+    """Streaming BM25 index maintenance: the ingest-time twin of
+    :func:`operators.search.text_index_append` — arriving documents
+    become searchable as soon as their micro-batch commits, and the
+    landed corpus is never re-tokenized.
+
+    Delivery: exactly-once on BOTH artifacts without any merge step —
+    each batch's postings land under their own deterministic
+    ``batch=N`` directory (hive-partitioned inside by the same
+    term-hash prefix as the batch index, so probes still prune ~99% of
+    the postings regardless of how many batches accumulated), and its
+    one-row (n_docs, dl_sum, dl_n) stats land under
+    ``stats/batch=N``. A replay overwrites its own directories, so
+    counts never double — the merge the append path does at write
+    time happens at PROBE time instead, as a sum over the tiny
+    per-batch stats rows (``search.bm25_topk_stream_indexed``).
+    df_t needs no state on either layout: probes count it from the
+    matching postings.
+
+    Scale: per batch = tokenize batch + one (doc, term) aggregate;
+    probe = stats sum (|batches| rows) + prefix-pruned postings read —
+    same probe shape as the batch index, one extra tiny aggregate."""
+    from ..operators.search import (META_SUBDIR, POSTINGS_SUBDIR, _PFX,
+                                    _postings, term_prefix)
+    from ..operators.text import tokens
+
+    def _index_batch(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.persist()
+        toks = _postings(batch_df, text_col, id_col)
+        postings = (
+            toks.groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"),
+                 F.first("dl").alias("dl"))
+            .withColumn(_PFX, term_prefix(F.col("term")))
+        )
+        postings.write.mode("overwrite").partitionBy(_PFX).parquet(
+            "%s/%s/batch=%d" % (index_path, POSTINGS_SUBDIR, batch_id)
+        )
+        batch_df.select(
+            F.size(tokens(F.lower(F.col(text_col)))).alias("__dl")
+        ).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg("__dl").alias("avgdl"),
+            F.sum("__dl").cast("double").alias("dl_sum"),
+            F.count("__dl").alias("dl_n"),
+        ).coalesce(1).write.mode("overwrite").parquet(
+            "%s/%s/batch=%d" % (index_path, META_SUBDIR, batch_id)
+        )
+        batch_df.unpersist()
+
+    return (
+        stream_df.writeStream.foreachBatch(_index_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=available_now)
+        .start()
+    )
+
+
 def line_filter_sink(stream_df, out_path, freq_path, checkpoint_dir,
                      text_col="text", id_col="doc_id", sep="\n",
                      min_docs=2, available_now=True):

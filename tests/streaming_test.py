@@ -979,6 +979,49 @@ def test_semantic_filter_stream(spark, tmp_path):
     assert kept3 == set()
 
 
+def test_text_index_stream(spark, tmp_path):
+    """Streaming BM25 index maintenance: after three micro-batches the
+    stream-built index answers queries row-identically to ad-hoc BM25
+    over the full streamed corpus (stats merge at probe time over the
+    per-batch one-row frames; df_t counts from matching postings), and
+    each batch's artifacts live in their own deterministic batch=N
+    directories (the exactly-once contract: a replay overwrites its
+    own dirs)."""
+    import os
+
+    from tanker_spark.operators.search import (bm25_topk,
+                                               bm25_topk_stream_indexed)
+    from tanker_spark.streaming.ingest import text_index_sink
+
+    batches = [
+        [(0, "spark merge window join"), (1, "merge spark spark window")],
+        [(2, "window functions in sql"), (3, "unrelated words here")],
+        [(4, "merge conflicts are painful"),
+         (5, "the spark window merge merge")],
+    ]
+    src = str(tmp_path / "ti_src")
+    for chunk in batches:
+        spark.createDataFrame(chunk, ["doc_id", "text"]).coalesce(1) \
+            .write.mode("append").parquet(src)
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    idx = str(tmp_path / "ti_idx")
+    q = text_index_sink(stream, idx, str(tmp_path / "ti_ckpt"))
+    q.awaitTermination(120)
+    full = spark.createDataFrame(
+        [r for chunk in batches for r in chunk], ["doc_id", "text"])
+    adhoc = [r.asDict() for r in bm25_topk(full, "spark merge", k=6)
+             .collect()]
+    probe = [r.asDict() for r in bm25_topk_stream_indexed(
+        spark, idx, "spark merge", k=6).collect()]
+    assert adhoc == probe
+    # one postings dir + one stats dir per batch (deterministic names)
+    assert sorted(os.listdir(f"{idx}/postings")) == [
+        "batch=0", "batch=1", "batch=2"]
+    assert sorted(os.listdir(f"{idx}/_bm25_meta")) == [
+        "batch=0", "batch=1", "batch=2"]
+
+
 def test_line_filter_stream(spark, tmp_path):
     """Streaming line gate: a boilerplate line is scrubbed from the
     batch where its accumulated distinct-doc count reaches min_docs
