@@ -893,6 +893,66 @@ def ann_index_append(new_df, path):
     stored.write.mode("append").partitionBy("__bucket").parquet(path)
 
 
+def ann_index_compact(spark, path, dedup_ids=False):
+    """Compact a persisted ANN index in place: every ``__bucket``
+    partition's accumulated append files (one per
+    :func:`ann_index_append` batch — a 1000-batch steady state is a
+    1000-file directory listing per probe) rewrite into one file per
+    bucket, preserving ``_ann_meta.json`` and the partition layout.
+    This is the index's ONLY maintenance path besides a full rebuild —
+    and for a PQ layout a rebuild needs the original float vectors,
+    which the index does not store, so compaction must work from the
+    stored rows alone (it does: codes/quantized payloads rewrite
+    verbatim). ``dedup.compact_side_table`` refuses ANN directories
+    for exactly this reason; this is the partition-aware counterpart.
+
+    ``dedup_ids=True`` additionally drops duplicate ids WITHIN a
+    bucket — replayed appends write identical payload rows (same
+    vector → same bucket, same codes), so which survives is
+    immaterial; ids legitimately re-ingested with a DIFFERENT vector
+    land in a different bucket and are NOT deduped (near-dup history
+    should keep both placements — drop-by-id belongs to the caller).
+
+    One shuffle (the same bucket repartition the build runs, so each
+    directory lands as exactly one file); the swap is two directory
+    renames with the same retry caveat and stale-dir cleanup as
+    ``compact_side_table``. Probe results are row-identical before and
+    after (pinned by test)."""
+    import shutil
+
+    tmp = path.rstrip("/") + "__compact_tmp"
+    old = path.rstrip("/") + "__compact_old"
+    meta_src = os.path.join(path, ANN_META)
+    if not os.path.exists(meta_src):
+        raise ValueError(
+            "ann_index_compact: %s has no %s — not an ANN index "
+            "(flat side tables compact with dedup.compact_side_table)"
+            % (path, ANN_META)
+        )
+    for stale in (tmp, old):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+    with open(meta_src) as fh:
+        meta = json.load(fh)
+    df = spark.read.parquet(path)
+    if dedup_ids:
+        w = Window.partitionBy(
+            "__bucket", meta["id_col"]).orderBy(F.lit(1))
+        df = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn")
+        )
+    (
+        df.repartition(F.col("__bucket"))
+        .write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
+    )
+    shutil.copy(meta_src, os.path.join(tmp, ANN_META))
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return path
+
+
 def knn_indexed(spark, path, probe_vec, k=10, multiprobe=1, n_probe=4,
                 rerank_df=None, rerank_k=4096):
     """Probe a persisted ANN index: the probe's bucket set is computed in

@@ -2442,6 +2442,64 @@ def test_knn_join_indexed_exact_under_full_probe(spark, tmp_path):
         queries.filter(F.lit(False)), p_q, k=3).count() == 0
 
 
+def test_ann_index_compact(spark, tmp_path):
+    """Compaction rewrites a many-append index to one file per bucket
+    directory, preserves the metadata and probe results row-for-row
+    (PQ layout — the one that CANNOT rebuild from the corpus index
+    alone), and dedup_ids drops replayed duplicate rows. Flat side
+    tables are refused."""
+    import os
+
+    rows, corpus = _kji_corpus(spark, n=300)
+    path = str(tmp_path / "cpt")
+    similarity.build_ann_index(corpus, path, method="ivf", n_cells=4,
+                               quantize="pq", pq_m=4, pq_codes=32,
+                               dim=16)
+    for i in range(4):
+        similarity.ann_index_append(
+            spark.createDataFrame(
+                [(1000 * (i + 1) + j, v) for j, v in rows[:10]],
+                ["vec_id", "embedding"]), path)
+    probe = rows[3][1]
+    before = [r.asDict() for r in similarity.knn_indexed(
+        spark, path, probe, k=10, n_probe=4).collect()]
+
+    def files_per_bucket():
+        return {
+            d: len([f for f in os.listdir(os.path.join(path, d))
+                    if f.endswith(".parquet")])
+            for d in os.listdir(path) if d.startswith("__bucket=")
+        }
+
+    assert max(files_per_bucket().values()) > 1  # appends accumulated
+    n0 = spark.read.parquet(path).count()
+    similarity.ann_index_compact(spark, path)
+    assert max(files_per_bucket().values()) == 1
+    assert spark.read.parquet(path).count() == n0  # no dedup: verbatim
+    after = [r.asDict() for r in similarity.knn_indexed(
+        spark, path, probe, k=10, n_probe=4).collect()]
+    assert before == after
+    assert os.path.exists(os.path.join(path, "_ann_meta.json"))
+    # replayed appends plant duplicate (id, bucket) rows twice over;
+    # dedup_ids compaction drops both copies and restores the exact
+    # pre-replay probe results
+    extra = spark.createDataFrame(rows[:40], ["vec_id", "embedding"])
+    similarity.ann_index_append(extra, path)
+    similarity.ann_index_append(extra, path)
+    n1 = spark.read.parquet(path).count()
+    assert n1 == n0 + 80
+    similarity.ann_index_compact(spark, path, dedup_ids=True)
+    assert spark.read.parquet(path).count() == n0
+    after2 = [r.asDict() for r in similarity.knn_indexed(
+        spark, path, probe, k=10, n_probe=4).collect()]
+    assert before == after2
+    # non-index dirs are refused
+    flat = str(tmp_path / "flat")
+    corpus.write.parquet(flat)
+    with pytest.raises(ValueError):
+        similarity.ann_index_compact(spark, flat)
+
+
 def test_knn_join_indexed_partial_probe_recall(spark, tmp_path):
     """Under a PARTIAL probe (the scale configuration) the batch
     indexed join keeps planted-duplicate recall: an exact copy of
