@@ -2013,6 +2013,23 @@ def text_quality(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def quality_filter_audit(spark, sf_dir):
+    """Round-8 debut: the Gopher/C4 rule-gate AUDIT
+    (text.quality_rule_audit) — per-doc measured values plus the
+    comma-joined names of every rule the doc failed, the breakdown a
+    pipeline owner reports instead of a bare survivor count. One
+    map-only projection (no join, no shuffle — plan pinned in
+    operators_test); thresholds tuned so the synthetic corpus splits
+    into keeps and per-rule drops. DuckDB oracle mirrors every measure
+    expression textually."""
+    df = _read(spark, sf_dir, "documents")
+    return text.quality_rule_audit(
+        df, min_words=40, max_words=200, min_stopword_ratio=0.06,
+        max_mean_word_len=9.0, max_punct_ratio=0.2,
+        max_digit_ratio=0.2, max_bullet_line_frac=0.9,
+    ).orderBy("doc_id")
+
+
 def knn_lsh_probe(spark, sf_dir):
     """ANN top-10 via hyperplane-bucket pruning + exact re-rank
     (approximate: no SQL oracle; recall vs knn_brute checked in tests)."""
@@ -2476,6 +2493,7 @@ DEBUTS = [
     "knn_pq_rerank",
     "bm25_incremental_search",
     "knn_join_indexed_batch",
+    "quality_filter_audit",
 ]
 
 
@@ -2671,6 +2689,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_pq_rerank": knn_pq_rerank,
         "string_fns_nation": string_fns_nation,
         "text_quality": text_quality,
+        "quality_filter_audit": quality_filter_audit,
         "cap_per_source": cap_per_source,
         "redact_pii": redact_pii,
         "boilerplate_ratio": boilerplate_ratio,
@@ -3609,6 +3628,68 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_split_to_array(trim(text), '\\s+'))
                        AS n_ws
             FROM r ORDER BY doc_id
+        """,
+        "quality_filter_audit": """
+            WITH f AS (
+              SELECT doc_id, coalesce(text, '') AS t FROM documents
+            ), m AS (
+              SELECT doc_id, t,
+                     regexp_split_to_array(trim(t), '\\s+') AS toks,
+                     regexp_split_to_array(t, '\\n') AS lines
+              FROM f
+            ), v AS (
+              SELECT doc_id,
+                len(toks) AS n_words,
+                list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                  / greatest(len(toks), 1) AS mean_word_len,
+                len(list_filter(list_transform(toks, x -> lower(x)),
+                    x -> list_contains(
+                      ['the','a','an','of','and','to','in','is','it',
+                       'that'], x)))
+                  / greatest(len(toks), 1) AS stopword_ratio,
+                (length(t) - length(
+                     regexp_replace(t, '[^\\w\\s]', '', 'g')))
+                  / greatest(length(t), 1) AS punct_ratio,
+                (length(t) - length(
+                     regexp_replace(t, '[0-9]', '', 'g')))
+                  / greatest(length(t), 1) AS digit_ratio,
+                len(list_filter(lines, l -> trim(l) <> '' AND
+                      regexp_matches(trim(l), '^[-*•]')))::DOUBLE
+                  / greatest(len(list_filter(
+                      lines, l -> trim(l) <> '')), 1)
+                  AS bullet_line_frac
+              FROM m
+            ), a AS (
+              SELECT *,
+                -- array_to_string([]) is NULL in DuckDB (Spark's
+                -- array_join gives ''): coalesce to match
+                coalesce(array_to_string(list_sort(list_filter([
+                  CASE WHEN n_words < 40 THEN 'min_words' END,
+                  CASE WHEN n_words > 200 THEN 'max_words' END,
+                  CASE WHEN mean_word_len < 3.0
+                       THEN 'min_mean_word_len' END,
+                  CASE WHEN mean_word_len > 9.0
+                       THEN 'max_mean_word_len' END,
+                  CASE WHEN stopword_ratio < 0.06
+                       THEN 'min_stopword_ratio' END,
+                  CASE WHEN punct_ratio > 0.2
+                       THEN 'max_punct_ratio' END,
+                  CASE WHEN digit_ratio > 0.2
+                       THEN 'max_digit_ratio' END,
+                  CASE WHEN bullet_line_frac > 0.9
+                       THEN 'max_bullet_line_frac' END
+                ], x -> x IS NOT NULL)), ','), '') AS failed_rules
+              FROM v
+            )
+            SELECT doc_id, n_words,
+                   round(mean_word_len, 6) AS mean_word_len,
+                   round(stopword_ratio, 6) AS stopword_ratio,
+                   round(punct_ratio, 6) AS punct_ratio,
+                   round(digit_ratio, 6) AS digit_ratio,
+                   round(bullet_line_frac, 6) AS bullet_line_frac,
+                   failed_rules,
+                   failed_rules = '' AS keep
+            FROM a ORDER BY doc_id
         """,
         "stratified_sample_docs": """
             SELECT doc_id, source FROM documents

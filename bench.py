@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "knn_pq_rerank",
     "bm25_incremental_search",
     "knn_join_indexed_batch",
+    "quality_filter_audit",
 ]
 
 

@@ -98,6 +98,115 @@ def quality_score(col):
 M31 = (1 << 31) - 1
 
 
+#: Gopher-style rule-gate defaults (Rae et al. 2021 appx A; C4 /
+#: Raffel et al. 2020 §2.2) — tuned for web-scale English; override
+#: per-corpus.
+QUALITY_RULE_DEFAULTS = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "min_stopword_ratio": 0.06,
+    "max_punct_ratio": 0.3,
+    "max_digit_ratio": 0.3,
+    "max_bullet_line_frac": 0.9,
+}
+
+
+def quality_rule_audit(df, text_col="text", id_col="doc_id", **rules):
+    """Rule-based quality gate AUDIT — the Gopher/C4 filter ladder
+    with the per-rule breakdown a pipeline owner actually reports
+    (which rule killed each document, not just a survivor count).
+    Returns one row per input doc: the measured values (rounded 6 dp
+    for cross-engine comparison), ``failed_rules`` (comma-joined
+    sorted rule names, '' when clean) and ``keep``.
+
+    Rules (thresholds from :data:`QUALITY_RULE_DEFAULTS`, overridable
+    by keyword): word-count band [min_words, max_words], mean word
+    length band, minimum stopword ratio, maximum punctuation /
+    digit-character ratios, and a maximum fraction of non-blank lines
+    starting with a bullet marker. NULL text reads as empty text (it
+    fails the word-count floor rather than slipping through as
+    all-NULL measures).
+
+    Scale shape: one map-only projection — every measure is Column
+    math over the doc's own tokens/lines (no join, no shuffle, no
+    Python). The HOF lambdas here run per-token per doc, the same
+    interpreted budget the lang-id/stopword measures already spend;
+    nothing touches a second row. :func:`quality_filter` applies the
+    verdict."""
+    r = dict(QUALITY_RULE_DEFAULTS)
+    unknown = set(rules) - set(r)
+    if unknown:
+        raise ValueError("unknown quality rules: %s" % sorted(unknown))
+    r.update(rules)
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    toks = tokens(t)
+    n_words = F.size(toks)
+    mean_wlen = (
+        F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x))
+        .cast("double") / F.greatest(n_words, F.lit(1))
+    )
+    sw = stopword_ratio(t)
+    pr = punct_ratio(t)
+    dg = (
+        (F.length(t) - F.length(F.regexp_replace(t, "[0-9]", "")))
+        / F.greatest(F.length(t), F.lit(1))
+    )
+    nonblank = F.filter(F.split(t, "\n"),
+                        lambda ln: F.trim(ln) != F.lit(""))
+    bullets = F.filter(nonblank,
+                       lambda ln: F.trim(ln).rlike("^[-*•]"))
+    bf = (F.size(bullets).cast("double")
+          / F.greatest(F.size(nonblank), F.lit(1)))
+    checks = [
+        ("min_words", n_words < F.lit(int(r["min_words"]))),
+        ("max_words", n_words > F.lit(int(r["max_words"]))),
+        ("min_mean_word_len",
+         mean_wlen < F.lit(float(r["min_mean_word_len"]))),
+        ("max_mean_word_len",
+         mean_wlen > F.lit(float(r["max_mean_word_len"]))),
+        ("min_stopword_ratio",
+         sw < F.lit(float(r["min_stopword_ratio"]))),
+        ("max_punct_ratio", pr > F.lit(float(r["max_punct_ratio"]))),
+        ("max_digit_ratio", dg > F.lit(float(r["max_digit_ratio"]))),
+        ("max_bullet_line_frac",
+         bf > F.lit(float(r["max_bullet_line_frac"]))),
+    ]
+    failed = F.array_join(
+        F.sort_array(F.filter(
+            F.array(*[F.when(cond, F.lit(name))
+                      for name, cond in checks]),
+            lambda x: x.isNotNull(),
+        )), ",",
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        F.round(sw, 6).alias("stopword_ratio"),
+        F.round(pr, 6).alias("punct_ratio"),
+        F.round(dg, 6).alias("digit_ratio"),
+        F.round(bf, 6).alias("bullet_line_frac"),
+        failed.alias("failed_rules"),
+        (failed == F.lit("")).alias("keep"),
+    )
+
+
+def quality_filter(df, text_col="text", id_col="doc_id",
+                   return_audit=False, **rules):
+    """Apply :func:`quality_rule_audit`'s verdict: keep the documents
+    that fail no rule. ``return_audit=True`` also returns the full
+    audit frame. One broadcast-free semi join on the id — the audit is
+    derived from the same rows, so Catalyst collapses it back onto the
+    scan."""
+    audit = quality_rule_audit(df, text_col, id_col, **rules)
+    kept = df.join(
+        audit.filter(F.col("keep")).select(id_col), id_col, "left_semi"
+    )
+    return (kept, audit) if return_audit else kept
+
+
 def _rolling(col, mult, seed):
     hashed = F.transform(
         tokens(col), lambda t: F.pmod(F.xxhash64(t, F.lit(seed)), F.lit(M31))

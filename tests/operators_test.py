@@ -1650,6 +1650,51 @@ def test_cursor_pipe_bridge(spark, docs, tmp_path):
         assert any(r.copies == 2 and r.keep_id == 0 for r in rows)
 
 
+def test_quality_rule_audit(spark):
+    """Rule gate: each planted defect trips exactly its own rule (the
+    audit names the killer), clean docs keep, NULL text fails the
+    word-count floor instead of slipping through, and quality_filter
+    applies the verdict."""
+    rows = [
+        (1, "the cat sat on the mat and it is that a fine mat "
+            "for sitting in the sun all day long with friends"),
+        (2, "word " * 3),                              # too short
+        (3, " ".join("supercalifragilistic" for _ in range(30))),
+        (4, "1234567890 " * 30),                       # digits
+        (5, None),                                     # null text
+        (6, "\n".join("- bullet item %d" % i for i in range(10))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    audit = {r.doc_id: r for r in text.quality_rule_audit(
+        df, min_words=10, min_stopword_ratio=0.05,
+        max_mean_word_len=12.0, max_digit_ratio=0.5,
+        max_bullet_line_frac=0.5).collect()}
+    assert audit[1].keep and audit[1].failed_rules == ""
+    assert "min_words" in audit[2].failed_rules
+    # 30 identical 20-char words: mean length trips, stopwords absent
+    assert "max_mean_word_len" in audit[3].failed_rules
+    assert "min_stopword_ratio" in audit[3].failed_rules
+    assert "max_digit_ratio" in audit[4].failed_rules
+    assert not audit[5].keep
+    assert "min_words" in audit[5].failed_rules
+    assert "max_bullet_line_frac" in audit[6].failed_rules
+    assert not audit[6].keep
+    # failed_rules is sorted + comma-joined (engine-portable string)
+    assert audit[3].failed_rules == \
+        ",".join(sorted(audit[3].failed_rules.split(",")))
+    kept = text.quality_filter(
+        df, min_words=10, min_stopword_ratio=0.05,
+        max_mean_word_len=12.0, max_digit_ratio=0.5,
+        max_bullet_line_frac=0.5)
+    assert {r.doc_id for r in kept.collect()} == {1}
+    with pytest.raises(ValueError):
+        text.quality_rule_audit(df, bogus_rule=1)
+    # map-only: no exchange in the audit plan
+    plan = text.quality_rule_audit(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_quality_classifier_train_and_score(spark):
     good = ["the cat is on the roof and it is a fine day in town " + str(i)
             for i in range(60)]
