@@ -225,6 +225,42 @@ def bm25_topk_indexed(spark, path, query, k=10, k1=1.2, b=0.75,
                  .limit(k)
 
 
+def text_index_consolidate(spark, stream_path, out_path):
+    """Consolidate a STREAM-built index (``text_index_sink``'s
+    batch=N layout) into the compact batch layout
+    (:func:`build_text_index`'s flat postings + one-row meta) WITHOUT
+    re-tokenizing anything: postings rewrite minus the batch
+    dimension (one file per prefix partition instead of one per
+    batch×prefix — a year of 5-minute micro-batches is ~10⁵ files per
+    probe listing otherwise), and the meta row is the closed-form sum
+    of the per-batch stats. Run it once the stream's checkpoint has
+    passed the consolidated batches (their exactly-once replay
+    guarantee is no longer needed); the output serves
+    :func:`bm25_topk_indexed` and grows further via
+    :func:`text_index_append`. Probe results are row-identical across
+    the three readers (pinned by test)."""
+    postings = spark.read.parquet(
+        f"{stream_path}/{POSTINGS_SUBDIR}"
+    ).drop("batch")
+    (
+        postings.repartition(F.col(_PFX))
+        .write.mode("overwrite").partitionBy(_PFX)
+        .parquet(f"{out_path}/{POSTINGS_SUBDIR}")
+    )
+    (
+        spark.read.parquet(f"{stream_path}/{META_SUBDIR}")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            (F.sum("dl_sum") / F.sum("dl_n")).alias("avgdl"),
+            F.sum("dl_sum").cast("double").alias("dl_sum"),
+            F.sum("dl_n").alias("dl_n"),
+        )
+        .coalesce(1).write.mode("overwrite")
+        .parquet(f"{out_path}/{META_SUBDIR}")
+    )
+    return out_path
+
+
 def bm25_topk_stream_indexed(spark, path, query, k=10, k1=1.2, b=0.75,
                              round_to=4):
     """Probe a STREAM-maintained index (``streaming.ingest.

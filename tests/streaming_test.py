@@ -1020,6 +1020,28 @@ def test_text_index_stream(spark, tmp_path):
         "batch=0", "batch=1", "batch=2"]
     assert sorted(os.listdir(f"{idx}/_bm25_meta")) == [
         "batch=0", "batch=1", "batch=2"]
+    # consolidation rewrites to the batch layout: flat prefix dirs,
+    # merged one-row meta, probe row-identical, and the consolidated
+    # index keeps growing through the batch append path
+    from tanker_spark.operators.search import (bm25_topk_indexed,
+                                               text_index_append,
+                                               text_index_consolidate)
+
+    flat = str(tmp_path / "ti_flat")
+    text_index_consolidate(spark, idx, flat)
+    assert all(d.startswith(("pfx=", "_", "."))
+               for d in os.listdir(f"{flat}/postings"))
+    cons = [r.asDict() for r in bm25_topk_indexed(
+        spark, flat, "spark merge", k=6).collect()]
+    assert cons == adhoc
+    late = spark.createDataFrame(
+        [(6, "spark spark spark merge")], ["doc_id", "text"])
+    text_index_append(late, flat)
+    grown = [r.asDict() for r in bm25_topk_indexed(
+        spark, flat, "spark merge", k=7).collect()]
+    want = [r.asDict() for r in bm25_topk(
+        full.union(late), "spark merge", k=7).collect()]
+    assert grown == want
 
 
 def test_line_filter_stream(spark, tmp_path):
