@@ -1946,14 +1946,17 @@ def knn_pq_rerank(spark, sf_dir):
     cells must reproduce the brute-force top-10 exactly (same cosine
     fold, same tie-break). The DuckDB brute-force oracle therefore
     checks the whole train→encode→ADC→re-rank machinery end to end;
-    partial-probe recall is pinned separately in operators_test."""
+    partial-probe recall is pinned separately in operators_test.
+    ``pq_residual=True`` so the driver row exercises the full IVF-PQ
+    recipe (residual codebooks + per-cell ADC offset), not just raw
+    codes."""
     import tempfile
 
     df = _read(spark, sf_dir, "embeddings")
     path = tempfile.mkdtemp(prefix="tk_annpq_")
     similarity.build_ann_index(
         df, path, method="ivf", n_cells=8, quantize="pq",
-        pq_m=8, pq_codes=256,
+        pq_m=8, pq_codes=256, pq_residual=True,
     )
     probe = [1.0] * 64
     out = similarity.knn_indexed(

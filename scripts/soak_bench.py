@@ -335,6 +335,40 @@ def main():
               file=sys.stderr)
         return total
 
+    def pq_residual_soak():
+        # residual vs raw PQ at the same byte budget on the CLUSTERED
+        # 10M corpus (generate_embeddings plants 4096 clusters — far
+        # more than the 256-entry codebooks can memorize raw):
+        # ADC-only recall@10 over 5 brute-checked probes, both layouts
+        import shutil
+        probes_src = [r["embedding"] for r in
+                      emb.filter(F.pmod("vec_id", F.lit(2_000_000)) == 7)
+                      .collect()]
+        out = {}
+        for name, resid in (("raw", False), ("residual", True)):
+            path = args.dir + "/pq_" + name
+            shutil.rmtree(path, ignore_errors=True)
+            t0 = time.perf_counter()
+            similarity.build_ann_index(
+                emb, path, method="ivf", n_cells=64, quantize="pq",
+                pq_residual=resid)
+            build_s = time.perf_counter() - t0
+            hits = 0
+            for p in probes_src:
+                want = {r.vec_id for r in
+                        similarity.knn_brute(emb, p, k=10).collect()}
+                got = {r.vec_id for r in similarity.knn_indexed(
+                    spark, path, p, k=10, n_probe=8).collect()}
+                hits += len(want & got)
+            out[name] = (build_s, hits / (10 * len(probes_src)))
+        print("# pq_residual: raw build %.1fs recall@10 %.2f | "
+              "residual build %.1fs recall@10 %.2f (ADC only, "
+              "n_probe=8/64, %d probes)"
+              % (out["raw"][0], out["raw"][1], out["residual"][0],
+                 out["residual"][1], len(probes_src)),
+              file=sys.stderr)
+        return len(probes_src)
+
     from tanker_spark.operators import search, similarity as _sim  # noqa
 
     # query terms exist in the synthetic vocab: template words t0..t4999
@@ -559,6 +593,7 @@ def main():
         "substring_dedup": substring_dedup_soak,
         "ann_index": ann_index_soak,
         "pq_index": pq_index_soak,
+        "pq_residual": pq_residual_soak,
         "bm25_direct": bm25_soak,
         "bm25_indexed": bm25_indexed_soak,
         "bm25_append": bm25_append_soak,

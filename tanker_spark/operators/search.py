@@ -116,6 +116,14 @@ def build_text_index(df, path, text_col="text", id_col="doc_id"):
         .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
         .withColumn(_PFX, term_prefix(F.col("term")))
     )
+    # one shuffle on the prefix before the partitioned write: without
+    # it every aggregate task writes a file into every prefix dir it
+    # sees (tasks × 256 prefixes ≈ 32k files at the 10M soak — probe
+    # listings alone cost seconds), after it each prefix lands in
+    # exactly one task → one file per directory. The same lesson as
+    # build_ann_index's bucket repartition, re-found by the r8
+    # bm25_append soak (11 s/query probes against the 32k-file index).
+    postings = postings.repartition(F.col(_PFX))
     postings.write.mode("overwrite").partitionBy(_PFX).parquet(
         f"{path}/{POSTINGS_SUBDIR}"
     )
@@ -163,6 +171,10 @@ def text_index_append(new_df, path, text_col="text", id_col="doc_id"):
         toks.groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
         .withColumn(_PFX, term_prefix(F.col("term")))
+        # prefix repartition before the partitioned write — one file
+        # per prefix per append instead of tasks × prefixes (see
+        # build_text_index)
+        .repartition(F.col(_PFX))
     )
     postings.write.mode("append").partitionBy(_PFX).parquet(
         f"{path}/{POSTINGS_SUBDIR}"

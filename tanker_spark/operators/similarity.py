@@ -596,8 +596,17 @@ def dequantize_col(qcode, qmin, qscale):
 PQ_TRAIN_CAP = 65536
 
 
+def _unit_rows(M):
+    """Row-normalize, zero rows left at zero."""
+    import numpy as np
+
+    n = np.linalg.norm(M, axis=1, keepdims=True)
+    return M * np.where(n > 0, 1.0 / np.where(n > 0, n, 1.0), 0.0)
+
+
 def train_pq(df, m=8, n_codes=256, vec_col="embedding", id_col="vec_id",
-             sample_rows=PQ_TRAIN_CAP, iters=10, seed=42):
+             sample_rows=PQ_TRAIN_CAP, iters=10, seed=42,
+             residual_centroids=None):
     """Train product-quantization codebooks (Jégou/Douze/Schmid, TPAMI
     2011 — the FAISS IVF-PQ layout): L2-normalize, split the vector into
     ``m`` contiguous subspaces, k-means each subspace to ``n_codes``
@@ -614,7 +623,16 @@ def train_pq(df, m=8, n_codes=256, vec_col="embedding", id_col="vec_id",
     makes the ADC dot product approximate the cosine directly, so PQ
     scores are drop-in comparable with every other cos_sim in this
     module. Returns ``[m][n_codes][dim/m]`` plain python lists
-    (json-able — they ride in ``_ann_meta.json``)."""
+    (json-able — they ride in ``_ann_meta.json``).
+
+    ``residual_centroids`` switches to RESIDUAL training — the true
+    IVF-PQ recipe (FAISS IndexIVFPQ): codebooks learn the distribution
+    of ``x_n − c_n`` (unit vector minus its assigned unit cell
+    centroid) instead of the raw unit vectors. On clustered corpora
+    the residual spread is far tighter than the vector spread, so the
+    same ``m`` bytes buy materially lower reconstruction error; the
+    probe adds the per-cell offset ``p·c_n`` back at scoring time
+    (:func:`_pq_adc_scores`)."""
     import numpy as np
 
     rows = (
@@ -643,6 +661,11 @@ def train_pq(df, m=8, n_codes=256, vec_col="embedding", id_col="vec_id",
     norms = np.linalg.norm(X, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     X = X / norms
+    if residual_centroids is not None:
+        Cn = _unit_rows(np.array(residual_centroids, dtype=np.float64))
+        # same argmax-cosine assignment as ivf_cell_col (ties to the
+        # lowest cell id via argmax's first-hit rule)
+        X = X - Cn[(X @ Cn.T).argmax(1)]
     dsub = dim // m
     rng = np.random.default_rng(seed)
     books = []
@@ -670,7 +693,8 @@ def _pq_books_np(books):
     return np.array(books, dtype=np.float64)  # (m, n_codes, dsub)
 
 
-def pq_encode_frame(df, books, vec_col, id_col, bucket_col=None):
+def pq_encode_frame(df, books, vec_col, id_col, bucket_col=None,
+                    residual_centroids=None):
     """``(id, pq_code[, __bucket])``: one mapInPandas pass — rows
     L2-normalize in numpy and every subspace assigns via a single
     (batch × n_codes) GEMM argmax per Arrow batch (the r6/r7 lesson:
@@ -686,11 +710,23 @@ def pq_encode_frame(df, books, vec_col, id_col, bucket_col=None):
     import numpy as np
     import pandas as pd
 
+    import numpy as _np
+
     B = _pq_books_np(books)
     m, n_codes, dsub = B.shape
     dim = m * dsub
+    Cn = None
+    if residual_centroids is not None:
+        if bucket_col is None:
+            raise ValueError(
+                "pq_encode_frame: residual encoding needs the cell "
+                "bucket column (the residual is taken against the "
+                "row's own cell centroid)"
+            )
+        Cn = _unit_rows(_np.array(residual_centroids,
+                                  dtype=_np.float64))
     spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(B)
+    bc = spark.sparkContext.broadcast((B, Cn))
     id_t = df.schema[id_col].dataType.simpleString()
     cols = [F.col(id_col), F.col(vec_col).alias("__v")]
     schema_str = "%s %s, pq_code array<tinyint>" % (id_col, id_t)
@@ -703,7 +739,7 @@ def pq_encode_frame(df, books, vec_col, id_col, bucket_col=None):
     base = df.select(*cols)
 
     def encode(batches):
-        Bb = bc.value
+        Bb, b_Cn = bc.value
         # half-centroid-norm term, precomputed once per executor
         half = 0.5 * (Bb * Bb).sum(2)  # (m, n_codes)
         for pdf in batches:
@@ -712,12 +748,19 @@ def pq_encode_frame(df, books, vec_col, id_col, bucket_col=None):
             ok = pdf["__v"].map(
                 lambda v: v is not None and len(v) == dim
             ).to_numpy()
+            if b_Cn is not None:
+                # residual rows need a live cell id (a null-vector
+                # row has a null bucket and already fails `ok`)
+                ok = ok & pdf["__bucket"].notna().to_numpy()
             codes = np.empty(len(pdf), dtype=object)
             if ok.any():
                 V = np.array(list(pdf["__v"][ok]), dtype=np.float64)
                 norms = np.linalg.norm(V, axis=1, keepdims=True)
                 norms[norms == 0] = 1.0
                 Vn = V / norms
+                if b_Cn is not None:
+                    cells = pdf["__bucket"][ok].to_numpy().astype("int64")
+                    Vn = Vn - b_Cn[cells]
                 out = np.empty((len(V), m), dtype=np.int64)
                 for s in range(m):
                     Vs = Vn[:, s * dsub:(s + 1) * dsub]
@@ -735,7 +778,8 @@ def pq_encode_frame(df, books, vec_col, id_col, bucket_col=None):
     return base.mapInPandas(encode, schema_str)
 
 
-def _pq_adc_scores(idx, books, probe_vec, id_col):
+def _pq_adc_scores(idx, books, probe_vec, id_col,
+                   residual_centroids=None):
     """Asymmetric-distance (ADC) scoring of PQ codes against one probe:
     the per-subspace lookup table ``LUT[s][j] = probe_s · C[s][j]`` is
     a (m × n_codes) numpy matrix computed driver-side (tiny — it rides
@@ -744,7 +788,11 @@ def _pq_adc_scores(idx, books, probe_vec, id_col):
     back to a float vector. Output ``(id, cos_sim)`` approximates the
     cosine of the NORMALIZED corpus vector to the probe; ranking error
     is the PQ reconstruction error, which the two-pass probe's exact
-    re-rank erases (:func:`knn_indexed`). NULL codes emit nothing."""
+    re-rank erases (:func:`knn_indexed`). NULL codes emit nothing.
+
+    Residual layouts add the per-CELL offset ``p · c_n[cell]`` (one
+    tiny (n_cells,) numpy vector in the closure) — the score is then
+    ``p·(centroid + residual_reconstruction)``, the IVF-PQ identity."""
     import numpy as np
     import pandas as pd
 
@@ -755,9 +803,15 @@ def _pq_adc_scores(idx, books, probe_vec, id_col):
     if pn > 0:
         p = p / pn
     lut = np.einsum("sd,skd->sk", p.reshape(m, dsub), B)  # (m, n_codes)
+    offs = None
+    if residual_centroids is not None:
+        offs = _unit_rows(
+            np.array(residual_centroids, dtype=np.float64)) @ p
     id_t = idx.schema[id_col].dataType.simpleString()
     schema_str = "%s %s, cos_sim double" % (id_col, id_t)
     sub_idx = np.arange(m)
+    cols = [id_col, "pq_code"] + (["__bucket"] if offs is not None
+                                  else [])
 
     def score(batches):
         for pdf in batches:
@@ -772,10 +826,13 @@ def _pq_adc_scores(idx, books, probe_vec, id_col):
             codes = np.array(list(sub["pq_code"]),
                              dtype=np.int64) + 128
             sims = lut[sub_idx, codes].sum(1)
+            if offs is not None:
+                sims = sims + offs[
+                    sub["__bucket"].to_numpy().astype("int64")]
             yield pd.DataFrame({id_col: sub[id_col].to_numpy(),
                                 "cos_sim": sims})
 
-    return idx.select(id_col, "pq_code").mapInPandas(score, schema_str)
+    return idx.select(*cols).mapInPandas(score, schema_str)
 
 
 def _qmode(meta):
@@ -790,7 +847,7 @@ def build_ann_index(df, path, method="lsh", vec_col="embedding",
                     id_col="vec_id", dim=64, n_planes=8, seed=42,
                     n_cells=16, centroid_method="sample",
                     quantize=False, pq_m=8, pq_codes=256,
-                    pq_iters=10):
+                    pq_iters=10, pq_residual=False):
     """Materialize the ANN side table: (id, vector, __bucket), written as
     parquet PARTITIONED BY the bucket/cell — probes prune to the matching
     partition directories instead of recomputing signatures over the full
@@ -833,11 +890,21 @@ def build_ann_index(df, path, method="lsh", vec_col="embedding",
         raise ValueError("quantize must be False, 'int8' or 'pq'")
     meta["quantized"] = qmode
     if qmode == "pq":
+        rc = None
+        if pq_residual:
+            if method != "ivf":
+                raise ValueError(
+                    "pq_residual needs method='ivf' — the residual is "
+                    "taken against the row's cell centroid"
+                )
+            rc = cents
+            meta["pq_residual"] = True
         books = train_pq(df, m=pq_m, n_codes=pq_codes, vec_col=vec_col,
-                         id_col=id_col, iters=pq_iters, seed=seed)
+                         id_col=id_col, iters=pq_iters, seed=seed,
+                         residual_centroids=rc)
         meta["pq_books"] = books
         stored = pq_encode_frame(df, books, vec_col, id_col,
-                                 bucket_col=col)
+                                 bucket_col=col, residual_centroids=rc)
     elif qmode == "int8":
         stored = _quantized_frame(df, vec_col, id_col, bucket_col=col)
     else:
@@ -880,8 +947,10 @@ def ann_index_append(new_df, path):
     if qmode == "pq":
         # re-encode with the STORED codebooks — old and new rows share
         # one code space, so a probe's ADC tables score both
-        stored = pq_encode_frame(new_df, meta["pq_books"], vec_col,
-                                 id_col, bucket_col=col)
+        stored = pq_encode_frame(
+            new_df, meta["pq_books"], vec_col, id_col, bucket_col=col,
+            residual_centroids=(meta["centroids"]
+                                if meta.get("pq_residual") else None))
     elif qmode == "int8":
         stored = _quantized_frame(new_df, vec_col, id_col,
                                   bucket_col=col)
@@ -996,7 +1065,9 @@ def knn_indexed(spark, path, probe_vec, k=10, multiprobe=1, n_probe=4,
         # ADC pass: codes score against the probe's lookup tables —
         # no float vector is ever materialized index-side
         approx = _pq_adc_scores(
-            idx, meta["pq_books"], probe_vec, id_col
+            idx, meta["pq_books"], probe_vec, id_col,
+            residual_centroids=(meta["centroids"]
+                                if meta.get("pq_residual") else None),
         ).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
     else:
         if qmode == "int8":
@@ -1100,8 +1171,10 @@ def knn_join_indexed(queries, index_path, k=5, multiprobe=1,
             F.col(id_col).alias("cid"), "pq_code",
             F.col("__bucket").cast("long").alias("__bucket"),
         )
-        cand = _knn_pq_gemm(qexp, cb, meta["pq_books"], p1k,
-                            schema_str, bucket_cap)
+        cand = _knn_pq_gemm(
+            qexp, cb, meta["pq_books"], p1k, schema_str, bucket_cap,
+            residual_centroids=(meta["centroids"]
+                                if meta.get("pq_residual") else None))
     else:
         cv = (
             dequantize_col(F.col("qcode"), F.col("qmin"),
@@ -1166,7 +1239,8 @@ def knn_join_indexed(queries, index_path, k=5, multiprobe=1,
     )
 
 
-def _knn_pq_gemm(qexp, cb, books, k, schema_str, bucket_cap):
+def _knn_pq_gemm(qexp, cb, books, k, schema_str, bucket_cap,
+                 residual_centroids=None):
     """Per-bucket BATCH ADC for :func:`knn_join_indexed` over a
     PQ-coded index: queries and code rows cogroup on the bucket; each
     tile computes the queries' per-subspace lookup tables with one
@@ -1174,7 +1248,9 @@ def _knn_pq_gemm(qexp, cb, books, k, schema_str, bucket_cap):
     code rows by gathering code columns — ``sum_s L_s[:, codes_s]`` —
     never reconstructing a float vector. Only each query's
     within-bucket top-k leaves the task. Hot buckets cap at
-    ``bucket_cap`` exactly like the float tiles."""
+    ``bucket_cap`` exactly like the float tiles. Residual layouts add
+    the tile's per-cell offset ``Q @ c_n[cell]`` (the tile key IS the
+    cell) before the top-k."""
     import numpy as np
     import pandas as pd
 
@@ -1182,6 +1258,8 @@ def _knn_pq_gemm(qexp, cb, books, k, schema_str, bucket_cap):
 
     B = _pq_books_np(books)
     m, n_codes, dsub = B.shape
+    Cn = (None if residual_centroids is None else
+          _unit_rows(np.array(residual_centroids, dtype=np.float64)))
     cb = _cap_buckets(cb, bucket_cap, id_col="cid")
 
     def emit(key, qpdf, cpdf):
@@ -1202,6 +1280,8 @@ def _knn_pq_gemm(qexp, cb, books, k, schema_str, bucket_cap):
         for s in range(m):
             L = Qn[:, s * dsub:(s + 1) * dsub] @ B[s].T  # (nq, codes)
             S += L[:, codes[:, s]]
+        if Cn is not None:
+            S = S + (Qn @ Cn[int(key[0])])[:, None]
         nc = S.shape[1]
         kk = min(k, nc)
         part = np.argpartition(-S, kk - 1, axis=1)[:, :kk] \

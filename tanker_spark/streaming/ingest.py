@@ -291,6 +291,9 @@ def text_index_sink(stream_df, index_path, checkpoint_dir,
             .agg(F.count(F.lit(1)).alias("tf"),
                  F.first("dl").alias("dl"))
             .withColumn(_PFX, term_prefix(F.col("term")))
+            # one file per prefix per batch, not tasks × prefixes
+            # (see build_text_index)
+            .repartition(F.col(_PFX))
         )
         postings.write.mode("overwrite").partitionBy(_PFX).parquet(
             "%s/%s/batch=%d" % (index_path, POSTINGS_SUBDIR, batch_id)

@@ -2487,6 +2487,93 @@ def test_knn_join_indexed_exact_under_full_probe(spark, tmp_path):
         queries.filter(F.lit(False)), p_q, k=3).count() == 0
 
 
+def test_pq_residual_layout(spark, tmp_path):
+    """Residual PQ (the IVF-PQ recipe): on a CLUSTERED corpus the
+    residual codebooks reconstruct materially better than raw-vector
+    codebooks at the same byte budget — ADC error drops and
+    partial-probe recall@10 (no rerank) improves or ties; the full
+    two-pass probe stays brute-exact; append re-encodes residuals
+    against the stored centroids."""
+    import numpy as np
+
+    rnd = random.Random(97)
+    # MORE clusters than codebook entries (40 > 16): raw-vector
+    # codebooks cannot memorize the cluster coordinates, residual
+    # codebooks only need to cover the tight noise ball around zero
+    dim, n_clusters = 16, 40
+    centers = [[rnd.gauss(0, 1) for _ in range(dim)]
+               for _ in range(n_clusters)]
+    rows = []
+    for i in range(600):
+        c = centers[i % n_clusters]
+        rows.append((i, [x + rnd.gauss(0, 0.1) for x in c]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    paths = {}
+    for name, resid in (("raw", False), ("res", True)):
+        p = str(tmp_path / name)
+        similarity.build_ann_index(
+            df, p, method="ivf", n_cells=n_clusters, quantize="pq",
+            pq_m=4, pq_codes=16, dim=dim, pq_residual=resid)
+        paths[name] = p
+    import json
+
+    with open(paths["res"] + "/_ann_meta.json") as fh:
+        assert json.load(fh)["pq_residual"] is True
+
+    def adc_err(path):
+        probe = rows[3][1]
+        true = {r.vec_id: r.cos_sim for r in similarity.knn_brute(
+            df, probe, k=600).collect()}
+        got = {r.vec_id: r.cos_sim for r in similarity.knn_indexed(
+            spark, path, probe, k=600, n_probe=n_clusters).collect()}
+        errs = [abs(got[v] - true[v]) for v in got]
+        return sum(errs) / len(errs)
+
+    e_raw, e_res = adc_err(paths["raw"]), adc_err(paths["res"])
+    assert e_res < e_raw * 0.7, (e_raw, e_res)
+
+    def recall(path):
+        hits = 0
+        for pid in (3, 77, 200, 444):
+            want = {r.vec_id for r in similarity.knn_brute(
+                df, rows[pid][1], k=10).collect()}
+            got = {r.vec_id for r in similarity.knn_indexed(
+                spark, path, rows[pid][1], k=10, n_probe=8).collect()}
+            hits += len(want & got)
+        return hits / 40
+
+    assert recall(paths["res"]) >= recall(paths["raw"]) - 1e-9
+    # full probe + rerank stays brute-exact on the residual layout
+    want = [r.asDict() for r in similarity.knn_brute(
+        df, rows[7][1], k=10).collect()]
+    got = [r.asDict() for r in similarity.knn_indexed(
+        spark, paths["res"], rows[7][1], k=10, n_probe=n_clusters,
+        rerank_df=df, rerank_k=600).collect()]
+    assert got == want
+    # append re-encodes residuals with the STORED centroids/books
+    extra = spark.createDataFrame([(9000, rows[7][1])],
+                                  ["vec_id", "embedding"])
+    similarity.ann_index_append(extra, paths["res"])
+    top = similarity.knn_indexed(
+        spark, paths["res"], rows[7][1], k=2, n_probe=n_clusters,
+        rerank_df=df.union(extra), rerank_k=600).collect()
+    assert {r.vec_id for r in top} == {7, 9000}
+    # batch indexed join over the residual layout: full probe + rerank
+    # == brute join
+    queries = spark.createDataFrame(rows[:5], ["vec_id", "embedding"])
+    wantj = {(r.qid, r.cid) for r in similarity.knn_join(
+        queries, df, k=3).collect()}
+    gotj = {(r.qid, r.cid) for r in similarity.knn_join_indexed(
+        queries, paths["res"], k=3, n_probe=n_clusters, rerank_df=df,
+        rerank_k=600).collect()}
+    assert gotj == wantj
+    # lsh + pq_residual is rejected (no cell to take residuals against)
+    with pytest.raises(ValueError):
+        similarity.build_ann_index(
+            df, str(tmp_path / "bad"), method="lsh", quantize="pq",
+            pq_m=4, dim=dim, pq_residual=True)
+
+
 def test_ann_index_compact(spark, tmp_path):
     """Compaction rewrites a many-append index to one file per bucket
     directory, preserves the metadata and probe results row-for-row
