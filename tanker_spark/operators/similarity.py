@@ -880,7 +880,7 @@ def build_ann_index(df, path, method="lsh", vec_col="embedding",
     elif method == "ivf":
         cents = ivf_centroid_vectors(df, n_cells, seed, vec_col, id_col,
                                      method=centroid_method)
-        col = ivf_cell_col(cents, vec_col)
+        df, col = _ivf_assign(df, cents, vec_col, id_col)
         meta = {"method": "ivf", "centroids": cents, "seed": seed,
                 "vec_col": vec_col, "id_col": id_col}
     else:
@@ -942,7 +942,8 @@ def ann_index_append(new_df, path):
             F.col(vec_col), meta["dim"], meta["n_planes"], meta["seed"]
         )
     else:
-        col = ivf_cell_col(meta["centroids"], vec_col)
+        new_df, col = _ivf_assign(new_df, meta["centroids"], vec_col,
+                                  id_col)
     qmode = _qmode(meta)
     if qmode == "pq":
         # re-encode with the STORED codebooks — old and new rows share
@@ -960,6 +961,28 @@ def ann_index_append(new_df, path):
         )
     stored = stored.repartition(F.col("__bucket"))
     stored.write.mode("append").partitionBy("__bucket").parquet(path)
+
+
+def _ivf_assign(df, cents, vec_col, id_col):
+    """(frame, bucket Column) for IVF cell assignment at ANY cell
+    count: below :data:`GEMM_ASSIGN_MIN_K` cells the literal
+    ``greatest()`` argmax (:func:`ivf_cell_col`) stays inside
+    whole-stage codegen and costs nothing extra; above it that plan
+    embeds k·dim literal constants, falls OUT of codegen into
+    interpreted per-row evaluation, and dies quietly — the r8 soak's
+    256-cell 10M build sat interpreted for 20+ minutes before this
+    switch — so the assignment moves to one Arrow-batched numpy GEMM
+    per batch (:func:`cell_assign_gemm`, the same escape hatch
+    semdedup built in r6). Same tie rule both paths (highest cosine,
+    ties to the lowest cell id); NULL/wrong-dim vectors get a null
+    cell either way."""
+    if len(cents) < GEMM_ASSIGN_MIN_K:
+        return df, ivf_cell_col(cents, vec_col)
+    assigned = cell_assign_gemm(df, cents, vec_col, id_col).select(
+        F.col("__id").alias(id_col), F.col("__v").alias(vec_col),
+        F.col("__cell"),
+    )
+    return assigned, F.col("__cell")
 
 
 def ann_index_compact(spark, path, dedup_ids=False):

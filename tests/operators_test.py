@@ -2574,6 +2574,37 @@ def test_pq_residual_layout(spark, tmp_path):
             pq_m=4, dim=dim, pq_residual=True)
 
 
+def test_ivf_build_gemm_assignment_past_min_k(spark, tmp_path):
+    """Past GEMM_ASSIGN_MIN_K cells the IVF build assigns via the
+    Arrow GEMM path (the literal greatest() plan embeds k·dim
+    constants and falls out of codegen — the r8 soak's 256-cell 10M
+    build sat interpreted for 20+ minutes). Same results contract:
+    full probe + rerank ≡ brute, and append lands in the same cell
+    space."""
+    rows, corpus = _kji_corpus(spark, n=500, seed=13)
+    path = str(tmp_path / "bigk")
+    similarity.build_ann_index(
+        corpus, path, method="ivf",
+        n_cells=similarity.GEMM_ASSIGN_MIN_K + 10, quantize="pq",
+        pq_m=4, pq_codes=32, dim=16, pq_residual=True)
+    probe = rows[9][1]
+    want = [r.vec_id for r in similarity.knn_brute(
+        corpus, probe, k=10).collect()]
+    got = [r.vec_id for r in similarity.knn_indexed(
+        spark, path, probe, k=10,
+        n_probe=similarity.GEMM_ASSIGN_MIN_K + 10,
+        rerank_df=corpus, rerank_k=600).collect()]
+    assert got == want
+    extra = spark.createDataFrame([(9000, probe)],
+                                  ["vec_id", "embedding"])
+    similarity.ann_index_append(extra, path)
+    top = similarity.knn_indexed(
+        spark, path, probe, k=2,
+        n_probe=similarity.GEMM_ASSIGN_MIN_K + 10,
+        rerank_df=corpus.union(extra), rerank_k=600).collect()
+    assert {r.vec_id for r in top} == {9, 9000}
+
+
 def test_ann_index_compact(spark, tmp_path):
     """Compaction rewrites a many-append index to one file per bucket
     directory, preserves the metadata and probe results row-for-row
