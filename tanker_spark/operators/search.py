@@ -39,6 +39,28 @@ POSTINGS_SUBDIR = "postings"
 _PFX = "pfx"
 
 
+def _reject_stream_layout(path, caller):
+    """Loud guard: the batch-layout reader/appender on a STREAM-built
+    index (``streaming.ingest.text_index_sink``'s ``batch=N`` dirs)
+    would silently mis-score — the one-row meta read returns one row
+    PER BATCH and the stats crossJoin multiplies every posting by the
+    batch count; an append would mix ``pfx=`` dirs into a ``batch=``
+    partition tree and break discovery. Probe with
+    ``bm25_topk_stream_indexed`` or convert once with
+    ``text_index_consolidate``."""
+    import os
+
+    meta_dir = os.path.join(path, META_SUBDIR)
+    if os.path.isdir(meta_dir) and any(
+        d.startswith("batch=") for d in os.listdir(meta_dir)
+    ):
+        raise ValueError(
+            "%s: %s is a stream-built index (batch=N layout) — "
+            "probe with bm25_topk_stream_indexed or convert with "
+            "text_index_consolidate" % (caller, path)
+        )
+
+
 def _query_terms(query):
     """Unique, lowered query terms (BM25 sums once per distinct term)."""
     terms = query.lower().split() if isinstance(query, str) else [
@@ -166,6 +188,7 @@ def text_index_append(new_df, path, text_col="text", id_col="doc_id"):
     ``ann_index_append``): re-appending a doc_id double-counts its
     postings — replay protection belongs to the ingest layer
     (cf. ``streaming/ingest.py``'s batch-id dirs)."""
+    _reject_stream_layout(path, "text_index_append")
     toks = _postings(new_df, text_col, id_col)
     postings = (
         toks.groupBy("doc_id", "term")
@@ -216,6 +239,7 @@ def bm25_topk_indexed(spark, path, query, k=10, k1=1.2, b=0.75,
     from the matching postings, same scoring expression as the ad-hoc
     path — a rebuilt probe is row-identical to :func:`bm25_topk` on the
     same corpus (pinned by test)."""
+    _reject_stream_layout(path, "bm25_topk_indexed")
     terms = _query_terms(query)
     pfx = sorted({
         hashlib.sha256(t.encode()).hexdigest()[:2] for t in terms

@@ -1042,6 +1042,12 @@ def test_text_index_stream(spark, tmp_path):
     want = [r.asDict() for r in bm25_topk(
         full.union(late), "spark merge", k=7).collect()]
     assert grown == want
+    # the batch reader/appender refuse the stream layout loudly (its
+    # multi-row meta would silently multiply every posting's score)
+    with pytest.raises(ValueError):
+        bm25_topk_indexed(spark, idx, "spark merge", k=3)
+    with pytest.raises(ValueError):
+        text_index_append(late, idx)
 
 
 def test_line_filter_stream(spark, tmp_path):
