@@ -2486,17 +2486,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: 50-row correctness window so every new operator gets a driver-recorded
 #: CORRECTNESS row in its debut round.
 DEBUTS = [
-    # round-8 debuts. The r7 debuts all recorded green rows in
-    # CORRECTNESS_r07 and rejoin the staleness rotation; the
-    # newly-oracle-checkable veterans (audio_features_wav, pack_docs,
-    # semdedup_embeddings, multimodal_features) need no DEBUTS slot —
-    # never-recorded veterans sort directly after red-at-latest ones
-    # by construction.
-    "semantic_decontam_embeddings",
-    "knn_pq_rerank",
-    "bm25_incremental_search",
-    "knn_join_indexed_batch",
-    "quality_filter_audit",
+    # round-9 debuts (kept ≤4 per the r8 VERDICT so the rows-only
+    # quota still reaches neardup_decontam_minhash_docs, queued 6th —
+    # the last registry entry without any driver row). The r8 debuts
+    # all recorded green in CORRECTNESS_r08 and rejoin the staleness
+    # rotation.
 ]
 
 

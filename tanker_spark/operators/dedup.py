@@ -1937,11 +1937,19 @@ def compact_side_table(spark, path, key_col="__id",
     directories have no atomic exchange; move to Delta/Iceberg for a
     transactional swap. Stale ``__compact_tmp``/``__compact_old``
     leftovers from a crashed run are cleaned up on entry.
+
+    CONTRACT: local POSIX filesystem only — the swap is an
+    ``os.rename`` double-flip; object-store paths are refused loudly
+    (``utils.require_local_fs``). On S3/GCS either rebuild, or port
+    the swap to ``storage.py``'s copy-then-pointer-flip scheme.
     """
     import math as _math
     import os
     import shutil
 
+    from ..utils import require_local_fs
+
+    require_local_fs(path, "compact_side_table")
     tmp = path.rstrip("/") + "__compact_tmp"
     old = path.rstrip("/") + "__compact_old"
     if os.path.exists(os.path.join(path, "_ann_meta.json")):

@@ -217,8 +217,15 @@ def text_index_append(new_df, path, text_col="text", id_col="doc_id"):
         # the only regime those indexes could have been correct in)
         o_sum = od.get("dl_sum")
         o_n = od.get("dl_n")
-        if o_sum is None or o_n is None:
-            o_sum, o_n = old["avgdl"] * old["n_docs"], old["n_docs"]
+        if o_n is None:
+            # avgdl itself can be NULL (empty / all-null-text index):
+            # coalesce to 0.0 rather than TypeError on None * int
+            o_sum = (old["avgdl"] or 0.0) * old["n_docs"]
+            o_n = old["n_docs"]
+        elif o_sum is None:
+            # dl_n recorded but dl_sum NULL = sum() over zero non-null
+            # doc lengths — the old corpus contributed nothing
+            o_sum = 0.0
         dl_sum = o_sum + (batch["s"] or 0)
         dl_n = o_n + batch["c"]
         spark.createDataFrame(

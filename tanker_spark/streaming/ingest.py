@@ -267,7 +267,8 @@ def text_index_sink(stream_df, index_path, checkpoint_dir,
     term-hash prefix as the batch index, so probes still prune ~99% of
     the postings regardless of how many batches accumulated), and its
     one-row (n_docs, dl_sum, dl_n) stats land under
-    ``stats/batch=N``. A replay overwrites its own directories, so
+    ``_bm25_meta/batch=N`` (``search.META_SUBDIR``). A replay
+    overwrites its own directories, so
     counts never double — the merge the append path does at write
     time happens at PROBE time instead, as a sum over the tiny
     per-batch stats rows (``search.bm25_topk_stream_indexed``).

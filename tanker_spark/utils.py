@@ -43,6 +43,26 @@ if _lvl in ("CRITICAL", "ERROR", "WARNING", "INFO", "DEBUG", "NOTSET"):
     logger.setLevel(_lvl)
 
 
+def require_local_fs(path, op):
+    """Refuse non-local-filesystem paths for maintenance ops whose
+    atomic swap is a POSIX ``os.rename`` double-flip
+    (``ann_index_compact``, ``compact_side_table``). On an object
+    store (s3://, gs://, abfs://…) directory rename is neither atomic
+    nor cheap and local ``open()`` metadata IO does not exist — the
+    versioned storage layer (``storage.py``) solves that class with
+    copy-then-pointer-flip claim markers; port these ops to that
+    scheme before pointing them at dumb storage. Raising loudly here
+    turns a silent-corruption risk into a documented contract."""
+    if "://" in str(path) and not str(path).startswith("file://"):
+        raise ValueError(
+            "%s swaps directories with os.rename and reads metadata "
+            "with local open() — a single POSIX filesystem is "
+            "required (got %r). On object stores, rebuild instead, "
+            "or use the versioned storage layer's pointer-flip "
+            "scheme." % (op, path)
+        )
+
+
 def yaml_load(stream):
     import yaml
 

@@ -70,6 +70,48 @@ def test_bm25_index_append_matches_adhoc(spark, tmp_path):
     assert meta2.asDict() == meta.asDict()
 
 
+def test_bm25_append_onto_null_text_index(spark, tmp_path):
+    """An index built on an all-null-text corpus records avgdl/dl_sum
+    NULL (avg/sum over zero non-null lengths); appending real docs must
+    merge from that state instead of TypeError-ing on None arithmetic
+    (the r8 ADVICE finding), and the grown index must score like the
+    ad-hoc path over the docs that actually have text."""
+    df = _docs(spark)
+    nulls = spark.createDataFrame(
+        [(100, None), (101, None)], "doc_id long, text string")
+    path = str(tmp_path / "bm25null")
+    build_text_index(nulls, path)
+    meta0 = spark.read.parquet(f"{path}/_bm25_meta").collect()[0]
+    assert meta0["n_docs"] == 2 and meta0["avgdl"] is None
+    text_index_append(df, path)
+    meta = spark.read.parquet(f"{path}/_bm25_meta").collect()[0]
+    assert meta["n_docs"] == 8
+    want = sum(len(t.split()) for _, t in DOCS) / 6
+    assert abs(meta["avgdl"] - want) < 1e-9
+    # scoring matches ad-hoc over the same corpus (null-text docs
+    # contribute to n_docs on both sides)
+    adhoc = bm25_topk(df.unionByName(nulls), "spark merge",
+                      k=8).collect()
+    probe = bm25_topk_indexed(spark, path, "spark merge", k=8).collect()
+    assert [r.asDict() for r in adhoc] == [r.asDict() for r in probe]
+    # legacy layout (no dl_sum/dl_n) with NULL avgdl: reconstruction
+    # coalesces to 0.0 instead of None * n_docs
+    legacy = str(tmp_path / "bm25legacy")
+    build_text_index(nulls, legacy)
+    m0 = spark.read.parquet(f"{legacy}/_bm25_meta").collect()[0]
+    spark.createDataFrame([(m0["n_docs"], m0["avgdl"])],
+                          "n_docs long, avgdl double") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(f"{legacy}/_bm25_meta")
+    text_index_append(df, legacy)
+    meta_l = spark.read.parquet(f"{legacy}/_bm25_meta").collect()[0]
+    assert meta_l["n_docs"] == 8
+    # legacy reconstruction counts null-text docs in dl_n (documented
+    # drift — exact only for corpora without null texts): 34/(2+6)
+    assert abs(meta_l["avgdl"] -
+               sum(len(t.split()) for _, t in DOCS) / 8) < 1e-9
+
+
 def test_bm25_query_term_dedup_and_case(spark):
     """'Spark SPARK spark' scores once per distinct lowered term."""
     df = _docs(spark)
