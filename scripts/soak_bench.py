@@ -594,6 +594,86 @@ def main():
         dedup.release_caches()
         return n
 
+    def knn_join_bulk_soak():
+        # the r8 VERDICT's untested-at-scale path: knn_join_indexed
+        # with a MILLION-row query side against the 10M PQ index —
+        # probe-bucket expansion (11M exploded rows at multiprobe=1),
+        # partition-pruned read, per-bucket cogroup ADC tiles, then
+        # the float-exact re-rank join (~64M candidate rows at the
+        # default rerank_k=64 cut). One Spark job chain, no driver
+        # loop — the steady-state bulk-enrichment shape.
+        path = args.dir + "/pq_index"
+        if not os.path.exists(path + "/_ann_meta.json"):
+            t0 = time.perf_counter()
+            similarity.build_ann_index(
+                emb, path, method="lsh", n_planes=10, quantize="pq")
+            print("# knn_join_bulk: PQ index built in %.1fs"
+                  % (time.perf_counter() - t0), file=sys.stderr)
+        queries = (
+            emb.filter(F.pmod("vec_id", F.lit(10)) == 3)
+            .withColumn("vec_id", F.col("vec_id") + 2_000_000_000)
+        )
+        nq = queries.count()
+        t0 = time.perf_counter()
+        res = similarity.knn_join_indexed(
+            queries, path, k=5, multiprobe=1, rerank_df=emb)
+        n = res.count()
+        bulk_s = time.perf_counter() - t0
+        # coverage: every query with any collision returns rows; the
+        # per-query mean tells whether the ADC+rerank funnel starved
+        per_q = n / max(nq, 1)
+        print("# knn_join_bulk: %d queries -> %d result rows "
+              "(%.2f rows/query) in %.1fs = %.0f queries/s"
+              % (nq, n, per_q, bulk_s, nq / bulk_s), file=sys.stderr)
+        dedup.release_caches()
+        return n
+
+    def text_consolidate_soak():
+        # the other untested r8 path: text_index_consolidate on a
+        # MANY-batch stream layout. Stream the 10M corpus through
+        # text_index_sink in ~16 batches (the year-of-micro-batches
+        # stand-in), time a probe against the batch=N layout, then
+        # consolidate to the flat layout and time the same probe —
+        # results must be row-identical across all three readers.
+        import shutil
+
+        from tanker_spark.streaming import ingest
+        base = args.dir + "/text_stream"
+        shutil.rmtree(base, ignore_errors=True)
+        src = base + "/src"
+        docs.repartition(16, F.pmod("doc_id", F.lit(16))) \
+            .write.mode("overwrite").parquet(src)
+        stream = (spark.readStream.schema(docs.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        t0 = time.perf_counter()
+        q = ingest.text_index_sink(
+            stream, base + "/idx", base + "/ckpt")
+        q.awaitTermination()
+        stream_s = time.perf_counter() - t0
+        n_batches = len([d for d in os.listdir(
+            base + "/idx/_bm25_postings") if d.startswith("batch=")])
+        t0 = time.perf_counter()
+        got_stream = [r.asDict() for r in search.bm25_topk_stream_indexed(
+            spark, base + "/idx", SOAK_QUERY, k=10).collect()]
+        probe_stream_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        search.text_index_consolidate(spark, base + "/idx",
+                                      base + "/flat")
+        consol_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        got_flat = [r.asDict() for r in search.bm25_topk_indexed(
+            spark, base + "/flat", SOAK_QUERY, k=10).collect()]
+        probe_flat_s = time.perf_counter() - t0
+        want = [r.asDict() for r in
+                search.bm25_topk(docs, SOAK_QUERY, k=10).collect()]
+        print("# text_consolidate: stream %.1fs over %d batches; "
+              "stream-layout probe %.2fs, consolidate %.1fs, "
+              "flat probe %.2fs; stream==adhoc %s, flat==adhoc %s"
+              % (stream_s, n_batches, probe_stream_s, consol_s,
+                 probe_flat_s, got_stream == want, got_flat == want),
+              file=sys.stderr)
+        return len(got_flat)
+
     benches = {
         "exact_dedup": exact_dedup_soak,
         "minhash_spanning_pairs": minhash_soak,
@@ -617,6 +697,8 @@ def main():
         "streaming_decontam": streaming_decontam_soak,
         "embedding_incremental": embedding_incremental_soak,
         "semantic_gate": semantic_gate_soak,
+        "knn_join_bulk": knn_join_bulk_soak,
+        "text_consolidate": text_consolidate_soak,
     }
     only = set(args.only.split(",")) if args.only else None
     for name, fn in benches.items():

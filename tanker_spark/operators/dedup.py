@@ -157,8 +157,18 @@ def exact_collapse(df, text_col="text", id_col="doc_id"):
     return reps, members
 
 
+#: run the _cap_buckets histogram precheck only past this corpus size:
+#: the precheck is one extra SYNCHRONOUS Spark job, and this box
+#: measures ~0.9 s of per-job overhead regardless of data size — at
+#: sf0.1 (5k docs) that costs MORE than the window it might skip
+#: (measured r9: default+precheck 3.35 s vs capless 2.12 s), while at
+#: 10M rows a skipped window saves a 40M-full-row Exchange + sort for
+#: one combine-aggregated (bucket, count) shuffle.
+CAP_PRECHECK_MIN_ROWS = 1_000_000
+
+
 def _cap_buckets(exploded, bucket_cap, id_col="__id",
-                 mark_doc_capped=False):
+                 mark_doc_capped=False, precheck=False):
     """Deterministically keep at most ``bucket_cap`` rows per band
     bucket (hash-ordered sample; the hash mixes the bucket so each
     band drops DIFFERENT survivors — a pair over-capped in one band
@@ -190,6 +200,24 @@ def _cap_buckets(exploded, bucket_cap, id_col="__id",
         if mark_doc_capped:
             return exploded.withColumn("__doc_capped", F.lit(False))
         return exploded
+    if precheck:
+        # one map-side-combined aggregate (shuffles only (bucket,
+        # count) pairs, never the exploded rows): when no bucket
+        # exceeds the cap the window is a provable no-op, so skip its
+        # full-row Exchange + per-bucket sort entirely. At small scale
+        # this removes the guard's fixed stages (the r8 VERDICT's
+        # minhash 2×-gate straddle); at soak scale a corpus that NEEDS
+        # the cap pays one cheap extra aggregate (<2% of the minhash
+        # 10M run) and takes the window as before.
+        mx = (
+            exploded.groupBy("__bucket").count()
+            .agg(F.max("count")).collect()[0][0]
+        )
+        if mx is None or mx <= int(bucket_cap):
+            if mark_doc_capped:
+                return exploded.withColumn("__doc_capped",
+                                           F.lit(False))
+            return exploded
     w = Window.partitionBy("__bucket").orderBy(
         F.xxhash64(F.col(id_col), F.col("__bucket"))
     )
@@ -436,7 +464,13 @@ def minhash_lsh_pairs(
     recall: a pair is lost only if every shared bucket overflows and
     both ends fall outside both samples — at the default occupancy
     this never binds below ~10³ near-identical-but-unequal texts per
-    bucket).
+    bucket). r9: past ``CAP_PRECHECK_MIN_ROWS`` the cap runs behind a
+    histogram PRECHECK — one map-side-combined (bucket, count)
+    aggregate decides whether any bucket exceeds the cap; when none
+    does the window is a provable no-op and its full-row Exchange +
+    sort are skipped. The precheck is scale-GATED because it is a
+    synchronous extra job (~0.9 s of per-job overhead on the bench
+    box — more than the window it skips at sf0.1; see the constant).
 
     ``expand_members`` (default on) re-attaches collapsed members so
     the output equals the uncollapsed answer EXACTLY (members share
@@ -495,10 +529,15 @@ def minhash_lsh_pairs(
             base = spark.read.parquet(sig_path)
     else:
         base = _persist(base)
-        base.count()
+        n_base = base.count()
 
     exploded = _cap_buckets(
-        _band_explode(base, num_hashes, bands), bucket_cap
+        _band_explode(base, num_hashes, bands), bucket_cap,
+        # scale-gated: the sig_path (100 TB) branch never counted, so
+        # it prechecks unconditionally; the in-memory branch reuses
+        # the count it already paid
+        precheck=(n_base >= CAP_PRECHECK_MIN_ROWS) if sig_path is None
+        else True,
     )
     left = exploded.alias("L")
     right = exploded.alias("R")
@@ -720,9 +759,10 @@ def simhash_pairs(df, text_col="text", id_col="doc_id", max_hamming=3,
     # persist: the fingerprint feeds n_bands buckets and both join
     # sides; eager so the join stages don't race to fill the cache
     base = _persist(simhash_df(src, text_col, id_col))
-    base.count()
+    n_base = base.count()
     exploded = _cap_buckets(
-        _simhash_band_explode(base, band_bits), bucket_cap
+        _simhash_band_explode(base, band_bits), bucket_cap,
+        precheck=n_base >= CAP_PRECHECK_MIN_ROWS,
     )
     L, R = exploded.alias("L"), exploded.alias("R")
     pairs = (
@@ -1634,9 +1674,11 @@ def embedding_dedup_pairs(df, vec_col="embedding", id_col="vec_id",
         # 100 TB path: durable parquet side table instead of memory
         base.write.mode("overwrite").parquet(sig_path)
         base = df.sparkSession.read.parquet(sig_path)
+        n_base = None
     else:
         base = _persist(base)
-        base.count()  # eager: join stages must not race the cache fill
+        # eager: join stages must not race the cache fill
+        n_base = base.count()
     exploded = _cap_buckets(
         base.select(
             "__id", "__v", "__inv",
@@ -1645,6 +1687,8 @@ def embedding_dedup_pairs(df, vec_col="embedding", id_col="vec_id",
             ).alias("__bucket"),
         ),
         bucket_cap,
+        precheck=(n_base is None
+                  or n_base >= CAP_PRECHECK_MIN_ROWS),
     )
     if verify == "gemm":
         pairs = _pairs_bucket_gemm(exploded, threshold)

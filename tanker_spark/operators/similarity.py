@@ -867,13 +867,35 @@ def _parquet_row_count(path):
     return total
 
 
-def _refresh_meta_rows(path):
+def _parquet_files(path):
+    out = set()
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                out.add(os.path.join(root, f))
+    return out
+
+
+def _refresh_meta_rows(path, prev_files=None):
     """Rewrite ``_ann_meta.json`` with a fresh footer-derived
-    ``n_rows`` after a build/append/compact touched the data files."""
+    ``n_rows`` after a build/append/compact touched the data files.
+    ``prev_files`` (the pre-write :func:`_parquet_files` snapshot)
+    makes the refresh INCREMENTAL for appends: one directory listing +
+    footer reads of only the files the append created — a streaming
+    sink appending thousands of batches never re-reads historical
+    footers (it would otherwise grow O(files) per batch)."""
+    import pyarrow.parquet as pq
+
     mp = os.path.join(path, ANN_META)
     with open(mp) as fh:
         meta = json.load(fh)
-    meta["n_rows"] = _parquet_row_count(path)
+    if prev_files is not None and meta.get("n_rows") is not None:
+        new = _parquet_files(path) - prev_files
+        meta["n_rows"] += sum(
+            pq.ParquetFile(f).metadata.num_rows for f in new
+        )
+    else:
+        meta["n_rows"] = _parquet_row_count(path)
     with open(mp, "w") as fh:
         json.dump(meta, fh)
     return meta["n_rows"]
@@ -998,9 +1020,10 @@ def ann_index_append(new_df, path):
         stored = new_df.select(
             F.col(id_col), F.col(vec_col), col.alias("__bucket")
         )
+    prev = _parquet_files(path)
     stored = stored.repartition(F.col("__bucket"))
     stored.write.mode("append").partitionBy("__bucket").parquet(path)
-    _refresh_meta_rows(path)
+    _refresh_meta_rows(path, prev_files=prev)
 
 
 def _ivf_assign(df, cents, vec_col, id_col):

@@ -2164,6 +2164,34 @@ def test_bucket_cap_recall_bound(spark):
     dedup.release_caches()
 
 
+def test_bucket_cap_precheck_skips_noop_window(spark):
+    """precheck=True: when no bucket exceeds the cap, the window stage
+    is skipped entirely (the frame passes through IDENTICALLY — the
+    cap is a provable no-op), so flat corpora don't pay the guard's
+    full-row Exchange + sort (the r8 VERDICT minhash 2×-gate
+    straddle); a corpus WITH a hot bucket still caps exactly as
+    before."""
+    flat = spark.createDataFrame(
+        [(i, i % 7) for i in range(30)], "__id long, __bucket long")
+    out = dedup._cap_buckets(flat, 10, precheck=True)
+    assert out is flat  # structurally skipped, not just equivalent
+    marked = dedup._cap_buckets(flat, 10, precheck=True,
+                                mark_doc_capped=True)
+    assert marked is not flat
+    assert all(not r["__doc_capped"] for r in marked.collect())
+    hot = spark.createDataFrame(
+        [(i, 1) for i in range(40)] + [(100 + i, 2) for i in range(3)],
+        "__id long, __bucket long")
+    capped = dedup._cap_buckets(hot, 10, precheck=True)
+    assert capped.count() == 13
+    # precheck and no-precheck keep the same deterministic sample
+    assert {r["__id"] for r in capped.collect()} == \
+        {r["__id"] for r in dedup._cap_buckets(hot, 10).collect()}
+    # empty frame: precheck sees NULL max and skips
+    empty = flat.filter(F.lit(False))
+    assert dedup._cap_buckets(empty, 10, precheck=True) is empty
+
+
 def test_bucket_cap_positional_prune_composition(spark):
     """r8 ADVICE fix: with a binding bucket_cap, docs that LOST prefix
     rows to the cap are exempt from the PPJoin positional prune (the
