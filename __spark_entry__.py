@@ -2355,6 +2355,32 @@ def multimodal_features(spark, sf_dir):
     ).orderBy("media_id")
 
 
+def video_frames_mvid(spark, sf_dir):
+    """Multimodal VIDEO pipeline with a REAL frame decode (r9,
+    completing the image/audio/video decode matrix): deterministic
+    gradient MVID clips (vendored minivid codec — raw 8-bit grayscale
+    frames in a zlib container) → one Arrow-batched mapInPandas decode
+    → per-sampled-frame brightness / motion / 4×4 mean-pool features.
+    The oracle is a DuckDB ``VALUES`` computed INDEPENDENTLY from the
+    closed-form frame spec (``_video_expected_rows`` — pure python,
+    no minivid decode, no Spark). Junk payloads yield NULL rows
+    (filtered here; contract pytest-pinned); NULL first-frame motion
+    is coalesced to -1.0 on both sides for dtype-stable hashing."""
+    from tanker_spark.operators import multimodal
+
+    media = multimodal.make_fake_video(spark, n=60)
+    out = multimodal.video_frame_features(media, every_ms=1000)
+    return out.filter(F.col("feature").isNotNull()).select(
+        "media_id", "frame_idx", "n_frames",
+        F.round(F.col("brightness"), 4).alias("brightness"),
+        F.round(F.coalesce(F.col("motion"), F.lit(-1.0)), 4)
+        .alias("motion"),
+        F.round(F.aggregate(
+            "feature", F.lit(0.0), lambda acc, x: acc + x
+        ), 4).alias("feat_sum"),
+    ).orderBy("media_id", "frame_idx")
+
+
 def line_dedup_docs(spark, sf_dir):
     """Corpus-level duplicated-line removal (RefinedWeb "line-wise
     corrections"): segments occurring in >= ceil(0.78 * n_docs)
@@ -2487,10 +2513,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: CORRECTNESS row in its debut round.
 DEBUTS = [
     # round-9 debuts (kept ≤4 per the r8 VERDICT so the rows-only
-    # quota still reaches neardup_decontam_minhash_docs, queued 6th —
-    # the last registry entry without any driver row). The r8 debuts
-    # all recorded green in CORRECTNESS_r08 and rejoin the staleness
+    # quota still reaches neardup_decontam_minhash_docs — the last
+    # registry entry without any driver row). The r8 debuts all
+    # recorded green in CORRECTNESS_r08 and rejoin the staleness
     # rotation.
+    "video_frames_mvid",
 ]
 
 
@@ -2768,6 +2795,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf_probe": knn_ivf_probe,
         "knn_indexed_probe": knn_indexed_probe,
         "multimodal_features": multimodal_features,
+        "video_frames_mvid": video_frames_mvid,
         "pack_docs": pack_docs,
         "semdedup_embeddings": semdedup_embeddings,
         "dsir_select_docs": dsir_select_docs,
@@ -2894,6 +2922,79 @@ def _audio_oracle_sql() -> str:
             ) AS t(media_id, sample_rate, n_channels, duration_ms,
                    rms, zcr, n_frames)
             ORDER BY media_id
+        """ % vals
+
+
+def _video_expected_rows():
+    """Expected ``video_frames_mvid`` rows, computed independently of
+    the engine under test: re-derives the closed-form per-frame pixel
+    spec (`multimodal.fake_video_pixels`: (13i + 5x + 7y + 11f +
+    ((x·y)>>2)) mod 256, side 16, fps 4, n_frames = 4 + i%5, every 7th
+    row junk) and reduces with plain python — no minivid decode, no
+    Arrow, no Spark. All sums fit float64 exactly (≤ 16·16·255), so
+    brightness/motion are bit-determined; pooled feature elements pass
+    through np.float32 (the schema's array<float>) before the double
+    fold, exactly as `_media_expected_rows` does."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    from tanker_spark.operators.multimodal import (FAKE_VIDEO_FPS,
+                                                   FAKE_VIDEO_SIDE,
+                                                   fake_video_pixels)
+
+    def _r(v, places):
+        q = Decimal(1).scaleb(-places)
+        return float(Decimal(repr(float(v))).quantize(
+            q, rounding=ROUND_HALF_UP))
+
+    side, fps, pool = FAKE_VIDEO_SIDE, FAKE_VIDEO_FPS, 4
+    step = side // pool
+    rows = []
+    for i in range(60):
+        if i % 7 == 3:
+            continue  # junk payload -> NULL row, filtered by the entry
+        n_frames = 4 + (i % 5)
+        prev = None
+        k = 0
+        while 1000 * k * fps // 1000 < n_frames:
+            fi = 1000 * k * fps // 1000
+            px = fake_video_pixels(i, fi)
+            bright = sum(px) / len(px) / 255.0
+            motion = -1.0 if prev is None else (
+                sum(abs(a - b) for a, b in zip(px, prev))
+                / len(px) / 255.0
+            )
+            acc = 0.0
+            for by in range(pool):
+                for bx in range(pool):
+                    s = sum(px[y * side + x]
+                            for y in range(by * step, (by + 1) * step)
+                            for x in range(bx * step, (bx + 1) * step))
+                    acc += float(np.float32(s / (step * step) / 255.0))
+            rows.append((i, fi, n_frames, _r(bright, 4), _r(motion, 4),
+                         _r(acc, 4)))
+            prev = px
+            k += 1
+    return rows
+
+
+def _video_oracle_sql() -> str:
+    vals = ",\n              ".join(
+        "(%d, %d, %d, %r, %r, %r)" % row for row in _video_expected_rows()
+    )
+    return """
+            SELECT media_id::BIGINT AS media_id,
+                   frame_idx::INTEGER AS frame_idx,
+                   n_frames::INTEGER AS n_frames,
+                   brightness::DOUBLE AS brightness,
+                   motion::DOUBLE AS motion,
+                   feat_sum::DOUBLE AS feat_sum
+            FROM (VALUES
+              %s
+            ) AS t(media_id, frame_idx, n_frames, brightness, motion,
+                   feat_sum)
+            ORDER BY media_id, frame_idx
         """ % vals
 
 
@@ -5055,6 +5156,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "audio_features_wav": _audio_oracle_sql(),
         "multimodal_features": _media_oracle_sql(),
+        "video_frames_mvid": _video_oracle_sql(),
         # minhash/simhash/doc_fingerprints/knn_lsh/knn_ivf:
         # hash/UDF internals or approximate recall are not portably
         # expressible in ANSI SQL → rows-only checks; tests/ assert

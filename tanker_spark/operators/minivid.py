@@ -1,0 +1,86 @@
+"""Minimal pure-stdlib video codec: 8-bit grayscale raw frames.
+
+The video twin of :mod:`minipng` / :mod:`miniwav` — exists so the
+video decode path is REAL (frames in, pixels out) even in environments
+without ffmpeg/PyAV: this container ships no video libs, and a decode
+path that only ever runs its stub is untested plumbing (the same
+honesty rule that got images real payloads in r8 and audio in r7).
+
+Layout (little-endian)::
+
+    b"MVID" | version u8 (=1) | flags u8 (bit0: zlib) |
+    width u16 | height u16 | fps u16 | n_frames u32 |
+    frame data: n_frames * width * height bytes of row-major 8-bit
+    grayscale, concatenated in frame order (zlib-compressed as one
+    stream when bit0 is set)
+
+This is deliberately a CONTAINER-plus-raw-frames format, not a real
+inter-frame codec: the point is exercising the Spark-side plumbing —
+schema, Arrow batching, per-frame fan-out, junk→NULL — against real
+pixel math, with the encoder/decoder small enough to verify by eye.
+Real deployments swap :func:`decode_gray_video` for an ffmpeg/PyAV
+call behind the same signature.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+MAGIC = b"MVID"
+_HDR = "<4sBBHHHI"
+_HDR_LEN = struct.calcsize(_HDR)
+
+
+def encode_gray_video(frames, width: int, height: int, fps: int,
+                      compress: bool = True) -> bytes:
+    """Row-major 8-bit grayscale ``frames`` (iterable of ``bytes`` of
+    length width*height) → MVID payload."""
+    frames = list(frames)
+    if fps <= 0:
+        raise ValueError("fps must be positive")
+    blob = b"".join(bytes(f) for f in frames)
+    if len(blob) != len(frames) * width * height:
+        raise ValueError(
+            "frame sizes must all be width*height=%d bytes"
+            % (width * height)
+        )
+    flags = 1 if compress else 0
+    if compress:
+        blob = zlib.compress(blob)
+    return struct.pack(
+        _HDR, MAGIC, 1, flags, width, height, fps, len(frames)
+    ) + blob
+
+
+def decode_gray_video(payload: bytes):
+    """MVID payload → ``(width, height, fps, frames)`` with ``frames``
+    a list of ``bytes`` (row-major 8-bit grayscale). Raises ValueError
+    on anything that is not a well-formed MVID stream — including a
+    frame blob whose length disagrees with the header (a truncated
+    file must hit the junk→NULL path, never decode fewer frames;
+    the same rule miniwav adopted in r8)."""
+    payload = bytes(payload or b"")
+    if len(payload) < _HDR_LEN or payload[:4] != MAGIC:
+        raise ValueError("not an MVID payload")
+    magic, version, flags, width, height, fps, n_frames = struct.unpack(
+        _HDR, payload[:_HDR_LEN]
+    )
+    if version != 1:
+        raise ValueError("unsupported MVID version %d" % version)
+    blob = payload[_HDR_LEN:]
+    if flags & 1:
+        try:
+            blob = zlib.decompress(blob)
+        except zlib.error as exc:
+            raise ValueError("corrupt MVID frame stream: %s" % exc)
+    want = n_frames * width * height
+    if len(blob) != want:
+        raise ValueError(
+            "truncated MVID frame stream: header declares %d bytes "
+            "(%d frames of %dx%d), got %d"
+            % (want, n_frames, width, height, len(blob))
+        )
+    fsz = width * height
+    frames = [blob[i * fsz:(i + 1) * fsz] for i in range(n_frames)]
+    return width, height, fps, frames

@@ -2,12 +2,14 @@
 metadata, processed via Arrow-batched ``mapInPandas``.
 
 Decode backends, in order: Pillow when importable (full format
-coverage; absent in this container), the vendored pure-stdlib PNG codec
-(``minipng``) for 8-bit grayscale PNGs — a REAL pixel decode, exercised
-in CI — and the deterministic ``fake=True`` stub for everything else
-(audio/video codecs stay stubbed; ``fake=False`` on an undecodable
-payload raises ``NotImplementedError`` so a silent fallback can't
-masquerade as a real decode).
+coverage; absent in this container), the vendored pure-stdlib codecs —
+``minipng`` (8-bit grayscale PNG), ``miniwav`` (16-bit PCM WAV),
+``minivid`` (8-bit grayscale raw-frame video) — each a REAL
+pixel/sample decode exercised in CI, and the deterministic
+``fake=True`` stub for everything else (``fake=False`` on an
+undecodable payload raises ``NotImplementedError`` so a silent
+fallback can't masquerade as a real decode; general-format video
+decode would need ffmpeg/PyAV behind the same row contracts).
 
 Scale notes: binary payloads should be size-capped per row group
 (``spark.sql.files.maxPartitionBytes``) so a partition of blobs fits
@@ -206,9 +208,11 @@ def resize_images(df, width, height, fake=True):
 
 
 def frame_sample(df, every_ms=1000):
-    """Video frame sampling plan: explode sample timestamps per media row
-    (decode itself is the stubbed step). Demonstrates the fan-out shape:
-    one row per (media, frame_ts)."""
+    """Video frame sampling PLAN from declared metadata: explode sample
+    timestamps per media row without touching the payload — the
+    zero-decode shape for scheduling/estimating frame work. One row per
+    (media, frame_ts). For payloads in the vendored MVID format,
+    :func:`video_frame_features` runs the REAL decode counterpart."""
     n_frames = (F.coalesce(F.col("duration_ms"), F.lit(0)) / every_ms).cast(
         "int"
     )
@@ -218,6 +222,126 @@ def frame_sample(df, every_ms=1000):
             F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))
         ).alias("frame_idx"),
     ).withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)
+
+
+VIDEO_FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("fps", T.IntegerType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame_ts_ms", T.DoubleType()),
+    T.StructField("brightness", T.DoubleType()),
+    T.StructField("motion", T.DoubleType()),
+    T.StructField("feature", T.ArrayType(T.FloatType())),
+])
+
+
+def video_frame_features(df, every_ms=1000, payload_col="payload",
+                         id_col="media_id"):
+    """REAL video frame sampling + decode over MVID payloads (the
+    vendored :mod:`minivid` codec) — the decode counterpart of
+    :func:`frame_sample`'s metadata-only plan, completing the
+    image/audio/video decode matrix with real pixels on all three.
+
+    Per payload: decode once inside one Arrow-batched ``mapInPandas``
+    hop, then emit one row per SAMPLED frame — sample timestamps are
+    ``k * every_ms`` and each maps to ``frame_idx = floor(ts * fps /
+    1000)``, stopping at the stream's end. Each sampled frame yields
+    mean brightness in [0, 1], motion (mean |Δpixel| vs the PREVIOUS
+    sampled frame, NULL for the first — the cheap scene-change /
+    static-clip signal), and a 4×4 mean-pooled FEATURE_DIM vector (the
+    same pooling as the image path, so image and video features share
+    an embedding space for cross-modal dedup). Non-MVID / truncated
+    payloads yield a single NULL row (the junk→NULL contract of
+    :func:`audio_features` / :func:`extract_features`).
+
+    Scale: map-only; per-task memory is one Arrow batch of payloads
+    plus one decoded frame list. Real deployments swap the codec call
+    for ffmpeg/PyAV behind the same row contract."""
+    import numpy as np
+    import pandas as pd
+
+    from . import minipng, minivid
+
+    def _extract(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    w, h, fps, frames = minivid.decode_gray_video(
+                        bytes(payload) if payload is not None else b""
+                    )
+                except (ValueError, TypeError):
+                    rows.append((int(mid), None, None, None, None,
+                                 None, None, None, None, None))
+                    continue
+                prev = None
+                k = 0
+                while True:
+                    ts = float(k * every_ms)
+                    fi = int(ts * fps // 1000)
+                    if fi >= len(frames):
+                        break
+                    px = np.frombuffer(frames[fi], dtype=np.uint8)
+                    bright = float(px.mean() / 255.0) if len(px) else 0.0
+                    motion = None
+                    if prev is not None:
+                        motion = float(np.abs(
+                            px.astype(np.int16) - prev.astype(np.int16)
+                        ).mean() / 255.0)
+                    feat = minipng.mean_pool(
+                        frames[fi], w, h, 4)[:FEATURE_DIM]
+                    rows.append((int(mid), w, h, fps, len(frames), fi,
+                                 ts, bright, motion,
+                                 [float(v) for v in feat]))
+                    prev = px
+                    k += 1
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in VIDEO_FRAME_SCHEMA]
+            )
+
+    return df.mapInPandas(_extract, schema=VIDEO_FRAME_SCHEMA)
+
+
+#: make_fake_video geometry/rate
+FAKE_VIDEO_SIDE = 16
+FAKE_VIDEO_FPS = 4
+
+
+def fake_video_pixels(i, f, side=FAKE_VIDEO_SIDE):
+    """Deterministic per-frame gradient pixels for fake-video row ``i``
+    frame ``f`` — the closed-form spec an independent oracle can
+    recompute (the video twin of :func:`fake_media_pixels`; the ``f``
+    term makes consecutive frames differ, so motion is non-zero)."""
+    return bytes(
+        (13 * i + 5 * x + 7 * y + 11 * f + ((x * y) >> 2)) % 256
+        for y in range(side) for x in range(side)
+    )
+
+
+def make_fake_video(spark, n=40, seed=42):
+    """Deterministic synthetic video table: REAL MVID payloads
+    (vendored minivid codec) with a closed-form per-frame gradient
+    spec — ``n_frames = 4 + (i % 5)`` at ``FAKE_VIDEO_FPS``; every 7th
+    row a non-video payload for the junk→NULL contract."""
+    from . import minivid
+
+    rows = []
+    for i in range(n):
+        if i % 7 == 3:
+            payload = hashlib.sha256(b"vjunk-%d-%d" % (seed, i)).digest()
+            rows.append((i, bytearray(payload), "application/junk",
+                         None, None, None))
+            continue
+        side, fps = FAKE_VIDEO_SIDE, FAKE_VIDEO_FPS
+        n_frames = 4 + (i % 5)
+        frames = [fake_video_pixels(i, f) for f in range(n_frames)]
+        payload = minivid.encode_gray_video(frames, side, side, fps)
+        rows.append((i, bytearray(payload), "video/x-mvid", side, side,
+                     1000 * n_frames // fps))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 #: make_fake_media image geometry (square)

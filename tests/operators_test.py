@@ -367,6 +367,91 @@ def test_multimodal_real_decode(spark):
         assert all(abs(g - e) < 1e-6 for g, e in zip(got, expected))
 
 
+def test_minivid_codec_roundtrip():
+    """Pure-codec contract: frames roundtrip bit-exactly (compressed
+    and raw), malformed/truncated payloads raise instead of decoding
+    fewer frames (the miniwav r8 lesson applied from day one)."""
+    from tanker_spark.operators import minivid
+
+    frames = [bytes((i * 7 + j) % 256 for j in range(12))
+              for i in range(5)]
+    for compress in (True, False):
+        payload = minivid.encode_gray_video(frames, 4, 3, 2,
+                                            compress=compress)
+        w, h, fps, got = minivid.decode_gray_video(payload)
+        assert (w, h, fps) == (4, 3, 2)
+        assert got == frames
+    with pytest.raises(ValueError):
+        minivid.decode_gray_video(b"not a video")
+    with pytest.raises(ValueError):
+        minivid.decode_gray_video(b"")
+    # truncated frame stream: header says 5 frames, blob holds fewer
+    raw = minivid.encode_gray_video(frames, 4, 3, 2, compress=False)
+    with pytest.raises(ValueError, match="truncated"):
+        minivid.decode_gray_video(raw[:-5])
+    with pytest.raises(ValueError):
+        minivid.encode_gray_video([b"short"], 4, 3, 2)
+    with pytest.raises(ValueError):
+        minivid.encode_gray_video(frames, 4, 3, 0)
+
+
+def test_video_frame_features_real_decode(spark):
+    """The video decode path is REAL: sampled-frame brightness/motion/
+    features match an independent pure-python reduction of the
+    closed-form frame spec; junk payloads yield one NULL row; the
+    metadata-only frame_sample plan agrees with the decoded fan-out
+    on (media, ts) for the sampled cadence."""
+    from tanker_spark.operators.multimodal import (FAKE_VIDEO_FPS,
+                                                   FAKE_VIDEO_SIDE,
+                                                   fake_video_pixels)
+
+    media = multimodal.make_fake_video(spark, n=15)
+    out = multimodal.video_frame_features(media, every_ms=1000)
+    rows = out.collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r)
+    assert set(by_media) == set(range(15))
+    for i in (3, 10):  # junk rows
+        (r,) = by_media[i]
+        assert r.n_frames is None and r.feature is None
+    side, fps = FAKE_VIDEO_SIDE, FAKE_VIDEO_FPS
+    for i in (0, 5, 14):
+        n_frames = 4 + (i % 5)
+        # sampled frame indices: ts=k*1000 -> fi=4k while fi<n_frames
+        want_fi = []
+        k = 0
+        while 1000 * k * fps // 1000 < n_frames:
+            want_fi.append(1000 * k * fps // 1000)
+            k += 1
+        got = sorted(by_media[i], key=lambda r: r.frame_idx)
+        assert [r.frame_idx for r in got] == want_fi
+        prev = None
+        for r in got:
+            px = fake_video_pixels(i, r.frame_idx)
+            bright = sum(px) / len(px) / 255.0
+            assert abs(r.brightness - bright) < 1e-9
+            if prev is None:
+                assert r.motion is None
+            else:
+                mot = sum(abs(a - b) for a, b in zip(px, prev)) \
+                    / len(px) / 255.0
+                assert abs(r.motion - mot) < 1e-9
+            # pooled feature matches the image-path pooling formula
+            step = side // 4
+            exp0 = sum(px[y * side + x] for y in range(step)
+                       for x in range(step)) / (step * step) / 255.0
+            assert abs(r.feature[0] - exp0) < 1e-6
+            prev = px
+    # plan-only sampler agrees on the (media, ts) fan-out shape
+    plan = multimodal.frame_sample(
+        media.filter(F.col("media_id") == 0), every_ms=1000).collect()
+    dur = 1000 * 4 // fps  # media 0: 4 frames at 4 fps = 1000 ms
+    assert {p.frame_ts_ms for p in plan} <= \
+        {r.frame_ts_ms for r in by_media[0]} | {0}
+    assert dur == 1000
+
+
 def test_media_neardup_real_decode(spark):
     """Planted-duplicate media detection over REAL pixel features: an
     exact payload copy must pair with its original at cos 1.0."""
