@@ -1620,7 +1620,9 @@ def embedding_dedup_pairs(df, vec_col="embedding", id_col="vec_id",
     persisted signature frame, so the per-pair Column check is a single
     dot product — but even that is an interpreted HOF aggregate (~1-2
     µs/pair). ``verify="gemm"`` (what ``"auto"`` picks past
-    ``GEMM_VERIFY_MIN_ROWS`` when the corpus was counted) instead
+    ``GEMM_VERIFY_MIN_ROWS`` — decided from the signature-frame count
+    that is paid regardless, so pinning ``n_planes`` no longer
+    silently selects the column path; r9 soak fix) instead
     groups each band bucket and scores ALL its pairs as one numpy
     ``V @ V.T`` (Arrow-batched ``applyInPandas``): the 40G dots become
     ~10⁴ BLAS calls of ``bucket_cap²·dim`` flops, and only
@@ -1642,12 +1644,15 @@ def embedding_dedup_pairs(df, vec_col="embedding", id_col="vec_id",
             n_rows, n_planes, 1 << n_planes, n_bands,
             n_rows / float(1 << n_planes),
         )
-    if verify == "auto":
-        verify = (
-            "gemm"
-            if n_rows is not None and n_rows >= GEMM_VERIFY_MIN_ROWS
-            else "column"
-        )
+    # verify="auto" resolves AFTER the signature frame is counted (the
+    # count is paid anyway for the cache-fill pin / precheck gate): the
+    # old form decided from n_rows, which is only set when n_planes is
+    # None — any caller that PINNED n_planes (the streaming semantic
+    # gate's intra-batch pass, the soak's residual check) silently fell
+    # to the interpreted column path and paid ~1-2 µs/pair over
+    # billions of candidates. Found by the r9 semantic-gate 10M soak:
+    # 9-45 min/batch instead of the tuned ~4, and a survivor-set
+    # residual check that crawled for 2 h before it was killed.
     members = None
     if collapse_exact:
         df, members = exact_collapse(df, vec_col, id_col)
@@ -1674,11 +1679,16 @@ def embedding_dedup_pairs(df, vec_col="embedding", id_col="vec_id",
         # 100 TB path: durable parquet side table instead of memory
         base.write.mode("overwrite").parquet(sig_path)
         base = df.sparkSession.read.parquet(sig_path)
-        n_base = None
+        # metadata-fast over the just-written parquet; feeds the auto
+        # verify choice and the precheck gate
+        n_base = base.count()
     else:
         base = _persist(base)
         # eager: join stages must not race the cache fill
         n_base = base.count()
+    if verify == "auto":
+        verify = ("gemm" if n_base >= GEMM_VERIFY_MIN_ROWS
+                  else "column")
     exploded = _cap_buckets(
         base.select(
             "__id", "__v", "__inv",
@@ -1687,8 +1697,7 @@ def embedding_dedup_pairs(df, vec_col="embedding", id_col="vec_id",
             ).alias("__bucket"),
         ),
         bucket_cap,
-        precheck=(n_base is None
-                  or n_base >= CAP_PRECHECK_MIN_ROWS),
+        precheck=n_base >= CAP_PRECHECK_MIN_ROWS,
     )
     if verify == "gemm":
         pairs = _pairs_bucket_gemm(exploded, threshold)

@@ -2249,6 +2249,33 @@ def test_bucket_cap_recall_bound(spark):
     dedup.release_caches()
 
 
+def test_embedding_auto_verify_counts_with_pinned_planes(spark,
+                                                         monkeypatch):
+    """r9 soak fix: verify='auto' must decide from the signature-frame
+    row count even when the caller PINS n_planes (the old form only
+    counted when n_planes was None, so pinned-plane callers — the
+    streaming semantic gate's intra-batch pass, the soak's residual
+    check — silently fell to the interpreted column path: 2 h of
+    per-pair HOF dots at 9M rows). With the threshold forced to 1,
+    an auto call with explicit n_planes must lower to the cogrouped
+    GEMM plan and return the same pairs as the column path."""
+    rnd = random.Random(3)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(8)]) for i in range(40)]
+    rows += [(100 + i, rows[i][1]) for i in range(5)]  # planted copies
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    want = {(r.id_a, r.id_b) for r in dedup.embedding_dedup_pairs(
+        df, dim=8, threshold=0.99, n_planes=4, n_bands=2,
+        verify="column").collect()}
+    monkeypatch.setattr(dedup, "GEMM_VERIFY_MIN_ROWS", 1)
+    auto = dedup.embedding_dedup_pairs(
+        df, dim=8, threshold=0.99, n_planes=4, n_bands=2, verify="auto")
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan  # the GEMM path, not a join
+    assert {(r.id_a, r.id_b) for r in auto.collect()} == want
+    assert {(i, 100 + i) for i in range(5)} <= want
+    dedup.release_caches()
+
+
 def test_bucket_cap_precheck_skips_noop_window(spark):
     """precheck=True: when no bucket exceeds the cap, the window stage
     is skipped entirely (the frame passes through IDENTICALLY — the
