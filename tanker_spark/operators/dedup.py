@@ -167,8 +167,40 @@ def exact_collapse(df, text_col="text", id_col="doc_id"):
 CAP_PRECHECK_MIN_ROWS = 1_000_000
 
 
+#: verify='auto' picks the cogrouped GEMM once the measured candidate
+#: volume (sum over buckets of capped-occupancy²/2) crosses this —
+#: ~30 s of interpreted column dots at 1-2 µs/pair, vs seconds of
+#: BLAS tiles. The row-count threshold below is the fallback when no
+#: histogram was measured; it is BLIND to skew (the r9 soak: 1.5M
+#: clustered rows = 5×10⁸ candidate pairs = 10-18 min/batch on the
+#: column path, while 1.5M flat rows are fine).
+GEMM_VERIFY_MIN_PAIRS = 20_000_000
+
+
+def _bucket_histogram(exploded, bucket_cap):
+    """One map-side-combined aggregate over the exploded bucket frame:
+    ``(max occupancy, sum of capped-occupancy²/2)`` — the first decides
+    whether the cap window is a no-op (:func:`_cap_buckets`
+    ``known_max``), the second is the EXACT post-cap candidate-pair
+    count of the bucket self-join, which is the signal that actually
+    predicts column-vs-GEMM verify cost (row counts don't see skew)."""
+    cap = int(bucket_cap) if bucket_cap else (1 << 62)
+    row = (
+        exploded.groupBy("__bucket").count()
+        .agg(
+            F.max("count").alias("mx"),
+            F.sum(
+                F.least(F.col("count"), F.lit(cap)).cast("double")
+                * (F.least(F.col("count"), F.lit(cap)) - 1) / 2.0
+            ).alias("est_pairs"),
+        ).collect()[0]
+    )
+    return row["mx"], row["est_pairs"]
+
+
 def _cap_buckets(exploded, bucket_cap, id_col="__id",
-                 mark_doc_capped=False, precheck=False):
+                 mark_doc_capped=False, precheck=False,
+                 known_max=None):
     """Deterministically keep at most ``bucket_cap`` rows per band
     bucket (hash-ordered sample; the hash mixes the bucket so each
     band drops DIFFERENT survivors — a pair over-capped in one band
@@ -200,6 +232,16 @@ def _cap_buckets(exploded, bucket_cap, id_col="__id",
         if mark_doc_capped:
             return exploded.withColumn("__doc_capped", F.lit(False))
         return exploded
+    if known_max is not None:
+        # the caller already measured the histogram (one shared
+        # aggregate also feeding the verify decision): decide the
+        # no-op skip from it with no extra job
+        if known_max <= int(bucket_cap):
+            if mark_doc_capped:
+                return exploded.withColumn("__doc_capped",
+                                           F.lit(False))
+            return exploded
+        precheck = False
     if precheck:
         # one map-side-combined aggregate (shuffles only (bucket,
         # count) pairs, never the exploded rows): when no bucket
@@ -1686,19 +1728,30 @@ def embedding_dedup_pairs(df, vec_col="embedding", id_col="vec_id",
         base = _persist(base)
         # eager: join stages must not race the cache fill
         n_base = base.count()
+    ex_raw = base.select(
+        "__id", "__v", "__inv",
+        F.explode(
+            F.array(*[F.col("__band%d" % b) for b in range(n_bands)])
+        ).alias("__bucket"),
+    )
+    known_max = None
+    if n_base >= CAP_PRECHECK_MIN_ROWS:
+        # one shared histogram aggregate: feeds BOTH the cap-window
+        # no-op skip and the verify decision. Candidate volume — not
+        # row count — is what predicts column-path cost: the r9 soak's
+        # 1.5M-row CLUSTERED batches were 5×10⁸ candidate pairs
+        # (10-18 min of interpreted dots) while sitting under the 2M
+        # row threshold.
+        known_max, est_pairs = _bucket_histogram(ex_raw, bucket_cap)
+        if verify == "auto":
+            verify = ("gemm"
+                      if (est_pairs or 0) >= GEMM_VERIFY_MIN_PAIRS
+                      or n_base >= GEMM_VERIFY_MIN_ROWS
+                      else "column")
     if verify == "auto":
         verify = ("gemm" if n_base >= GEMM_VERIFY_MIN_ROWS
                   else "column")
-    exploded = _cap_buckets(
-        base.select(
-            "__id", "__v", "__inv",
-            F.explode(
-                F.array(*[F.col("__band%d" % b) for b in range(n_bands)])
-            ).alias("__bucket"),
-        ),
-        bucket_cap,
-        precheck=n_base >= CAP_PRECHECK_MIN_ROWS,
-    )
+    exploded = _cap_buckets(ex_raw, bucket_cap, known_max=known_max)
     if verify == "gemm":
         pairs = _pairs_bucket_gemm(exploded, threshold)
     else:
