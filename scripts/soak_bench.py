@@ -154,7 +154,10 @@ def main():
     # per-job at 100 TB (AQE coalesces the small ones back down)
     spark = get_spark(app_name="tanker_spark_soak",
                       extra_conf={"spark.driver.memory": "48g",
-                                  "spark.sql.shuffle.partitions": "128"})
+                                  "spark.sql.shuffle.partitions": "128",
+                                  # soak-only: the UI REST API is the
+                                  # per-leg shuffle-volume evidence
+                                  "spark.ui.enabled": "true"})
 
     if not args.skip_gen:
         t0 = time.perf_counter()
@@ -594,45 +597,87 @@ def main():
         dedup.release_caches()
         return n
 
+    def _shuffle_bytes():
+        # app-total shuffle write bytes from the local UI REST API —
+        # per-leg volume is the delta around the leg
+        import json as _json
+        import urllib.request
+        ui = spark.sparkContext.uiWebUrl
+        if not ui:
+            return None
+        try:
+            apps = _json.loads(urllib.request.urlopen(
+                ui + "/api/v1/applications", timeout=10).read())
+            app_id = apps[0]["id"]
+            stages = _json.loads(urllib.request.urlopen(
+                "%s/api/v1/applications/%s/stages?status=complete"
+                % (ui, app_id), timeout=30).read())
+            return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+        except Exception:
+            return None
+
     def knn_join_bulk_soak():
-        # the r8 VERDICT's untested-at-scale path: knn_join_indexed
-        # with a MILLION-row query side against the 10M PQ index —
-        # probe-bucket expansion (11M exploded rows at multiprobe=1),
-        # partition-pruned read, per-bucket cogroup ADC tiles, then
-        # the float-exact re-rank join (~64M candidate rows at the
-        # default rerank_k=64 cut). One Spark job chain, no driver
-        # loop — the steady-state bulk-enrichment shape.
-        path = args.dir + "/pq_index"
-        if not os.path.exists(path + "/_ann_meta.json"):
-            t0 = time.perf_counter()
-            similarity.build_ann_index(
-                emb, path, method="lsh", n_planes=10, quantize="pq")
-            print("# knn_join_bulk: PQ index built in %.1fs"
-                  % (time.perf_counter() - t0), file=sys.stderr)
+        # the r8/r9 VERDICTs' untested-at-scale path: knn_join_indexed
+        # with a MILLION-row query side against the 10M index, through
+        # ALL THREE layouts (float / int8 / PQ) — probe-bucket
+        # expansion (11M exploded rows at multiprobe=1), partition-
+        # pruned read, per-bucket cogrouped GEMM/ADC tiles, then the
+        # float-exact re-rank join for the quantized layouts. One
+        # Spark job chain, no driver loop — the steady-state
+        # bulk-enrichment shape. Evidence per layout: wall, result
+        # rows/query, shuffle-write volume, and the per-tile occupancy
+        # profile (index rows per __bucket: the cogroup tile size).
+        layouts = [
+            ("float", args.dir + "/float_index", dict(quantize=False)),
+            ("int8", args.dir + "/ann_index", dict(quantize=True)),
+            ("pq", args.dir + "/pq_index", dict(quantize="pq")),
+        ]
         queries = (
             emb.filter(F.pmod("vec_id", F.lit(10)) == 3)
             .withColumn("vec_id", F.col("vec_id") + 2_000_000_000)
         )
         nq = queries.count()
-        t0 = time.perf_counter()
-        res = similarity.knn_join_indexed(
-            queries, path, k=5, multiprobe=1, rerank_df=emb)
-        n = res.count()
-        bulk_s = time.perf_counter() - t0
-        # coverage: every query with any collision returns rows; the
-        # per-query mean tells whether the ADC+rerank funnel starved
-        per_q = n / max(nq, 1)
-        print("# knn_join_bulk: %d queries -> %d result rows "
-              "(%.2f rows/query) in %.1fs = %.0f queries/s"
-              % (nq, n, per_q, bulk_s, nq / bulk_s), file=sys.stderr)
-        dedup.release_caches()
+        n = 0
+        for name, path, kw in layouts:
+            if not os.path.exists(path + "/_ann_meta.json"):
+                t0 = time.perf_counter()
+                similarity.build_ann_index(
+                    emb, path, method="lsh", n_planes=10, **kw)
+                print("# knn_join_bulk: %s index built in %.1fs"
+                      % (name, time.perf_counter() - t0),
+                      file=sys.stderr)
+            occ = (spark.read.parquet(path).groupBy("__bucket").count()
+                   .agg(F.max("count").alias("mx"),
+                        F.avg("count").alias("mean"),
+                        F.expr("percentile(count, 0.99)").alias("p99"))
+                   .collect()[0])
+            sb0 = _shuffle_bytes()
+            t0 = time.perf_counter()
+            res = similarity.knn_join_indexed(
+                queries, path, k=5, multiprobe=1, rerank_df=emb)
+            n = res.count()
+            bulk_s = time.perf_counter() - t0
+            sb1 = _shuffle_bytes()
+            shuf = ("%.2f GiB" % ((sb1 - sb0) / 2**30)
+                    if sb0 is not None and sb1 is not None else "n/a")
+            print("# knn_join_bulk[%s]: %d queries -> %d rows "
+                  "(%.2f rows/query) in %.1fs = %.0f q/s; shuffle "
+                  "write %s; tile occupancy max/p99/mean = "
+                  "%d/%.0f/%.1f rows" % (
+                      name, nq, n, n / max(nq, 1), bulk_s,
+                      nq / bulk_s, shuf, occ["mx"], occ["p99"],
+                      occ["mean"]), file=sys.stderr)
+            dedup.release_caches()
         return n
 
     def text_consolidate_soak():
         # the other untested r8 path: text_index_consolidate on a
         # MANY-batch stream layout. Stream the 10M corpus through
-        # text_index_sink in ~16 batches (the year-of-micro-batches
-        # stand-in), time a probe against the batch=N layout, then
+        # text_index_sink in 128 one-file batches (≥100 batch dirs —
+        # the year-of-micro-batches stand-in the r9 VERDICT demanded:
+        # consolidation reads every batch=N dir, and a thousand-batch
+        # stream index is where file-listing and merge behavior would
+        # crack), time a probe against the batch=N layout, then
         # consolidate to the flat layout and time the same probe —
         # results must be row-identical across all three readers.
         import shutil
@@ -641,8 +686,10 @@ def main():
         base = args.dir + "/text_stream"
         shutil.rmtree(base, ignore_errors=True)
         src = base + "/src"
-        docs.repartition(16, F.pmod("doc_id", F.lit(16))) \
-            .write.mode("overwrite").parquet(src)
+        # round-robin (no key): all 128 partitions non-empty, so the
+        # one-file-per-trigger stream really produces 128 batch dirs
+        # (a hash repartition on pmod leaves ~1/e of them empty)
+        docs.repartition(128).write.mode("overwrite").parquet(src)
         stream = (spark.readStream.schema(docs.schema)
                   .option("maxFilesPerTrigger", 1).parquet(src))
         t0 = time.perf_counter()
@@ -651,7 +698,8 @@ def main():
         q.awaitTermination()
         stream_s = time.perf_counter() - t0
         n_batches = len([d for d in os.listdir(
-            base + "/idx/_bm25_postings") if d.startswith("batch=")])
+            base + "/idx/" + search.POSTINGS_SUBDIR)
+            if d.startswith("batch=")])
         t0 = time.perf_counter()
         got_stream = [r.asDict() for r in search.bm25_topk_stream_indexed(
             spark, base + "/idx", SOAK_QUERY, k=10).collect()]

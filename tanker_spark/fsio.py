@@ -1,0 +1,197 @@
+"""Filesystem IO for index maintenance on ANY Hadoop-visible storage.
+
+The persisted-index family (ANN indexes, dedup side tables) keeps its
+DATA in parquet — which Spark reads and writes on any configured
+filesystem scheme already — but its METADATA (``_ann_meta.json``, the
+``_current`` version pointer) and its maintenance swaps historically
+used raw ``open()``/``os.rename``, a local-POSIX-only contract
+(``utils.require_local_fs``). At the 100 TB deployment target the
+object store is the PRIMARY storage, so maintenance needs a path that
+never renames a directory: the versioned pointer-flip scheme
+(``storage.py`` is the in-repo precedent) — write the new tree as a
+fresh ``v_NNNNNN`` directory, atomically overwrite the small
+``_current`` pointer file (a single PUT on S3-likes), GC the old tree.
+
+This module is the IO seam that makes that work everywhere: plain
+local paths short-circuit to ``os``/``open`` (zero JVM chatter), any
+scheme-carrying path goes through the JVM Hadoop ``FileSystem`` API —
+the same connector configuration Spark's own reads use, so a path
+Spark can read, this module can maintain. Tests exercise the Hadoop
+branch by registering a mock scheme backed by the local filesystem
+(``fs.mock.impl`` → ``RawLocalFileSystem``), which drives byte-for-
+byte the code path an ``s3a://`` deployment takes.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def is_local(path) -> bool:
+    """True when ``path`` is a plain local path (no scheme)."""
+    return "://" not in str(path)
+
+
+def strip_file_scheme(path: str) -> str:
+    """``file:///x`` → ``/x`` (local-FS fast path for file URIs)."""
+    path = str(path)
+    if path.startswith("file://") and path[len("file://"):].startswith("/"):
+        return path[len("file://"):]
+    return path
+
+
+def _jfs(spark, path):
+    """(jvm FileSystem, jvm Path) for ``path`` under the session's
+    Hadoop configuration — the same connectors Spark's reads use."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(str(path))
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    return jpath.getFileSystem(conf), jpath
+
+
+def exists(spark, path) -> bool:
+    if is_local(path):
+        return os.path.exists(path)
+    fs, p = _jfs(spark, path)
+    return fs.exists(p)
+
+
+def read_text(spark, path) -> str:
+    if is_local(path):
+        with open(path) as fh:
+            return fh.read()
+    fs, p = _jfs(spark, path)
+    stream = fs.open(p)
+    try:
+        out = bytearray()
+        while True:
+            b = stream.read()
+            if b < 0:
+                break
+            out.append(b & 0xFF)
+        return out.decode("utf-8")
+    finally:
+        stream.close()
+
+
+def try_read_text(spark, path):
+    """``read_text`` or None when the file does not exist."""
+    try:
+        if not exists(spark, path):
+            return None
+        return read_text(spark, path)
+    except Exception:
+        return None
+
+
+def write_text(spark, path, text: str) -> None:
+    """Atomic small-file write: local → tmp + ``os.replace``; Hadoop →
+    ``create(overwrite=True)`` + single stream close, which is one PUT
+    on S3-likes — readers see the old or the new content, never a
+    torn file. This is the pointer-flip primitive."""
+    data = text.encode("utf-8")
+    if is_local(path):
+        parent = os.path.dirname(path)
+        if parent:  # Hadoop's create() makes parents; match it
+            os.makedirs(parent, exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(text)
+        os.replace(tmp, path)
+        return
+    fs, p = _jfs(spark, path)
+    stream = fs.create(p, True)
+    try:
+        stream.write(bytearray(data))
+    finally:
+        stream.close()
+
+
+def delete(spark, path, recursive=True) -> None:
+    if is_local(path):
+        import shutil
+
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+        elif os.path.exists(path):
+            os.remove(path)
+        return
+    fs, p = _jfs(spark, path)
+    if fs.exists(p):
+        fs.delete(p, bool(recursive))
+
+
+def listdir(spark, path):
+    """Names (not full paths) of the children of ``path``; empty list
+    when it does not exist."""
+    if is_local(path):
+        try:
+            return sorted(os.listdir(path))
+        except OSError:
+            return []
+    fs, p = _jfs(spark, path)
+    if not fs.exists(p):
+        return []
+    return sorted(st.getPath().getName() for st in fs.listStatus(p))
+
+
+# -- versioned (pointer-flip) directory layout -----------------------------
+#
+#   root/_current          text file: "v_000001"
+#   root/v_000001/...      the live tree (index dir / side table)
+#   root/v_000002.claim    claim marker while a writer builds v_000002
+#
+# The pointer overwrite is the commit. Underscore-prefixed files are
+# invisible to parquet readers; the v_* dirs are only reachable via
+# the pointer, so a half-written new version is never read.
+
+POINTER = "_current"
+
+
+def current_version(spark, root):
+    """The live version name under ``root``, or None when ``root`` is
+    not a versioned layout."""
+    txt = try_read_text(spark, str(root).rstrip("/") + "/" + POINTER)
+    return txt.strip() if txt else None
+
+
+def resolve(spark, root):
+    """Versioned root → its live version dir; plain path → unchanged.
+    Every reader of a maintainable index/side-table path resolves
+    through this, so a pointer flip retargets them atomically."""
+    root = str(root).rstrip("/")
+    cur = current_version(spark, root)
+    return root + "/" + cur if cur else root
+
+
+def next_version(spark, root):
+    """Allocate the next version name: one past the highest existing
+    ``v_NNNNNN`` dir or claim under ``root`` (claims count so two
+    sequential crashed attempts never collide; concurrent writers are
+    out of contract — see the single-writer note on the maintenance
+    ops). Writes the claim marker and returns ``(name, claim_path)``."""
+    root = str(root).rstrip("/")
+    seen = [n for n in listdir(spark, root) if n.startswith("v_")]
+    nums = []
+    for n in seen:
+        base = n[2:8]
+        if base.isdigit():
+            nums.append(int(base))
+    name = "v_%06d" % (max(nums, default=0) + 1)
+    claim = root + "/" + name + ".claim"
+    write_text(spark, claim, "claim")
+    return name, claim
+
+
+def commit_version(spark, root, name, claim, gc_old=True):
+    """Flip the pointer to ``name``, drop the claim, GC the previous
+    version tree. The flip is the atomic commit; a reader that
+    resolved the OLD version before the flip and reads after the GC
+    sees a missing directory and should retry — the same (narrower)
+    caveat the classic rename scheme documents."""
+    root = str(root).rstrip("/")
+    old = current_version(spark, root)
+    write_text(spark, root + "/" + POINTER, name)
+    delete(spark, claim, recursive=False)
+    if gc_old and old and old != name:
+        delete(spark, root + "/" + old, recursive=True)

@@ -16,6 +16,7 @@ import random
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from .. import fsio
 from .text import tokens
 
 #: 31-bit Mersenne prime: keeps ``a*h + b`` within signed-64 range under
@@ -27,13 +28,26 @@ MERSENNE = (1 << 31) - 1
 #: needed while the returned pair frames are consumed, impossible to
 #: unpersist inside the builder. Long-lived drivers cycling many
 #: corpora call release_caches() between calls (the streaming near-dup
-#: sink does, per batch).
+#: sink does, per batch) — but the list is also SELF-BOUNDED at
+#: ``CACHE_CAP`` frames: past the cap the oldest frame is unpersisted
+#: (its pair frame has long been consumed in any sane call pattern),
+#: so a driver that never calls release_caches() holds at most
+#: CACHE_CAP persisted RDDs instead of accumulating one per corpus
+#: until eviction pressure.
 _CACHED_FRAMES = []
+
+#: max eagerly-persisted frames held at once (oldest evicted past this)
+CACHE_CAP = 8
 
 
 def _persist(df):
     df = df.persist()
     _CACHED_FRAMES.append(df)
+    while len(_CACHED_FRAMES) > CACHE_CAP:
+        try:
+            _CACHED_FRAMES.pop(0).unpersist(blocking=False)
+        except Exception:
+            pass
     return df
 
 
@@ -535,6 +549,8 @@ def minhash_lsh_pairs(
     in-plan join reads only the rep rows).
     """
     spark = df.sparkSession
+    if sig_path:
+        sig_path = fsio.resolve(spark, sig_path)
     members = None
     if collapse_exact:
         reps, members = exact_collapse(df, text_col, id_col)
@@ -632,6 +648,7 @@ def minhash_incremental(new_df, sig_path, text_col="text",
     ``spark.catalog.clearCache()`` between increments.
     """
     spark = new_df.sparkSession
+    sig_path = fsio.resolve(spark, sig_path)
     new_sigs = minhash_signatures_df(
         new_df, text_col, id_col, num_hashes, shingle_n, seed
     )
@@ -683,6 +700,7 @@ def minhash_append_signatures(new_df, sig_path, text_col="text",
     Call AFTER consuming :func:`minhash_incremental`'s pairs — the
     incremental read lists the parquet directory lazily, so appending
     first would double-match the batch against itself."""
+    sig_path = fsio.resolve(new_df.sparkSession, sig_path)
     minhash_signatures_df(
         new_df, text_col, id_col, num_hashes, shingle_n, seed
     ).write.mode("append").parquet(sig_path)
@@ -842,6 +860,7 @@ def simhash_incremental(new_df, fp_path, text_col="text",
     Append the batch with :func:`simhash_append_fingerprints` AFTER
     consuming the pairs (the read lists the directory lazily)."""
     spark = new_df.sparkSession
+    fp_path = fsio.resolve(spark, fp_path)
     new_fp = _persist(simhash_df(new_df, text_col, id_col))
     new_fp.count()
     old_fp = spark.read.parquet(fp_path)
@@ -877,6 +896,7 @@ def simhash_incremental(new_df, fp_path, text_col="text",
 def simhash_append_fingerprints(new_df, fp_path, text_col="text",
                                 id_col="doc_id"):
     """Append a batch's fingerprints to the ``fp_path`` side table."""
+    fp_path = fsio.resolve(new_df.sparkSession, fp_path)
     simhash_df(new_df, text_col, id_col).write.mode("append").parquet(
         fp_path
     )
@@ -1719,6 +1739,7 @@ def embedding_dedup_pairs(df, vec_col="embedding", id_col="vec_id",
     )
     if sig_path:
         # 100 TB path: durable parquet side table instead of memory
+        sig_path = fsio.resolve(df.sparkSession, sig_path)
         base.write.mode("overwrite").parquet(sig_path)
         base = df.sparkSession.read.parquet(sig_path)
         # metadata-fast over the just-written parquet; feeds the auto
@@ -2037,17 +2058,24 @@ def compact_side_table(spark, path, key_col="__id",
 
     Run it out-of-band (the side-table analog of Delta OPTIMIZE +
     VACUUM); matching semantics are unchanged because duplicate keys
-    never alter join results, only inflate them. The swap is two
-    directory renames: a reader that lists the path in the microseconds
-    between them sees a missing directory and should retry — plain
-    directories have no atomic exchange; move to Delta/Iceberg for a
-    transactional swap. Stale ``__compact_tmp``/``__compact_old``
-    leftovers from a crashed run are cleaned up on entry.
+    never alter join results, only inflate them.
 
-    CONTRACT: local POSIX filesystem only — the swap is an
-    ``os.rename`` double-flip; object-store paths are refused loudly
-    (``utils.require_local_fs``). On S3/GCS either rebuild, or port
-    the swap to ``storage.py``'s copy-then-pointer-flip scheme.
+    TWO swap schemes, by the table's own layout (the same split as
+    ``similarity.ann_index_compact``):
+
+    - **versioned** (a ``_current`` pointer at the root, data in
+      ``v_NNNNNN`` trees; create one with
+      :func:`make_versioned_side_table`): the compacted files land in
+      the next version dir and the pointer overwrite is the atomic
+      commit — works on any Hadoop-visible filesystem (object stores
+      included); every side-table reader resolves the pointer.
+    - **classic flat layout**: two directory renames — a reader that
+      lists the path in the microseconds between them sees a missing
+      directory and should retry; plain directories have no atomic
+      exchange. Local POSIX filesystems only
+      (``utils.require_local_fs``); stale
+      ``__compact_tmp``/``__compact_old`` leftovers from a crashed
+      run are cleaned up on entry.
     """
     import math as _math
     import os
@@ -2055,7 +2083,37 @@ def compact_side_table(spark, path, key_col="__id",
 
     from ..utils import require_local_fs
 
-    require_local_fs(path, "compact_side_table")
+    def _deduped(df):
+        w = Window.partitionBy(key_col).orderBy(F.lit(1))
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    cur = fsio.current_version(spark, path)
+    if cur:
+        root = str(path).rstrip("/")
+        vdir = root + "/" + cur
+        if fsio.exists(spark, vdir + "/_ann_meta.json"):
+            raise ValueError(
+                "refusing to compact an ANN index directory: use "
+                "similarity.ann_index_compact (partition-aware)"
+            )
+        for name in fsio.listdir(spark, root):
+            if name.endswith(".claim"):  # crashed writer (single-writer)
+                fsio.delete(spark, root + "/" + name[:-len(".claim")])
+                fsio.delete(spark, root + "/" + name, recursive=False)
+        deduped = _deduped(spark.read.parquet(vdir))
+        n = deduped.count()
+        parts = max(1, _math.ceil(n / target_rows_per_file))
+        name, claim = fsio.next_version(spark, root)
+        deduped.coalesce(parts).write.mode("overwrite").parquet(
+            root + "/" + name)
+        fsio.commit_version(spark, root, name, claim)
+        return n
+
+    path = require_local_fs(path, "compact_side_table")
     tmp = path.rstrip("/") + "__compact_tmp"
     old = path.rstrip("/") + "__compact_old"
     if os.path.exists(os.path.join(path, "_ann_meta.json")):
@@ -2067,13 +2125,7 @@ def compact_side_table(spark, path, key_col="__id",
     for stale in (tmp, old):
         if os.path.exists(stale):
             shutil.rmtree(stale)
-    df = spark.read.parquet(path)
-    w = Window.partitionBy(key_col).orderBy(F.lit(1))
-    deduped = (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    deduped = _deduped(spark.read.parquet(path))
     n = deduped.count()
     parts = max(1, _math.ceil(n / target_rows_per_file))
     deduped.coalesce(parts).write.mode("overwrite").parquet(tmp)
@@ -2081,6 +2133,24 @@ def compact_side_table(spark, path, key_col="__id",
     os.rename(tmp, path)
     shutil.rmtree(old)
     return n
+
+
+def make_versioned_side_table(df, root):
+    """Create a side table in the POINTER-FLIP layout
+    (``root/_current`` → ``root/v_NNNNNN``; :mod:`fsio`): the data is
+    written first, the pointer write commits. This is the layout that
+    makes :func:`compact_side_table` work on object stores — the
+    classic flat layout's ``os.rename`` swap cannot. All side-table
+    readers and appenders (:func:`minhash_incremental`,
+    :func:`minhash_append_signatures`, the simhash twins,
+    ``embedding_dedup_pairs(sig_path=...)``) resolve the pointer, so
+    the versioned root is a drop-in ``sig_path``/``fp_path``."""
+    spark = df.sparkSession
+    root = str(root).rstrip("/")
+    name, claim = fsio.next_version(spark, root)
+    df.write.mode("overwrite").parquet(root + "/" + name)
+    fsio.commit_version(spark, root, name, claim)
+    return root
 
 
 def line_dedup(df, text_col="text", id_col="doc_id", sep="\n",

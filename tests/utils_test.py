@@ -153,3 +153,19 @@ def test_execute_percent_literals(session):
 
     with pytest.raises(ValueError, match="placeholders"):
         list(execute("SELECT %s, %s", ["only-one"]))
+
+
+def test_require_local_fs_normalizes_file_uri():
+    """file:// URIs are admitted but STRIPPED so the guarded ops never
+    os.rename/open a raw URI string (r9 ADVICE); object-store schemes
+    and host-carrying file URIs are refused loudly."""
+    import pytest
+
+    from tanker_spark.utils import require_local_fs
+
+    assert require_local_fs("/tmp/idx", "op") == "/tmp/idx"
+    assert require_local_fs("file:///tmp/idx", "op") == "/tmp/idx"
+    with pytest.raises(ValueError, match="POSIX filesystem"):
+        require_local_fs("s3://bucket/idx", "op")
+    with pytest.raises(ValueError, match="non-empty"):
+        require_local_fs("file://host/idx", "op")
