@@ -104,9 +104,12 @@ def _prior_best():
     best = {}
     for f in sorted(Path(__file__).resolve().parent.glob("BENCH_r*.json")):
         try:
-            rec = json.loads(f.read_text()).get("queries") or {}
+            doc = json.loads(f.read_text())
         except (OSError, ValueError):
             continue
+        # driver records wrap bench.py's stdout line under "parsed"
+        rec = (doc.get("queries")
+               or (doc.get("parsed") or {}).get("queries") or {})
         for name, med in rec.items():
             if isinstance(med, (int, float)) and med > 0:
                 best[name] = min(best.get(name, med), med)
