@@ -63,13 +63,23 @@ def read_text(spark, path) -> str:
     fs, p = _jfs(spark, path)
     stream = fs.open(p)
     try:
-        out = bytearray()
-        while True:
-            b = stream.read()
-            if b < 0:
-                break
-            out.append(b & 0xFF)
-        return out.decode("utf-8")
+        jvm = spark.sparkContext._jvm
+        try:
+            # one JVM call for the whole file (commons-io ships with
+            # Hadoop); a PQ index's metadata carries ~10⁵ codebook
+            # floats as JSON — a byte-at-a-time py4j loop would be
+            # 10⁵ gateway round-trips
+            data = bytes(jvm.org.apache.commons.io.IOUtils
+                         .toByteArray(stream))
+        except Exception:
+            out = bytearray()
+            while True:
+                b = stream.read()
+                if b < 0:
+                    break
+                out.append(b & 0xFF)
+            data = bytes(out)
+        return data.decode("utf-8")
     finally:
         stream.close()
 
