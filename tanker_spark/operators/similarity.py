@@ -273,17 +273,32 @@ def centroid_outliers(df, vec_col="embedding", id_col="vec_id",
     )
 
 
+#: per-task cap on the similarity-tile size (float64 cells) inside the
+#: cogrouped GEMM scorers (:func:`_knn_lsh_gemm`, :func:`_knn_pq_gemm`).
+#: A tile's score matrix is (queries-in-bucket × corpus-in-bucket) and
+#: on clustered data BOTH sides are hot in the SAME buckets (queries
+#: come from the same distribution as the corpus) — the r10 10M-corpus
+#: × 1M-query bulk-join soak OOM-killed the host materializing ~1 GB
+#: of scores per task × 32 tasks. Queries are scored in blocks of
+#: ``GEMM_TILE_FLOATS // |C_b|`` rows, bounding the transient at
+#: ~64 MB per task regardless of occupancy; results are identical
+#: (per-query top-k is independent across queries).
+GEMM_TILE_FLOATS = 8_000_000
+
+
 def _knn_lsh_gemm(qexp, cb, k, schema_str, bucket_cap):
     """Per-bucket GEMM scoring for ``knn_join(method="lsh")``: query
     and corpus sides cogroup on the band bucket, each bucket scores as
-    one ``Q @ C.T`` (rows normalized in numpy; zero vectors score 0),
-    and only each query's within-bucket top-k leaves the task — output
-    is ≤ |Q|·probes·k rows, never the candidate space. Hot buckets
+    ``Q @ C.T`` in query blocks of ≤ :data:`GEMM_TILE_FLOATS` score
+    cells (rows normalized in numpy; zero vectors score 0), and only
+    each query's within-bucket top-k leaves the task — output is
+    ≤ |Q|·probes·k rows, never the candidate space. Hot buckets
     (clustered corpora pile same-sign regions into one code) are the
-    skew hazard: per-group memory is bucket_size·dim·8 B and the tile
-    is |Q_b|×|C_b|, so corpus membership is capped at ``bucket_cap``
-    by a deterministic hash sample (recall bound documented on
-    ``knn_join``)."""
+    skew hazard: corpus membership is capped at ``bucket_cap`` by a
+    deterministic hash sample (recall bound documented on
+    ``knn_join``) and the score tile is block-bounded — per-task
+    memory is ~|C_b|·dim·8 B for the corpus matrix plus one ~64 MB
+    score block, NOT |Q_b|×|C_b|."""
     import numpy as np
     import pandas as pd
 
@@ -300,19 +315,24 @@ def _knn_lsh_gemm(qexp, cb, k, schema_str, bucket_cap):
             return pd.DataFrame({"qid": [], "cid": [], "cos_sim": []})
         Qn = _unit(np.stack(qpdf["__qv"].to_numpy()).astype(np.float64))
         Cn = _unit(np.stack(cpdf["__cv"].to_numpy()).astype(np.float64))
-        S = Qn @ Cn.T
-        m = S.shape[1]
-        kk = min(k, m)
-        part = np.argpartition(-S, kk - 1, axis=1)[:, :kk] \
-            if kk < m else np.tile(np.arange(m), (len(Qn), 1))
         cids = cpdf["cid"].to_numpy()
-        nq = len(Qn)
-        return pd.DataFrame({
-            "qid": np.repeat(qpdf["qid"].to_numpy(), part.shape[1]),
-            "cid": cids[part.ravel()],
-            "cos_sim": S[np.repeat(np.arange(nq), part.shape[1]),
-                         part.ravel()],
-        })
+        qids = qpdf["qid"].to_numpy()
+        m = len(Cn)
+        kk = min(k, m)
+        step = max(1, GEMM_TILE_FLOATS // m)
+        outs = []
+        for lo in range(0, len(Qn), step):
+            S = Qn[lo:lo + step] @ Cn.T
+            nq = len(S)
+            part = np.argpartition(-S, kk - 1, axis=1)[:, :kk] \
+                if kk < m else np.tile(np.arange(m), (nq, 1))
+            outs.append(pd.DataFrame({
+                "qid": np.repeat(qids[lo:lo + nq], part.shape[1]),
+                "cid": cids[part.ravel()],
+                "cos_sim": S[np.repeat(np.arange(nq), part.shape[1]),
+                             part.ravel()],
+            }))
+        return pd.concat(outs, ignore_index=True)
 
     return (
         qexp.groupBy("__bucket")
@@ -1505,24 +1525,32 @@ def _knn_pq_gemm(qexp, cb, books, k, schema_str, bucket_cap,
         Qn = Q * np.where(n > 0, 1.0 / np.where(n > 0, n, 1.0), 0.0)
         codes = (np.stack(cpdf["pq_code"].to_numpy()).astype(np.int64)
                  + 128)  # (nc, m)
-        S = np.zeros((len(Qn), len(codes)))
-        for s in range(m):
-            L = Qn[:, s * dsub:(s + 1) * dsub] @ B[s].T  # (nq, codes)
-            S += L[:, codes[:, s]]
-        if Cn is not None:
-            S = S + (Qn @ Cn[int(key[0])])[:, None]
-        nc = S.shape[1]
-        kk = min(k, nc)
-        part = np.argpartition(-S, kk - 1, axis=1)[:, :kk] \
-            if kk < nc else np.tile(np.arange(nc), (len(Qn), 1))
         cids = cpdf["cid"].to_numpy()
-        nq = len(Qn)
-        return pd.DataFrame({
-            "qid": np.repeat(qpdf["qid"].to_numpy(), part.shape[1]),
-            "cid": cids[part.ravel()],
-            "cos_sim": S[np.repeat(np.arange(nq), part.shape[1]),
-                         part.ravel()],
-        })
+        qids = qpdf["qid"].to_numpy()
+        nc = len(codes)
+        kk = min(k, nc)
+        # block the score matrix like the float tiles: S is (nq × nc)
+        # and both sides are hot in the same buckets on clustered data
+        step = max(1, GEMM_TILE_FLOATS // nc)
+        outs = []
+        for lo in range(0, len(Qn), step):
+            Qb = Qn[lo:lo + step]
+            S = np.zeros((len(Qb), nc))
+            for s in range(m):
+                L = Qb[:, s * dsub:(s + 1) * dsub] @ B[s].T
+                S += L[:, codes[:, s]]
+            if Cn is not None:
+                S = S + (Qb @ Cn[int(key[0])])[:, None]
+            nq = len(Qb)
+            part = np.argpartition(-S, kk - 1, axis=1)[:, :kk] \
+                if kk < nc else np.tile(np.arange(nc), (nq, 1))
+            outs.append(pd.DataFrame({
+                "qid": np.repeat(qids[lo:lo + nq], part.shape[1]),
+                "cid": cids[part.ravel()],
+                "cos_sim": S[np.repeat(np.arange(nq), part.shape[1]),
+                             part.ravel()],
+            }))
+        return pd.concat(outs, ignore_index=True)
 
     return (
         qexp.groupBy("__bucket")

@@ -3615,3 +3615,39 @@ def test_versioned_side_table_pointer_flip(spark, docs, tmp_path,
             batch, root, exclude_batch_ids=True).collect())
     assert before == after
     dedup.release_caches()
+
+
+def test_gemm_tile_blocking_identical(spark, tmp_path, monkeypatch):
+    """The cogrouped GEMM/ADC scorers block the (queries × corpus)
+    score tile at GEMM_TILE_FLOATS cells (the r10 10M×1M soak OOM:
+    both sides are hot in the SAME buckets on clustered data, so the
+    full tile is quadratic in the hot-bucket occupancy). Results must
+    be IDENTICAL under any block size — per-query top-k is independent
+    across queries."""
+    rows, corpus = _kji_corpus(spark, n=240)
+    queries = spark.createDataFrame(
+        [(1000 + i, v) for i, v in rows[:25]], ["vec_id", "embedding"])
+
+    def lsh_run():
+        out = similarity.knn_join(
+            queries, corpus, k=5, method="lsh", score="gemm", dim=16,
+            n_planes=3, multiprobe=1)
+        return sorted((r.qid, r.cid, round(r.cos_sim, 9))
+                      for r in out.collect())
+
+    path = str(tmp_path / "pqi")
+    similarity.build_ann_index(corpus, path, method="ivf", n_cells=4,
+                               quantize="pq", pq_m=4, pq_codes=32,
+                               dim=16)
+
+    def pq_run():
+        out = similarity.knn_join_indexed(queries, path, k=5, n_probe=4)
+        return sorted((r.qid, r.cid, round(r.cos_sim, 9))
+                      for r in out.collect())
+
+    full_lsh, full_pq = lsh_run(), pq_run()
+    monkeypatch.setattr(similarity, "GEMM_TILE_FLOATS", 1)  # step = 1
+    assert lsh_run() == full_lsh and len(full_lsh) > 0
+    assert pq_run() == full_pq and len(full_pq) > 0
+    monkeypatch.undo()
+    dedup.release_caches()
