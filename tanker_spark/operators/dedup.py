@@ -2101,8 +2101,11 @@ def compact_side_table(spark, path, key_col="__id",
                 "similarity.ann_index_compact (partition-aware)"
             )
         for name in fsio.listdir(spark, root):
-            if name.endswith(".claim"):  # crashed writer (single-writer)
-                fsio.delete(spark, root + "/" + name[:-len(".claim")])
+            # a crash between pointer flip and claim delete leaves a
+            # claim naming the LIVE version — drop only the marker
+            if name.endswith(".claim"):
+                if name[:-len(".claim")] != cur:
+                    fsio.delete(spark, root + "/" + name[:-len(".claim")])
                 fsio.delete(spark, root + "/" + name, recursive=False)
         deduped = _deduped(spark.read.parquet(vdir))
         n = deduped.count()

@@ -1250,8 +1250,13 @@ def _compact_versioned(spark, root, dedup_ids=False):
             % (vdir, ANN_META)
         )
     for name in fsio.listdir(spark, root):
-        if name.endswith(".claim"):  # crashed writer: single-writer
-            fsio.delete(spark, root + "/" + name[:-len(".claim")])
+        # stale claims are crashed single-writer leftovers — but a
+        # crash BETWEEN the pointer flip and the claim delete leaves a
+        # claim naming the LIVE version: drop only the marker then,
+        # never the committed tree
+        if name.endswith(".claim"):
+            if name[:-len(".claim")] != cur:
+                fsio.delete(spark, root + "/" + name[:-len(".claim")])
             fsio.delete(spark, root + "/" + name, recursive=False)
     meta = _meta_read(spark, vdir)
     name, claim = fsio.next_version(spark, root)

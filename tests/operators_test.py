@@ -3651,3 +3651,37 @@ def test_gemm_tile_blocking_identical(spark, tmp_path, monkeypatch):
     assert pq_run() == full_pq and len(full_pq) > 0
     monkeypatch.undo()
     dedup.release_caches()
+
+
+def test_versioned_compact_crash_recovery(spark, tmp_path):
+    """Crash-shape recovery for the pointer-flip scheme: a claim left
+    BETWEEN the pointer flip and the claim delete names the LIVE
+    version — cleanup must drop only the marker, never the committed
+    tree; a claim for a half-written (never flipped) version drops
+    both."""
+    from tanker_spark import fsio
+
+    rows, corpus = _kji_corpus(spark, n=200)
+    root = "file://" + str(tmp_path / "crashidx")
+    similarity.build_ann_index(corpus, root, method="lsh", n_planes=3,
+                               dim=16, versioned=True)
+    cur = fsio.current_version(spark, root)
+    probe = rows[3][1]
+    before = [r.asDict() for r in similarity.knn_indexed(
+        spark, root, probe, k=10, multiprobe=3).collect()]
+    # crash shape 1: claim naming the LIVE version (flip done, claim
+    # delete lost) — the committed tree must survive cleanup
+    fsio.write_text(spark, root + "/" + cur + ".claim", "claim")
+    # crash shape 2: half-written next version, never flipped
+    fsio.write_text(spark, root + "/v_000009.claim", "claim")
+    spark.range(3).write.parquet(root + "/v_000009")
+    similarity.ann_index_compact(spark, root)
+    names = fsio.listdir(spark, root)
+    assert not [n for n in names if n.endswith(".claim")]
+    assert "v_000009" not in names  # stale half-write GC'd
+    after = [r.asDict() for r in similarity.knn_indexed(
+        spark, root, probe, k=10, multiprobe=3).collect()]
+    assert before == after  # the live tree was never deleted
+    # stale claim+dir were cleaned BEFORE allocation, so the compacted
+    # tree takes the next free slot after the survivor
+    assert fsio.current_version(spark, root) == "v_000002"
