@@ -193,6 +193,21 @@ def next_version(spark, root):
     return name, claim
 
 
+def versioned_overwrite(df, root):
+    """Overwrite a VERSIONED root's contents atomically: write ``df``
+    as the next ``v_NNNNNN`` tree, flip the pointer, GC the old tree.
+    The versioned twin of ``df.write.mode("overwrite")`` — an in-place
+    overwrite of the live version dir would expose mid-job chaos to
+    concurrent readers, which is exactly what the layout exists to
+    prevent. Returns the new version dir."""
+    spark = df.sparkSession
+    root = str(root).rstrip("/")
+    name, claim = next_version(spark, root)
+    df.write.mode("overwrite").parquet(root + "/" + name)
+    commit_version(spark, root, name, claim)
+    return root + "/" + name
+
+
 def commit_version(spark, root, name, claim, gc_old=True):
     """Flip the pointer to ``name``, drop the claim, GC the previous
     version tree. The flip is the atomic commit; a reader that

@@ -68,6 +68,20 @@ def _mask64(m):
     return m - (1 << 64) if m >= (1 << 63) else m
 
 
+def _side_overwrite(frame, root, resolved):
+    """(Re)build a side table and read it back. A VERSIONED root
+    (``resolved != root`` — the pointer resolved to a version dir)
+    gets the atomic next-version flip (:func:`fsio.versioned_overwrite`)
+    instead of an in-place overwrite of the live tree, which would
+    expose mid-job state to concurrent readers — the exact hazard the
+    layout exists to prevent."""
+    spark = frame.sparkSession
+    if resolved != root:
+        return spark.read.parquet(fsio.versioned_overwrite(frame, root))
+    frame.write.mode("overwrite").parquet(resolved)
+    return spark.read.parquet(resolved)
+
+
 def widen(df, min_parts=None):
     """Fan a narrow scan out to the cluster before a compute-heavy map.
 
@@ -549,6 +563,7 @@ def minhash_lsh_pairs(
     in-plan join reads only the rep rows).
     """
     spark = df.sparkSession
+    sig_root = sig_path
     if sig_path:
         sig_path = fsio.resolve(spark, sig_path)
     members = None
@@ -578,13 +593,11 @@ def minhash_lsh_pairs(
             full = base.select(
                 "__id", "__sig", F.col("__id").alias("__rep")
             ).unionAll(extra)
-            full.write.mode("overwrite").parquet(sig_path)
-            base = spark.read.parquet(sig_path).filter(
+            base = _side_overwrite(full, sig_root, sig_path).filter(
                 F.col("__id") == F.col("__rep")
             ).select("__id", "__sig")
         else:
-            base.write.mode("overwrite").parquet(sig_path)
-            base = spark.read.parquet(sig_path)
+            base = _side_overwrite(base, sig_root, sig_path)
     else:
         base = _persist(base)
         n_base = base.count()
@@ -1739,9 +1752,8 @@ def embedding_dedup_pairs(df, vec_col="embedding", id_col="vec_id",
     )
     if sig_path:
         # 100 TB path: durable parquet side table instead of memory
-        sig_path = fsio.resolve(df.sparkSession, sig_path)
-        base.write.mode("overwrite").parquet(sig_path)
-        base = df.sparkSession.read.parquet(sig_path)
+        resolved = fsio.resolve(df.sparkSession, sig_path)
+        base = _side_overwrite(base, sig_path, resolved)
         # metadata-fast over the just-written parquet; feeds the auto
         # verify choice and the precheck gate
         n_base = base.count()

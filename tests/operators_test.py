@@ -3614,6 +3614,16 @@ def test_versioned_side_table_pointer_flip(spark, docs, tmp_path,
         dedup.minhash_incremental(
             batch, root, exclude_batch_ids=True).collect())
     assert before == after
+    # a full REBUILD through minhash_lsh_pairs(sig_path=versioned root)
+    # must take the atomic next-version flip, never overwrite the live
+    # tree in place
+    dedup.minhash_lsh_pairs(corpus, "text", "doc_id",
+                            sig_path=root).count()
+    assert fsio.current_version(spark, root) == "v_000003"
+    rebuilt = sorted(
+        (r.id_a, r.id_b) for r in
+        dedup.minhash_incremental(batch, root).collect())
+    assert before == rebuilt
     dedup.release_caches()
 
 
