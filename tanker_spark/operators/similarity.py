@@ -297,8 +297,11 @@ def _knn_lsh_gemm(qexp, cb, k, schema_str, bucket_cap):
     skew hazard: corpus membership is capped at ``bucket_cap`` by a
     deterministic hash sample (recall bound documented on
     ``knn_join``) and the score tile is block-bounded — per-task
-    memory is ~|C_b|·dim·8 B for the corpus matrix plus one ~64 MB
-    score block, NOT |Q_b|×|C_b|."""
+    memory is the two vector matrices (|C_b|·dim·8 B capped by
+    ``bucket_cap``; |Q_b|·dim·8 B NOT capped — every query owes its
+    top-k, so a degenerate all-identical-query batch still
+    materializes its bucket's queries in one task) plus one ~64 MB
+    score block, never the |Q_b|×|C_b| product."""
     import numpy as np
     import pandas as pd
 
