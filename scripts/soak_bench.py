@@ -670,6 +670,54 @@ def main():
             dedup.release_caches()
         return n
 
+    def versioned_compact_soak():
+        # r10 pointer-flip maintenance at scale: build the VERSIONED
+        # int8 index on the 10M corpus, append a 100k batch 3x (one a
+        # replay), compact through the atomic version flip, and pin
+        # probe row-identity across the flip. The swap cost that
+        # matters is the full-tree rewrite (one bucket-repartition
+        # job) — the flip itself is one small-file overwrite.
+        import shutil
+        root = args.dir + "/versioned_index"
+        shutil.rmtree(root, ignore_errors=True)
+        t0 = time.perf_counter()
+        similarity.build_ann_index(
+            emb, root, method="lsh", n_planes=10, quantize=True,
+            versioned=True)
+        build_s = time.perf_counter() - t0
+        batch = (emb.filter(F.pmod("vec_id", F.lit(100)) == 7)
+                 .withColumn("vec_id", F.col("vec_id") + 3_000_000_000))
+        t0 = time.perf_counter()
+        similarity.ann_index_append(batch, root)
+        append_s = time.perf_counter() - t0
+        probes = [r["embedding"] for r in
+                  emb.filter(F.pmod("vec_id", F.lit(500_000)) == 7)
+                  .collect()]
+        # identity contract: dedup compaction restores the exact
+        # pre-replay probe state, so 'before' is captured pre-replay
+        before = [[r.asDict() for r in similarity.knn_indexed(
+            spark, root, p, k=10, multiprobe=1, rerank_df=emb
+        ).collect()] for p in probes]
+        similarity.ann_index_append(batch, root)  # replay
+        t0 = time.perf_counter()
+        similarity.ann_index_compact(spark, root, dedup_ids=True)
+        compact_s = time.perf_counter() - t0
+        after = [[r.asDict() for r in similarity.knn_indexed(
+            spark, root, p, k=10, multiprobe=1, rerank_df=emb
+        ).collect()] for p in probes]
+        from tanker_spark import fsio
+        ver = fsio.current_version(spark, root)
+        n_rows = similarity._meta_read(
+            spark, fsio.resolve(spark, root))["n_rows"]
+        print("# versioned_compact: build %.1fs, 100k append %.1fs, "
+              "pointer-flip compact %.1fs -> %s with %d rows "
+              "(replay deduped: %s); probe identity across flip: %s "
+              "over %d probes"
+              % (build_s, append_s, compact_s, ver, n_rows,
+                 n_rows == 10_000_000 + 100_000, before == after,
+                 len(probes)), file=sys.stderr)
+        return n_rows
+
     def text_consolidate_soak():
         # the other untested r8 path: text_index_consolidate on a
         # MANY-batch stream layout. Stream the 10M corpus through
@@ -746,6 +794,7 @@ def main():
         "embedding_incremental": embedding_incremental_soak,
         "semantic_gate": semantic_gate_soak,
         "knn_join_bulk": knn_join_bulk_soak,
+        "versioned_compact": versioned_compact_soak,
         "text_consolidate": text_consolidate_soak,
     }
     only = set(args.only.split(",")) if args.only else None
