@@ -599,7 +599,11 @@ def main():
 
     def _shuffle_bytes():
         # app-total shuffle write bytes from the local UI REST API —
-        # per-leg volume is the delta around the leg
+        # per-leg volume is the delta around the leg. Summed from the
+        # EXECUTOR totals (cumulative, never evicted), not the stage
+        # list: the UI store retains only spark.ui.retainedStages
+        # completed stages (default 1000) and a 10M soak blows past
+        # that, which would make deltas undercount or go negative.
         import json as _json
         import urllib.request
         ui = spark.sparkContext.uiWebUrl
@@ -609,10 +613,10 @@ def main():
             apps = _json.loads(urllib.request.urlopen(
                 ui + "/api/v1/applications", timeout=10).read())
             app_id = apps[0]["id"]
-            stages = _json.loads(urllib.request.urlopen(
-                "%s/api/v1/applications/%s/stages?status=complete"
+            execs = _json.loads(urllib.request.urlopen(
+                "%s/api/v1/applications/%s/allexecutors"
                 % (ui, app_id), timeout=30).read())
-            return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+            return sum(e.get("totalShuffleWrite", 0) for e in execs)
         except Exception:
             return None
 

@@ -32,14 +32,6 @@ def is_local(path) -> bool:
     return "://" not in str(path)
 
 
-def strip_file_scheme(path: str) -> str:
-    """``file:///x`` → ``/x`` (local-FS fast path for file URIs)."""
-    path = str(path)
-    if path.startswith("file://") and path[len("file://"):].startswith("/"):
-        return path[len("file://"):]
-    return path
-
-
 def _jfs(spark, path):
     """(jvm FileSystem, jvm Path) for ``path`` under the session's
     Hadoop configuration — the same connectors Spark's reads use."""
@@ -84,14 +76,38 @@ def read_text(spark, path) -> str:
         stream.close()
 
 
+def _is_jvm_not_found(exc) -> bool:
+    """True when a py4j-wrapped JVM exception is a not-found, matched
+    by class name across the cause chain (Hadoop ``open()`` raises
+    ``java.io.FileNotFoundException``; object-store connectors wrap
+    their 404s in it)."""
+    je = getattr(exc, "java_exception", None)
+    for _ in range(16):  # cause chains are short; never loop forever
+        if je is None:
+            return False
+        if "FileNotFoundException" in je.getClass().getName():
+            return True
+        je = je.getCause()
+    return False
+
+
 def try_read_text(spark, path):
-    """``read_text`` or None when the file does not exist."""
+    """``read_text`` or None when the file does not exist. Only
+    not-found maps to None — any OTHER error (permissions, transient
+    store failures) PROPAGATES, because the caller that matters is
+    ``current_version``/``resolve``: treating a versioned root as flat
+    on a transient 503 would silently retarget readers (and side-table
+    APPENDS) at the bare root beside the ``v_*`` trees, data no
+    pointer-resolving reader would ever see again. Failing loudly is
+    strictly better than that."""
     try:
-        if not exists(spark, path):
-            return None
         return read_text(spark, path)
-    except Exception:
+    except FileNotFoundError:
         return None
+    except Exception as exc:
+        if _is_jvm_not_found(exc):
+            return None
+        raise
 
 
 def write_text(spark, path, text: str) -> None:
@@ -206,6 +222,43 @@ def versioned_overwrite(df, root):
     df.write.mode("overwrite").parquet(root + "/" + name)
     commit_version(spark, root, name, claim)
     return root + "/" + name
+
+
+def cleanup_stale_versions(spark, root):
+    """Crash-recovery sweep at maintenance entry. The maintenance ops
+    are single-writer BY CONTRACT (unlike ``storage.py``'s table
+    claims, which carry a TTL because table writers may race), so at
+    entry nothing else can be mid-build and every non-live leftover is
+    garbage:
+
+    - a ``v_X.claim`` naming a NON-live version is a crashed writer's
+      leftover — drop the tree and the marker;
+    - a claim naming the LIVE version is a crash between the pointer
+      flip and the claim delete — drop only the marker, never the
+      committed tree;
+    - a NON-live unclaimed ``v_NNNNNN`` tree is a crash between the
+      flip and the old-tree GC in :func:`commit_version` — drop it (at
+      the 100 TB target a leaked version tree is a full-size copy of
+      the index, the dominant storage cost, and no later commit ever
+      revisits it).
+
+    No-op on a flat (pointerless) root. Returns the live version name
+    (None when flat)."""
+    root = str(root).rstrip("/")
+    cur = current_version(spark, root)
+    if not cur:
+        return None
+    names = listdir(spark, root)
+    claimed = {n[:-len(".claim")] for n in names if n.endswith(".claim")}
+    for n in names:
+        if n.endswith(".claim"):
+            if n[:-len(".claim")] != cur:
+                delete(spark, root + "/" + n[:-len(".claim")])
+            delete(spark, root + "/" + n, recursive=False)
+        elif (len(n) == 8 and n.startswith("v_") and n[2:].isdigit()
+              and n != cur and n not in claimed):
+            delete(spark, root + "/" + n)
+    return cur
 
 
 def commit_version(spark, root, name, claim, gc_old=True):

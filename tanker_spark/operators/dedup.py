@@ -76,7 +76,11 @@ def _side_overwrite(frame, root, resolved):
     expose mid-job state to concurrent readers — the exact hazard the
     layout exists to prevent."""
     spark = frame.sparkSession
-    if resolved != root:
+    # compare against the NORMALIZED root: resolve() rstrips slashes,
+    # so a raw root with a trailing "/" would otherwise always compare
+    # unequal and silently rebuild a FLAT side table as a versioned
+    # layout (stale flat files left behind at the root)
+    if resolved != str(root).rstrip("/"):
         return spark.read.parquet(fsio.versioned_overwrite(frame, root))
     frame.write.mode("overwrite").parquet(resolved)
     return spark.read.parquet(resolved)
@@ -2112,13 +2116,7 @@ def compact_side_table(spark, path, key_col="__id",
                 "refusing to compact an ANN index directory: use "
                 "similarity.ann_index_compact (partition-aware)"
             )
-        for name in fsio.listdir(spark, root):
-            # a crash between pointer flip and claim delete leaves a
-            # claim naming the LIVE version — drop only the marker
-            if name.endswith(".claim"):
-                if name[:-len(".claim")] != cur:
-                    fsio.delete(spark, root + "/" + name[:-len(".claim")])
-                fsio.delete(spark, root + "/" + name, recursive=False)
+        fsio.cleanup_stale_versions(spark, root)
         deduped = _deduped(spark.read.parquet(vdir))
         n = deduped.count()
         parts = max(1, _math.ceil(n / target_rows_per_file))

@@ -269,8 +269,18 @@ def video_frame_features(df, every_ms=1000, payload_col="payload",
 
     from . import minipng, minivid
 
-    if not every_ms > 0:  # also rejects NaN
-        raise ValueError("every_ms must be positive, got %r" % every_ms)
+    import math as _math
+
+    # finite AND >= 1ms: NaN/0/negative fail the comparison; inf would
+    # make ts = 0*inf = NaN inside the executor loop (opaque task
+    # failure); a denormal-small positive needs ~duration/every_ms
+    # iterations per payload — the same effective hang as the fps=0
+    # shape this contract exists to refuse. Sampling finer than 1 ms
+    # (>1000 samples/s) is out of contract.
+    if not (_math.isfinite(every_ms) and every_ms >= 1.0):
+        raise ValueError(
+            "every_ms must be a finite number >= 1.0 (milliseconds), "
+            "got %r" % (every_ms,))
 
     def _extract(batches):
         for pdf in batches:

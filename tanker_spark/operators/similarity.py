@@ -1252,15 +1252,7 @@ def _compact_versioned(spark, root, dedup_ids=False):
             "(flat side tables compact with dedup.compact_side_table)"
             % (vdir, ANN_META)
         )
-    for name in fsio.listdir(spark, root):
-        # stale claims are crashed single-writer leftovers — but a
-        # crash BETWEEN the pointer flip and the claim delete leaves a
-        # claim naming the LIVE version: drop only the marker then,
-        # never the committed tree
-        if name.endswith(".claim"):
-            if name[:-len(".claim")] != cur:
-                fsio.delete(spark, root + "/" + name[:-len(".claim")])
-            fsio.delete(spark, root + "/" + name, recursive=False)
+    fsio.cleanup_stale_versions(spark, root)
     meta = _meta_read(spark, vdir)
     name, claim = fsio.next_version(spark, root)
     new_dir = root + "/" + name

@@ -3483,7 +3483,10 @@ def test_video_frame_features_junk_and_empty_contract(spark):
     assert (got[2].width, got[2].height, got[2].fps,
             got[2].n_frames) == (16, 16, 4, 0)
     assert got[2].frame_idx is None and got[2].feature is None
-    for bad in (0, -5, float("nan")):
+    # inf: ts = 0*inf = NaN inside the loop (opaque executor failure);
+    # sub-ms positives: ~duration/every_ms iterations per payload — the
+    # same effective hang as fps=0. Both refused at the driver.
+    for bad in (0, -5, float("nan"), float("inf"), 1e-12, 0.5):
         with pytest.raises(ValueError, match="every_ms"):
             multimodal.video_frame_features(df, every_ms=bad)
 
@@ -3685,13 +3688,75 @@ def test_versioned_compact_crash_recovery(spark, tmp_path):
     # crash shape 2: half-written next version, never flipped
     fsio.write_text(spark, root + "/v_000009.claim", "claim")
     spark.range(3).write.parquet(root + "/v_000009")
+    # crash shape 3: a SUPERSEDED tree with no claim — the writer
+    # died between commit_version's pointer flip and the old-tree GC.
+    # No later commit revisits it; only the entry sweep can reclaim it
+    # (at 100 TB a leaked version tree is a full-size index copy).
+    spark.range(3).write.parquet(root + "/v_000008")
     similarity.ann_index_compact(spark, root)
     names = fsio.listdir(spark, root)
     assert not [n for n in names if n.endswith(".claim")]
     assert "v_000009" not in names  # stale half-write GC'd
+    assert "v_000008" not in names  # unclaimed superseded tree GC'd
     after = [r.asDict() for r in similarity.knn_indexed(
         spark, root, probe, k=10, multiprobe=3).collect()]
     assert before == after  # the live tree was never deleted
     # stale claim+dir were cleaned BEFORE allocation, so the compacted
     # tree takes the next free slot after the survivor
     assert fsio.current_version(spark, root) == "v_000002"
+
+
+def test_try_read_text_only_not_found_is_none(spark, tmp_path):
+    """fsio.try_read_text maps ONLY not-found to None. Any other error
+    propagates: resolve() treating a versioned root as flat on a
+    transient store failure would retarget side-table appends at the
+    bare root — data no pointer-resolving reader ever sees again."""
+    from tanker_spark import fsio
+
+    missing = str(tmp_path / "nope")
+    assert fsio.try_read_text(spark, missing) is None
+    assert fsio.try_read_text(spark, "file://" + missing) is None
+    # a directory is not a readable pointer file — NOT a not-found;
+    # the local branch must raise, never silently answer None
+    adir = tmp_path / "adir"
+    adir.mkdir()
+    with pytest.raises(OSError):
+        fsio.try_read_text(spark, str(adir))
+    # flat roots everywhere resolve through the None branch
+    assert fsio.current_version(spark, str(tmp_path)) is None
+    assert fsio.resolve(spark, str(tmp_path)) == str(tmp_path)
+
+
+def test_cleanup_stale_versions_flat_root_noop(spark, tmp_path):
+    """The crash-recovery sweep is pointer-gated: on a FLAT root it
+    must not touch anything — even a subdir that happens to look like
+    a version dir (user data is not ours to GC)."""
+    from tanker_spark import fsio
+
+    root = tmp_path / "flat"
+    spark.range(3).write.parquet(str(root / "v_000001"))
+    assert fsio.cleanup_stale_versions(spark, str(root)) is None
+    assert fsio.exists(spark, str(root / "v_000001"))
+
+
+def test_side_table_trailing_slash_stays_flat(spark, docs):
+    """A FLAT side table addressed with a trailing slash must rebuild
+    in place, not silently flip to the versioned layout (the resolve()
+    rstrip made ``resolved != root`` spuriously true)."""
+    import tempfile
+
+    from tanker_spark import fsio
+
+    with tempfile.TemporaryDirectory() as td:
+        sig = td + "/sigs/"
+        corpus = docs.filter(F.col("doc_id") < 40)
+        dedup.minhash_lsh_pairs(corpus, "text", "doc_id",
+                                sig_path=sig).count()
+        assert fsio.current_version(spark, sig) is None  # still flat
+        names = fsio.listdir(spark, sig.rstrip("/"))
+        assert not [n for n in names if n.startswith("v_")]
+        # the rebuild path too: second call overwrites in place
+        dedup.minhash_lsh_pairs(corpus, "text", "doc_id",
+                                sig_path=sig).count()
+        assert fsio.current_version(spark, sig) is None
+        dedup.release_caches()
