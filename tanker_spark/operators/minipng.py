@@ -19,6 +19,13 @@ import zlib
 
 SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
+#: Per-payload decoded-size ceiling (256 MB of filtered rows). The
+#: IHDR alone can declare ~2^64 pixels and the IDAT stream is zlib —
+#: a small crafted payload must cost a ValueError (→ the consumer's
+#: junk→NULL row), never an executor-killing allocation or a
+#: billion-iteration filter loop. Same rule as minivid.
+MAX_DECODED_BYTES = 1 << 28
+
 
 def _chunk(tag: bytes, data: bytes) -> bytes:
     return (
@@ -59,6 +66,11 @@ def decode_gray(data: bytes):
         chunk = data[pos + 8:pos + 8 + ln]
         pos += 12 + ln
         if tag == b"IHDR":
+            if len(chunk) != 13:
+                # struct.error is not ValueError — a short IHDR must
+                # still land in the junk→NULL contract
+                raise ValueError("corrupt PNG: IHDR is %d bytes"
+                                 % len(chunk))
             w, h, depth, ctype, _comp, _filt, inter = struct.unpack(
                 ">IIBBBBB", chunk)
             if depth != 8 or ctype != 0 or inter != 0:
@@ -67,13 +79,35 @@ def decode_gray(data: bytes):
                     "(got depth=%d colortype=%d interlace=%d) — install "
                     "Pillow for full decode" % (depth, ctype, inter)
                 )
+            if w == 0 or h == 0:
+                # w=0 with a u32 h is a billion-row no-op filter loop —
+                # an effective hang on one adversarial row
+                raise ValueError("degenerate PNG dimensions %dx%d"
+                                 % (w, h))
+            if h * (w + 1) > MAX_DECODED_BYTES:
+                raise ValueError(
+                    "PNG declares %dx%d (%d filtered bytes), over the "
+                    "%d-byte per-payload ceiling"
+                    % (w, h, h * (w + 1), MAX_DECODED_BYTES)
+                )
         elif tag == b"IDAT":
             idat += bytes(chunk)
         elif tag == b"IEND":
             break
     if w is None:
         raise ValueError("PNG missing IHDR")
-    raw = zlib.decompress(idat)
+    want = h * (w + 1)  # h filter bytes + h*w pixels
+    try:
+        # bounded expansion: the cap is known from the (validated)
+        # header, so a zlib bomb can never out-allocate it
+        raw = zlib.decompressobj().decompress(idat, want + 1)
+    except zlib.error as exc:
+        raise ValueError("corrupt PNG IDAT stream: %s" % exc)
+    if len(raw) != want:
+        raise ValueError(
+            "PNG pixel stream is %d bytes, want %d for %dx%d"
+            % (len(raw), want, w, h)
+        )
     out = bytearray(w * h)
     prev = bytearray(w)
     p = 0

@@ -31,6 +31,15 @@ MAGIC = b"MVID"
 _HDR = "<4sBBHHHI"
 _HDR_LEN = struct.calcsize(_HDR)
 
+#: Per-payload decoded-size ceiling (256 MB). The header alone can
+#: declare n_frames*width*height ≈ 2^64 bytes, and the zlib branch
+#: would otherwise happily expand a small crafted payload toward it —
+#: one adversarial row must cost a ValueError (→ the junk→NULL row),
+#: never an executor-killing allocation. Real clips at this codec's
+#: subset (8-bit grayscale) sit far below; deployments that swap in
+#: ffmpeg inherit its own bounds instead.
+MAX_DECODED_BYTES = 1 << 28
+
 
 def encode_gray_video(frames, width: int, height: int, fps: int,
                       compress: bool = True) -> bytes:
@@ -84,13 +93,27 @@ def decode_gray_video(payload: bytes):
             "degenerate MVID header: width=%d height=%d fps=%d"
             % (width, height, fps)
         )
+    want = n_frames * width * height
+    if want > MAX_DECODED_BYTES:
+        raise ValueError(
+            "MVID header declares %d decoded bytes (%d frames of "
+            "%dx%d), over the %d-byte per-payload ceiling"
+            % (want, n_frames, width, height, MAX_DECODED_BYTES)
+        )
     blob = payload[_HDR_LEN:]
     if flags & 1:
         try:
-            blob = zlib.decompress(blob)
+            # bound the expansion BEFORE trusting the stream: a zlib
+            # bomb must not out-allocate the header's (already capped)
+            # declared size. +1 so an over-long stream is detectable
+            # as a length mismatch below instead of a silent clamp.
+            obj = zlib.decompressobj()
+            blob = obj.decompress(blob, want + 1)
+            if obj.unused_data:
+                raise ValueError(
+                    "trailing garbage after MVID frame stream")
         except zlib.error as exc:
             raise ValueError("corrupt MVID frame stream: %s" % exc)
-    want = n_frames * width * height
     if len(blob) != want:
         raise ValueError(
             "truncated MVID frame stream: header declares %d bytes "

@@ -21,6 +21,11 @@ def encode_pcm16(samples, sample_rate: int, n_channels: int = 1) -> bytes:
     """Interleaved int16 samples → WAV bytes."""
     if n_channels not in (1, 2):
         raise ValueError("n_channels must be 1 or 2")
+    if not 1 <= int(sample_rate) <= 0xFFFFFFFF:
+        # struct would reject out-of-u32 rates with struct.error; 0 is
+        # in-range but degenerate (duration/frame math divides by it)
+        raise ValueError("sample_rate must be in [1, 2^32-1], got %r"
+                         % (sample_rate,))
     if len(samples) % n_channels:
         raise ValueError("sample count not a multiple of channels")
     data = struct.pack("<%dh" % len(samples), *samples)
@@ -60,6 +65,11 @@ def decode_pcm16(payload: bytes):
             )
         body = payload[pos + 8:pos + 8 + size]
         if tag == b"fmt ":
+            if len(body) < 16:
+                # struct.error is not ValueError — a short fmt chunk
+                # must still land in the junk→NULL contract
+                raise ValueError("corrupt fmt chunk: %d bytes"
+                                 % len(body))
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif tag == b"data":
             data = body
@@ -73,6 +83,25 @@ def decode_pcm16(payload: bytes):
             "only 16-bit integer PCM supported (format %d, %d bits)"
             % (audio_format, bits)
         )
+    # the consumers' numpy math trusts these: nch outside (1, 2) makes
+    # the stereo mixdown reshape throw OUTSIDE the junk→NULL try, and
+    # rate=0 is degenerate (duration/frame-length divide by it)
+    if n_channels not in (1, 2):
+        raise ValueError("n_channels must be 1 or 2, got %d"
+                         % n_channels)
+    if sample_rate == 0:
+        raise ValueError("sample_rate 0 is degenerate")
+    if len(data) % 2:
+        # int16 PCM cannot have an odd byte count — a silent //2 would
+        # decode a truncated tail sample away (the r8 truncation rule)
+        raise ValueError("odd data chunk length %d for 16-bit PCM"
+                         % len(data))
     n = len(data) // 2
+    if n % n_channels:
+        # stereo frames are sample PAIRS; an unpaired tail would make
+        # the consumer's channel-mixdown reshape throw outside its
+        # junk→NULL try
+        raise ValueError("sample count %d not a multiple of %d channels"
+                         % (n, n_channels))
     samples = list(struct.unpack("<%dh" % n, data[:n * 2]))
     return samples, sample_rate, n_channels

@@ -3459,6 +3459,96 @@ def test_minivid_degenerate_headers_rejected():
                                   4, 3, 2)
 
 
+def test_codec_adversarial_payloads_rejected(spark):
+    """r10 robustness sweep of the fps=0 bug class across ALL three
+    vendored codecs: every crafted-header shape that previously
+    escaped the junk→NULL contract as a struct.error / uncaught numpy
+    reshape / unbounded allocation / billion-iteration loop must now
+    be a plain ValueError — one adversarial row costs a NULL row,
+    never an executor."""
+    import struct
+    import zlib
+
+    from tanker_spark.operators import minipng, minivid, miniwav
+
+    # -- miniwav: crafted RIFF payloads --------------------------------
+    def wav(fmt_body, data_body):
+        return (b"RIFF" + b"\0\0\0\0" + b"WAVE"
+                + b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+                + b"data" + struct.pack("<I", len(data_body)) + data_body)
+
+    def fmt16(nch=1, rate=8000):
+        return struct.pack("<HHIIHH", 1, nch, rate, rate * nch * 2,
+                           nch * 2, 16)
+
+    with pytest.raises(ValueError, match="fmt chunk"):  # was struct.error
+        miniwav.decode_pcm16(wav(struct.pack("<HHI", 1, 1, 8000),
+                                 b"\0\0"))
+    with pytest.raises(ValueError, match="channels"):
+        miniwav.decode_pcm16(wav(fmt16(nch=3), b"\0\0\0\0\0\0"))
+    with pytest.raises(ValueError, match="sample_rate"):
+        miniwav.decode_pcm16(wav(fmt16(rate=0), b"\0\0"))
+    with pytest.raises(ValueError, match="odd"):
+        miniwav.decode_pcm16(wav(fmt16(), b"\0\0\0"))
+    # stereo with an unpaired int16 tail: the consumer's mixdown
+    # reshape(-1, 2) threw OUTSIDE its junk→NULL try
+    with pytest.raises(ValueError, match="multiple"):
+        miniwav.decode_pcm16(wav(fmt16(nch=2), b"\0\0"))
+    with pytest.raises(ValueError, match="sample_rate"):
+        miniwav.encode_pcm16([0], 0)
+    # end-to-end: the reshape-killer payload is a NULL row, not a
+    # failed task
+    df = spark.createDataFrame(
+        [(1, bytearray(wav(fmt16(nch=2), b"\0\0")), "audio/wav",
+          None, None, None)],
+        multimodal.MEDIA_SCHEMA)
+    (row,) = multimodal.audio_features(df).collect()
+    assert row.sample_rate is None and row.frame_rms is None
+
+    # -- minipng: crafted headers and IDAT streams ---------------------
+    def png(ihdr_body, idat_raw=b"", compressed=None):
+        return (minipng.SIGNATURE
+                + minipng._chunk(b"IHDR", ihdr_body)
+                + minipng._chunk(
+                    b"IDAT",
+                    zlib.compress(idat_raw)
+                    if compressed is None else compressed)
+                + minipng._chunk(b"IEND", b""))
+
+    def ihdr(w, h):
+        return struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+
+    with pytest.raises(ValueError, match="IHDR"):  # was struct.error
+        minipng.decode_gray(png(b"\0" * 5))
+    with pytest.raises(ValueError, match="degenerate"):  # u32-h loop
+        minipng.decode_gray(png(ihdr(0, 4_000_000_000)))
+    with pytest.raises(ValueError, match="ceiling"):  # allocation bomb
+        minipng.decode_gray(png(ihdr(65535, 65535)))
+    # truncated pixel stream: was an IndexError mid-filter-loop
+    with pytest.raises(ValueError, match="pixel stream"):
+        minipng.decode_gray(png(ihdr(4, 4), idat_raw=b"\0" * 10))
+    # zlib bomb vs a small declared geometry: expansion is capped at
+    # the header's (validated) size, then refused on length mismatch
+    with pytest.raises(ValueError, match="pixel stream"):
+        minipng.decode_gray(png(ihdr(2, 2),
+                                idat_raw=b"\0" * 10_000_000))
+
+    # -- minivid: declared-size ceiling and zlib bomb -------------------
+    def mvid(w, h, fps, n, blob, flags=0):
+        return struct.pack(minivid._HDR, minivid.MAGIC, 1, flags,
+                           w, h, fps, n) + blob
+
+    with pytest.raises(ValueError, match="ceiling"):
+        minivid.decode_gray_video(mvid(65535, 65535, 1, 1000, b""))
+    with pytest.raises(ValueError, match="frame stream"):
+        minivid.decode_gray_video(
+            mvid(2, 2, 1, 1, zlib.compress(bytes(50_000_000)),
+                 flags=1))
+    with pytest.raises(ValueError, match="trailing"):
+        minivid.decode_gray_video(
+            minivid.encode_gray_video([bytes(4)], 2, 2, 1) + b"xx")
+
+
 def test_video_frame_features_junk_and_empty_contract(spark):
     """junk→NULL closes over the fps=0 crafted payload (one NULL row,
     task terminates), an empty-but-valid MVID (n_frames=0) yields one
