@@ -39,7 +39,7 @@ POSTINGS_SUBDIR = "postings"
 _PFX = "pfx"
 
 
-def _reject_stream_layout(path, caller):
+def _reject_stream_layout(spark, path, caller):
     """Loud guard: the batch-layout reader/appender on a STREAM-built
     index (``streaming.ingest.text_index_sink``'s ``batch=N`` dirs)
     would silently mis-score — the one-row meta read returns one row
@@ -47,13 +47,18 @@ def _reject_stream_layout(path, caller):
     batch count; an append would mix ``pfx=`` dirs into a ``batch=``
     partition tree and break discovery. Probe with
     ``bm25_topk_stream_indexed`` or convert once with
-    ``text_index_consolidate``."""
-    import os
+    ``text_index_consolidate``.
 
-    meta_dir = os.path.join(path, META_SUBDIR)
-    if os.path.isdir(meta_dir) and any(
-        d.startswith("batch=") for d in os.listdir(meta_dir)
-    ):
+    The listing rides :mod:`fsio` (the rest of this family is plain
+    Spark IO, so the index itself works on any scheme) — a driver-side
+    ``os.listdir`` would return NOTHING for a remote path and silently
+    wave the mis-scoring case through, the exact failure this guard
+    exists to refuse."""
+    from .. import fsio
+
+    meta_dir = str(path).rstrip("/") + "/" + META_SUBDIR
+    if any(d.startswith("batch=")
+           for d in fsio.listdir(spark, meta_dir)):
         raise ValueError(
             "%s: %s is a stream-built index (batch=N layout) — "
             "probe with bm25_topk_stream_indexed or convert with "
@@ -182,13 +187,19 @@ def text_index_append(new_df, path, text_col="text", id_col="doc_id"):
       ``avgdl' = (n·avgdl + nb·avgdl_b) / (n + nb)`` — two 1-row
       actions, no corpus scan. Postings append FIRST, meta flips last:
       a crash in between leaves scores normalized by the old avgdl
-      (slightly stale ranking, no rows lost or double-counted).
+      (slightly stale ranking, no rows lost or double-counted). The
+      meta rewrite is a Spark ``overwrite`` (delete-then-write), NOT
+      an atomic pointer flip: a probe racing the rewrite window fails
+      LOUDLY on the missing meta and should retry — it can never read
+      a silently wrong blend of old and new stats (the meta is one
+      row in one file).
 
     Append-only, exactly-once is the CALLER's contract (same as
     ``ann_index_append``): re-appending a doc_id double-counts its
     postings — replay protection belongs to the ingest layer
     (cf. ``streaming/ingest.py``'s batch-id dirs)."""
-    _reject_stream_layout(path, "text_index_append")
+    _reject_stream_layout(new_df.sparkSession, path,
+                          "text_index_append")
     toks = _postings(new_df, text_col, id_col)
     postings = (
         toks.groupBy("doc_id", "term")
@@ -246,7 +257,7 @@ def bm25_topk_indexed(spark, path, query, k=10, k1=1.2, b=0.75,
     from the matching postings, same scoring expression as the ad-hoc
     path — a rebuilt probe is row-identical to :func:`bm25_topk` on the
     same corpus (pinned by test)."""
-    _reject_stream_layout(path, "bm25_topk_indexed")
+    _reject_stream_layout(spark, path, "bm25_topk_indexed")
     terms = _query_terms(query)
     pfx = sorted({
         hashlib.sha256(t.encode()).hexdigest()[:2] for t in terms

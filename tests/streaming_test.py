@@ -1048,6 +1048,14 @@ def test_text_index_stream(spark, tmp_path):
         bm25_topk_indexed(spark, idx, "spark merge", k=3)
     with pytest.raises(ValueError):
         text_index_append(late, idx)
+    # ... and on a SCHEME-CARRYING path too: the guard's listing rides
+    # fsio, so a remote stream index is refused just as loudly — a
+    # driver-side os.listdir would see nothing there and wave the
+    # silent mis-scoring through (r10 audit)
+    with pytest.raises(ValueError, match="stream-built"):
+        bm25_topk_indexed(spark, "file://" + idx, "spark merge", k=3)
+    with pytest.raises(ValueError, match="stream-built"):
+        text_index_append(late, "file://" + idx)
 
 
 def test_line_filter_stream(spark, tmp_path):
