@@ -66,8 +66,15 @@ def neardup_filter_sink(stream_df, out_path, sig_path, checkpoint_dir,
         if batch_df.isEmpty():
             return
         batch_df = batch_df.persist()
-        import os
-        if os.path.exists(sig_path):
+        from .. import fsio
+
+        # the "side table exists yet?" bootstrap gate rides fsio (and
+        # resolves a versioned root to its live tree): a driver-side
+        # os.path.exists is False FOREVER on a remote sig_path, so
+        # every batch would take the bootstrap branch and silently
+        # admit all cross-batch near-duplicates (r10 audit)
+        _sess = batch_df.sparkSession
+        if fsio.exists(_sess, fsio.resolve(_sess, sig_path)):
             pairs = minhash_incremental(
                 batch_df, sig_path, text_col, id_col, num_hashes,
                 bands, shingle_n, threshold, seed,
@@ -182,7 +189,6 @@ def semantic_filter_sink(stream_df, out_path, index_path, checkpoint_dir,
     read + one intra-batch banded-LSH pass over the batch itself; the
     historical corpus is only ever touched through its bucket-pruned
     index partitions."""
-    import os
 
     from ..operators import dedup as _dedup
     from ..operators import similarity as _sim
@@ -211,7 +217,15 @@ def semantic_filter_sink(stream_df, out_path, index_path, checkpoint_dir,
         # LSH pass — measured at the 10M soak as the difference
         # between ~25 min/batch and ~4 min/batch (r8 soak finding)
         keep = batch_df.join(intra, id_col, "left_anti").persist()
-        if os.path.exists(os.path.join(index_path, _sim.ANN_META)):
+        # "index exists yet?" rides fsio + pointer resolution — a
+        # driver-side os.path.exists is False FOREVER on a remote
+        # index_path, so every batch would rebuild the index from its
+        # own rows and silently admit all cross-batch near-duplicates
+        # (r10 audit; same class as the neardup gate above)
+        from .. import fsio
+        _sess = batch_df.sparkSession
+        if fsio.exists(_sess, fsio.resolve(_sess, index_path).rstrip("/")
+                       + "/" + _sim.ANN_META):
             # score="gemm" pinned: the sink's batches are corpus-scale
             # (foreachBatch micro-batches of an ingest stream), so
             # "auto"'s index count — a full pruned-index scan per
@@ -348,7 +362,6 @@ def line_filter_sink(stream_df, out_path, freq_path, checkpoint_dir,
     Scale: per batch = one explode + one (line-hash) count + the
     history sum (hash-keyed, map-side partials over the side table) +
     the doc-keyed rebuild; the landed corpus is never re-read."""
-    import os
 
     from ..operators.dedup import (_line_counts, _line_explode,
                                    _line_rebuild)

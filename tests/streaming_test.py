@@ -254,6 +254,35 @@ def test_neardup_filter_stream(spark, tmp_path):
     assert kept2 == set()
 
 
+def test_neardup_filter_stream_remote_scheme_gate(spark, tmp_path):
+    """The 'side table exists yet?' gate must see a SCHEME-CARRYING
+    sig_path (fsio, not os.path.exists — which is False forever for a
+    remote path, sending every batch down the bootstrap branch and
+    silently admitting all cross-batch near-duplicates; r10 audit)."""
+    from tanker_spark.operators import dedup
+    from tanker_spark.streaming.ingest import neardup_filter_sink
+
+    corpus_doc = " ".join("w%d" % i for i in range(60))
+    sig_path = "file://" + str(tmp_path / "sigs")
+    dedup.minhash_append_signatures(
+        spark.createDataFrame([(0, corpus_doc)], ["doc_id", "text"]),
+        sig_path)
+    batch = [(100, "completely different fresh words " * 8),
+             (101, corpus_doc + " tail")]  # near-dup of corpus doc 0
+    src = str(tmp_path / "src")
+    spark.createDataFrame(batch, ["doc_id", "text"]).coalesce(1) \
+        .write.parquet(src)
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(src))
+    out = str(tmp_path / "out")
+    q = neardup_filter_sink(stream, out, sig_path,
+                            str(tmp_path / "ckpt"), threshold=0.5)
+    q.awaitTermination(120)
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept == {100}  # 101 was matched THROUGH the remote scheme
+    dedup.release_caches()
+
+
 def test_hourly_anomalies_dense_grid_flags_dropout(spark):
     """dense=True fills zero-count hours so a drop-to-zero hour is
     flagged; the sparse default cannot see it at all."""
@@ -977,6 +1006,42 @@ def test_semantic_filter_stream(spark, tmp_path):
     kept3 = ({r.vec_id for r in spark.read.parquet(out3).collect()}
              if files else set())
     assert kept3 == set()
+
+
+def test_semantic_filter_stream_remote_scheme_gate(spark, tmp_path):
+    """The semantic gate's 'index exists yet?' check must see a
+    SCHEME-CARRYING index_path (fsio + pointer resolve, not
+    os.path.exists — False forever remotely, so every batch would
+    REBUILD the index from its own rows and silently admit all
+    cross-batch near-duplicates; r10 audit, twin of the MinHash pin)."""
+    import random
+
+    from tanker_spark.operators import similarity
+    from tanker_spark.streaming.ingest import semantic_filter_sink
+
+    rnd = random.Random(7)
+    dim = 16
+    a = [rnd.gauss(0, 1) for _ in range(dim)]
+    fresh = [rnd.gauss(0, 1) for _ in range(dim)]
+    idx = "file://" + str(tmp_path / "sem_idx")
+    similarity.build_ann_index(
+        spark.createDataFrame([(0, a)], ["vec_id", "embedding"]),
+        idx, method="lsh", n_planes=6, dim=dim)
+    batch = [(10, [x + rnd.gauss(0, 1e-6) for x in a]),  # indexed twin
+             (11, fresh)]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(batch, ["vec_id", "embedding"]).coalesce(1) \
+        .write.parquet(src)
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<double>").parquet(src)
+    out = str(tmp_path / "out")
+    q = semantic_filter_sink(stream, out, idx, str(tmp_path / "ckpt"),
+                             threshold=0.999, dim=dim, n_planes=6)
+    q.awaitTermination(120)
+    kept = {r.vec_id for r in spark.read.parquet(out).collect()}
+    assert kept == {11}  # 10 was matched THROUGH the remote scheme
+    from tanker_spark.operators import dedup
+    dedup.release_caches()
 
 
 def test_text_index_stream(spark, tmp_path):
