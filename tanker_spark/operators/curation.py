@@ -394,9 +394,12 @@ def export_shards(df, path, n_shards, id_col, seed=42, fmt="parquet"):
     )
     # delivery manifest: per-shard row counts + params, written beside
     # the data (underscore prefix = invisible to readers) so a
-    # consumer can verify completeness without a scan
+    # consumer can verify completeness without a scan. Rides fsio —
+    # shard export's 100 TB destination IS the object store, and a raw
+    # open() would land the data then crash on the manifest
     import json
-    import os
+
+    from .. import fsio
 
     rows = (
         df.sparkSession.read.format(spark_fmt).load(path)
@@ -409,8 +412,9 @@ def export_shards(df, path, n_shards, id_col, seed=42, fmt="parquet"):
         "total_rows": sum(r["count"] for r in rows),
         "shards": {str(r["shard"]): r["count"] for r in rows},
     }
-    with open(os.path.join(path, "_manifest.json"), "w") as fh:
-        json.dump(manifest, fh, indent=1, sort_keys=True)
+    fsio.write_text(
+        df.sparkSession, str(path).rstrip("/") + "/_manifest.json",
+        json.dumps(manifest, indent=1, sort_keys=True))
     return path
 
 

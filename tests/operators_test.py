@@ -1482,6 +1482,13 @@ def test_export_shards_manifest(spark, docs, tmp_path):
     man = _json.load(open(path + "/_manifest.json"))
     assert man["n_shards"] == 4 and man["total_rows"] == docs.count()
     assert sum(man["shards"].values()) == docs.count()
+    # scheme-carrying destination: the manifest rides fsio — a raw
+    # open() landed the data then crashed on the manifest (r10 audit)
+    rpath = "file://" + str(tmp_path / "shards_r")
+    curation.export_shards(docs, rpath, n_shards=2, id_col="doc_id")
+    man2 = _json.load(open(str(tmp_path / "shards_r") +
+                           "/_manifest.json"))
+    assert man2["total_rows"] == docs.count()
 
 
 def test_dedup_near_rows(spark, docs):
