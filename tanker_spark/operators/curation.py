@@ -74,6 +74,11 @@ def chunk_docs(df, text_col="text", id_col="doc_id", size=64, stride=48):
     """
     from .text import tokens
 
+    if int(size) < 1 or int(stride) < 1:
+        # stride=0 reaches Spark's sequence() as a zero step — an
+        # opaque executor error instead of a driver-side contract
+        raise ValueError("size and stride must be >= 1, got size=%r "
+                         "stride=%r" % (size, stride))
     toks = tokens(F.col(text_col))
     starts = F.sequence(
         F.lit(0),
@@ -418,6 +423,48 @@ def export_shards(df, path, n_shards, id_col, seed=42, fmt="parquet"):
     return path
 
 
+class _LeftmostFit:
+    """Max segment tree over bin remainders: ``find(need)`` returns the
+    LEFTMOST (oldest) bin whose remainder fits ``need`` in O(log B) —
+    the same placement decision as a linear first-fit scan, without
+    its O(bins) per item. At a 10M-row corpus a partition packs ~10⁵⁻⁶
+    items; the linear scan is quadratic there (hours on adversarial
+    length mixes), the tree is n·log n."""
+
+    def __init__(self):
+        self.n = 0
+        self.cap = 1
+        self.t = [-1, -1]
+
+    def append(self, rem):
+        if self.n == self.cap:
+            leaves = self.t[self.cap:self.cap + self.n]
+            self.cap *= 2
+            self.t = [-1] * (2 * self.cap)
+            self.t[self.cap:self.cap + self.n] = leaves
+            for i in range(self.cap - 1, 0, -1):
+                self.t[i] = max(self.t[2 * i], self.t[2 * i + 1])
+        self._set(self.n, rem)
+        self.n += 1
+
+    def _set(self, idx, rem):
+        i = self.cap + idx
+        self.t[i] = rem
+        i //= 2
+        while i:
+            self.t[i] = max(self.t[2 * i], self.t[2 * i + 1])
+            i //= 2
+
+    def find(self, need):
+        """Leftmost bin index with remainder >= need, or -1."""
+        if self.t[1] < need:
+            return -1
+        i = 1
+        while i < self.cap:
+            i = 2 * i if self.t[2 * i] >= need else 2 * i + 1
+        return i - self.cap
+
+
 def pack_sequences(df, id_col, len_col, budget, n_partitions=None):
     """Pack items into fixed-budget bins (context-window packing — the
     step between curation and shard export in a training pipeline).
@@ -453,26 +500,25 @@ def pack_sequences(df, id_col, len_col, budget, n_partitions=None):
         import pandas as pd
 
         pid = TaskContext.get().partitionId()
-        bins = []  # list of (remaining, bin_idx); small: lengths sorted
-        fills = {}
-        next_bin = 0
+        # bin b's remaining capacity lives in the tree at index b;
+        # find() makes the IDENTICAL leftmost-first-fit choice the
+        # old linear scan made, in O(log bins) per item
+        tree = _LeftmostFit()
+        rems = []
+        fills = []
         for pdf in batches:
             rows = []
             for _id, ln in zip(pdf[id_col], pdf["__len"]):
                 ln = int(ln)
-                placed = None
-                for i, (rem, b) in enumerate(bins):
-                    if rem >= ln:
-                        placed = i
-                        break
-                if placed is None:
-                    b = next_bin
-                    next_bin += 1
-                    bins.append((budget - ln, b))
-                    fills[b] = ln
+                b = tree.find(ln)
+                if b < 0:
+                    b = len(rems)
+                    tree.append(budget - ln)
+                    rems.append(budget - ln)
+                    fills.append(ln)
                 else:
-                    rem, b = bins[placed]
-                    bins[placed] = (rem - ln, b)
+                    rems[b] -= ln
+                    tree._set(b, rems[b])
                     fills[b] += ln
                 rows.append(
                     (_id, ln, pid * 10_000_000 + b, fills[b])

@@ -1876,6 +1876,11 @@ def _doc_windows(df, text_col, id_col, win, stride):
     sequences always chain to the same hash (cross-engine oracles can
     group by the window text itself; agreement modulo 2⁻⁶⁴
     collisions)."""
+    if int(win) < 1 or int(stride) < 1:
+        # stride=0 reaches Spark's sequence() as a zero step — an
+        # opaque executor error instead of a driver-side contract
+        raise ValueError("win and stride must be >= 1, got win=%r "
+                         "stride=%r" % (win, stride))
     base = df.select(
         F.col(id_col).alias("doc_id"),
         F.transform(

@@ -213,6 +213,14 @@ def frame_sample(df, every_ms=1000):
     zero-decode shape for scheduling/estimating frame work. One row per
     (media, frame_ts). For payloads in the vendored MVID format,
     :func:`video_frame_features` runs the REAL decode counterpart."""
+    import math as _math
+
+    # same contract as video_frame_features: every_ms=0 would divide
+    # to NULL inside the plan and silently emit ZERO rows per media
+    if not (_math.isfinite(every_ms) and every_ms >= 1.0):
+        raise ValueError(
+            "every_ms must be a finite number >= 1.0 (milliseconds), "
+            "got %r" % (every_ms,))
     n_frames = (F.coalesce(F.col("duration_ms"), F.lit(0)) / every_ms).cast(
         "int"
     )

@@ -976,6 +976,40 @@ def test_pack_sequences(spark, docs):
     assert len(by_pack) < len(packed)
 
 
+def test_leftmost_fit_tree_matches_linear_scan():
+    """The segment-tree first-fit (r10: the linear bin scan was
+    O(bins) per item — quadratic per partition at 10M-corpus scale)
+    makes the IDENTICAL leftmost placement the naive scan makes, on
+    random length mixes including over-budget singletons."""
+    import random as _random
+
+    from tanker_spark.operators.curation import _LeftmostFit
+
+    rnd = _random.Random(41)
+    for trial in range(20):
+        budget = rnd.choice([50, 100, 1000])
+        lens = [rnd.randint(1, int(budget * 1.3))
+                for _ in range(rnd.randint(1, 400))]
+        if trial % 3 == 0:
+            lens.sort(reverse=True)  # the operator's FFD order
+        tree = _LeftmostFit()
+        rems = []
+        naive_bins = []
+        for ln in lens:
+            want = next((i for i, r in enumerate(naive_bins)
+                         if r >= ln), -1)
+            got = tree.find(ln)
+            assert got == want, (trial, ln, naive_bins)
+            if want < 0:
+                naive_bins.append(budget - ln)
+                tree.append(budget - ln)
+                rems.append(budget - ln)
+            else:
+                naive_bins[want] -= ln
+                rems[want] -= ln
+                tree._set(want, rems[want])
+
+
 def test_containment_ratio(spark):
     """A test doc copied from train is fully contained; a fresh doc is
     (mostly) not."""
