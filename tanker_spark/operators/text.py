@@ -880,6 +880,12 @@ def bpe_encode(df, merges, text_col="text", id_col="doc_id",
                 for w in (t or "").split():
                     got = cache.get(w)
                     if got is None:
+                        if len(cache) >= 1_000_000:
+                            # the cache outlives each Arrow batch; an
+                            # adversarial all-unique-words partition
+                            # would otherwise grow it without bound.
+                            # Zipf re-fills the hot head immediately
+                            cache.clear()
                         got = cache[w] = encode_word(w, rk)
                     out.extend(got)
                 toks.append(out)
