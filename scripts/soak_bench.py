@@ -774,6 +774,33 @@ def main():
               file=sys.stderr)
         return len(got_flat)
 
+    def pack_chunk_soak():
+        # the packing/chunking family's first at-scale leg (r10):
+        # context-window chunking is map-only (posexplode of window
+        # starts); packing is one id-hash shuffle + a per-partition
+        # greedy first-fit over Arrow batches. The r10 segment-tree
+        # rewrite matters exactly here — ~80k items per partition
+        # against tens of thousands of open bins made the old linear
+        # scan quadratic per task.
+        t0 = time.perf_counter()
+        n_chunks = curation.chunk_docs(docs, size=32, stride=24).count()
+        chunk_s = time.perf_counter() - t0
+        sized = docs.select("doc_id", "n_chars")
+        t0 = time.perf_counter()
+        packed = curation.pack_sequences(
+            sized, "doc_id", "n_chars", budget=2048)
+        st = packed.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("pack_id").alias("bins"),
+            F.max("pack_fill").alias("max_fill"),
+        ).collect()[0]
+        pack_s = time.perf_counter() - t0
+        print("# pack_chunk: chunk(32/24) %d windows in %.1fs; "
+              "pack(2048) %d items -> %d bins (max fill %d) in %.1fs"
+              % (n_chunks, chunk_s, st["n"], st["bins"],
+                 st["max_fill"], pack_s), file=sys.stderr)
+        return st["bins"]
+
     benches = {
         "exact_dedup": exact_dedup_soak,
         "minhash_spanning_pairs": minhash_soak,
@@ -800,6 +827,7 @@ def main():
         "knn_join_bulk": knn_join_bulk_soak,
         "versioned_compact": versioned_compact_soak,
         "text_consolidate": text_consolidate_soak,
+        "pack_chunk": pack_chunk_soak,
     }
     only = set(args.only.split(",")) if args.only else None
     for name, fn in benches.items():

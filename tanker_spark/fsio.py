@@ -80,12 +80,22 @@ def _is_jvm_not_found(exc) -> bool:
     """True when a py4j-wrapped JVM exception is a not-found, matched
     by class name across the cause chain (Hadoop ``open()`` raises
     ``java.io.FileNotFoundException``; object-store connectors wrap
-    their 404s in it)."""
+    their 404s in it). A scheme this session has NO usable connector
+    for — ``UnsupportedFileSystemException`` (unknown scheme) or a
+    ``ClassNotFoundException`` cause (known scheme, connector jar
+    absent) — also maps to not-found: such a scheme cannot hide a
+    pointer (every data read on it fails the same way), and
+    classifying it as unversioned lets the maintenance ops'
+    local-contract refusals fire with their documented ValueError
+    instead of a raw py4j error."""
     je = getattr(exc, "java_exception", None)
     for _ in range(16):  # cause chains are short; never loop forever
         if je is None:
             return False
-        if "FileNotFoundException" in je.getClass().getName():
+        name = je.getClass().getName()
+        if ("FileNotFoundException" in name
+                or "UnsupportedFileSystemException" in name
+                or "ClassNotFoundException" in name):
             return True
         je = je.getCause()
     return False

@@ -3856,6 +3856,12 @@ def test_try_read_text_only_not_found_is_none(spark, tmp_path):
     # flat roots everywhere resolve through the None branch
     assert fsio.current_version(spark, str(tmp_path)) is None
     assert fsio.resolve(spark, str(tmp_path)) == str(tmp_path)
+    # a scheme with NO usable connector (unknown scheme, or known
+    # scheme with the jar absent) cannot hide a pointer — it maps to
+    # not-found so the maintenance ops' local-contract refusals keep
+    # their documented ValueError instead of a raw py4j error
+    assert fsio.try_read_text(spark, "s3://b/x/_current") is None
+    assert fsio.try_read_text(spark, "abfs://c/x/_current") is None
 
 
 def test_cleanup_stale_versions_flat_root_noop(spark, tmp_path):
