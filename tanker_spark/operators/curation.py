@@ -431,16 +431,22 @@ class _LeftmostFit:
     items; the linear scan is quadratic there (hours on adversarial
     length mixes), the tree is n·log n."""
 
+    #: empty-leaf sentinel: far below any representable remainder, so
+    #: a NEGATIVE need (corrupt length column) can never match an
+    #: empty slot — it first-fits into the leftmost REAL bin exactly
+    #: like the linear scan did, or opens a new one when none exist
+    _EMPTY = -(1 << 62)
+
     def __init__(self):
         self.n = 0
         self.cap = 1
-        self.t = [-1, -1]
+        self.t = [self._EMPTY, self._EMPTY]
 
     def append(self, rem):
         if self.n == self.cap:
             leaves = self.t[self.cap:self.cap + self.n]
             self.cap *= 2
-            self.t = [-1] * (2 * self.cap)
+            self.t = [self._EMPTY] * (2 * self.cap)
             self.t[self.cap:self.cap + self.n] = leaves
             for i in range(self.cap - 1, 0, -1):
                 self.t[i] = max(self.t[2 * i], self.t[2 * i + 1])
@@ -463,6 +469,12 @@ class _LeftmostFit:
         while i < self.cap:
             i = 2 * i if self.t[2 * i] >= need else 2 * i + 1
         return i - self.cap
+
+    def place(self, idx, ln):
+        """Deduct ``ln`` from bin ``idx``'s remainder (the tree is the
+        single owner of remainders — no caller-side shadow copy to
+        drift out of sync)."""
+        self._set(idx, self.t[self.cap + idx] - ln)
 
 
 def pack_sequences(df, id_col, len_col, budget, n_partitions=None):
@@ -504,7 +516,6 @@ def pack_sequences(df, id_col, len_col, budget, n_partitions=None):
         # find() makes the IDENTICAL leftmost-first-fit choice the
         # old linear scan made, in O(log bins) per item
         tree = _LeftmostFit()
-        rems = []
         fills = []
         for pdf in batches:
             rows = []
@@ -512,13 +523,11 @@ def pack_sequences(df, id_col, len_col, budget, n_partitions=None):
                 ln = int(ln)
                 b = tree.find(ln)
                 if b < 0:
-                    b = len(rems)
+                    b = len(fills)
                     tree.append(budget - ln)
-                    rems.append(budget - ln)
                     fills.append(ln)
                 else:
-                    rems[b] -= ln
-                    tree._set(b, rems[b])
+                    tree.place(b, ln)
                     fills[b] += ln
                 rows.append(
                     (_id, ln, pid * 10_000_000 + b, fills[b])

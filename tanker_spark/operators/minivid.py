@@ -109,15 +109,16 @@ def decode_gray_video(payload: bytes):
             # as a length mismatch below instead of a silent clamp.
             obj = zlib.decompressobj()
             blob = obj.decompress(blob, want + 1)
-            if obj.unused_data:
+            if obj.unused_data or obj.unconsumed_tail:
                 raise ValueError(
-                    "trailing garbage after MVID frame stream")
+                    "over-long MVID frame stream: data beyond the "
+                    "declared %d bytes" % want)
         except zlib.error as exc:
             raise ValueError("corrupt MVID frame stream: %s" % exc)
     if len(blob) != want:
         raise ValueError(
-            "truncated MVID frame stream: header declares %d bytes "
-            "(%d frames of %dx%d), got %d"
+            "MVID frame stream length mismatch: header declares %d "
+            "bytes (%d frames of %dx%d), got %d"
             % (want, n_frames, width, height, len(blob))
         )
     fsz = width * height

@@ -16,6 +16,13 @@ from __future__ import annotations
 
 import struct
 
+#: Per-payload decoded-size ceiling on the data chunk (256 MB of PCM
+#: bytes). The decoder expands int16 frames ~14× into Python int
+#: objects in a list — one adversarial row with a huge data chunk must
+#: cost a ValueError (→ the consumer's junk→NULL row), never a
+#: multi-GB executor allocation. Same rule as minipng/minivid.
+MAX_DECODED_BYTES = 1 << 28
+
 
 def encode_pcm16(samples, sample_rate: int, n_channels: int = 1) -> bytes:
     """Interleaved int16 samples → WAV bytes."""
@@ -96,6 +103,11 @@ def decode_pcm16(payload: bytes):
         # decode a truncated tail sample away (the r8 truncation rule)
         raise ValueError("odd data chunk length %d for 16-bit PCM"
                          % len(data))
+    if len(data) > MAX_DECODED_BYTES:
+        raise ValueError(
+            "data chunk is %d bytes, over the %d-byte per-payload "
+            "ceiling (the int16 unpack expands ~14x into Python "
+            "objects)" % (len(data), MAX_DECODED_BYTES))
     n = len(data) // 2
     if n % n_channels:
         # stereo frames are sample PAIRS; an unpaired tail would make

@@ -387,7 +387,7 @@ def test_minivid_codec_roundtrip():
         minivid.decode_gray_video(b"")
     # truncated frame stream: header says 5 frames, blob holds fewer
     raw = minivid.encode_gray_video(frames, 4, 3, 2, compress=False)
-    with pytest.raises(ValueError, match="truncated"):
+    with pytest.raises(ValueError, match="length mismatch"):
         minivid.decode_gray_video(raw[:-5])
     with pytest.raises(ValueError):
         minivid.encode_gray_video([b"short"], 4, 3, 2)
@@ -990,10 +990,17 @@ def test_leftmost_fit_tree_matches_linear_scan():
         budget = rnd.choice([50, 100, 1000])
         lens = [rnd.randint(1, int(budget * 1.3))
                 for _ in range(rnd.randint(1, 400))]
+        if trial % 4 == 0:
+            # corrupt negative lengths: must first-fit into the
+            # leftmost REAL bin like the scan (never match an empty
+            # tree slot's sentinel — the crash the review caught)
+            lens[: max(1, len(lens) // 10)] = [
+                -rnd.randint(1, 5)
+                for _ in range(max(1, len(lens) // 10))]
+            rnd.shuffle(lens)
         if trial % 3 == 0:
             lens.sort(reverse=True)  # the operator's FFD order
         tree = _LeftmostFit()
-        rems = []
         naive_bins = []
         for ln in lens:
             want = next((i for i, r in enumerate(naive_bins)
@@ -1003,11 +1010,9 @@ def test_leftmost_fit_tree_matches_linear_scan():
             if want < 0:
                 naive_bins.append(budget - ln)
                 tree.append(budget - ln)
-                rems.append(budget - ln)
             else:
                 naive_bins[want] -= ln
-                rems[want] -= ln
-                tree._set(want, rems[want])
+                tree.place(want, ln)
 
 
 def test_containment_ratio(spark):
@@ -3537,6 +3542,12 @@ def test_codec_adversarial_payloads_rejected(spark):
         miniwav.decode_pcm16(wav(fmt16(nch=2), b"\0\0"))
     with pytest.raises(ValueError, match="sample_rate"):
         miniwav.encode_pcm16([0], 0)
+    # decoded-size ceiling (patched small: the check is on the actual
+    # chunk size) — the int16 unpack expands ~14x into Python objects
+    import unittest.mock as _mock
+    with _mock.patch.object(miniwav, "MAX_DECODED_BYTES", 4):
+        with pytest.raises(ValueError, match="ceiling"):
+            miniwav.decode_pcm16(wav(fmt16(), b"\0" * 6))
     # end-to-end: the reshape-killer payload is a NULL row, not a
     # failed task
     df = spark.createDataFrame(
@@ -3585,7 +3596,7 @@ def test_codec_adversarial_payloads_rejected(spark):
         minivid.decode_gray_video(
             mvid(2, 2, 1, 1, zlib.compress(bytes(50_000_000)),
                  flags=1))
-    with pytest.raises(ValueError, match="trailing"):
+    with pytest.raises(ValueError, match="over-long"):
         minivid.decode_gray_video(
             minivid.encode_gray_video([bytes(4)], 2, 2, 1) + b"xx")
 
