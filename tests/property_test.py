@@ -271,3 +271,37 @@ def test_ngram_jaccard_exact_model(spark, texts, threshold):
                df, n=n, threshold=threshold).collect()}
     dedup.release_caches()
     assert got == want
+
+
+# -- codec junk->NULL contract fuzz (r10) -----------------------------------
+#
+# The vendored codecs are the one place arbitrary corpus bytes meet
+# python loops inside an executor. The contract their consumers'
+# junk->NULL handlers rely on: decode raises ValueError (or the honest
+# NotImplementedError for unsupported-but-valid subsets) on ANYTHING
+# malformed -- never struct.error / zlib.error / IndexError /
+# ZeroDivisionError, never a hang, never an unbounded allocation (the
+# r9 fps=0 spin and the r10 adversarial sweep both lived here).
+
+_hdr_st = st.sampled_from([
+    b"", b"MVID", b"RIFF", b"\x89PNG\r\n\x1a\n",
+    b"RIFF\0\0\0\0WAVE", b"MVID\x01\x00",
+])
+_codec_payload_st = st.tuples(_hdr_st, st.binary(max_size=512)).map(
+    lambda t: t[0] + t[1])
+
+
+@settings(
+    max_examples=300, deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(payload=_codec_payload_st)
+def test_codec_fuzz_only_contract_errors(payload):
+    from tanker_spark.operators import minipng, minivid, miniwav
+
+    for dec in (minivid.decode_gray_video, miniwav.decode_pcm16,
+                minipng.decode_gray):
+        try:
+            dec(payload)
+        except (ValueError, NotImplementedError):
+            pass
