@@ -2068,7 +2068,7 @@ def substring_dedup_rows(df, text_col="text", id_col="doc_id", win=20,
 
 
 def compact_side_table(spark, path, key_col="__id",
-                       target_rows_per_file=1_000_000):
+                       target_rows_per_file=1_000_000, gc_old=True):
     """Compact a flat parquet side table (MinHash signatures, SimHash
     fingerprints — NOT hive-partitioned ANN indexes, which are
     refused): drop duplicate keys — streaming replay
@@ -2090,6 +2090,10 @@ def compact_side_table(spark, path, key_col="__id",
       the next version dir and the pointer overwrite is the atomic
       commit — works on any Hadoop-visible filesystem (object stores
       included); every side-table reader resolves the pointer.
+      ``gc_old=False`` leaves the superseded tree for in-flight
+      readers to drain against; the NEXT maintenance entry's
+      crash-recovery sweep reclaims it (same reader-grace contract as
+      ``similarity.ann_index_compact``). Versioned layout only.
     - **classic flat layout**: two directory renames — a reader that
       lists the path in the microseconds between them sees a missing
       directory and should retry; plain directories have no atomic
@@ -2128,7 +2132,7 @@ def compact_side_table(spark, path, key_col="__id",
         name, claim = fsio.next_version(spark, root)
         deduped.coalesce(parts).write.mode("overwrite").parquet(
             root + "/" + name)
-        fsio.commit_version(spark, root, name, claim)
+        fsio.commit_version(spark, root, name, claim, gc_old=gc_old)
         return n
 
     path = require_local_fs(path, "compact_side_table")

@@ -1148,7 +1148,7 @@ def _ivf_assign(df, cents, vec_col, id_col):
     return assigned, F.col("__cell")
 
 
-def ann_index_compact(spark, path, dedup_ids=False):
+def ann_index_compact(spark, path, dedup_ids=False, gc_old=True):
     """Compact a persisted ANN index in place: every ``__bucket``
     partition's accumulated append files (one per
     :func:`ann_index_append` batch — a 1000-batch steady state is a
@@ -1183,7 +1183,12 @@ def ann_index_compact(spark, path, dedup_ids=False):
       'What's missing #3'; ``storage.py`` is the in-repo precedent).
       A probe that resolved the old version just before the flip and
       reads after the GC should retry — the narrower twin of the
-      rename scheme's double-flip gap.
+      rename scheme's double-flip gap. ``gc_old=False`` closes even
+      that: the superseded tree SURVIVES the flip (in-flight readers
+      drain against it), and the NEXT maintenance entry's
+      crash-recovery sweep (:func:`fsio.cleanup_stale_versions`)
+      reclaims it as an unclaimed non-live tree — reader grace for
+      one extra tree's storage until then. Versioned layout only.
     - **classic flat layout**: two directory ``os.rename``s with the
       same retry caveat and stale-dir cleanup as
       ``compact_side_table`` — local POSIX filesystems only
@@ -1197,7 +1202,8 @@ def ann_index_compact(spark, path, dedup_ids=False):
     from ..utils import require_local_fs
 
     if fsio.current_version(spark, path):
-        return _compact_versioned(spark, path, dedup_ids)
+        return _compact_versioned(spark, path, dedup_ids,
+                                  gc_old=gc_old)
     path = require_local_fs(path, "ann_index_compact")
     tmp = path.rstrip("/") + "__compact_tmp"
     old = path.rstrip("/") + "__compact_old"
@@ -1236,7 +1242,7 @@ def _dedup_bucket_ids(df, id_col):
             .filter(F.col("__rn") == 1).drop("__rn"))
 
 
-def _compact_versioned(spark, root, dedup_ids=False):
+def _compact_versioned(spark, root, dedup_ids=False, gc_old=True):
     """Pointer-flip compaction of a versioned ANN index (see
     :func:`ann_index_compact`): new ``v_NNNNNN`` tree → pointer
     overwrite → GC. All metadata IO rides :mod:`fsio`, so this works
@@ -1267,7 +1273,7 @@ def _compact_versioned(spark, root, dedup_ids=False):
     # committed tree is born with fresh metadata
     meta["n_rows"] = _count_rows(spark, new_dir)
     _meta_write(spark, new_dir, meta)
-    fsio.commit_version(spark, root, name, claim)
+    fsio.commit_version(spark, root, name, claim, gc_old=gc_old)
     return root
 
 

@@ -3848,6 +3848,47 @@ def test_versioned_compact_crash_recovery(spark, tmp_path):
     assert fsio.current_version(spark, root) == "v_000002"
 
 
+def test_versioned_compact_reader_grace(spark, tmp_path):
+    """gc_old=False: the superseded tree survives the pointer flip
+    (in-flight readers drain against it) and the NEXT maintenance
+    entry's crash-recovery sweep reclaims it — reader grace costs one
+    extra tree's storage until then, never a permanent leak."""
+    from tanker_spark import fsio
+
+    rows, corpus = _kji_corpus(spark, n=150)
+    root = "file://" + str(tmp_path / "gidx")
+    similarity.build_ann_index(corpus, root, method="lsh", n_planes=3,
+                               dim=16, versioned=True)
+    old_dir = root + "/" + fsio.current_version(spark, root)
+    # a reader pinned to the OLD tree before the flip
+    old_reader = spark.read.parquet(old_dir)
+    similarity.ann_index_compact(spark, root, gc_old=False)
+    assert fsio.current_version(spark, root) == "v_000002"
+    assert fsio.exists(spark, old_dir)        # grace: not GC'd
+    assert old_reader.count() == 150          # in-flight read drains
+    probe = rows[3][1]
+    got = similarity.knn_indexed(spark, root, probe, k=5,
+                                 multiprobe=3).collect()
+    assert got                                # probes follow the flip
+    similarity.ann_index_compact(spark, root)  # next maintenance entry
+    assert not fsio.exists(spark, old_dir)    # ...reclaims the grace tree
+    assert fsio.current_version(spark, root) == "v_000003"
+
+    # side-table twin
+    sroot = "file://" + str(tmp_path / "gsig")
+    sigs = dedup.minhash_signatures_df(
+        spark.createDataFrame([(1, "a b c d e"), (2, "f g h i j")],
+                              ["doc_id", "text"]), "text", "doc_id")
+    dedup.make_versioned_side_table(sigs, sroot)
+    sold = sroot + "/" + fsio.current_version(spark, sroot)
+    dedup.compact_side_table(spark, sroot, key_col="__id",
+                             gc_old=False)
+    assert fsio.exists(spark, sold)
+    dedup.compact_side_table(spark, sroot, key_col="__id")
+    assert not fsio.exists(spark, sold)
+    dedup.release_caches()
+
+
 def test_try_read_text_only_not_found_is_none(spark, tmp_path):
     """fsio.try_read_text maps ONLY not-found to None. Any other error
     propagates: resolve() treating a versioned root as flat on a
