@@ -2490,17 +2490,18 @@ def retrieval_eval_bm25(spark, sf_dir):
     contains, judged relevant at >= 2). Every frame after retrieval is
     |queries|·k-sized; ranks ride the ROUNDED bm25 score so both
     engines select identical rows."""
-    from tanker_spark.operators.search import bm25_topk, retrieval_metrics
+    from tanker_spark.operators.search import (
+        bm25_topk_multi, retrieval_metrics,
+    )
     from tanker_spark.operators.text import tokens
 
     df = _read(spark, sf_dir, "documents")
-    res = None
-    for qid, q in _EVAL_QUERIES:
-        r = bm25_topk(df, q, k=10).select(
-            F.lit(qid).alias("query_id"), "doc_id",
-            F.col("bm25").alias("score"),
-        )
-        res = r if res is None else res.unionAll(r)
+    # one corpus pass for all three runs (bm25_topk_multi is pinned
+    # row-identical to per-query bm25_topk) — the per-query loop paid
+    # two full tokenize passes per query (r10 optimization)
+    res = bm25_topk_multi(df, _EVAL_QUERIES, k=10).select(
+        "query_id", "doc_id", F.col("bm25").alias("score"),
+    )
     qterms = spark.createDataFrame(
         [(qid, t) for qid, q in _EVAL_QUERIES
          for t in sorted(set(q.split()))],

@@ -11,6 +11,7 @@ only touches same-bucket rows. Signatures are pure Column expressions
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import Window
@@ -614,6 +615,14 @@ def minhash_lsh_pairs(
         precheck=(n_base >= CAP_PRECHECK_MIN_ROWS) if sig_path is None
         else True,
     )
+    if sig_path is None:
+        # persist the CAPPED frame too: AQE routinely turns the bucket
+        # self-join into a broadcast join, and a BroadcastExchange
+        # side shares no ReusedExchange with the probe side — without
+        # this both sides re-run the band explode + cap window (the
+        # r10 profile showed the two identical stages back to back).
+        # The sig cache alone only de-duplicates the signature map.
+        exploded = _persist(exploded)
     left = exploded.alias("L")
     right = exploded.alias("R")
     pairs = (
@@ -1230,6 +1239,13 @@ def ngram_jaccard_join(left_df, right_df, text_col="text",
         mem_l, mem_r = _persist(mem_l), _persist(mem_r)
     sh_l = _persist(_shingle_hash_structs(src_l, text_col, id_col, n))
     sh_r = _persist(_shingle_hash_structs(src_r, text_col, id_col, n))
+    # EAGER materialization (the self-join variant already does this):
+    # a lazy persist lets the freq table, the two prefix frames and
+    # the two verify frames race the cache fill — AQE compiles their
+    # broadcast builds concurrently and each miss re-shingles a side
+    # (the r10 profile showed every shingle stage exactly twice)
+    sh_l.count()
+    sh_r.count()
     freq = None
     if prefix_order == "df":
         freq = _shingle_freq(sh_l, sh_r)
@@ -1625,9 +1641,75 @@ def cosine(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+# -- single-expr SQL twins of the Column vector math ----------------------
+# Building these expression trees through the PySpark Column API costs a
+# py4j round trip PER NODE: one cosine against a dim-64 literal vector is
+# ~150 driver↔JVM calls, and an IVF argmax over k centroids is k times
+# that — the r10 profile showed knn_versioned_rerank spending ~10 s of a
+# 15 s wall in 15,000 py4j round trips, almost all expression
+# construction (guide §7.3: plan/driver time is serial overhead at ANY
+# scale). Each builder below emits the SAME Catalyst tree as its Column
+# twin — aggregate/zip_with/transform with identical lambdas, fold order
+# and literal types (0.0D, xD doubles via repr() round-trip formatting) —
+# as ONE parseable string, so the whole expression costs one F.expr call.
+# Bit-identical outputs are pinned by tests/operators_test.py
+# (test_sql_expr_twins_bit_identical).
+
+def _ident(name):
+    """Backtick-quote a column name for SQL-text embedding."""
+    return "`%s`" % str(name).replace("`", "``")
+
+
+def _vec_sql(vec):
+    """Literal array<double> SQL for a python vector. repr() is exact
+    (shortest round-trip); the D suffix makes every element the same
+    DOUBLE literal ``F.lit(float(x))`` would build. Callers must route
+    non-finite values through the Column path (`%r` of inf/nan does not
+    parse as SQL)."""
+    return "array(%s)" % ",".join("%rD" % float(x) for x in vec)
+
+
+def _vec_ok_sql(vec):
+    """True when every element round-trips through :func:`_vec_sql`."""
+    try:
+        return all(math.isfinite(float(x)) for x in vec)
+    except (TypeError, ValueError):
+        return False
+
+
+def _dot_sql(a, b):
+    return ("aggregate(zip_with(%s, %s, (x, y) -> x * y), 0.0D, "
+            "(acc, v) -> acc + v)" % (a, b))
+
+
+def _norm_sql(a):
+    return ("sqrt(aggregate(transform(%s, x -> x * x), 0.0D, "
+            "(acc, v) -> acc + v))" % (a,))
+
+
+def _cosine_sql(a, b):
+    return "%s / (%s * %s)" % (_dot_sql(a, b), _norm_sql(a), _norm_sql(b))
+
+
 def hyperplane_bucket(vec_col, dim, n_planes=8, seed=42):
-    """Random-hyperplane LSH bucket id: sign bits of ⟨v, plane_j⟩."""
+    """Random-hyperplane LSH bucket id: sign bits of ⟨v, plane_j⟩.
+
+    ``vec_col`` may be a Column or a column NAME; the name form builds
+    the whole bucket expression as one ``F.expr`` string (n_planes ×
+    dim literal nodes through the Column API is thousands of py4j round
+    trips — see the SQL-twin note above). Both forms produce the same
+    Catalyst tree."""
     planes = _hyperplanes(dim, n_planes, seed)
+    if isinstance(vec_col, str):
+        col_sql = _ident(vec_col)
+        bits = ["CAST(0 AS BIGINT)"]
+        bits += [
+            "CASE WHEN %s > 0 THEN CAST(%d AS BIGINT) ELSE "
+            "CAST(0 AS BIGINT) END"
+            % (_dot_sql(col_sql, _vec_sql(plane)), 1 << j)
+            for j, plane in enumerate(planes)
+        ]
+        return F.expr("(" + " | ".join(bits) + ")")
     bucket = F.lit(0).cast("long")
     for j, plane in enumerate(planes):
         p = F.array(*[F.lit(float(x)) for x in plane])
@@ -1739,7 +1821,7 @@ def embedding_dedup_pairs(df, vec_col="embedding", id_col="vec_id",
     band_cols = [
         F.xxhash64(
             F.lit(b),
-            hyperplane_bucket(F.col(vec_col), dim, n_planes,
+            hyperplane_bucket(vec_col, dim, n_planes,
                               seed + 1000 * b),
         ).alias("__band%d" % b)
         for b in range(n_bands)

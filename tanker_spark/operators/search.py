@@ -86,8 +86,12 @@ def _bm25_expr(k1, b):
 
 def _postings(df, text_col, id_col):
     """(id, dl, term, tf): tokenize once, keep per-doc length for the
-    length normalization. Map-only until the (id, term) aggregate."""
-    base = df.select(
+    length normalization. Map-only until the (id, term) aggregate.
+    ``widen`` fans a narrow scan out before the tokenize+explode (no-op
+    on many-split inputs — the guard lives in widen)."""
+    from .dedup import widen
+
+    base = widen(df).select(
         F.col(id_col).alias("doc_id"),
         tokens(F.lower(F.col(text_col))).alias("__toks"),
     ).select("doc_id", F.size("__toks").alias("dl"),
@@ -99,10 +103,13 @@ def bm25_topk(df, query, k=10, text_col="text", id_col="doc_id",
               k1=1.2, b=0.75, round_to=4):
     """Top-``k`` documents by BM25 relevance to ``query`` (a string or a
     list of terms). Returns (doc_id, bm25)."""
+    from .dedup import widen
+
     terms = _query_terms(query)
     toks = _postings(df, text_col, id_col)
     # corpus stats: one tiny aggregate, broadcast onto every scored row
-    stats = df.select(
+    # (widened like the postings pass — the tokenize is the cost)
+    stats = widen(df).select(
         tokens(F.lower(F.col(text_col))).alias("__toks")
     ).agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -123,6 +130,67 @@ def bm25_topk(df, query, k=10, text_col="text", id_col="doc_id",
     )
     return scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()) \
                  .limit(k)
+
+
+def bm25_topk_multi(df, queries, k=10, text_col="text",
+                    id_col="doc_id", k1=1.2, b=0.75, round_to=4):
+    """Top-``k`` per query for a BATCH of queries in ONE corpus pass —
+    row-identical to running :func:`bm25_topk` per query (pinned by
+    test), but the corpus tokenizes once for the union of all query
+    terms instead of once per query, and the n_docs/avgdl stats
+    aggregate runs once instead of per query. ``queries`` is
+    [(query_id, query)]; returns (query_id, doc_id, bm25).
+
+    Equivalence: the per-(doc, term) BM25 contribution depends only on
+    that term's corpus df and the shared stats — filtering postings to
+    the UNION of terms leaves every per-term number unchanged, and each
+    query then sums exactly its own terms' contributions via the
+    (query_id, term) attach join. The top-k cut per query uses the same
+    (bm25 DESC, id ASC) order as the single-query path."""
+    from pyspark.sql import Window
+
+    from .dedup import widen
+
+    per_q = [(qid, _query_terms(q)) for qid, q in queries]
+    all_terms = sorted({t for _qid, ts in per_q for t in ts})
+    toks = _postings(df, text_col, id_col)
+    stats = widen(df).select(
+        tokens(F.lower(F.col(text_col))).alias("__toks")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size("__toks")).alias("avgdl"),
+    )
+    m = (
+        toks.filter(F.col("term").isin(all_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    dfreq = m.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    qt = F.explode(
+        F.array(*[
+            F.struct(F.lit(qid).alias("query_id"), F.lit(t).alias("term"))
+            for qid, ts in per_q for t in ts
+        ])
+    )
+    qterms = df.sparkSession.range(1).select(qt.alias("__qt")).select(
+        "__qt.query_id", "__qt.term"
+    )
+    scored = (
+        m.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("__s", F.expr(_bm25_expr(k1, b)))
+        .join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("__s"), round_to).alias("bm25"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("__rnk", F.row_number().over(w))
+        .filter(F.col("__rnk") <= int(k))
+        .select("query_id", "doc_id", "bm25")
+    )
 
 
 def term_prefix(col):
@@ -239,11 +307,18 @@ def text_index_append(new_df, path, text_col="text", id_col="doc_id"):
             o_sum = 0.0
         dl_sum = o_sum + (batch["s"] or 0)
         dl_n = o_n + batch["c"]
-        spark.createDataFrame(
-            [(old["n_docs"] + batch["n"],
-              float(dl_sum) / dl_n if dl_n else None,
-              float(dl_sum), int(dl_n))],
-            "n_docs long, avgdl double, dl_sum double, dl_n long",
+        # build the 1-row frame JVM-side (spark.range + lit), NOT
+        # createDataFrame([...]): a local-list frame runs through a
+        # pickled-RDD path that spawns a Python worker just to emit one
+        # row — profiled at multi-second task time under load (guide
+        # §4: don't cross the Python boundary for work Spark can do)
+        avgdl = float(dl_sum) / dl_n if dl_n else None
+        spark.range(1).select(
+            F.lit(old["n_docs"] + batch["n"]).cast("long")
+            .alias("n_docs"),
+            F.lit(avgdl).cast("double").alias("avgdl"),
+            F.lit(float(dl_sum)).cast("double").alias("dl_sum"),
+            F.lit(int(dl_n)).cast("long").alias("dl_n"),
         ).coalesce(1).write.mode("overwrite").parquet(
             f"{path}/{META_SUBDIR}"
         )
@@ -418,7 +493,7 @@ def hybrid_topk(docs_df, emb_df, query, probe_vec, k=10, n_each=50,
     # bm25_topk's) — cutting on raw doubles lets two engines whose
     # cosines differ past 1e-6 pick different boundary candidates,
     # and rrf_fuse can't repair membership differences
-    den_sim = F.round(cosine_to(F.col(vec_col), probe_vec), 6)
+    den_sim = F.round(cosine_to(vec_col, probe_vec), 6)
     den = (
         emb_df.select(F.col(vec_id_col), den_sim.alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col(vec_id_col).asc())

@@ -31,9 +31,14 @@ from pyspark.sql import functions as F
 from .. import fsio
 from .dedup import (
     _dot,
+    _dot_sql,
     _hyperplanes,
+    _ident,
     _norm,
+    _norm_sql,
     _persist,
+    _vec_ok_sql,
+    _vec_sql,
     auto_n_planes,
     cosine,
     hyperplane_bucket,
@@ -65,11 +70,26 @@ def _count_rows(spark, path):
 
 
 def _probe_lit(vec):
+    if _vec_ok_sql(vec):
+        # one F.expr call instead of len(vec) F.lit round trips — same
+        # literal array<double> (see dedup.py's SQL-twin note)
+        return F.expr(_vec_sql(vec))
     return F.array(*[F.lit(float(x)) for x in vec])
 
 
 def cosine_to(vec_col, probe_vec):
-    """Cosine similarity of each row's vector against a python list."""
+    """Cosine similarity of each row's vector against a python list.
+
+    ``vec_col`` may be a Column or a column NAME; the name form builds
+    the whole expression as ONE ``F.expr`` string (the Column-API form
+    costs ~150 py4j round trips per call — dedup.py SQL-twin note).
+    Both forms produce the same Catalyst tree, pinned bit-identical by
+    test."""
+    if isinstance(vec_col, str) and _vec_ok_sql(probe_vec):
+        p = _vec_sql(probe_vec)
+        a = _ident(vec_col)
+        return F.expr("%s / (%s * %s)"
+                      % (_dot_sql(a, p), _norm_sql(a), _norm_sql(p)))
     p = _probe_lit(probe_vec)
     return _dot(vec_col, p) / (_norm(vec_col) * _norm(p))
 
@@ -113,7 +133,7 @@ def _hamming_ball(bucket, n_planes, radius):
 def knn_brute(df, probe_vec, k=10, vec_col="embedding", id_col="vec_id"):
     """Exact top-k by cosine: map + TakeOrderedAndProject (no shuffle of
     the vectors; only k rows per partition reach the driver-side merge)."""
-    sim = cosine_to(F.col(vec_col), probe_vec)
+    sim = cosine_to(vec_col, probe_vec)
     return (
         df.select(F.col(id_col), sim.alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
@@ -133,11 +153,11 @@ def knn_lsh(df, probe_vec, k=10, vec_col="embedding", id_col="vec_id",
     metadata-only count) via :func:`auto_n_planes`."""
     if n_planes is None:
         n_planes = auto_n_planes(df.count())
-    bucket = hyperplane_bucket(F.col(vec_col), dim, n_planes, seed)
+    bucket = hyperplane_bucket(vec_col, dim, n_planes, seed)
     probes = _hamming_ball(
         _py_bucket(probe_vec, dim, n_planes, seed), n_planes, multiprobe
     )
-    sim = cosine_to(F.col(vec_col), probe_vec)
+    sim = cosine_to(vec_col, probe_vec)
     return (
         df.filter(bucket.isin(probes))
         .select(F.col(id_col), sim.alias("cos_sim"))
@@ -182,7 +202,23 @@ def ivf_centroid_vectors(df, n_cells=16, seed=42, vec_col="embedding",
 def ivf_cell_col(cent_vecs, vec_col="embedding"):
     """Map-only nearest-centroid assignment: argmax via ``greatest`` over
     (similarity, -cell) structs — ties break to the lowest cell id. No
-    join, no window, no shuffle."""
+    join, no window, no shuffle.
+
+    Built as ONE ``F.expr`` string when possible: the Column-API form
+    is k × ~150 py4j round trips (k=8 cells ≈ 1.6 s of driver time per
+    call in the r10 profile — dedup.py SQL-twin note)."""
+    if (isinstance(vec_col, str)
+            and all(_vec_ok_sql(v) for v in cent_vecs)):
+        a = _ident(vec_col)
+        structs = [
+            "named_struct('s', %s / (%s * %s), 'ni', %rD)"
+            % (_dot_sql(a, _vec_sql(v)), _norm_sql(a),
+               _norm_sql(_vec_sql(v)), float(-i))
+            for i, v in enumerate(cent_vecs)
+        ]
+        best = structs[0] if len(structs) == 1 \
+            else "greatest(%s)" % ", ".join(structs)
+        return F.expr("CAST(-(%s.ni) AS INT)" % best)
     structs = [
         F.struct(
             cosine_to(F.col(vec_col), v).alias("s"),
@@ -212,7 +248,7 @@ def knn_ivf(df, probe_vec, k=10, vec_col="embedding", id_col="vec_id",
                                  method=method)
     cell = ivf_cell_col(cents, vec_col)
     cells = _probe_cells(cents, probe_vec, n_probe)
-    sim = cosine_to(F.col(vec_col), probe_vec)
+    sim = cosine_to(vec_col, probe_vec)
     return (
         df.filter(cell.isin(cells))
         .select(F.col(id_col), sim.alias("cos_sim"))
@@ -423,10 +459,10 @@ def knn_join(queries, corpus, k=5, vec_col="embedding", id_col="vec_id",
                 else "column"
             )
         c = c.withColumn(
-            "__bucket", hyperplane_bucket(F.col("__cv"), dim, n_planes, seed)
+            "__bucket", hyperplane_bucket("__cv", dim, n_planes, seed)
         )
         qb = q.withColumn(
-            "__qbucket", hyperplane_bucket(F.col("__qv"), dim, n_planes,
+            "__qbucket", hyperplane_bucket("__qv", dim, n_planes,
                                            seed)
         )
         # Hamming ball as a column expression: flip every <=multiprobe
@@ -720,8 +756,14 @@ def train_pq(df, m=8, n_codes=256, vec_col="embedding", id_col="vec_id",
         C = Xs[rng.choice(len(Xs), size=n_codes,
                           replace=len(Xs) < n_codes)].copy()
         for _ in range(int(iters)):
-            # argmin ||x-c||² == argmax x·c − ½||c||² — one GEMM
-            assign = (Xs @ C.T - 0.5 * (C * C).sum(1)).argmax(1)
+            # argmin ||x-c||² == argmax x·c − ½||c||² — one GEMM.
+            # einsum, not ``@``: OpenBLAS spin-waits its thread pool
+            # around every tiny (n × dsub × n_codes) matmul, and inside
+            # the JVM-hosted driver that measured 2-4× slower than
+            # einsum's single-threaded loop (bit-identical here — both
+            # accumulate over the short dsub axis in order).
+            assign = (np.einsum("nd,kd->nk", Xs, C)
+                      - 0.5 * (C * C).sum(1)).argmax(1)
             sums = np.zeros_like(C)
             np.add.at(sums, assign, Xs)
             counts = np.bincount(assign, minlength=n_codes)
@@ -1011,7 +1053,7 @@ def build_ann_index(df, path, method="lsh", vec_col="embedding",
     if method == "lsh":
         if n_planes is None:
             n_planes = auto_n_planes(df.count())
-        col = hyperplane_bucket(F.col(vec_col), dim, n_planes, seed)
+        col = hyperplane_bucket(vec_col, dim, n_planes, seed)
         meta = {"method": "lsh", "dim": dim, "n_planes": n_planes,
                 "seed": seed, "vec_col": vec_col, "id_col": id_col}
     elif method == "ivf":
@@ -1090,7 +1132,7 @@ def ann_index_append(new_df, path):
     vec_col, id_col = meta["vec_col"], meta["id_col"]
     if meta["method"] == "lsh":
         col = hyperplane_bucket(
-            F.col(vec_col), meta["dim"], meta["n_planes"], meta["seed"]
+            vec_col, meta["dim"], meta["n_planes"], meta["seed"]
         )
     else:
         new_df, col = _ivf_assign(new_df, meta["centroids"], vec_col,
@@ -1330,7 +1372,7 @@ def knn_indexed(spark, path, probe_vec, k=10, multiprobe=1, n_probe=4,
                 F.col("qcode"), F.col("qmin"), F.col("qscale")
             )
         else:
-            vec = F.col(vec_name)
+            vec = vec_name
         sim = cosine_to(vec, probe_vec)
         approx = (
             idx.select(F.col(id_col), sim.alias("cos_sim"))
@@ -1339,7 +1381,7 @@ def knn_indexed(spark, path, probe_vec, k=10, multiprobe=1, n_probe=4,
     if rerank_df is None or not qmode:
         return approx.limit(k)
     cand = approx.limit(int(rerank_k)).select(id_col)
-    exact_sim = cosine_to(F.col(vec_name), probe_vec)
+    exact_sim = cosine_to(vec_name, probe_vec)
     return (
         rerank_df.select(F.col(id_col), F.col(vec_name))
         .join(cand, id_col, "left_semi")
@@ -1569,7 +1611,21 @@ def _knn_pq_gemm(qexp, cb, books, k, schema_str, bucket_cap,
 def cell_and_sim(cent_vecs, vec_col="embedding"):
     """(cell, sim) Columns: nearest-centroid id AND the cosine to it,
     from one ``greatest`` argmax pass (the same map-only struct trick
-    as :func:`ivf_cell_col`, returning both fields)."""
+    as :func:`ivf_cell_col`, returning both fields; single-``F.expr``
+    fast path per the dedup.py SQL-twin note)."""
+    if (isinstance(vec_col, str)
+            and all(_vec_ok_sql(v) for v in cent_vecs)):
+        a = _ident(vec_col)
+        structs = [
+            "named_struct('s', %s / (%s * %s), 'ni', %rD)"
+            % (_dot_sql(a, _vec_sql(v)), _norm_sql(a),
+               _norm_sql(_vec_sql(v)), float(-i))
+            for i, v in enumerate(cent_vecs)
+        ]
+        best = structs[0] if len(structs) == 1 \
+            else "greatest(%s)" % ", ".join(structs)
+        return (F.expr("CAST(-(%s.ni) AS INT)" % best),
+                F.expr("%s.s" % best))
     structs = [
         F.struct(
             cosine_to(F.col(vec_col), v).alias("s"),
@@ -2136,11 +2192,21 @@ def random_projection(df, out_dim, dim, vec_col="embedding", seed=42,
 
     rows = _hyperplanes(dim, out_dim, seed)
     inv = 1.0 / math.sqrt(out_dim)
-    proj = F.array(*[
-        (_dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in row]))
-         * F.lit(inv)).cast("float")
-        for row in rows
-    ])
+    if isinstance(vec_col, str):
+        # one F.expr for the whole projection array (out_dim × dim
+        # literal nodes through the Column API is ~10⁴ py4j round
+        # trips — dedup.py SQL-twin note); same Catalyst tree
+        a = _ident(vec_col)
+        proj = F.expr("array(%s)" % ", ".join(
+            "CAST(%s * %rD AS FLOAT)" % (_dot_sql(a, _vec_sql(row)), inv)
+            for row in rows
+        ))
+    else:
+        proj = F.array(*[
+            (_dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in row]))
+             * F.lit(inv)).cast("float")
+            for row in rows
+        ])
     return df.withColumn(out_col or vec_col, proj)
 
 
@@ -2228,7 +2294,7 @@ def _index_probe_expand(q, qid_col, meta, multiprobe, n_probe):
             out = out.withColumnRenamed("id_a", qid_col)
         return out
     dim, n_planes, seed = meta["dim"], meta["n_planes"], meta["seed"]
-    b = hyperplane_bucket(F.col("__qv"), dim, n_planes, seed)
+    b = hyperplane_bucket("__qv", dim, n_planes, seed)
     balls = [b]
     for r in range(1, multiprobe + 1):
         for bits in combinations(range(n_planes), r):

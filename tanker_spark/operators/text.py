@@ -366,9 +366,12 @@ def repetition_signals(df, text_col="text", id_col="doc_id",
     corpus pass saved) when only the gram metrics feed a downstream
     gate.
     """
-    from .dedup import shingles_all
+    from .dedup import shingles_all, widen
 
-    base = df.select(
+    # widen: fan a narrow scan out before the compute-heavy gram
+    # explode (no-op at scale — guard inside widen; locally a one-file
+    # corpus would otherwise shingle on a single core)
+    base = widen(df).select(
         F.col(id_col).alias("__id"),
         F.greatest(F.length(F.col(text_col)), F.lit(1)).alias("__chars"),
         F.col(text_col).alias("__t"),
@@ -481,9 +484,13 @@ def bigram_surprisal(df, text_col="text", id_col="doc_id", k=0.5):
     → per-doc mean (shuffle on doc id). N and V ride along as a
     broadcast one-row frame. Nothing touches the driver.
     """
-    from .dedup import shingles_all
+    from .dedup import shingles_all, widen
 
-    ex = df.select(
+    # widen: see repetition_signals — parallelizes the bigram explode
+    # on narrow scans, no-op on many-split inputs; both consumers of
+    # ``ex`` additionally share the repartition Exchange
+    # (ReusedExchange) instead of re-scanning the corpus
+    ex = widen(df).select(
         F.col(id_col).alias("__id"),
         F.explode(
             shingles_all(F.lower(F.col(text_col)), 2)

@@ -3949,3 +3949,80 @@ def test_side_table_trailing_slash_stays_flat(spark, docs):
                                 sig_path=sig).count()
         assert fsio.current_version(spark, sig) is None
         dedup.release_caches()
+
+
+def test_sql_expr_twins_bit_identical(spark):
+    """The single-F.expr SQL builders (r10 optimization: one py4j round
+    trip instead of hundreds per vector expression) must produce the
+    SAME Catalyst tree as the Column-API forms — pinned by comparing
+    raw doubles/longs bit-for-bit on a real frame, plus NULL-vector
+    behavior."""
+    import struct
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(16)])
+            for i in range(500)] + [(900, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probe = [rnd.gauss(0, 1) for _ in range(16)]
+
+    def bits(v):
+        return None if v is None else struct.pack("<d", v)
+
+    # cosine_to: str (SQL) vs Column (HOF-lambda) form
+    c_old = (
+        dedup._dot(F.col("embedding"),
+                   F.array(*[F.lit(float(x)) for x in probe]))
+        / (dedup._norm(F.col("embedding"))
+           * dedup._norm(F.array(*[F.lit(float(x)) for x in probe])))
+    )
+    c_new = similarity.cosine_to("embedding", probe)
+    for r in df.select(c_old.alias("o"), c_new.alias("n")).collect():
+        assert bits(r["o"]) == bits(r["n"])
+
+    # hyperplane_bucket: name vs Column form
+    b_old = dedup.hyperplane_bucket(F.col("embedding"), 16, 6, 42)
+    b_new = dedup.hyperplane_bucket("embedding", 16, 6, 42)
+    for r in df.select(b_old.alias("o"), b_new.alias("n")).collect():
+        assert r["o"] == r["n"]
+
+    # ivf_cell_col + cell_and_sim: SQL form vs the Column struct argmax
+    cents = [v for _i, v in rows[:5]]
+    structs = [
+        F.struct(
+            (dedup._dot(F.col("embedding"),
+                        F.array(*[F.lit(float(x)) for x in v]))
+             / (dedup._norm(F.col("embedding"))
+                * dedup._norm(F.array(*[F.lit(float(x)) for x in v])))
+             ).alias("s"),
+            F.lit(float(-i)).alias("ni"),
+        )
+        for i, v in enumerate(cents)
+    ]
+    best = F.greatest(*structs)
+    cell_old, sim_old = (-best["ni"]).cast("int"), best["s"]
+    cell_new = similarity.ivf_cell_col(cents, "embedding")
+    cs_cell, cs_sim = similarity.cell_and_sim(cents, "embedding")
+    got = df.select(
+        cell_old.alias("co"), cell_new.alias("cn"), cs_cell.alias("cc"),
+        sim_old.alias("so"), cs_sim.alias("sn"),
+    ).collect()
+    for r in got:
+        assert r["co"] == r["cn"] == r["cc"]
+        assert bits(r["so"]) == bits(r["sn"])
+
+    # random_projection: name (SQL) vs Column form
+    p_new = similarity.random_projection(
+        df, out_dim=4, dim=16, vec_col="embedding", out_col="p")
+    planes = dedup._hyperplanes(16, 4, 42)
+    import math as _math
+    inv = 1.0 / _math.sqrt(4)
+    p_old_col = F.array(*[
+        (dedup._dot(F.col("embedding"),
+                    F.array(*[F.lit(float(x)) for x in row]))
+         * F.lit(inv)).cast("float")
+        for row in planes
+    ])
+    a = {r["vec_id"]: r["p"] for r in p_new.select("vec_id", "p").collect()}
+    b = {r["vec_id"]: r["p"]
+         for r in df.select("vec_id", p_old_col.alias("p")).collect()}
+    assert a == b

@@ -214,3 +214,23 @@ def test_retrieval_metrics(spark):
             out[4].ndcg_at_k) == (0.0, 0.0, 0.0)
     # q5 had only rel=0 judgments -> dropped (metrics undefined)
     assert 5 not in out
+
+
+def test_bm25_topk_multi_matches_per_query(spark):
+    """bm25_topk_multi (one corpus pass for a query batch — the r10
+    retrieval-eval optimization) is row-identical to running
+    bm25_topk per query, including scores and top-k membership."""
+    from tanker_spark.operators.search import bm25_topk_multi
+
+    df = _docs(spark)
+    queries = [(1, "spark merge window"), (2, "window sql"),
+               (3, "nothing matches this")]
+    multi = {
+        (r["query_id"], r["doc_id"]): r["bm25"]
+        for r in bm25_topk_multi(df, queries, k=3).collect()
+    }
+    single = {}
+    for qid, q in queries:
+        for r in bm25_topk(df, q, k=3).collect():
+            single[(qid, r["doc_id"])] = r["bm25"]
+    assert multi == single
