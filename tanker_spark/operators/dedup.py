@@ -42,6 +42,19 @@ CACHE_CAP = 8
 
 
 def _persist(df):
+    # plan-identical dedup: repeated invocations over the same input
+    # (bench passes, re-reads) build canonically equal plans, and the
+    # CacheManager maps them all onto ONE cache entry — appending a
+    # new handle each time churns the LRU list until the cap evicts
+    # that shared entry WHILE a later invocation is mid-flight on it
+    # (measured: pass 1 1.8 s, pass 2 22 s when the rug was pulled).
+    # A cache hit means the entry is alive: reuse it, keep the list.
+    try:
+        jcm = df.sparkSession._jsparkSession.sharedState().cacheManager()
+        if jcm.lookupCachedData(df._jdf).isDefined():
+            return df
+    except Exception:
+        pass
     df = df.persist()
     _CACHED_FRAMES.append(df)
     while len(_CACHED_FRAMES) > CACHE_CAP:
@@ -1171,13 +1184,21 @@ def ngram_jaccard_exact(df, text_col="text", id_col="doc_id", n=3,
     # collect_list aggregate ever materializes
     sh = _persist(_shingle_hash_structs(src, text_col, id_col, n))
     sh.count()
+    # persist the prefix-key and gram frames too: the candidate
+    # SELF-join and the two verify joins each consume their frame from
+    # two plan branches, and once AQE picks a broadcast join the build
+    # side shares no ReusedExchange with the probe side — without
+    # these the df-order/cap subtree and the gram transform each ran
+    # twice end to end (r10 profile; same fix as the minhash capped
+    # frame). Both are corpus-bounded like the sh cache itself.
     cands = _pair_candidates(
-        _ordered_prefix_keys(sh, threshold, prefix_order, bucket_cap),
+        _persist(_ordered_prefix_keys(sh, threshold, prefix_order,
+                                      bucket_cap)),
         threshold=threshold,
     )
-    grams = sh.select(
+    grams = _persist(sh.select(
         "__id", F.transform("__sh", lambda x: x["g"]).alias("__g")
-    )
+    ))
     a, b = grams.alias("A"), grams.alias("B")
     inter = F.size(F.array_intersect(F.col("A.__g"), F.col("B.__g")))
     pairs = (
@@ -1248,7 +1269,9 @@ def ngram_jaccard_join(left_df, right_df, text_col="text",
     sh_r.count()
     freq = None
     if prefix_order == "df":
-        freq = _shingle_freq(sh_l, sh_r)
+        # persisted: the shared frequency table is embedded in BOTH
+        # sides' prefix frames and would otherwise aggregate twice
+        freq = _persist(_shingle_freq(sh_l, sh_r))
     elif prefix_order != "hash":
         raise ValueError("prefix_order must be 'df' or 'hash'")
     cands = (
@@ -1466,23 +1489,27 @@ def neardup_groups(pairs_df, id_a="id_a", id_b="id_b", max_iter=25,
             .groupBy("src")
             .agg(F.min("lbl").alias("nlbl"))
         )
+        # the changed flag rides the checkpointed frame (new < old is
+        # the only way a min-propagation label moves), so convergence
+        # is a filter-count on the checkpoint instead of a full
+        # old-vs-new label join per round — one saved shuffle join a
+        # round at any scale, same count by construction
         new_labels = (
             labels.join(nbr, labels.id == nbr.src, "left")
             .select(
-                "id",
+                "id", "lbl",
                 F.least(
                     F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
-                ).alias("lbl"),
+                ).alias("__nl"),
+            )
+            .select(
+                "id", F.col("__nl").alias("lbl"),
+                (F.col("__nl") < F.col("lbl")).alias("__chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("__chg")).count()
+        labels = new_labels.select("id", "lbl")
         if changed == 0:
             break
     else:
