@@ -667,7 +667,11 @@ def _bucket_logprobs(df, text_col, ngram, n_buckets, smoothing, name):
     combined); the total is a one-row driver action."""
     import math
 
-    ex = df.select(
+    from .dedup import widen
+
+    # widen: the hashed-gram explode is the compute; a one-file corpus
+    # would run it on a single core (no-op on many-split inputs)
+    ex = widen(df).select(
         F.explode(
             _hashed_gram_buckets(F.col(text_col), ngram, n_buckets)
         ).alias("__b")
@@ -726,7 +730,9 @@ def dsir_weights(df, target_df, text_col="text", id_col="doc_id",
              ).alias("__lr"),
         )
     )
-    doc_grams = df.select(
+    from .dedup import widen
+
+    doc_grams = widen(df).select(
         F.col(id_col),
         F.explode(
             _hashed_gram_buckets(F.col(text_col), ngram, n_buckets)

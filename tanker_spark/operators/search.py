@@ -66,6 +66,22 @@ def _reject_stream_layout(spark, path, caller):
         )
 
 
+def _pfx_repartition(postings):
+    """One hash shuffle on the prefix before the partitioned write —
+    each prefix lands in exactly one task, so every directory gets one
+    file per write (not tasks × prefixes small files). The EXPLICIT
+    partition count matters: a bare ``repartition(col)`` is
+    REPARTITION_BY_COL, which AQE happily coalesces to a single
+    partition on small inputs — one task then creates all 256 prefix
+    dirs serially (~0.6 s of pure file-open latency per write on the
+    bench box). REPARTITION_BY_NUM is never coalesced; sizing it from
+    the session's parallelism keeps the write parallel at any scale
+    while preserving the one-file-per-dir layout (a prefix still maps
+    to exactly one task)."""
+    n = postings.sparkSession.sparkContext.defaultParallelism
+    return postings.repartition(n, F.col(_PFX))
+
+
 def _query_terms(query):
     """Unique, lowered query terms (BM25 sums once per distinct term)."""
     terms = query.lower().split() if isinstance(query, str) else [
@@ -218,7 +234,7 @@ def build_text_index(df, path, text_col="text", id_col="doc_id"):
     # exactly one task → one file per directory. The same lesson as
     # build_ann_index's bucket repartition, re-found by the r8
     # bm25_append soak (11 s/query probes against the 32k-file index).
-    postings = postings.repartition(F.col(_PFX))
+    postings = _pfx_repartition(postings)
     postings.write.mode("overwrite").partitionBy(_PFX).parquet(
         f"{path}/{POSTINGS_SUBDIR}"
     )
@@ -276,7 +292,7 @@ def text_index_append(new_df, path, text_col="text", id_col="doc_id"):
         # prefix repartition before the partitioned write — one file
         # per prefix per append instead of tasks × prefixes (see
         # build_text_index)
-        .repartition(F.col(_PFX))
+        .transform(_pfx_repartition)
     )
     postings.write.mode("append").partitionBy(_PFX).parquet(
         f"{path}/{POSTINGS_SUBDIR}"
@@ -372,7 +388,7 @@ def text_index_consolidate(spark, stream_path, out_path):
         f"{stream_path}/{POSTINGS_SUBDIR}"
     ).drop("batch")
     (
-        postings.repartition(F.col(_PFX))
+        _pfx_repartition(postings)
         .write.mode("overwrite").partitionBy(_PFX)
         .parquet(f"{out_path}/{POSTINGS_SUBDIR}")
     )

@@ -928,6 +928,17 @@ def _pq_adc_scores(idx, books, probe_vec, id_col,
     return idx.select(*cols).mapInPandas(score, schema_str)
 
 
+def _bucket_repartition(stored):
+    """One hash shuffle on the bucket before the partitioned write
+    (one file per bucket dir). Explicit count: a bare
+    ``repartition(col)`` is AQE-coalescible and collapses small index
+    writes to ONE task that creates every bucket directory serially;
+    REPARTITION_BY_NUM keeps the write parallel (each bucket still in
+    exactly one task — same file layout). See search._pfx_repartition."""
+    n = stored.sparkSession.sparkContext.defaultParallelism
+    return stored.repartition(n, F.col("__bucket"))
+
+
 def _qmode(meta):
     """Quantization mode from index metadata: False, ``"int8"`` or
     ``"pq"`` (a pre-r8 boolean ``True`` reads as int8)."""
@@ -1095,7 +1106,7 @@ def build_ann_index(df, path, method="lsh", vec_col="embedding",
     # sees (tasks x buckets small files — 32k at the 10M soak, worse
     # with real executor counts); after it each bucket lands in
     # exactly one task -> one file per directory
-    stored = stored.repartition(F.col("__bucket"))
+    stored = _bucket_repartition(stored)
     stored.write.mode("overwrite").partitionBy("__bucket").parquet(path)
     # footer-derived row count rides in the metadata so probes never
     # need a count job over the index (see _parquet_row_count)
@@ -1152,7 +1163,7 @@ def ann_index_append(new_df, path):
         stored = new_df.select(
             F.col(id_col), F.col(vec_col), col.alias("__bucket")
         )
-    stored = stored.repartition(F.col("__bucket"))
+    stored = _bucket_repartition(stored)
     if fsio.is_local(path):
         prev = _parquet_files(path)
         stored.write.mode("append").partitionBy("__bucket").parquet(path)
@@ -1265,7 +1276,7 @@ def ann_index_compact(spark, path, dedup_ids=False, gc_old=True):
     if dedup_ids:
         df = _dedup_bucket_ids(df, meta["id_col"])
     (
-        df.repartition(F.col("__bucket"))
+        _bucket_repartition(df)
         .write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
     )
     shutil.copy(meta_src, os.path.join(tmp, ANN_META))
@@ -1308,7 +1319,7 @@ def _compact_versioned(spark, root, dedup_ids=False, gc_old=True):
     if dedup_ids:
         df = _dedup_bucket_ids(df, meta["id_col"])
     (
-        df.repartition(F.col("__bucket"))
+        _bucket_repartition(df)
         .write.mode("overwrite").partitionBy("__bucket").parquet(new_dir)
     )
     # dedup_ids may have dropped rows; recount before the flip so the
