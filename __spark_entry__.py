@@ -2493,28 +2493,32 @@ def retrieval_eval_bm25(spark, sf_dir):
     from tanker_spark.operators.search import (
         bm25_topk_multi, retrieval_metrics,
     )
-    from tanker_spark.operators.text import tokens
 
     df = _read(spark, sf_dir, "documents")
     # one corpus pass for all three runs (bm25_topk_multi is pinned
     # row-identical to per-query bm25_topk) — the per-query loop paid
-    # two full tokenize passes per query (r10 optimization)
-    res = bm25_topk_multi(df, _EVAL_QUERIES, k=10).select(
+    # two full tokenize passes per query (r10 optimization); the
+    # matches frame m (doc_id, term ∈ union, tf) comes back persisted
+    # so the qrels leg below derives the graded judgments from the
+    # SAME tokenize instead of re-exploding the corpus a third time
+    ranked, m = bm25_topk_multi(df, _EVAL_QUERIES, k=10,
+                                return_matches=True)
+    res = ranked.select(
         "query_id", "doc_id", F.col("bm25").alias("score"),
     )
-    qterms = spark.createDataFrame(
-        [(qid, t) for qid, q in _EVAL_QUERIES
-         for t in sorted(set(q.split()))],
-        ["query_id", "term"],
-    )
-    doc_terms = df.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(tokens(F.lower(F.col("text"))))
-        ).alias("term"),
-    )
+    # (query_id, term) pairs built JVM-side: a local-list
+    # createDataFrame spawns a pickled-Python job just to emit ~10 rows
+    # (profiled at 7.9 s task time under load)
+    qterms = spark.range(1).select(F.explode(F.array(*[
+        F.struct(F.lit(qid).alias("query_id"), F.lit(t).alias("term"))
+        for qid, q in _EVAL_QUERIES for t in sorted(set(q.split()))
+    ])).alias("__qt")).select("__qt.query_id", "__qt.term")
+    # rel = number of distinct query terms the doc contains: m has one
+    # row per (doc, contained term ∈ union of query terms), so the
+    # count after the attach join is exactly the old
+    # explode(array_distinct(tokens))-based count
     qrels = (
-        doc_terms.join(F.broadcast(qterms), "term")
+        m.join(F.broadcast(qterms), "term")
         .groupBy("query_id", "doc_id")
         .agg(F.count(F.lit(1)).alias("rel"))
         .filter(F.col("rel") >= 2)

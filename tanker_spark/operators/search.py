@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import hashlib
 
+from pyspark.sql import Observation
 from pyspark.sql import functions as F
 
 from .text import tokens
@@ -100,26 +101,44 @@ def _bm25_expr(k1, b):
     )
 
 
-def _postings(df, text_col, id_col):
+def _postings(df, text_col, id_col, obs=None):
     """(id, dl, term, tf): tokenize once, keep per-doc length for the
     length normalization. Map-only until the (id, term) aggregate.
     ``widen`` fans a narrow scan out before the tokenize+explode (no-op
-    on many-split inputs — the guard lives in widen)."""
+    on many-split inputs — the guard lives in widen).
+
+    ``obs`` (a :class:`pyspark.sql.Observation`) piggybacks the corpus
+    stats (``n_docs``/``dl_sum``/``dl_n``) on the pre-explode rows of
+    whatever action consumes the postings — the index build/append use
+    it to derive their one-row meta from the SAME tokenize pass that
+    writes the postings, instead of re-tokenizing the corpus in a
+    second stats job (guide §1.2: don't compute things twice). The
+    metrics sit ABOVE the explode, so null-text docs (dropped by the
+    explode) are still counted in ``n_docs`` and excluded from
+    ``dl_n``/``dl_sum`` exactly like the old ``avg``/``sum`` over
+    ``size(tokens(...))``."""
     from .dedup import widen
 
     base = widen(df).select(
         F.col(id_col).alias("doc_id"),
         tokens(F.lower(F.col(text_col))).alias("__toks"),
-    ).select("doc_id", F.size("__toks").alias("dl"),
-             F.explode("__toks").alias("term"))
-    return base
+    )
+    if obs is not None:
+        base = base.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("__toks")).alias("dl_sum"),
+            F.count(F.size("__toks")).alias("dl_n"),
+        )
+    return base.select("doc_id", F.size("__toks").alias("dl"),
+                       F.explode("__toks").alias("term"))
 
 
 def bm25_topk(df, query, k=10, text_col="text", id_col="doc_id",
               k1=1.2, b=0.75, round_to=4):
     """Top-``k`` documents by BM25 relevance to ``query`` (a string or a
     list of terms). Returns (doc_id, bm25)."""
-    from .dedup import widen
+    from .dedup import _persist, widen
 
     terms = _query_terms(query)
     toks = _postings(df, text_col, id_col)
@@ -136,6 +155,16 @@ def bm25_topk(df, query, k=10, text_col="text", id_col="doc_id",
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
     )
+    # m feeds BOTH the scored rows and the df_t broadcast build; AQE
+    # compiles broadcast builds concurrently and shares no
+    # ReusedExchange with the probe side, so an unpersisted m
+    # re-tokenizes the corpus once per consumer (the same duplicated-
+    # subtree class the pair-dedup family fixed this round). Persist +
+    # eager count fills the cache BEFORE the builds compile. The
+    # skew-safe groupBy(term) partial aggregation stays — a window
+    # over term would funnel a hot term into one task at scale.
+    m = _persist(m)
+    m.count()
     dfreq = m.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
     scored = (
         m.join(F.broadcast(dfreq), "term")
@@ -149,7 +178,8 @@ def bm25_topk(df, query, k=10, text_col="text", id_col="doc_id",
 
 
 def bm25_topk_multi(df, queries, k=10, text_col="text",
-                    id_col="doc_id", k1=1.2, b=0.75, round_to=4):
+                    id_col="doc_id", k1=1.2, b=0.75, round_to=4,
+                    return_matches=False):
     """Top-``k`` per query for a BATCH of queries in ONE corpus pass —
     row-identical to running :func:`bm25_topk` per query (pinned by
     test), but the corpus tokenizes once for the union of all query
@@ -162,10 +192,17 @@ def bm25_topk_multi(df, queries, k=10, text_col="text",
     the UNION of terms leaves every per-term number unchanged, and each
     query then sums exactly its own terms' contributions via the
     (query_id, term) attach join. The top-k cut per query uses the same
-    (bm25 DESC, id ASC) order as the single-query path."""
+    (bm25 DESC, id ASC) order as the single-query path.
+
+    ``return_matches=True`` additionally returns the persisted matches
+    frame ``m`` — one row per (doc_id, term ∈ union of query terms)
+    with ``tf``/``dl`` — as ``(result, m)``. An eval harness derives
+    graded pseudo-judgments from exactly this frame; handing it out
+    saves the caller a separate corpus tokenize that recomputes it
+    (guide §1.2)."""
     from pyspark.sql import Window
 
-    from .dedup import widen
+    from .dedup import _persist, widen
 
     per_q = [(qid, _query_terms(q)) for qid, q in queries]
     all_terms = sorted({t for _qid, ts in per_q for t in ts})
@@ -181,6 +218,11 @@ def bm25_topk_multi(df, queries, k=10, text_col="text",
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
     )
+    # persist + eager count: see bm25_topk — the df_t broadcast build
+    # (and, with return_matches, every qrels-side consumer) reuses the
+    # one tokenize instead of re-running the subtree per consumer
+    m = _persist(m)
+    m.count()
     dfreq = m.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
     qt = F.explode(
         F.array(*[
@@ -202,11 +244,14 @@ def bm25_topk_multi(df, queries, k=10, text_col="text",
     w = Window.partitionBy("query_id").orderBy(
         F.col("bm25").desc(), F.col("doc_id").asc()
     )
-    return (
+    out = (
         scored.withColumn("__rnk", F.row_number().over(w))
         .filter(F.col("__rnk") <= int(k))
         .select("query_id", "doc_id", "bm25")
     )
+    if return_matches:
+        return out, m
+    return out
 
 
 def term_prefix(col):
@@ -217,11 +262,59 @@ def term_prefix(col):
     return F.substring(F.sha2(col, 256), 1, 2)
 
 
+def _obs_stats(obs, df, text_col):
+    """Corpus stats (n_docs, dl_sum, dl_n) from the :class:`Observation`
+    that rode the postings action — with a fallback: when the optimizer
+    collapses the input to an empty ``LocalRelation`` (e.g. a
+    ``filter(lit(False))`` batch), the ``CollectMetrics`` node is pruned
+    with it and the observation never fires (``obs.get`` raises on the
+    JVM side). Recompute with an explicit aggregate then — trivially
+    cheap in exactly that regime (the plan is a constant-folded empty
+    scan)."""
+    try:
+        return obs.get
+    except Exception:
+        row = df.select(
+            F.size(tokens(F.lower(F.col(text_col)))).alias("__dl")
+        ).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__dl").alias("dl_sum"),
+            F.count("__dl").alias("dl_n"),
+        ).collect()[0]
+        return {"n_docs": row["n_docs"], "dl_sum": row["dl_sum"],
+                "dl_n": row["dl_n"]}
+
+
+def _write_meta(spark, path, n_docs, dl_sum, dl_n):
+    """One-row (n_docs, avgdl, dl_sum, dl_n) meta frame, built JVM-side
+    (``spark.range(1).select(lit...)``, NOT ``createDataFrame`` — the
+    pickled-local-list path spawns a Python worker to emit one row;
+    guide §4). ``avgdl`` is the same IEEE double division Spark's
+    ``avg`` over an integer column performs (exact long sum, one
+    double divide), so meta derived from observed stats is
+    bit-identical to the old second-pass aggregate. dl_sum/dl_n ride
+    along so :func:`text_index_append` can merge avgdl EXACTLY —
+    null-text docs count in n_docs but not dl_n, so a merge weighted
+    by n_docs alone would drift when such docs exist."""
+    avgdl = float(dl_sum) / dl_n if dl_n else None
+    spark.range(1).select(
+        F.lit(int(n_docs)).cast("long").alias("n_docs"),
+        F.lit(avgdl).cast("double").alias("avgdl"),
+        F.lit(None if dl_sum is None else float(dl_sum))
+        .cast("double").alias("dl_sum"),
+        F.lit(int(dl_n)).cast("long").alias("dl_n"),
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/{META_SUBDIR}"
+    )
+
+
 def build_text_index(df, path, text_col="text", id_col="doc_id"):
     """Persist the BM25 index: postings partitioned by term-hash prefix
     + a one-row meta table (n_docs, avgdl). Tokenization — the dominant
-    cost — is paid once here, never per query."""
-    toks = _postings(df, text_col, id_col)
+    cost — is paid ONCE here (the meta stats ride the postings write as
+    observed metrics, not a second tokenize pass), never per query."""
+    obs = Observation()
+    toks = _postings(df, text_col, id_col, obs=obs)
     postings = (
         toks.groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
@@ -238,18 +331,12 @@ def build_text_index(df, path, text_col="text", id_col="doc_id"):
     postings.write.mode("overwrite").partitionBy(_PFX).parquet(
         f"{path}/{POSTINGS_SUBDIR}"
     )
-    # dl_sum/dl_n (token totals over docs with a tokenizable text) ride
-    # along so text_index_append can merge avgdl EXACTLY — avg()
-    # ignores null-text docs, so an append weighted by n_docs alone
-    # would drift when such docs exist
-    df.select(
-        F.size(tokens(F.lower(F.col(text_col)))).alias("__dl")
-    ).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.avg("__dl").alias("avgdl"),
-        F.sum("__dl").cast("double").alias("dl_sum"),
-        F.count("__dl").alias("dl_n"),
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{META_SUBDIR}")
+    # postings first, meta last (crash leaves a probe failing loudly on
+    # the missing meta, never silently mis-normalized) — same ordering
+    # contract as text_index_append
+    stats = _obs_stats(obs, df, text_col)
+    _write_meta(df.sparkSession, path, stats["n_docs"],
+                stats["dl_sum"], stats["dl_n"])
     return path
 
 
@@ -284,7 +371,8 @@ def text_index_append(new_df, path, text_col="text", id_col="doc_id"):
     (cf. ``streaming/ingest.py``'s batch-id dirs)."""
     _reject_stream_layout(new_df.sparkSession, path,
                           "text_index_append")
-    toks = _postings(new_df, text_col, id_col)
+    obs = Observation()
+    toks = _postings(new_df, text_col, id_col, obs=obs)
     postings = (
         toks.groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
@@ -299,13 +387,10 @@ def text_index_append(new_df, path, text_col="text", id_col="doc_id"):
     )
     spark = new_df.sparkSession
     old = spark.read.parquet(f"{path}/{META_SUBDIR}").collect()[0]
-    batch = new_df.select(
-        F.size(tokens(F.lower(F.col(text_col)))).alias("__dl")
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("__dl").alias("s"), F.count("__dl").alias("c"),
-    ).collect()[0]
-    if batch["n"]:
+    # the batch stats rode the postings write as observed metrics —
+    # the old second tokenize pass over the batch is gone (guide §1.2)
+    batch = _obs_stats(obs, new_df, text_col)
+    if batch["n_docs"]:
         od = old.asDict()
         # pre-append indexes lack dl_sum/dl_n: reconstruct from
         # avgdl·n_docs (exact when the old corpus had no null texts,
@@ -321,23 +406,10 @@ def text_index_append(new_df, path, text_col="text", id_col="doc_id"):
             # dl_n recorded but dl_sum NULL = sum() over zero non-null
             # doc lengths — the old corpus contributed nothing
             o_sum = 0.0
-        dl_sum = o_sum + (batch["s"] or 0)
-        dl_n = o_n + batch["c"]
-        # build the 1-row frame JVM-side (spark.range + lit), NOT
-        # createDataFrame([...]): a local-list frame runs through a
-        # pickled-RDD path that spawns a Python worker just to emit one
-        # row — profiled at multi-second task time under load (guide
-        # §4: don't cross the Python boundary for work Spark can do)
-        avgdl = float(dl_sum) / dl_n if dl_n else None
-        spark.range(1).select(
-            F.lit(old["n_docs"] + batch["n"]).cast("long")
-            .alias("n_docs"),
-            F.lit(avgdl).cast("double").alias("avgdl"),
-            F.lit(float(dl_sum)).cast("double").alias("dl_sum"),
-            F.lit(int(dl_n)).cast("long").alias("dl_n"),
-        ).coalesce(1).write.mode("overwrite").parquet(
-            f"{path}/{META_SUBDIR}"
-        )
+        dl_sum = o_sum + (batch["dl_sum"] or 0)
+        dl_n = o_n + batch["dl_n"]
+        _write_meta(spark, path, old["n_docs"] + batch["n_docs"],
+                    dl_sum, dl_n)
     return path
 
 

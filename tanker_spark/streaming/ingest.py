@@ -292,38 +292,48 @@ def text_index_sink(stream_df, index_path, checkpoint_dir,
     Scale: per batch = tokenize batch + one (doc, term) aggregate;
     probe = stats sum (|batches| rows) + prefix-pruned postings read —
     same probe shape as the batch index, one extra tiny aggregate."""
+    from pyspark.sql import Observation
+
     from ..operators.search import (META_SUBDIR, POSTINGS_SUBDIR, _PFX,
+                                    _obs_stats, _pfx_repartition,
                                     _postings, term_prefix)
-    from ..operators.text import tokens
 
     def _index_batch(batch_df, batch_id):
         if batch_df.isEmpty():
             return
-        batch_df = batch_df.persist()
-        toks = _postings(batch_df, text_col, id_col)
+        # the per-batch stats ride the postings write as observed
+        # metrics — one tokenize pass per batch, no persist needed for
+        # a second stats pass (guide §1.2); the meta row is built
+        # JVM-side like search._write_meta's
+        obs = Observation()
+        toks = _postings(batch_df, text_col, id_col, obs=obs)
         postings = (
             toks.groupBy("doc_id", "term")
             .agg(F.count(F.lit(1)).alias("tf"),
                  F.first("dl").alias("dl"))
             .withColumn(_PFX, term_prefix(F.col("term")))
-            # one file per prefix per batch, not tasks × prefixes
-            # (see build_text_index)
-            .repartition(F.col(_PFX))
+            # one file per prefix per batch, not tasks × prefixes; the
+            # explicit-count repartition form is never AQE-coalesced
+            # to one serial task (see search._pfx_repartition)
+            .transform(_pfx_repartition)
         )
         postings.write.mode("overwrite").partitionBy(_PFX).parquet(
             "%s/%s/batch=%d" % (index_path, POSTINGS_SUBDIR, batch_id)
         )
-        batch_df.select(
-            F.size(tokens(F.lower(F.col(text_col)))).alias("__dl")
-        ).agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.avg("__dl").alias("avgdl"),
-            F.sum("__dl").cast("double").alias("dl_sum"),
-            F.count("__dl").alias("dl_n"),
+        stats = _obs_stats(obs, batch_df, text_col)
+        n_docs, dl_sum, dl_n = (stats["n_docs"], stats["dl_sum"],
+                                stats["dl_n"])
+        avgdl = float(dl_sum) / dl_n if dl_n else None
+        spark = batch_df.sparkSession
+        spark.range(1).select(
+            F.lit(int(n_docs)).cast("long").alias("n_docs"),
+            F.lit(avgdl).cast("double").alias("avgdl"),
+            F.lit(None if dl_sum is None else float(dl_sum))
+            .cast("double").alias("dl_sum"),
+            F.lit(int(dl_n)).cast("long").alias("dl_n"),
         ).coalesce(1).write.mode("overwrite").parquet(
             "%s/%s/batch=%d" % (index_path, META_SUBDIR, batch_id)
         )
-        batch_df.unpersist()
 
     return (
         stream_df.writeStream.foreachBatch(_index_batch)

@@ -234,3 +234,45 @@ def test_bm25_topk_multi_matches_per_query(spark):
         for r in bm25_topk(df, q, k=3).collect():
             single[(qid, r["doc_id"])] = r["bm25"]
     assert multi == single
+
+
+def test_bm25_topk_multi_matches_frame_drives_qrels(spark):
+    """``return_matches=True`` hands back the persisted (doc_id, term,
+    tf, dl) matches frame so an eval harness can derive graded
+    judgments WITHOUT a second corpus tokenize (the r10
+    retrieval_eval_bm25 optimization). Pin the contract it relies on:
+    joining m to (query_id, term) pairs and counting rows per
+    (query_id, doc_id) gives exactly the old
+    explode(array_distinct(tokens))-based distinct-term counts, and the
+    ranked output is unchanged by the flag."""
+    from tanker_spark.operators.search import bm25_topk_multi
+    from tanker_spark.operators.text import tokens
+
+    df = _docs(spark)
+    queries = [(1, "spark merge window"), (2, "window sql")]
+    plain = bm25_topk_multi(df, queries, k=3).collect()
+    ranked, m = bm25_topk_multi(df, queries, k=3, return_matches=True)
+    assert sorted(map(tuple, ranked.collect())) == \
+        sorted(map(tuple, plain))
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, q in queries
+         for t in sorted(set(q.split()))], ["query_id", "term"])
+    got = {
+        (r["query_id"], r["doc_id"]): r["rel"]
+        for r in m.join(qterms, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("rel")).collect()
+    }
+    doc_terms = df.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(tokens(F.lower(F.col("text"))))
+        ).alias("term"),
+    )
+    want = {
+        (r["query_id"], r["doc_id"]): r["rel"]
+        for r in doc_terms.join(qterms, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("rel")).collect()
+    }
+    assert got == want
