@@ -48,10 +48,19 @@ def _persist(df):
     # new handle each time churns the LRU list until the cap evicts
     # that shared entry WHILE a later invocation is mid-flight on it
     # (measured: pass 1 1.8 s, pass 2 22 s when the rug was pulled).
-    # A cache hit means the entry is alive: reuse it, keep the list.
+    # A cache hit means the entry is alive: reuse it AND refresh its
+    # LRU slot (else a hot shared entry keeps its original position
+    # and the cap can still rug-pull it mid-flight — r10 ADVICE).
+    # ``df.storageLevel`` consults the same CacheManager lookup the
+    # old ``_jsparkSession...lookupCachedData`` probe did, through
+    # public API only.
     try:
-        jcm = df.sparkSession._jsparkSession.sharedState().cacheManager()
-        if jcm.lookupCachedData(df._jdf).isDefined():
+        lvl = df.storageLevel
+        if lvl.useMemory or lvl.useDisk:
+            for i, handle in enumerate(_CACHED_FRAMES):
+                if df.sameSemantics(handle):
+                    _CACHED_FRAMES.append(_CACHED_FRAMES.pop(i))
+                    break
             return df
     except Exception:
         pass
@@ -1687,6 +1696,15 @@ def _ident(name):
     return "`%s`" % str(name).replace("`", "``")
 
 
+def _name_ok_sql(name):
+    """True when ``name`` may take the single-``F.expr`` fast path. A
+    dotted name is excluded: ``F.col('s.embedding')`` resolves nested
+    struct fields, while the backtick-quoted SQL form would demand a
+    literal column named ``s.embedding`` — the Column path preserves
+    the old resolution for those callers (r10 ADVICE)."""
+    return isinstance(name, str) and "." not in name
+
+
 def _vec_sql(vec):
     """Literal array<double> SQL for a python vector. repr() is exact
     (shortest round-trip); the D suffix makes every element the same
@@ -1727,7 +1745,7 @@ def hyperplane_bucket(vec_col, dim, n_planes=8, seed=42):
     trips — see the SQL-twin note above). Both forms produce the same
     Catalyst tree."""
     planes = _hyperplanes(dim, n_planes, seed)
-    if isinstance(vec_col, str):
+    if _name_ok_sql(vec_col):
         col_sql = _ident(vec_col)
         bits = ["CAST(0 AS BIGINT)"]
         bits += [

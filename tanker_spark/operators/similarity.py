@@ -34,6 +34,7 @@ from .dedup import (
     _dot_sql,
     _hyperplanes,
     _ident,
+    _name_ok_sql,
     _norm,
     _norm_sql,
     _persist,
@@ -85,7 +86,7 @@ def cosine_to(vec_col, probe_vec):
     costs ~150 py4j round trips per call — dedup.py SQL-twin note).
     Both forms produce the same Catalyst tree, pinned bit-identical by
     test."""
-    if isinstance(vec_col, str) and _vec_ok_sql(probe_vec):
+    if _name_ok_sql(vec_col) and _vec_ok_sql(probe_vec):
         p = _vec_sql(probe_vec)
         a = _ident(vec_col)
         return F.expr("%s / (%s * %s)"
@@ -207,7 +208,7 @@ def ivf_cell_col(cent_vecs, vec_col="embedding"):
     Built as ONE ``F.expr`` string when possible: the Column-API form
     is k × ~150 py4j round trips (k=8 cells ≈ 1.6 s of driver time per
     call in the r10 profile — dedup.py SQL-twin note)."""
-    if (isinstance(vec_col, str)
+    if (_name_ok_sql(vec_col)
             and all(_vec_ok_sql(v) for v in cent_vecs)):
         a = _ident(vec_col)
         structs = [
@@ -750,11 +751,17 @@ def train_pq(df, m=8, n_codes=256, vec_col="embedding", id_col="vec_id",
         X = X - Cn[(X @ Cn.T).argmax(1)]
     dsub = dim // m
     rng = np.random.default_rng(seed)
-    books = []
+    # inits draw SEQUENTIALLY from one generator (the rng state evolves
+    # across subspaces), pinned before the parallel phase so threading
+    # cannot reorder the draws — retraining reproduces bit-exactly
+    inits = []
     for s in range(m):
         Xs = np.ascontiguousarray(X[:, s * dsub:(s + 1) * dsub])
-        C = Xs[rng.choice(len(Xs), size=n_codes,
-                          replace=len(Xs) < n_codes)].copy()
+        inits.append((Xs, Xs[rng.choice(len(Xs), size=n_codes,
+                                        replace=len(Xs) < n_codes)].copy()))
+
+    def _lloyd(args):
+        Xs, C = args
         for _ in range(int(iters)):
             # argmin ||x-c||² == argmax x·c − ½||c||² — one GEMM.
             # einsum, not ``@``: OpenBLAS spin-waits its thread pool
@@ -771,8 +778,20 @@ def train_pq(df, m=8, n_codes=256, vec_col="embedding", id_col="vec_id",
             C[nz] = sums[nz] / counts[nz, None]
             # empty cells keep their previous centroid (deterministic;
             # no random restarts, so retraining reproduces bit-exactly)
-        books.append(C.tolist())
-    return books
+        return C.tolist()
+
+    # the m subspace k-means runs are INDEPENDENT (disjoint column
+    # slices, per-subspace init already drawn) — run them on driver
+    # threads: numpy releases the GIL inside the einsum/ufunc inner
+    # loops, so the wall drops ~2-3× (measured) while every per-
+    # subspace computation is unchanged → books stay bit-identical
+    # (guide §2.6 job-level parallelism, applied to driver numpy).
+    from concurrent.futures import ThreadPoolExecutor
+
+    if m > 1:
+        with ThreadPoolExecutor(max_workers=min(m, 8)) as pool:
+            return list(pool.map(_lloyd, inits))
+    return [_lloyd(a) for a in inits]
 
 
 def _pq_books_np(books):
@@ -1136,10 +1155,32 @@ def ann_index_append(new_df, path):
     ``score='auto'`` heuristic; a compact recounts and repairs it),
     and concurrent parquet appends into one directory tree have no
     transactional story on plain parquet anyway (move to Delta/Iceberg
-    for multi-writer)."""
+    for multi-writer). To land SEVERAL ready batches through one
+    maintenance window, use :func:`ann_index_append_many`, which
+    overlaps the per-batch encode jobs on driver threads while staying
+    the single writer."""
     spark = new_df.sparkSession
     path = fsio.resolve(spark, path)
     meta = _meta_read(spark, path)
+    stored = _append_frame(new_df, meta)
+    if fsio.is_local(path):
+        prev = _parquet_files(path)
+        stored.write.mode("append").partitionBy("__bucket").parquet(path)
+        _refresh_meta_rows(path, prev_files=prev)
+    else:
+        # remote paths: the driver can't footer-walk the new files, so
+        # the batch is persisted, counted once (O(batch)), and the
+        # count becomes the metadata delta
+        stored = stored.persist()
+        n_new = stored.count()
+        stored.write.mode("append").partitionBy("__bucket").parquet(path)
+        stored.unpersist(blocking=False)
+        _refresh_meta_rows(path, spark=spark, delta=n_new)
+
+
+def _append_frame(new_df, meta):
+    """The encoded, bucket-repartitioned batch frame an append writes
+    (shared by :func:`ann_index_append` / :func:`ann_index_append_many`)."""
     vec_col, id_col = meta["vec_col"], meta["id_col"]
     if meta["method"] == "lsh":
         col = hyperplane_bucket(
@@ -1163,20 +1204,54 @@ def ann_index_append(new_df, path):
         stored = new_df.select(
             F.col(id_col), F.col(vec_col), col.alias("__bucket")
         )
-    stored = _bucket_repartition(stored)
-    if fsio.is_local(path):
-        prev = _parquet_files(path)
-        stored.write.mode("append").partitionBy("__bucket").parquet(path)
-        _refresh_meta_rows(path, prev_files=prev)
-    else:
-        # remote paths: the driver can't footer-walk the new files, so
-        # the batch is persisted, counted once (O(batch)), and the
-        # count becomes the metadata delta
-        stored = stored.persist()
-        n_new = stored.count()
-        stored.write.mode("append").partitionBy("__bucket").parquet(path)
-        stored.unpersist(blocking=False)
-        _refresh_meta_rows(path, spark=spark, delta=n_new)
+    return _bucket_repartition(stored)
+
+
+def ann_index_append_many(new_dfs, path):
+    """Append SEVERAL batches to a persisted ANN index through ONE
+    maintenance call — result-identical to calling
+    :func:`ann_index_append` once per batch in order (each batch still
+    lands as its own file set, so an at-least-once replay still
+    produces the duplicate rows ``ann_index_compact(dedup_ids=True)``
+    exists to collapse), but the expensive per-batch work overlaps:
+
+    - the encode/bucket-assignment jobs are MATERIALIZED from
+      concurrent driver threads (guide §2.6 — Spark happily runs
+      independent jobs at once; each batch persists and counts, so its
+      GEMM/shuffle fills executor slots the other batches' tails free
+      up);
+    - the parquet appends then land SEQUENTIALLY from the cached
+      frames: two Spark write jobs on one output directory share the
+      FileOutputCommitter ``_temporary/0`` staging tree (the
+      application-attempt id is constant), and the first job's commit
+      cleanup can delete the second's pending task files — so the
+      cheap file-move phase stays serialized while the expensive
+      compute phase does not;
+    - ``_ann_meta.json`` refreshes ONCE with the summed row delta
+      (one read-modify-write for the whole call — the single-writer
+      contract holds because this call IS the one writer).
+
+    A crash between the sequential writes leaves the already-landed
+    batches visible with a stale ``n_rows`` — exactly the
+    per-``ann_index_append`` crash contract; a compact recounts."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    new_dfs = list(new_dfs)
+    if not new_dfs:
+        return
+    spark = new_dfs[0].sparkSession
+    path = fsio.resolve(spark, path)
+    meta = _meta_read(spark, path)
+    stored = [_append_frame(df, meta).persist() for df in new_dfs]
+    try:
+        with ThreadPoolExecutor(max_workers=min(len(stored), 4)) as pool:
+            counts = list(pool.map(lambda s: s.count(), stored))
+        for s in stored:
+            s.write.mode("append").partitionBy("__bucket").parquet(path)
+    finally:
+        for s in stored:
+            s.unpersist(blocking=False)
+    _refresh_meta_rows(path, spark=spark, delta=sum(counts))
 
 
 def _ivf_assign(df, cents, vec_col, id_col):
@@ -1289,10 +1364,15 @@ def ann_index_compact(spark, path, dedup_ids=False, gc_old=True):
 
 
 def _dedup_bucket_ids(df, id_col):
-    """One surviving row per (bucket, id) — see ``dedup_ids``."""
-    w = Window.partitionBy("__bucket", id_col).orderBy(F.lit(1))
-    return (df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1).drop("__rn"))
+    """One surviving row per (bucket, id) — see ``dedup_ids``. A hash
+    aggregate (``dropDuplicates``), not a row_number window: the
+    partial aggregation collapses replayed duplicates MAP-SIDE before
+    the shuffle (guide §2.3 "aggregate before you shuffle"), where the
+    window shuffled every duplicate row and then sorted each partition.
+    Which row survives is immaterial either way (replayed appends
+    write identical payload rows; the window's ``orderBy(lit(1))`` was
+    equally arbitrary)."""
+    return df.dropDuplicates(["__bucket", id_col])
 
 
 def _compact_versioned(spark, root, dedup_ids=False, gc_old=True):
@@ -1624,7 +1704,7 @@ def cell_and_sim(cent_vecs, vec_col="embedding"):
     from one ``greatest`` argmax pass (the same map-only struct trick
     as :func:`ivf_cell_col`, returning both fields; single-``F.expr``
     fast path per the dedup.py SQL-twin note)."""
-    if (isinstance(vec_col, str)
+    if (_name_ok_sql(vec_col)
             and all(_vec_ok_sql(v) for v in cent_vecs)):
         a = _ident(vec_col)
         structs = [
@@ -2203,7 +2283,7 @@ def random_projection(df, out_dim, dim, vec_col="embedding", seed=42,
 
     rows = _hyperplanes(dim, out_dim, seed)
     inv = 1.0 / math.sqrt(out_dim)
-    if isinstance(vec_col, str):
+    if _name_ok_sql(vec_col):
         # one F.expr for the whole projection array (out_dim × dim
         # literal nodes through the Column API is ~10⁴ py4j round
         # trips — dedup.py SQL-twin note); same Catalyst tree

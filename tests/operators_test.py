@@ -1479,6 +1479,44 @@ def test_ann_index_append(spark, tmp_path):
         [(r.vec_id, round(r.cos_sim, 9)) for r in want]
 
 
+def test_ann_index_append_many_matches_sequential(spark, tmp_path):
+    """The batched (thread-overlapped) append is result-identical to
+    sequential ann_index_append calls: same rows per bucket (replayed
+    batches keep their duplicate rows for the compaction to collapse),
+    same metadata n_rows, same probe results after compact."""
+    rnd = random.Random(43)
+    dim = 16
+    base = [(i, [rnd.gauss(0, 1) for _ in range(dim)]) for i in range(50)]
+    b1 = [(100 + i, [rnd.gauss(0, 1) for _ in range(dim)])
+          for i in range(20)]
+    df = spark.createDataFrame(base, ["vec_id", "embedding"])
+    n1 = spark.createDataFrame(b1, ["vec_id", "embedding"])
+    seq, many = str(tmp_path / "ann_seq"), str(tmp_path / "ann_many")
+    for p in (seq, many):
+        similarity.build_ann_index(df, p, method="lsh", dim=dim,
+                                   n_planes=6)
+    similarity.ann_index_append(n1, seq)
+    similarity.ann_index_append(n1, seq)   # replay
+    similarity.ann_index_append_many([n1, n1], many)
+    rows = lambda p: sorted(
+        (r["__bucket"], r.vec_id) for r in spark.read.parquet(p).collect()
+    )
+    assert rows(seq) == rows(many)
+    assert similarity._meta_read(spark, seq)["n_rows"] == \
+        similarity._meta_read(spark, many)["n_rows"]
+    for p in (seq, many):
+        similarity.ann_index_compact(spark, p, dedup_ids=True)
+    assert rows(seq) == rows(many)
+    probe = b1[3][1]
+    got = [(r.vec_id, round(r.cos_sim, 9))
+           for r in similarity.knn_indexed(spark, many, probe, k=3,
+                                           multiprobe=2).collect()]
+    want = [(r.vec_id, round(r.cos_sim, 9))
+            for r in similarity.knn_indexed(spark, seq, probe, k=3,
+                                            multiprobe=2).collect()]
+    assert got == want and got[0][0] == 103
+
+
 def test_bigram_surprisal_indexed(spark, docs, tmp_path):
     path = str(tmp_path / "lm_counts")
     text.build_lm_counts(docs, path)
