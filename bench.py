@@ -206,13 +206,20 @@ def main():
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="tanker_spark_bench")
     queries = entry_mod.queries()
-    timings, all_passes = {}, {}
+    timings, all_passes, cold = {}, {}, {}
     # warm the session: JVM JIT, parquet footer cache, whole-stage
     # codegen for EVERY bench plan — the timed loop then measures
-    # steady-state engine time, not first-query Janino compilation
+    # steady-state engine time, not first-query Janino compilation.
+    # The warm-up pass durations are RECORDED as each query's "cold"
+    # figure (first invocation in a fresh-cache session — r10 VERDICT
+    # item 3: cache-heavy queries' warm medians need a cold anchor);
+    # they ride in BENCH_passes.json only, stdout stays median-based
+    # and round-over-round comparable.
     spark.range(1).count()
     for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
         queries[name](spark, sf_dir).count()
+        cold[name] = round(time.perf_counter() - t0, 3)
     prior = _prior_best()
     for name in BENCH_QUERIES:
         fn = queries[name]
@@ -257,7 +264,8 @@ def main():
     # medians only — and is printed LAST so the tail always contains it.
     try:
         Path(__file__).resolve().parent.joinpath("BENCH_passes.json").write_text(
-            json.dumps({"passes": all_passes, "sf": sf}, indent=1) + "\n")
+            json.dumps({"passes": all_passes, "cold": cold, "sf": sf},
+                       indent=1) + "\n")
     except OSError:
         pass  # read-only checkout: the stdout line is still complete
     payload = {

@@ -5,6 +5,10 @@ Usage::
     python scripts/capture_plans.py before [query ...]
     python scripts/capture_plans.py after  [query ...]
 
+The output round directory comes from ``$SPARK_GRAFT_PLANS_DIR``
+(default ``plans/r11``) — the r10 hardcode silently overwrote the
+previous round's committed evidence (r10 ADVICE).
+
 With no query names, captures every BENCH_QUERIES entry. Building a
 query's DataFrame runs its setup (index builds etc.), so this is not a
 timing tool — it records plan shape (Exchange count, join strategy,
@@ -27,7 +31,8 @@ from tanker_spark import get_spark  # noqa: E402
 def main():
     tag = sys.argv[1]
     names = sys.argv[2:] or BENCH_QUERIES
-    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r10"
+    out_dir = Path(__file__).resolve().parent.parent / "plans" / \
+        os.environ.get("SPARK_GRAFT_PLANS_DIR", "r11")
     out_dir.mkdir(parents=True, exist_ok=True)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="tk_plans")

@@ -109,7 +109,7 @@ def _side_overwrite(frame, root, resolved):
     return spark.read.parquet(resolved)
 
 
-def widen(df, min_parts=None):
+def widen(df, min_parts=None, key=None):
     """Fan a narrow scan out to the cluster before a compute-heavy map.
 
     Small tables (one parquet file → one scan split) would otherwise run
@@ -117,9 +117,20 @@ def widen(df, min_parts=None):
     round-robin shuffle of the RAW input — only applied when the scan
     has fewer splits than the cluster's parallelism, so a 100 TB input
     (thousands of file splits) passes through untouched with zero
-    shuffle."""
+    shuffle.
+
+    ``key`` (a Column) switches the fan-out to a HASH repartition on
+    that key: when the downstream aggregation/join is clustered by the
+    same key (or a superset), it reuses this exchange instead of adding
+    its own (guide §2.4 "two operations keyed the same way share one
+    exchange") — and the shared exchange moves the RAW rows, not the
+    (larger) exploded/shingled intermediate the downstream exchange
+    would have carried. Use a high-cardinality key (a per-row id), so
+    the hash spreads evenly (guide §2.5)."""
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
+        if key is not None:
+            return df.repartition(target, key)
         return df.repartition(target)
     return df
 

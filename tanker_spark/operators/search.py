@@ -116,10 +116,17 @@ def _postings(df, text_col, id_col, obs=None):
     metrics sit ABOVE the explode, so null-text docs (dropped by the
     explode) are still counted in ``n_docs`` and excluded from
     ``dl_n``/``dl_sum`` exactly like the old ``avg``/``sum`` over
-    ``size(tokens(...))``."""
+    ``size(tokens(...))``.
+
+    The widen fan-out hashes on the DOC ID (not round-robin): every
+    consumer aggregates by (doc_id, term), and hash(doc_id) satisfies
+    that clustering — the groupBy then rides THIS exchange instead of
+    adding one of its own over the exploded token rows, which are
+    ~3× the raw bytes here (guide §2.3/§2.4: one exchange, and it
+    moves the raw docs, not the exploded intermediate)."""
     from .dedup import widen
 
-    base = widen(df).select(
+    base = widen(df, key=F.col(id_col)).select(
         F.col(id_col).alias("doc_id"),
         tokens(F.lower(F.col(text_col))).alias("__toks"),
     )
@@ -137,7 +144,17 @@ def _postings(df, text_col, id_col, obs=None):
 def bm25_topk(df, query, k=10, text_col="text", id_col="doc_id",
               k1=1.2, b=0.75, round_to=4):
     """Top-``k`` documents by BM25 relevance to ``query`` (a string or a
-    list of terms). Returns (doc_id, bm25)."""
+    list of terms). Returns (doc_id, bm25).
+
+    NOTE: construction is EAGER — the matches frame persists and runs
+    one count job up front (it feeds both the scored rows and the df_t
+    broadcast build; unpersisted, AQE re-tokenizes the corpus once per
+    consumer). Callers composing plans they never execute still pay
+    that job, and each distinct (corpus, query) occupies one of the
+    dedup module's ``CACHE_CAP`` shared cache slots until evicted /
+    ``dedup.release_caches()``. For repeated or batch querying use
+    :func:`build_text_index` + :func:`bm25_topk_indexed` or
+    :func:`bm25_topk_multi` instead (r10 ADVICE, documented)."""
     from .dedup import _persist, widen
 
     terms = _query_terms(query)
@@ -270,10 +287,20 @@ def _obs_stats(obs, df, text_col):
     with it and the observation never fires (``obs.get`` raises on the
     JVM side). Recompute with an explicit aggregate then — trivially
     cheap in exactly that regime (the plan is a constant-folded empty
-    scan)."""
+    scan). The fallback WARNS: if the observation ever stops firing on
+    real input (listener regression, Spark upgrade), a silent recompute
+    would quietly restore the 2×-tokenize cost the observed-metrics
+    path removed (r10 ADVICE)."""
     try:
         return obs.get
     except Exception:
+        from ..utils import logger
+
+        logger.warning(
+            "_obs_stats: observation did not fire; recomputing corpus "
+            "stats with a second aggregate pass (expected only for "
+            "constant-folded empty inputs)"
+        )
         row = df.select(
             F.size(tokens(F.lower(F.col(text_col)))).alias("__dl")
         ).agg(
@@ -283,6 +310,37 @@ def _obs_stats(obs, df, text_col):
         ).collect()[0]
         return {"n_docs": row["n_docs"], "dl_sum": row["dl_sum"],
                 "dl_n": row["dl_n"]}
+
+
+def _read_meta_row(spark, path):
+    """The one-row index meta as a python dict. Local paths decode the
+    single meta parquet file DRIVER-SIDE via pyarrow (~1 ms, zero Spark
+    jobs) — the Spark read cost one schema-inference job plus one
+    collect job per probe/append, pure per-call overhead at any scale
+    (guide §7.3: serial driver time). Scheme-carrying paths (and any
+    layout surprise: several files, several rows) fall back to the
+    Spark read. Values are identical either way — the same parquet
+    pages decode to the same longs/doubles."""
+    from .. import fsio
+
+    meta_dir = str(path).rstrip("/") + "/" + META_SUBDIR
+    if fsio.is_local(meta_dir):
+        import os
+
+        import pyarrow.parquet as pq
+
+        try:
+            files = [f for f in os.listdir(meta_dir)
+                     if f.endswith(".parquet")]
+            if len(files) == 1:
+                t = pq.read_table(os.path.join(meta_dir, files[0]))
+                if t.num_rows == 1:
+                    return {c: t.column(c)[0].as_py()
+                            for c in t.column_names}
+        except OSError:
+            pass  # missing/odd dir: the Spark read raises the
+            # canonical loud error below
+    return spark.read.parquet(meta_dir).collect()[0].asDict()
 
 
 def _write_meta(spark, path, n_docs, dl_sum, dl_n):
@@ -386,12 +444,12 @@ def text_index_append(new_df, path, text_col="text", id_col="doc_id"):
         f"{path}/{POSTINGS_SUBDIR}"
     )
     spark = new_df.sparkSession
-    old = spark.read.parquet(f"{path}/{META_SUBDIR}").collect()[0]
+    old = _read_meta_row(spark, path)
     # the batch stats rode the postings write as observed metrics —
     # the old second tokenize pass over the batch is gone (guide §1.2)
     batch = _obs_stats(obs, new_df, text_col)
     if batch["n_docs"]:
-        od = old.asDict()
+        od = old
         # pre-append indexes lack dl_sum/dl_n: reconstruct from
         # avgdl·n_docs (exact when the old corpus had no null texts,
         # the only regime those indexes could have been correct in)
@@ -413,27 +471,68 @@ def text_index_append(new_df, path, text_col="text", id_col="doc_id"):
     return path
 
 
+def _postings_read(spark, path):
+    """Reader for a batch-layout postings tree. Local paths supply the
+    data schema from ONE parquet footer decoded driver-side (pyarrow),
+    skipping the per-probe schema-inference Spark job (guide §7.3:
+    per-call driver overhead); the ``pfx`` partition column is typed
+    string explicitly — what inference unions the hex dir names to,
+    and immune to the all-numeric-prefix corner where inference would
+    flip it to int. Remote paths (or any conversion surprise) keep
+    inference."""
+    from .. import fsio
+
+    pdir = str(path).rstrip("/") + "/" + POSTINGS_SUBDIR
+    if fsio.is_local(pdir):
+        try:
+            import os
+
+            import pyarrow.parquet as pq
+            from pyspark.sql.pandas.types import from_arrow_schema
+            from pyspark.sql.types import StringType, StructField
+
+            first = None
+            for root, _dirs, files in sorted(os.walk(pdir)):
+                pf = sorted(f for f in files if f.endswith(".parquet"))
+                if pf:
+                    first = os.path.join(root, pf[0])
+                    break
+            if first is not None:
+                schema = from_arrow_schema(
+                    pq.ParquetFile(first).schema_arrow)
+                if _PFX not in schema.fieldNames():
+                    schema = schema.add(StructField(_PFX, StringType()))
+                return spark.read.schema(schema).parquet(pdir)
+        except Exception:
+            pass
+    return spark.read.parquet(pdir)
+
+
 def bm25_topk_indexed(spark, path, query, k=10, k1=1.2, b=0.75,
                       round_to=4):
     """Probe a persisted index: partition-pruned postings read (only the
     query terms' hash prefixes are scanned), document-frequency counts
     from the matching postings, same scoring expression as the ad-hoc
     path — a rebuilt probe is row-identical to :func:`bm25_topk` on the
-    same corpus (pinned by test)."""
+    same corpus (pinned by test). The one-row corpus stats enter the
+    scoring expression as LITERALS read driver-side
+    (:func:`_read_meta_row`) — same doubles the old broadcast crossJoin
+    delivered, minus two Spark jobs per probe."""
     _reject_stream_layout(spark, path, "bm25_topk_indexed")
     terms = _query_terms(query)
     pfx = sorted({
         hashlib.sha256(t.encode()).hexdigest()[:2] for t in terms
     })
     m = (
-        spark.read.parquet(f"{path}/{POSTINGS_SUBDIR}")
+        _postings_read(spark, path)
         .filter(F.col(_PFX).isin(pfx) & F.col("term").isin(terms))
     )
-    stats = spark.read.parquet(f"{path}/{META_SUBDIR}")
+    md = _read_meta_row(spark, path)
     dfreq = m.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
     scored = (
         m.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(stats))
+        .withColumn("n_docs", F.lit(md["n_docs"]).cast("long"))
+        .withColumn("avgdl", F.lit(md["avgdl"]).cast("double"))
         .withColumn("__s", F.expr(_bm25_expr(k1, b)))
         .groupBy("doc_id")
         .agg(F.round(F.sum("__s"), round_to).alias("bm25"))

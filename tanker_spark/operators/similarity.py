@@ -994,6 +994,49 @@ def _parquet_files(path):
     return out
 
 
+def _index_read(spark, index_path):
+    """``spark.read`` over a (resolved) index tree, with the DATA
+    schema decoded driver-side from one local parquet footer — the
+    per-read schema-inference Spark job (one footer read, distributed)
+    disappears, which on a multi-read lifecycle (compact + probe) is a
+    job and a scheduling gap per call (guide §7.3 driver overhead).
+    The ``__bucket`` partition type is derived from the directory
+    names exactly the way partition inference would type them (int
+    when every value fits, else long — wide LSH codes). Remote paths
+    and any conversion surprise fall back to plain inference."""
+    p = str(index_path)
+    if fsio.is_local(p):
+        try:
+            import pyarrow.parquet as pq
+            from pyspark.sql.pandas.types import from_arrow_schema
+            from pyspark.sql.types import (IntegerType, LongType,
+                                           StructField)
+
+            first = None
+            bvals = []
+            for root, dirs, files in os.walk(p):
+                for d in dirs:
+                    if d.startswith("__bucket="):
+                        v = d.split("=", 1)[1]
+                        if v != "__HIVE_DEFAULT_PARTITION__":
+                            bvals.append(int(v))
+                if first is None:
+                    pf = sorted(f for f in files if f.endswith(".parquet"))
+                    if pf:
+                        first = os.path.join(root, pf[0])
+            if first is not None:
+                schema = from_arrow_schema(
+                    pq.ParquetFile(first).schema_arrow)
+                if "__bucket" not in schema.fieldNames():
+                    btype = IntegerType() if all(
+                        -2**31 <= v < 2**31 for v in bvals) else LongType()
+                    schema = schema.add(StructField("__bucket", btype))
+                return spark.read.schema(schema).parquet(p)
+        except Exception:
+            pass
+    return spark.read.parquet(p)
+
+
 def _refresh_meta_rows(path, prev_files=None, spark=None, delta=None):
     """Rewrite ``_ann_meta.json`` with a fresh footer-derived
     ``n_rows`` after a build/append/compact touched the data files.
@@ -1347,7 +1390,7 @@ def ann_index_compact(spark, path, dedup_ids=False, gc_old=True):
             shutil.rmtree(stale)
     with open(meta_src) as fh:
         meta = json.load(fh)
-    df = spark.read.parquet(path)
+    df = _index_read(spark, path)
     if dedup_ids:
         df = _dedup_bucket_ids(df, meta["id_col"])
     (
@@ -1395,7 +1438,7 @@ def _compact_versioned(spark, root, dedup_ids=False, gc_old=True):
     meta = _meta_read(spark, vdir)
     name, claim = fsio.next_version(spark, root)
     new_dir = root + "/" + name
-    df = spark.read.parquet(vdir)
+    df = _index_read(spark, vdir)
     if dedup_ids:
         df = _dedup_bucket_ids(df, meta["id_col"])
     (
@@ -1446,7 +1489,8 @@ def knn_indexed(spark, path, probe_vec, k=10, multiprobe=1, n_probe=4,
         )
     else:
         buckets = _probe_cells(meta["centroids"], probe_vec, n_probe)
-    idx = spark.read.parquet(path).filter(F.col("__bucket").isin(buckets))
+    idx = _index_read(spark, path).filter(
+        F.col("__bucket").isin(buckets))
     id_col, vec_name = meta["id_col"], meta["vec_col"]
     qmode = _qmode(meta)
     if qmode == "pq":
@@ -2452,7 +2496,7 @@ def _index_pruned_read(spark, index_path, qexp):
     cap = 10_000
     bs = (qexp.select("__bucket").distinct()
           .limit(cap + 1).collect())
-    idx = spark.read.parquet(index_path)
+    idx = _index_read(spark, index_path)
     if len(bs) <= cap:
         idx = idx.filter(
             F.col("__bucket").isin([r["__bucket"] for r in bs])
