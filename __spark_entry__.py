@@ -1241,9 +1241,14 @@ def events_value_bands(spark, sf_dir):
     from tanker_spark.operators.rangejoin import range_join
 
     ev = _read(spark, sf_dir, "events").select("event_type", "value")
-    stats = ev.groupBy("event_type").agg(
+    # persist the per-type stats: three consumers (the bin-width
+    # quantile, the bands build inside the join, and the broadcast
+    # build) each re-scanned events for this tiny aggregate — one
+    # cached ≤|event_types|-row frame serves all (guide §1.2); the
+    # quantile action fills it before the join compiles
+    stats = dedup._persist(ev.groupBy("event_type").agg(
         F.min("value").alias("mn"), F.max("value").alias("mx")
-    )
+    ))
     bands = stats.select(
         "event_type",
         F.explode(F.sequence(F.lit(0), F.lit(4))).alias("band_id"),

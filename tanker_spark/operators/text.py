@@ -370,8 +370,12 @@ def repetition_signals(df, text_col="text", id_col="doc_id",
 
     # widen: fan a narrow scan out before the compute-heavy gram
     # explode (no-op at scale — guard inside widen; locally a one-file
-    # corpus would otherwise shingle on a single core)
-    base = widen(df).select(
+    # corpus would otherwise shingle on a single core). Keyed by the
+    # doc id: every downstream aggregate here clusters on (__id, ...),
+    # so hash(id) lets BOTH branches' two-level aggs ride this one
+    # exchange instead of shuffling the exploded lines/grams again
+    # (guide §2.4; the exchange moves raw docs, not the explosion)
+    base = widen(df, key=F.col(id_col)).select(
         F.col(id_col).alias("__id"),
         F.greatest(F.length(F.col(text_col)), F.lit(1)).alias("__chars"),
         F.col(text_col).alias("__t"),
@@ -489,8 +493,10 @@ def bigram_surprisal(df, text_col="text", id_col="doc_id", k=0.5):
     # widen: see repetition_signals — parallelizes the bigram explode
     # on narrow scans, no-op on many-split inputs; both consumers of
     # ``ex`` additionally share the repartition Exchange
-    # (ReusedExchange) instead of re-scanning the corpus
-    ex = widen(df).select(
+    # (ReusedExchange) instead of re-scanning the corpus. Keyed by the
+    # doc id so the final per-doc mean rides this exchange whenever
+    # the gram-count join broadcasts (guide §2.4)
+    ex = widen(df, key=F.col(id_col)).select(
         F.col(id_col).alias("__id"),
         F.explode(
             shingles_all(F.lower(F.col(text_col)), 2)

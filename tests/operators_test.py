@@ -2031,6 +2031,7 @@ def test_embedding_exact_collapse_guard(spark):
     dedup.release_caches()
 
 
+@pytest.mark.slow
 def test_semdedup_distributed_centroids(spark):
     """Past centroid_collect_max_k semdedup never materializes the
     centroid list driver-side: centroids stay a DataFrame (only the
@@ -2155,6 +2156,7 @@ def test_cell_assign_gemm_matches_flat(spark):
         assert abs(gs - s) < 1e-9
 
 
+@pytest.mark.slow
 def test_semdedup_gemm_path(spark, monkeypatch):
     """End-to-end semdedup through the GEMM assignment branch must be
     EXACTLY equivalent to the flat Column-argmax branch: same centroids
@@ -2277,6 +2279,7 @@ def test_minhash_hot_bucket_guard(spark, hot_docs):
     dedup.release_caches()
 
 
+@pytest.mark.slow
 def test_expand_members_equals_uncollapsed(spark, docs):
     """collapse_exact + expand_members must reproduce the uncollapsed
     pair list EXACTLY (members share their rep's signature) for all
@@ -2423,6 +2426,7 @@ def test_bucket_cap_positional_prune_composition(spark):
     dedup.release_caches()
 
 
+@pytest.mark.slow
 def test_df_prefix_order_prunes_harder(spark):
     """PPJoin df-ordering: on a boilerplate-heavy corpus (every doc
     shares a 30-token template, each has 6 unique rare tokens) the
@@ -2815,6 +2819,7 @@ def test_pq_zero_norm_encodes_null(spark):
     assert got[4] is None  # wrong dim
 
 
+@pytest.mark.slow
 def test_pq_residual_layout(spark, tmp_path):
     """Residual PQ (the IVF-PQ recipe): on a CLUSTERED corpus the
     residual codebooks reconstruct materially better than raw-vector

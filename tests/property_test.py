@@ -171,6 +171,7 @@ def _eval(p, qty, note):
     suppress_health_check=list(HealthCheck),
 )
 @given(pred=pred_st)
+@pytest.mark.slow
 def test_filter_three_valued_logic(spark, tmp_path_factory, pred):
     root = str(tmp_path_factory.mktemp("prop_read"))
     with connect({"root": root, "schema": SCHEMA, "spark": spark}):
@@ -240,6 +241,7 @@ def test_line_dedup_model(spark, texts, min_docs):
     .map(" ".join),
     min_size=2, max_size=10,
 ), threshold=st.sampled_from([0.3, 0.5, 0.8]))
+@pytest.mark.slow
 def test_ngram_jaccard_exact_model(spark, texts, threshold):
     """ngram_jaccard_exact (prefix filter + positional prune + exact
     collapse/expand) == the brute-force all-pairs python model on any

@@ -48,6 +48,7 @@ def test_sessionize_batch_twin(spark, events_dir):
             assert a.session_end <= b.session_start
 
 
+@pytest.mark.slow
 def test_sessionize_stateful(spark, events_dir):
     stream = sev.read_events_stream(spark, events_dir)
     sessions = sev.sessionize(stream)
@@ -186,6 +187,7 @@ def test_hourly_anomalies_planted_spike(spark):
     assert all(r.n != 10 for r in got)
 
 
+@pytest.mark.slow
 def test_neardup_filter_stream(spark, tmp_path):
     """Streaming MinHash near-dup gate: batch docs matching the
     persisted signature corpus (or an earlier doc in the same batch)
@@ -254,6 +256,7 @@ def test_neardup_filter_stream(spark, tmp_path):
     assert kept2 == set()
 
 
+@pytest.mark.slow
 def test_neardup_filter_stream_remote_scheme_gate(spark, tmp_path):
     """The 'side table exists yet?' gate must see a SCHEME-CARRYING
     sig_path (fsio, not os.path.exists — which is False forever for a
@@ -314,6 +317,7 @@ def test_hourly_anomalies_dense_grid_flags_dropout(spark):
     assert drop[0].z is None
 
 
+@pytest.mark.slow
 def test_neardup_filter_stream_replay_keeps_keeper(spark, tmp_path):
     """At-least-once replay: re-running the SAME batch (fresh
     checkpoint, sig_path already contains the survivors) must reproduce
@@ -360,6 +364,7 @@ def test_neardup_filter_stream_replay_keeps_keeper(spark, tmp_path):
     assert again == {100}
 
 
+@pytest.mark.slow
 def test_sessionize_late_event_within_watermark(spark, tmp_path):
     """A late event (allowed by the watermark) must extend the open
     session backwards, not regress its end below its start or split
@@ -388,6 +393,7 @@ def test_sessionize_late_event_within_watermark(spark, tmp_path):
         assert r.session_start <= r.session_end, r
 
 
+@pytest.mark.slow
 def test_hourly_anomalies_stream_matches_batch(spark, tmp_path):
     """Round-5 VERDICT item: the streaming z-score gate must equal the
     batch operator on a replayed event set — same flagged hours, same
@@ -443,6 +449,7 @@ def test_hourly_anomalies_stream_matches_batch(spark, tmp_path):
     assert any(h == base + timedelta(hours=30) for _, h, _, _ in got)
 
 
+@pytest.mark.slow
 def test_decontaminate_stream(spark, tmp_path):
     """Streaming Bloom decontamination gate: micro-batch docs whose
     shingle containment vs the persisted train filter exceeds the cut
@@ -512,6 +519,7 @@ def test_time_bucket_gapfill(spark):
     }
 
 
+@pytest.mark.slow
 def test_time_bucket_gapfill_stream_matches_batch(spark, tmp_path):
     """The streaming gapfill twin must equal the batch operator on a
     replayed event set — same buckets, same counts, same summed
@@ -588,6 +596,7 @@ def test_time_bucket_gapfill_pre_epoch(spark):
     assert got == {(31, 23): 1, (1, 0): 1}
 
 
+@pytest.mark.slow
 def test_gapfill_stream_timeout_flush_and_resume(spark, tmp_path):
     """Round-5 ADVICE: the frontier bucket must be EMITTED once the
     watermark passes its end (EventTimeTimeout), instead of hanging
@@ -648,6 +657,7 @@ def test_gapfill_stream_timeout_flush_and_resume(spark, tmp_path):
         assert ("a", base + timedelta(hours=h), 0, 0.0) in got
 
 
+@pytest.mark.slow
 def test_gapfill_stream_idle_expiry(spark, tmp_path):
     """A key idle past ``idle_timeout_seconds`` of event time loses its
     state entirely: a resume after expiry restarts the grid at the new
@@ -691,6 +701,7 @@ def test_gapfill_stream_idle_expiry(spark, tmp_path):
     assert ("a", base + timedelta(hours=25), 1, 1.0) in got
 
 
+@pytest.mark.slow
 def test_anomaly_stream_timeout_flush(spark, tmp_path):
     """The anomaly twin's frontier hour must be SCORED once the
     watermark passes its end: a type whose spike is its LAST hour used
@@ -735,6 +746,7 @@ def test_anomaly_stream_timeout_flush(spark, tmp_path):
                and n == 60 for t, hr, n, _z in got), got
 
 
+@pytest.mark.slow
 def test_funnel_stream_matches_batch(spark, tmp_path):
     """Streaming funnel twin (round-5 VERDICT #4): every first-event
     resolves to exactly one appended (user, first_ts, converted) row —
@@ -823,6 +835,7 @@ def test_funnel_stream_matches_batch(spark, tmp_path):
         assert batch[u] == (n_first, n_conv), u
 
 
+@pytest.mark.slow
 def test_event_transitions_stream_matches_batch(spark, tmp_path):
     """Streaming transitions twin: one appended (user, from_type,
     to_type, to_ts) row per consecutive-event pair, emitted only once
@@ -933,6 +946,7 @@ def test_event_transitions_stream_matches_batch(spark, tmp_path):
         assert sm.get(k, 0) == n - open_edges.get(k, 0), (k, n, sm)
 
 
+@pytest.mark.slow
 def test_semantic_filter_stream(spark, tmp_path):
     """Streaming embedding near-dup gate: the first batch builds the
     ANN index from its survivors (intra-batch twins collapsed); a
@@ -1008,6 +1022,7 @@ def test_semantic_filter_stream(spark, tmp_path):
     assert kept3 == set()
 
 
+@pytest.mark.slow
 def test_semantic_filter_stream_remote_scheme_gate(spark, tmp_path):
     """The semantic gate's 'index exists yet?' check must see a
     SCHEME-CARRYING index_path (fsio + pointer resolve, not
@@ -1044,6 +1059,7 @@ def test_semantic_filter_stream_remote_scheme_gate(spark, tmp_path):
     dedup.release_caches()
 
 
+@pytest.mark.slow
 def test_text_index_stream(spark, tmp_path):
     """Streaming BM25 index maintenance: after three micro-batches the
     stream-built index answers queries row-identically to ad-hoc BM25
@@ -1123,6 +1139,7 @@ def test_text_index_stream(spark, tmp_path):
         text_index_append(late, "file://" + idx)
 
 
+@pytest.mark.slow
 def test_line_filter_stream(spark, tmp_path):
     """Streaming line gate: a boilerplate line is scrubbed from the
     batch where its accumulated distinct-doc count reaches min_docs
