@@ -90,7 +90,17 @@ members = [
 
 @pytest.fixture(scope="session")
 def spark():
-    return get_spark(extra_conf={"spark.sql.shuffle.partitions": "4"})
+    # default.parallelism=4: the fixtures are tens-of-rows frames, but
+    # every defaultParallelism-derived fan-out (widen, the index
+    # bucket/prefix repartitions) otherwise launches 32 tasks per tiny
+    # job — pure task-launch overhead that made the suite time out the
+    # driver's gate. Scale behavior is unchanged (the terms still
+    # derive from defaultParallelism; the bench session does not set
+    # this).
+    return get_spark(extra_conf={
+        "spark.sql.shuffle.partitions": "4",
+        "spark.default.parallelism": "4",
+    })
 
 
 @pytest.fixture(scope="session")

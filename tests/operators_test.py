@@ -1984,6 +1984,7 @@ def test_semdedup(spark):
         assert a == b
 
 
+@pytest.mark.slow
 def test_embedding_exact_collapse_guard(spark):
     """Bit-identical vectors (the embedding hot-bucket/hot-cell case)
     collapse to one representative before bucketing/clustering, and the
@@ -2065,6 +2066,7 @@ def test_semdedup_distributed_centroids(spark):
     dedup.release_caches()
 
 
+@pytest.mark.slow
 def test_knn_join_lsh_gemm_matches_column(spark):
     """knn_join(method='lsh') per-bucket GEMM scoring returns the same
     (qid, cid) top-k and similarities as the per-candidate Column path,
@@ -2685,6 +2687,7 @@ def _kji_corpus(spark, n=600, dim=16, seed=7):
     return rows, spark.createDataFrame(rows, ["vec_id", "embedding"])
 
 
+@pytest.mark.slow
 def test_knn_join_indexed_exact_under_full_probe(spark, tmp_path):
     """Batch KNN against the persisted index reproduces knn_join brute
     EXACTLY when the probe covers the whole bucket space — on all
@@ -3815,6 +3818,7 @@ def test_versioned_side_table_pointer_flip(spark, docs, tmp_path,
     dedup.release_caches()
 
 
+@pytest.mark.slow
 def test_gemm_tile_blocking_identical(spark, tmp_path, monkeypatch):
     """The cogrouped GEMM/ADC scorers block the (queries × corpus)
     score tile at GEMM_TILE_FLOATS cells (the r10 10M×1M soak OOM:

@@ -43,7 +43,12 @@ def _brute(points, intervals, hi_inclusive=False):
     return out
 
 
-@pytest.mark.parametrize("bin_width", [0.5, 2.0, 7.0, 100.0])
+@pytest.mark.parametrize("bin_width", [
+    2.0,
+    pytest.param(0.5, marks=pytest.mark.slow),
+    pytest.param(7.0, marks=pytest.mark.slow),
+    pytest.param(100.0, marks=pytest.mark.slow),
+])
 def test_matches_bruteforce_any_bin_width(points, intervals, bin_width):
     got = {
         (r.id, r.name)

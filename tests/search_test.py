@@ -6,6 +6,7 @@ scoring expression, same rounding); RRF fusion must be rank-only
 deterministic under reordered input.
 """
 
+import pytest
 from pyspark.sql import functions as F
 
 from tanker_spark.operators.search import (
@@ -70,6 +71,7 @@ def test_bm25_index_append_matches_adhoc(spark, tmp_path):
     assert meta2.asDict() == meta.asDict()
 
 
+@pytest.mark.slow
 def test_bm25_append_onto_null_text_index(spark, tmp_path):
     """An index built on an all-null-text corpus records avgdl/dl_sum
     NULL (avg/sum over zero non-null lengths); appending real docs must
