@@ -1533,10 +1533,16 @@ def neardup_groups(pairs_df, id_a="id_a", id_b="id_b", max_iter=25,
             .agg(F.min("lbl").alias("nlbl"))
         )
         # the changed flag rides the checkpointed frame (new < old is
-        # the only way a min-propagation label moves), so convergence
-        # is a filter-count on the checkpoint instead of a full
-        # old-vs-new label join per round — one saved shuffle join a
-        # round at any scale, same count by construction
+        # the only way a min-propagation label moves), and the
+        # convergence COUNT rides the checkpoint action itself as an
+        # observed metric — zero extra jobs per round (r10 removed the
+        # old-vs-new join, this removes the follow-up filter-count;
+        # the eager localCheckpoint is the one action per round). The
+        # fallback filter-count covers the pruned-CollectMetrics
+        # regime (same pattern as search._obs_stats).
+        from pyspark.sql import Observation
+
+        obs = Observation()
         new_labels = (
             labels.join(nbr, labels.id == nbr.src, "left")
             .select(
@@ -1549,9 +1555,13 @@ def neardup_groups(pairs_df, id_a="id_a", id_b="id_b", max_iter=25,
                 "id", F.col("__nl").alias("lbl"),
                 (F.col("__nl") < F.col("lbl")).alias("__chg"),
             )
+            .observe(obs, F.sum(F.col("__chg").cast("long")).alias("chg"))
             .localCheckpoint(eager=True)
         )
-        changed = new_labels.filter(F.col("__chg")).count()
+        try:
+            changed = obs.get["chg"] or 0
+        except Exception:
+            changed = new_labels.filter(F.col("__chg")).count()
         labels = new_labels.select("id", "lbl")
         if changed == 0:
             break
@@ -1638,15 +1648,15 @@ def _neardup_groups_star(pairs_df, id_a="id_a", id_b="id_b",
         )
         return hooked
 
-    def _sig(edges):
-        # per-edge terms bounded to 31 bits so the ANSI-checked long
-        # sum cannot overflow below ~2^32 edges per comparison
-        row = edges.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(
-                F.pmod(F.xxhash64("u", "v"), F.lit(1 << 31))
-            ).alias("h"),
-        ).collect()[0]
+    # per-edge signature terms bounded to 31 bits so the ANSI-checked
+    # long sum cannot overflow below ~2^32 edges per comparison
+    _sig_cols = (
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(1 << 31))).alias("h"),
+    )
+
+    def _sig_fallback(edges):
+        row = edges.agg(*_sig_cols).collect()[0]
         return (row["n"], row["h"])
 
     prev = None
@@ -1656,8 +1666,21 @@ def _neardup_groups_star(pairs_df, id_a="id_a", id_b="id_b",
         # join), growing the logical tree 4^rounds → analyzer OOM. On a
         # real cluster prefer spark.sparkContext.setCheckpointDir + .
         # checkpoint() so a lost executor can't lose edge blocks.
-        nxt = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        sig = _sig(nxt)
+        # The convergence signature rides the checkpoint action as
+        # observed metrics — the old separate agg job was a FULL extra
+        # pass over the edge set per round at any scale (guide §1.2);
+        # fallback agg mirrors search._obs_stats' pruned-node guard.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        nxt = (_small_star(_large_star(e))
+               .observe(obs, *_sig_cols)
+               .localCheckpoint(eager=True))
+        try:
+            got = obs.get
+            sig = (got["n"], got["h"])
+        except Exception:
+            sig = _sig_fallback(nxt)
         e.unpersist()
         e = nxt
         if sig == prev:
