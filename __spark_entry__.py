@@ -34,7 +34,15 @@ def _cx(spark, sf_dir):
 
 
 def _read(spark, sf_dir, table):
-    return spark.read.parquet("%s/%s.parquet" % (sf_dir, table))
+    path = "%s/%s.parquet" % (sf_dir, table)
+    # schema from the local footer (driver-side pyarrow) skips the
+    # per-read schema-inference Spark job — same fast path as the
+    # engine's storage.read_table; None falls back to inference
+    from tanker_spark import storage
+
+    schema = storage.local_footer_schema(path, spark)
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    return reader.parquet(path)
 
 
 # ---------------------------------------------------------------------------

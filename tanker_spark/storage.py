@@ -97,6 +97,74 @@ def exists(root, name):
     return resolve_path(root, name) is not None
 
 
+def local_footer_schema(path, spark=None):
+    """Spark schema of a LOCAL unpartitioned parquet table, decoded
+    driver-side from one file footer (pyarrow) — the same trick as
+    ``search._postings_read``: supplying the schema to ``spark.read``
+    skips the per-read schema-inference Spark job (one job + driver
+    round-trips PER read at any scale; guide §7.3). Returns ``None``
+    whenever the fast path does not provably apply — remote paths,
+    partitioned dirs (footers lack the partition columns), empty dirs,
+    INT96 timestamps (arrow decodes them naive, Spark infers them
+    TimestampType), a session whose ``inferTimestampNTZ`` flag departs
+    from the 4.x default, or any pyarrow/conversion surprise — and the
+    caller falls back to Spark's own inference. Footer→Spark agreement
+    for the shipped testdata tables is pinned by
+    tests/storage_test.py::test_footer_schema_matches_inference."""
+    p = str(path)
+    if "://" in p:
+        return None
+    try:
+        if spark is not None and spark.conf.get(
+            "spark.sql.parquet.inferTimestampNTZ.enabled", "true"
+        ) != "true":
+            return None
+        if os.path.isdir(p):
+            names = os.listdir(p)
+            if any(os.path.isdir(os.path.join(p, n)) for n in names):
+                return None  # possibly partitioned: let Spark infer
+            pf = sorted(n for n in names if n.endswith(".parquet"))
+            if not pf:
+                return None
+            p = os.path.join(p, pf[0])
+        elif not p.endswith(".parquet"):
+            return None
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        f = pq.ParquetFile(p)
+        pq_schema = f.schema
+        if any(pq_schema.column(i).physical_type == "INT96"
+               for i in range(len(pq_schema.names))):
+            return None
+        # prefer_timestamp_ntz mirrors Spark 4's inference of naive
+        # (isAdjustedToUTC=false) parquet timestamps as TimestampNTZ;
+        # _nullable mirrors file-source relations always reporting
+        # nullable=true regardless of the footer's required flags
+        return _nullable(from_arrow_schema(f.schema_arrow,
+                                           prefer_timestamp_ntz=True))
+    except Exception:
+        return None
+
+
+def _nullable(dt):
+    """Recursively mark every field/element nullable — Spark file-source
+    relations report all-nullable schemas whatever the footer says."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        return T.StructType([
+            T.StructField(f.name, _nullable(f.dataType), True, f.metadata)
+            for f in dt.fields
+        ])
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_nullable(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(_nullable(dt.keyType), _nullable(dt.valueType),
+                         True)
+    return dt
+
+
 def read_table(spark, root, name, schema=None, version=None):
     """Load a table DataFrame; ``version`` (int) reads an older
     retained snapshot instead of the current pointer (time travel —
@@ -110,6 +178,8 @@ def read_table(spark, root, name, schema=None, version=None):
             'Table "%s" has no data under %s — run create_tables()'
             % (name, root)
         )
+    if schema is None:
+        schema = local_footer_schema(path, spark)
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)

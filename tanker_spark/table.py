@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 from collections import defaultdict
+from datetime import datetime
 from itertools import chain
 
 from pyspark.sql import types as T
@@ -191,6 +192,28 @@ class Column:
             # iterated element-wise instead (ndarray[M8[ns]].tolist()
             # yields raw ints, np.datetime64 scalars convert properly)
             values = values.tolist()
+        # per-type fast paths: a value already of the declared python
+        # type (the overwhelmingly common case) skips the 3-call
+        # _skip→_nullish→coerce chain — 400k scalar calls per
+        # 100k-row write leg were pure python-call overhead (guide §4:
+        # the driver-side boundary). Exact-type checks only: subclasses
+        # (bool under int, pd.Timestamp under datetime, str subclasses)
+        # fall through to the unchanged slow path, so coercion
+        # semantics are bit-identical.
+        if astype == "VARCHAR":
+            return [v if type(v) is str else scalar(v) for v in values]
+        if astype in ("INTEGER", "BIGINT", "M2O"):
+            return [v if type(v) is int else scalar(v) for v in values]
+        if astype == "FLOAT":
+            # NaN (v != v) must coerce to None like pandas.isnull
+            return [v if type(v) is float and v == v else scalar(v)
+                    for v in values]
+        if astype in ("TIMESTAMP", "TIMESTAMPTZ"):
+            # to_datetime returns datetime instances unchanged
+            return [v if type(v) is datetime else scalar(v)
+                    for v in values]
+        if astype == "BOOL":
+            return [v if type(v) is bool else scalar(v) for v in values]
         return [scalar(v) for v in values]
 
     def __repr__(self):
