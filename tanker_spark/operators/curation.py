@@ -295,12 +295,20 @@ def mix_sources_temperature(df, source_col, id_col, alpha=0.5,
     w = counts.select(
         source_col, "__n", F.pow("__n", F.lit(alpha)).alias("__w")
     )
+    # __sw stays a true aggregate (sum is order-SENSITIVE in floating
+    # point — a window rewrite could flip a keep-fraction ulp); the
+    # min-based scale is order-insensitive, so it folds into the same
+    # subtree as a global window, dropping one broadcast build chain
     tot = w.agg(F.sum("__w").alias("__sw"))
     k = w.crossJoin(F.broadcast(tot)).select(
         source_col, "__n", (F.col("__w") / F.col("__sw")).alias("__frac")
     )
-    scale = k.agg(F.min(F.col("__n") / F.col("__frac")).alias("__t"))
-    keep = k.crossJoin(F.broadcast(scale)).select(
+    keep = k.withColumn(
+        "__t",
+        F.min(F.col("__n") / F.col("__frac")).over(
+            Window.partitionBy(F.lit(1))
+        ),
+    ).select(
         source_col,
         F.least(
             F.col("__frac") * F.col("__t") / F.col("__n"), F.lit(1.0)
@@ -830,13 +838,19 @@ def mix_unimax(df, group_col, budget, len_col, epochs=1.0,
             Window.partitionBy(F.lit(1))
         ).alias("__k"),
     )
-    lam = ordered.agg(
+    # λ as a GLOBAL WINDOW max keeps the whole keep-fraction
+    # computation one subtree — the old agg + broadcast crossJoin made
+    # the |groups|-row counts aggregate a separate broadcast build (its
+    # own AQE job chain recomputing the counts subtree; ~4 extra
+    # 30 ms jobs per call on the profile). max is order-insensitive,
+    # so the double is bit-identical to the aggregate's.
+    keep = ordered.withColumn(
+        "__lam",
         F.max(
             (F.lit(float(budget)) - F.col("__prefix"))
             / (F.col("__k") - F.col("__j"))
-        ).alias("__lam")
-    )
-    keep = ordered.crossJoin(F.broadcast(lam)).select(
+        ).over(Window.partitionBy(F.lit(1))),
+    ).select(
         group_col,
         F.least(
             F.lit(1.0),

@@ -1078,8 +1078,17 @@ def _df_prefix_keys(sh, freq, threshold, bucket_cap=None):
     w = Window.partitionBy("__id").orderBy(
         F.col("__c").asc(), F.col("__s.h").asc()
     )
+    # pin the window's exchange at the cluster's parallelism
+    # (REPARTITION_BY_NUM on the window key — the window reuses it, so
+    # the exchange COUNT is unchanged): AQE coalesces by BYTES, and the
+    # exploded gram rows are small enough (~0.5 MB at sf0.1) that the
+    # per-doc rank windows collapsed onto ONE task while the work is
+    # CPU-bound (0.9 s serial in the decontam profile; guide §2.5 —
+    # byte-based coalescing starves compute-heavy stages)
+    npart = sh.sparkSession.sparkContext.defaultParallelism
     pref = (
         ex.join(freq, F.col("__s.h") == F.col("__fh"))
+        .repartition(npart, "__id")
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= _plen(F.col("__sz"), threshold))
         .select("__id", "__sz", F.col("__rn").alias("__pos"),

@@ -577,6 +577,44 @@ def text_index_consolidate(spark, stream_path, out_path):
     return out_path
 
 
+def _stream_postings_read(spark, path):
+    """Reader for the STREAM (``batch=N/pfx=XX``) postings layout: same
+    footer-schema fast path as :func:`_postings_read`, with the two
+    partition columns typed explicitly — ``batch`` long and ``pfx``
+    string, what discovery infers for the ``text_index_sink`` layout
+    (and for ``pfx``, immune to the all-numeric-prefix corner).
+    Remote paths (or any surprise) keep inference."""
+    from .. import fsio
+
+    pdir = str(path).rstrip("/") + "/" + POSTINGS_SUBDIR
+    if fsio.is_local(pdir):
+        try:
+            import os
+
+            import pyarrow.parquet as pq
+            from pyspark.sql.pandas.types import from_arrow_schema
+            from pyspark.sql.types import (LongType, StringType,
+                                           StructField)
+
+            first = None
+            for root, _dirs, files in sorted(os.walk(pdir)):
+                pf = sorted(f for f in files if f.endswith(".parquet"))
+                if pf:
+                    first = os.path.join(root, pf[0])
+                    break
+            if first is not None:
+                schema = from_arrow_schema(
+                    pq.ParquetFile(first).schema_arrow)
+                for name, typ in (("batch", LongType()),
+                                  (_PFX, StringType())):
+                    if name not in schema.fieldNames():
+                        schema = schema.add(StructField(name, typ))
+                return spark.read.schema(schema).parquet(pdir)
+        except Exception:
+            pass
+    return spark.read.parquet(pdir)
+
+
 def bm25_topk_stream_indexed(spark, path, query, k=10, k1=1.2, b=0.75,
                              round_to=4):
     """Probe a STREAM-maintained index (``streaming.ingest.
@@ -593,7 +631,7 @@ def bm25_topk_stream_indexed(spark, path, query, k=10, k1=1.2, b=0.75,
         hashlib.sha256(t.encode()).hexdigest()[:2] for t in terms
     })
     m = (
-        spark.read.parquet(f"{path}/{POSTINGS_SUBDIR}")
+        _stream_postings_read(spark, path)
         .filter(F.col(_PFX).isin(pfx) & F.col("term").isin(terms))
     )
     stats = (

@@ -691,9 +691,24 @@ def _unit_rows(M):
     return M * np.where(n > 0, 1.0 / np.where(n > 0, n, 1.0), 0.0)
 
 
+def _pq_sample_rows(df, vec_col, id_col, seed, sample_rows=PQ_TRAIN_CAP):
+    """The deterministic hash-ordered training sample (one TakeOrdered
+    job + collect). Shared by :func:`build_ann_index`: its first
+    ``n_cells`` rows ARE :func:`ivf_centroid_vectors`' sample-method
+    result (same null filter, same ``xxhash64(id, seed)`` sort key),
+    so one collect can serve both."""
+    return (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv"))
+        .orderBy(F.xxhash64(F.col("__cid"), F.lit(seed)))
+        .limit(int(sample_rows))
+        .collect()
+    )
+
+
 def train_pq(df, m=8, n_codes=256, vec_col="embedding", id_col="vec_id",
              sample_rows=PQ_TRAIN_CAP, iters=10, seed=42,
-             residual_centroids=None):
+             residual_centroids=None, sample=None):
     """Train product-quantization codebooks (Jégou/Douze/Schmid, TPAMI
     2011 — the FAISS IVF-PQ layout): L2-normalize, split the vector into
     ``m`` contiguous subspaces, k-means each subspace to ``n_codes``
@@ -722,13 +737,8 @@ def train_pq(df, m=8, n_codes=256, vec_col="embedding", id_col="vec_id",
     (:func:`_pq_adc_scores`)."""
     import numpy as np
 
-    rows = (
-        df.filter(F.col(vec_col).isNotNull())
-        .select(F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv"))
-        .orderBy(F.xxhash64(F.col("__cid"), F.lit(seed)))
-        .limit(int(sample_rows))
-        .collect()
-    )
+    rows = sample if sample is not None else _pq_sample_rows(
+        df, vec_col, id_col, seed, sample_rows)
     if not rows:
         raise ValueError("train_pq: no non-null vectors to train on")
     # dim = the sample's modal vector length (ties to the smaller dim
@@ -1127,6 +1137,10 @@ def build_ann_index(df, path, method="lsh", vec_col="embedding",
         root = str(path).rstrip("/")
         name, claim = fsio.next_version(spark, root)
         path = root + "/" + name
+    qmode = {False: False, True: "int8"}.get(quantize, quantize)
+    if qmode not in (False, "int8", "pq"):
+        raise ValueError("quantize must be False, 'int8' or 'pq'")
+    pq_sample = None
     if method == "lsh":
         if n_planes is None:
             n_planes = auto_n_planes(df.count())
@@ -1134,16 +1148,24 @@ def build_ann_index(df, path, method="lsh", vec_col="embedding",
         meta = {"method": "lsh", "dim": dim, "n_planes": n_planes,
                 "seed": seed, "vec_col": vec_col, "id_col": id_col}
     elif method == "ivf":
-        cents = ivf_centroid_vectors(df, n_cells, seed, vec_col, id_col,
-                                     method=centroid_method)
+        if (centroid_method == "sample" and qmode == "pq"
+                and int(PQ_TRAIN_CAP) >= int(n_cells)):
+            # ONE hash-ordered sample collect serves both the cell
+            # centroids (its first n_cells rows — identical filter and
+            # xxhash64(id, seed) sort key as ivf_centroid_vectors) and
+            # the PQ training sample below: one corpus TakeOrdered job
+            # instead of two per build (guide §1.2)
+            pq_sample = _pq_sample_rows(df, vec_col, id_col, seed)
+            cents = [[float(x) for x in r["__cv"]]
+                     for r in pq_sample[:int(n_cells)]]
+        else:
+            cents = ivf_centroid_vectors(df, n_cells, seed, vec_col,
+                                         id_col, method=centroid_method)
         df, col = _ivf_assign(df, cents, vec_col, id_col)
         meta = {"method": "ivf", "centroids": cents, "seed": seed,
                 "vec_col": vec_col, "id_col": id_col}
     else:
         raise ValueError("unknown ANN index method %r" % method)
-    qmode = {False: False, True: "int8"}.get(quantize, quantize)
-    if qmode not in (False, "int8", "pq"):
-        raise ValueError("quantize must be False, 'int8' or 'pq'")
     meta["quantized"] = qmode
     if qmode == "pq":
         rc = None
@@ -1157,7 +1179,7 @@ def build_ann_index(df, path, method="lsh", vec_col="embedding",
             meta["pq_residual"] = True
         books = train_pq(df, m=pq_m, n_codes=pq_codes, vec_col=vec_col,
                          id_col=id_col, iters=pq_iters, seed=seed,
-                         residual_centroids=rc)
+                         residual_centroids=rc, sample=pq_sample)
         meta["pq_books"] = books
         stored = pq_encode_frame(df, books, vec_col, id_col,
                                  bucket_col=col, residual_centroids=rc)
