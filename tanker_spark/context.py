@@ -48,6 +48,16 @@ def get_spark(app_name="tanker_spark", master=None, extra_conf=None):
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
         .config("spark.driver.memory", "8g")
         .config("spark.ui.enabled", "false")
+        # PySpark 4's DataFrame debugging wraps EVERY DataFrame/Column
+        # API call with a conf.get + PySparkCurrentOrigin.set/clear
+        # (three py4j round trips) plus a Python stack walk, purely to
+        # decorate error messages with user call sites — ~600 round
+        # trips per compiled query here, ~1.5× the whole plan-building
+        # wall on driver-bound workloads (measured; guide §1.2 — serial
+        # driver time is overhead at ANY cluster size). The switch is
+        # the documented opt-out; errors keep class + message, losing
+        # only the "called from <file:line>" enrichment.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
